@@ -1,0 +1,609 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+
+/** Relational operator catalog (SURVEY.md §2.8 / §7 step 3).
+  *
+  * Each query is a named `(SparkSession, sfDir) => DataFrame` with a DuckDB
+  * oracle in [[oracles]]. Conventions that make the DuckDB diff exact:
+  *
+  *  - money/ratio aggregates sum through DECIMAL(38,6) (exact, engine-
+  *    independent), then surface as DOUBLE (`castDouble` of an exact decimal
+  *    is deterministic in both engines). Plain `sum(double)` would differ in
+  *    the last bits because the two engines add in different orders.
+  *  - averages/ratios are computed as double-division of exact aggregates,
+  *    never decimal division (engines disagree on decimal division scale).
+  *  - timestamps surface as `date_format(..)` strings or DATEs, never raw
+  *    TIMESTAMP (Spark reads events.ts at µs, DuckDB at ns — see Tables).
+  *  - every query ends in a total ORDER BY so row order is deterministic.
+  *
+  * Scale notes are inline per query: what shuffles, what broadcasts, what
+  * gets pushed down — written for the 1000-executor / 100 TB case even
+  * though tests run at local[32].
+  */
+object Relational {
+
+  /** Exact pass through decimal: sum(cast(x as decimal(38,6))) as double. */
+  private def dsum(c: Column): Column = sum(c.cast("decimal(38,6)")).cast("double")
+  private val lit1 = lit(1.0)
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- scans / projection / filter -------------------------------------
+    // Filter + arithmetic projection. Both predicates push down to the
+    // parquet scan (PushedFilters), and only 4 columns are read (ReadSchema)
+    // — at 100 TB this is the difference between reading ~25% and 100% of
+    // the table.
+    "q02_filter_project" -> ((s, dir) => {
+      Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") >= lit("1998-01-01").cast("date") &&
+                col("l_shipdate") <  lit("1999-01-01").cast("date") &&
+                col("l_discount").between(0.03, 0.07) && col("l_quantity") < 24)
+        .select(
+          col("l_orderkey"), col("l_linenumber"),
+          (col("l_extendedprice") * col("l_discount")).cast("decimal(38,6)").cast("double").as("disc_revenue"))
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
+    // ---- aggregation ------------------------------------------------------
+    // TPC-H Q1 shape: hash aggregate with partial (map-side) + final phases;
+    // the only shuffle is 4 grouping keys wide. Scales linearly with input.
+    "q01_agg_pricing_summary" -> ((s, dir) => {
+      Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") <= lit("2000-12-01").cast("date"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_base_price"),
+          dsum(col("l_extendedprice") * (lit1 - col("l_discount"))).as("sum_disc_price"),
+          dsum(col("l_extendedprice") * (lit1 - col("l_discount")) * (lit1 + col("l_tax"))).as("sum_charge"),
+          (dsum(col("l_quantity")) / count(lit(1))).as("avg_qty"),
+          (dsum(col("l_extendedprice")) / count(lit(1))).as("avg_price"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+
+    // group-by with HAVING; distinct counts force a second shuffle keyed on
+    // (group, distinct-col) — Spark plans expand+two-phase agg natively.
+    "q13_distinct_count" -> ((s, dir) => {
+      Tables.lineitem(s, dir)
+        .groupBy("l_returnflag")
+        .agg(
+          countDistinct(col("l_orderkey")).as("n_orders"),
+          countDistinct(col("l_partkey")).as("n_parts"),
+          count(lit(1)).as("n_rows"))
+        .filter(col("n_rows") > 10)
+        .orderBy("l_returnflag")
+    }),
+
+    // ROLLUP: Spark expands grouping sets map-side (Expand node) — one
+    // shuffle, rows ×(levels+1). GROUPING() disambiguates NULL-as-total.
+    "q24_rollup" -> ((s, dir) => {
+      Tables.orders(s, dir)
+        .rollup("o_orderstatus", "o_orderpriority")
+        .agg(dsum(col("o_totalprice")).as("sum_price"), count(lit(1)).as("n"),
+             grouping("o_orderstatus").cast("int").as("g_status"),
+             grouping("o_orderpriority").cast("int").as("g_priority"))
+        .select(
+          coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+          coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+          col("sum_price"), col("n"), col("g_status"), col("g_priority"))
+        .orderBy("g_status", "g_priority", "status", "priority")
+    }),
+
+    // conditional aggregation (sum over CASE WHEN) — single pass, no extra
+    // shuffle vs. separate filtered aggs.
+    "q23_case_when" -> ((s, dir) => {
+      Tables.orders(s, dir)
+        .groupBy("o_orderpriority")
+        .agg(
+          dsum(when(col("o_orderstatus") === "F", col("o_totalprice")).otherwise(lit(0.0))).as("finished_price"),
+          dsum(when(col("o_orderstatus") =!= "F", col("o_totalprice")).otherwise(lit(0.0))).as("open_price"),
+          sum(when(col("o_totalprice") > 250000, 1L).otherwise(0L)).as("n_big"))
+        .orderBy("o_orderpriority")
+    }),
+
+    // ---- joins -------------------------------------------------------------
+    // Small-dim join: part (20k rows @sf0.1, ~MBs even at 100 TB scale
+    // factors since dims grow slower than facts) is explicitly broadcast —
+    // no shuffle of the 100 TB fact side at all.
+    "q03_join_broadcast" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val p = Tables.part(s, dir)
+      li.join(broadcast(p), li("l_partkey") === p("p_partkey"))
+        .groupBy("p_brand")
+        .agg(dsum(col("l_extendedprice") * (lit1 - col("l_discount"))).as("revenue"),
+             count(lit(1)).as("n_items"))
+        .orderBy("p_brand")
+    }),
+
+    // Fact-fact equi-join: both sides large → sort-merge join on the
+    // shuffled key. Join key = orderkey on both sides; the aggregation
+    // reuses the join's hash partitioning (no extra shuffle for groupBy on
+    // o_orderpriority after AQE coalescing? no — different key, one more
+    // narrow shuffle of pre-aggregated rows).
+    "q04_join_sortmerge" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val o = Tables.orders(s, dir)
+      li.hint("merge")
+        .join(o, li("l_orderkey") === o("o_orderkey"))
+        .filter(col("l_shipdate") > col("o_orderdate")) // shipped after order
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_line_items"),
+             dsum(col("l_extendedprice")).as("sum_price"))
+        .orderBy("o_orderpriority")
+    }),
+
+    // 5-way star join: region/nation/customer broadcast (dims), the two
+    // fact tables sort-merge on orderkey. Mirrors TPC-H Q5. At 100 TB the
+    // dims stay broadcastable; only lineitem⋈orders shuffles.
+    "q05_star_join" -> ((s, dir) => {
+      val c = Tables.customer(s, dir)
+      val o = Tables.orders(s, dir)
+      val li = Tables.lineitem(s, dir)
+      val n = Tables.nation(s, dir)
+      val r = Tables.region(s, dir)
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("date") &&
+                col("o_orderdate") <  lit("1998-01-01").cast("date"))
+        .groupBy("r_name", "n_name")
+        .agg(dsum(col("l_extendedprice") * (lit1 - col("l_discount"))).as("revenue"))
+        .orderBy("r_name", "n_name")
+    }),
+
+    // left outer join + null-handling aggregation: customers with order
+    // stats, keeping order-less customers (count(order)=0).
+    "q06_outer_join" -> ((s, dir) => {
+      val c = Tables.customer(s, dir)
+      val o = Tables.orders(s, dir)
+      c.join(o, c("c_custkey") === o("o_custkey"), "left")
+        .groupBy("c_custkey", "c_mktsegment")
+        .agg(count(col("o_orderkey")).as("n_orders"),
+             coalesce(dsum(col("o_totalprice")), lit(0.0)).as("sum_price"))
+        .orderBy("c_custkey")
+    }),
+
+    // semi join (EXISTS): planned as LeftSemi — probe side streams, no
+    // duplication of matches; cheaper than inner+distinct at scale.
+    "q07_semi_join" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+      val li = Tables.lineitem(s, dir).filter(col("l_quantity") > 45)
+      o.join(li, o("o_orderkey") === li("l_orderkey"), "left_semi")
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        .orderBy("o_orderkey")
+    }),
+
+    // anti join (NOT EXISTS): customers with no 1997 order (filter applied
+    // to the build side *before* the join — at scale the anti join's right
+    // side should always be pre-filtered, not post-filtered).
+    "q08_anti_join" -> ((s, dir) => {
+      val c = Tables.customer(s, dir)
+      val o = Tables.orders(s, dir).filter(year(col("o_orderdate")) === 1997)
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name", "c_mktsegment")
+        .orderBy("c_custkey")
+    }),
+
+    // ---- sort / limit / top-k ----------------------------------------------
+    // Global top-k: Spark plans TakeOrderedAndProject — each partition
+    // keeps its local top-k, then the driver merges k×partitions rows.
+    // Never a full sort of 100 TB.
+    "q09_topk" -> ((s, dir) => {
+      Tables.orders(s, dir)
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        .limit(25)
+    }),
+
+    // multi-column sort + limit/offset pagination.
+    "q10_sort_paginate" -> ((s, dir) => {
+      Tables.customer(s, dir)
+        .select("c_custkey", "c_name", "c_acctbal", "c_mktsegment")
+        .orderBy(col("c_mktsegment").asc, col("c_acctbal").desc, col("c_custkey").asc)
+        .offset(10).limit(30)
+    }),
+
+    // ---- set operations ------------------------------------------------------
+    "q11_union_distinct" -> ((s, dir) => {
+      val fromCust = Tables.customer(s, dir).select(col("c_nationkey").cast("int").as("nationkey"))
+      val fromSupp = Tables.supplier(s, dir).select(col("s_nationkey").cast("int").as("nationkey"))
+      fromCust.union(fromSupp).distinct().orderBy("nationkey")
+    }),
+
+    "q12_intersect_except" -> ((s, dir) => {
+      // custkeys that ordered in 1996 but not in 1997 (EXCEPT), plus the
+      // ones active in both years (INTERSECT) — exercised as one UNION'd
+      // result with a tag column.
+      val o = Tables.orders(s, dir)
+      val y96 = o.filter(year(col("o_orderdate")) === 1996).select("o_custkey")
+      val y97 = o.filter(year(col("o_orderdate")) === 1997).select("o_custkey")
+      val onlY96 = y96.except(y97).withColumn("tag", lit("only_1996"))
+      val both = y96.intersect(y97).withColumn("tag", lit("both_years"))
+      onlY96.union(both).orderBy("tag", "o_custkey")
+    }),
+
+    // ---- window functions -----------------------------------------------------
+    // ranking per partition: single shuffle on the partition key, in-memory
+    // sort per key group. row_number/rank/dense_rank in one Window node.
+    "q14_window_rank" -> ((s, dir) => {
+      val w = Window.partitionBy("o_custkey").orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      // row_number/rank surface as BIGINT to match DuckDB's window results.
+      Tables.orders(s, dir)
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .withColumn("rnk", rank().over(w).cast("long"))
+        .filter(col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn", "rnk")
+        .orderBy("o_custkey", "rn", "o_orderkey")
+    }),
+
+    // lag/lead over event time per user — sessionization building block.
+    "q15_window_lag" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
+      Tables.events(s, dir)
+        .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+        .withColumn("gap_sec",
+          (col("ts").cast("long") - lag(col("ts"), 1).over(w).cast("long")).cast("long"))
+        .select(col("event_id"), col("user_id"), col("event_type"), col("prev_type"), col("gap_sec"))
+        .orderBy("user_id", "event_id")
+    }),
+
+    // running aggregates with explicit frames.
+    "q16_window_running" -> ((s, dir) => {
+      val w = Window.partitionBy("o_custkey").orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+      Tables.orders(s, dir)
+        .withColumn("running_spend",
+          sum(col("o_totalprice").cast("decimal(38,6)"))
+            .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .cast("double"))
+        .withColumn("order_seq", row_number().over(w).cast("long"))
+        .select("o_custkey", "o_orderkey", "order_seq", "running_spend")
+        .orderBy("o_custkey", "order_seq")
+    }),
+
+    // ---- event-time windows (batch-expressible analogs of §2.5 streaming) ----
+    // tumbling 1h: window() assigns each row one bucket — pure map-side,
+    // then one hash agg shuffle on (bucket, type).
+    "q17_event_tumbling" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .groupBy(window(col("ts"), "1 hour").as("win"), col("event_type"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+        .select(
+          date_format(col("win.start"), "yyyy-MM-dd HH:mm:ss").as("win_start"),
+          col("event_type"), col("n"), col("sum_value"))
+        .orderBy("win_start", "event_type")
+    }),
+
+    // sliding 1h-window every 30min: each row lands in width/slide = 2
+    // buckets (map-side Expand ×2), then the same single shuffle.
+    "q18_event_sliding" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .groupBy(window(col("ts"), "1 hour", "30 minutes").as("win"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+        .select(
+          date_format(col("win.start"), "yyyy-MM-dd HH:mm:ss").as("win_start"),
+          col("n"), col("sum_value"))
+        .orderBy("win_start")
+    }),
+
+    // ---- JSON / string / date / math scalar functions -------------------------
+    "q19_json_extract" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
+        .groupBy("event_type")
+        .agg(count(col("k")).as("n_with_k"),
+             sum(col("k").cast("long")).as("sum_k"),
+             max(col("k")).as("max_k"))
+        .orderBy("event_type")
+    }),
+
+    "q20_string_funcs" -> ((s, dir) => {
+      Tables.customer(s, dir)
+        .select(
+          col("c_custkey"),
+          upper(col("c_name")).as("name_upper"),
+          length(col("c_name")).cast("long").as("name_len"),
+          substring(col("c_name"), 1, 8).as("name_prefix"),
+          concat_ws("-", col("c_mktsegment"), col("c_custkey")).as("seg_key"),
+          regexp_replace(col("c_name"), "[0-9]+", "#").as("name_nodigit"))
+        .filter(col("c_custkey") % 7 === 0)
+        .orderBy("c_custkey")
+    }),
+
+    "q21_date_funcs" -> ((s, dir) => {
+      Tables.orders(s, dir)
+        .select(
+          col("o_orderkey"),
+          year(col("o_orderdate")).cast("long").as("y"),
+          month(col("o_orderdate")).cast("long").as("m"),
+          datediff(lit("2002-01-01").cast("date"), col("o_orderdate")).cast("long").as("age_days"))
+        .groupBy("y", "m")
+        .agg(count(lit(1)).as("n"), min(col("age_days")).as("min_age_days"))
+        .orderBy("y", "m")
+    }),
+
+    "q22_math_funcs" -> ((s, dir) => {
+      Tables.lineitem(s, dir)
+        .filter(col("l_orderkey") % 1000 === 0)
+        .select(
+          col("l_orderkey"), col("l_linenumber"),
+          round(col("l_extendedprice"), 1).as("price_r1"),
+          floor(col("l_quantity")).cast("long").as("qty_floor"),
+          ceil(col("l_discount") * 100).cast("long").as("disc_pct_ceil"),
+          abs(col("l_quantity") - 25.0).as("qty_dev"),
+          sqrt(col("l_quantity")).as("qty_sqrt"),
+          pow(col("l_tax") + lit(1.0), 2).as("tax_sq"))
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
+    // ---- subqueries ------------------------------------------------------------
+    // scalar subquery: global avg broadcast into the filter.
+    "q25_scalar_subquery" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+      val avgPrice = o.agg((dsum(col("o_totalprice")) / count(lit(1))).as("a"))
+      o.join(broadcast(avgPrice))
+        .filter(col("o_totalprice") > col("a") * 1.8)
+        .select("o_orderkey", "o_totalprice")
+        .orderBy("o_orderkey")
+    }),
+
+    // correlated EXISTS via aggregation-then-semijoin: customers whose max
+    // single order exceeds a threshold (decorrelated form — the scalable
+    // plan for a correlated subquery).
+    "q26_correlated_agg" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+      val c = Tables.customer(s, dir)
+      val mx = o.groupBy("o_custkey").agg(max("o_totalprice").as("max_price"))
+      c.join(mx, c("c_custkey") === mx("o_custkey"))
+        .filter(col("max_price") > 400000)
+        .select("c_custkey", "c_name", "max_price")
+        .orderBy("c_custkey")
+    }),
+
+    // ---- approximate / sketch (weaker rows-only driver check; no oracle) ------
+    "q27_approx_distinct" -> ((s, dir) => {
+      Tables.lineitem(s, dir)
+        .groupBy("l_returnflag")
+        .agg(approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
+             expr("approx_percentile(l_extendedprice, array(0.5, 0.95, 0.99))").as("price_pcts"))
+        .orderBy("l_returnflag")
+    })
+  )
+
+  def oracles: Map[String, String] = Map(
+    "q02_filter_project" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  CAST(CAST(l_extendedprice * l_discount AS DECIMAL(38,6)) AS DOUBLE) AS disc_revenue
+        |FROM lineitem
+        |WHERE l_shipdate >= DATE '1998-01-01' AND l_shipdate < DATE '1999-01-01'
+        |  AND l_discount BETWEEN 0.03 AND 0.07 AND l_quantity < 24
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q01_agg_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS sum_base_price,
+        |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS sum_disc_price,
+        |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) AS DECIMAL(38,6))) AS DOUBLE) AS sum_charge,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*) AS avg_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*) AS avg_price,
+        |  COUNT(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= DATE '2000-12-01'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q13_distinct_count" ->
+      """SELECT l_returnflag,
+        |  COUNT(DISTINCT l_orderkey) AS n_orders,
+        |  COUNT(DISTINCT l_partkey) AS n_parts,
+        |  COUNT(*) AS n_rows
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |HAVING COUNT(*) > 10
+        |ORDER BY l_returnflag""".stripMargin,
+
+    "q24_rollup" ->
+      """SELECT
+        |  COALESCE(o_orderstatus, 'ALL') AS status,
+        |  COALESCE(o_orderpriority, 'ALL') AS priority,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS sum_price,
+        |  COUNT(*) AS n,
+        |  CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+        |  CAST(GROUPING(o_orderpriority) AS INT) AS g_priority
+        |FROM orders
+        |GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+        |ORDER BY g_status, g_priority, status, priority""".stripMargin,
+
+    "q23_case_when" ->
+      """SELECT o_orderpriority,
+        |  CAST(SUM(CAST(CASE WHEN o_orderstatus = 'F' THEN o_totalprice ELSE 0.0 END AS DECIMAL(38,6))) AS DOUBLE) AS finished_price,
+        |  CAST(SUM(CAST(CASE WHEN o_orderstatus <> 'F' THEN o_totalprice ELSE 0.0 END AS DECIMAL(38,6))) AS DOUBLE) AS open_price,
+        |  CAST(SUM(CASE WHEN o_totalprice > 250000 THEN 1 ELSE 0 END) AS BIGINT) AS n_big
+        |FROM orders
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+
+    "q03_join_broadcast" ->
+      """SELECT p_brand,
+        |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n_items
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY p_brand
+        |ORDER BY p_brand""".stripMargin,
+
+    "q04_join_sortmerge" ->
+      """SELECT o_orderpriority,
+        |  COUNT(*) AS n_line_items,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS sum_price
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_shipdate > o_orderdate
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+
+    "q05_star_join" ->
+      """SELECT r_name, n_name,
+        |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE o_orderdate >= DATE '1996-01-01' AND o_orderdate < DATE '1998-01-01'
+        |GROUP BY r_name, n_name
+        |ORDER BY r_name, n_name""".stripMargin,
+
+    "q06_outer_join" ->
+      """SELECT c_custkey, c_mktsegment,
+        |  COUNT(o_orderkey) AS n_orders,
+        |  COALESCE(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE), 0.0) AS sum_price
+        |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |GROUP BY c_custkey, c_mktsegment
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q07_semi_join" ->
+      """SELECT o_orderkey, o_orderstatus, o_totalprice
+        |FROM orders
+        |WHERE EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey AND l_quantity > 45)
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q08_anti_join" ->
+      """SELECT c_custkey, c_name, c_mktsegment
+        |FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey
+        |                    AND EXTRACT(year FROM o_orderdate) = 1997)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q09_topk" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority
+        |FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey ASC
+        |LIMIT 25""".stripMargin,
+
+    "q10_sort_paginate" ->
+      """SELECT c_custkey, c_name, c_acctbal, c_mktsegment
+        |FROM customer
+        |ORDER BY c_mktsegment ASC, c_acctbal DESC, c_custkey ASC
+        |LIMIT 30 OFFSET 10""".stripMargin,
+
+    "q11_union_distinct" ->
+      """SELECT DISTINCT nationkey FROM (
+        |  SELECT CAST(c_nationkey AS INT) AS nationkey FROM customer
+        |  UNION ALL
+        |  SELECT CAST(s_nationkey AS INT) AS nationkey FROM supplier
+        |) ORDER BY nationkey""".stripMargin,
+
+    "q12_intersect_except" ->
+      """WITH y96 AS (SELECT o_custkey FROM orders WHERE EXTRACT(year FROM o_orderdate) = 1996),
+        |     y97 AS (SELECT o_custkey FROM orders WHERE EXTRACT(year FROM o_orderdate) = 1997)
+        |SELECT o_custkey, tag FROM (
+        |  SELECT o_custkey, 'only_1996' AS tag FROM (SELECT * FROM y96 EXCEPT SELECT * FROM y97)
+        |  UNION ALL
+        |  SELECT o_custkey, 'both_years' AS tag FROM (SELECT * FROM y96 INTERSECT SELECT * FROM y97)
+        |) ORDER BY tag, o_custkey""".stripMargin,
+
+    "q14_window_rank" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rn, rnk FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn,
+        |    RANK()       OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS rnk
+        |  FROM orders
+        |) WHERE rn <= 3
+        |ORDER BY o_custkey, rn, o_orderkey""".stripMargin,
+
+    "q15_window_lag" ->
+      """SELECT event_id, user_id, event_type,
+        |  LAG(event_type, 1) OVER w AS prev_type,
+        |  CAST(epoch(date_trunc('second', ts)) - epoch(date_trunc('second', LAG(ts, 1) OVER w)) AS BIGINT) AS gap_sec
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+        |ORDER BY user_id, event_id""".stripMargin,
+
+    "q16_window_running" ->
+      """SELECT o_custkey, o_orderkey,
+        |  ROW_NUMBER() OVER w AS order_seq,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) OVER (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_spend
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC)
+        |ORDER BY o_custkey, order_seq""".stripMargin,
+
+    "q17_event_tumbling" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS win_start,
+        |  event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST("value" AS DECIMAL(38,6))) AS DOUBLE) AS sum_value
+        |FROM events
+        |GROUP BY 1, 2
+        |ORDER BY win_start, event_type""".stripMargin,
+
+    "q18_event_sliding" ->
+      """SELECT strftime(to_timestamp(CAST(floor(epoch(ts) / 1800) AS BIGINT) * 1800 - k.off), '%Y-%m-%d %H:%M:%S') AS win_start,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST("value" AS DECIMAL(38,6))) AS DOUBLE) AS sum_value
+        |FROM events CROSS JOIN (VALUES (0), (1800)) AS k(off)
+        |GROUP BY 1
+        |ORDER BY win_start""".stripMargin,
+
+    "q19_json_extract" ->
+      """SELECT event_type,
+        |  COUNT(CAST(json_extract_string(props, '$.k') AS INT)) AS n_with_k,
+        |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+        |  MAX(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k
+        |FROM events
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
+
+    "q20_string_funcs" ->
+      """SELECT c_custkey,
+        |  UPPER(c_name) AS name_upper,
+        |  LENGTH(c_name) AS name_len,
+        |  SUBSTRING(c_name, 1, 8) AS name_prefix,
+        |  CONCAT_WS('-', c_mktsegment, CAST(c_custkey AS VARCHAR)) AS seg_key,
+        |  REGEXP_REPLACE(c_name, '[0-9]+', '#', 'g') AS name_nodigit
+        |FROM customer
+        |WHERE c_custkey % 7 = 0
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q21_date_funcs" ->
+      """SELECT EXTRACT(year FROM o_orderdate) AS y,
+        |  EXTRACT(month FROM o_orderdate) AS m,
+        |  COUNT(*) AS n,
+        |  MIN(CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '2002-01-01') AS BIGINT)) AS min_age_days
+        |FROM orders
+        |GROUP BY 1, 2
+        |ORDER BY y, m""".stripMargin,
+
+    "q22_math_funcs" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  ROUND(l_extendedprice, 1) AS price_r1,
+        |  CAST(FLOOR(l_quantity) AS BIGINT) AS qty_floor,
+        |  CAST(CEIL(l_discount * 100) AS BIGINT) AS disc_pct_ceil,
+        |  ABS(l_quantity - 25.0) AS qty_dev,
+        |  SQRT(l_quantity) AS qty_sqrt,
+        |  POW(l_tax + 1.0, 2) AS tax_sq
+        |FROM lineitem
+        |WHERE l_orderkey % 1000 = 0
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q25_scalar_subquery" ->
+      """SELECT o_orderkey, o_totalprice
+        |FROM orders
+        |WHERE o_totalprice > (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*) FROM orders) * 1.8
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q26_correlated_agg" ->
+      """SELECT c_custkey, c_name, max_price
+        |FROM customer JOIN (
+        |  SELECT o_custkey, MAX(o_totalprice) AS max_price FROM orders GROUP BY o_custkey
+        |) ON c_custkey = o_custkey
+        |WHERE max_price > 400000
+        |ORDER BY c_custkey""".stripMargin
+    // q27_approx_distinct: approximate sketches — intentionally no oracle
+    // (driver records the weaker rows-only check).
+  )
+}

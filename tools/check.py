@@ -1,0 +1,85 @@
+#!/usr/bin/env python3
+"""Local emulation of the driver's correctness gate.
+
+Usage: python3 tools/check.py <sfDir> <verifyOutDir>
+
+Reads <verifyOutDir>/<name>/ parquet (written by graft.Verify), runs
+<verifyOutDir>/oracle_sql.json in DuckDB against the same sf tables, and
+compares: row count, column names, and exact values (columns sorted by
+name, rows sorted by all columns) — a strictly-stricter stand-in for the
+driver's row/schema/hash check.
+"""
+import sys, json, glob, os
+import duckdb
+import pyarrow.parquet as pq
+import pandas as pd
+import numpy as np
+
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+def normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
+        # decimals → float for comparison robustness
+        try:
+            import decimal
+            if len(df) and isinstance(df[c].dropna().iloc[0] if len(df[c].dropna()) else None, decimal.Decimal):
+                df[c] = df[c].astype(float)
+        except Exception:
+            pass
+    df = df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
+    return df
+
+def main():
+    sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    con = duckdb.connect()
+    for t in TABLES:
+        p = f"{sf_dir}/{t}.parquet"
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    names = sorted([os.path.basename(d) for d in glob.glob(f"{out_dir}/*") if os.path.isdir(d)])
+    n_pass = n_fail = n_rowsonly = 0
+    for name in names:
+        files = glob.glob(f"{out_dir}/{name}/*.parquet")
+        if not files:
+            print(f"FAIL  {name}: no spark output"); n_fail += 1; continue
+        spark_df = pq.read_table(files).to_pandas()
+        if name not in oracle:
+            status = "ROWS>0" if len(spark_df) > 0 else "EMPTY!"
+            print(f"{status} {name}: rows={len(spark_df)} (no oracle)")
+            n_rowsonly += 1
+            continue
+        try:
+            duck_df = con.sql(oracle[name]).df()
+        except Exception as e:
+            print(f"FAIL  {name}: oracle error: {e}"); n_fail += 1; continue
+        a, b = normalize(spark_df), normalize(duck_df)
+        if list(a.columns) != list(b.columns):
+            print(f"FAIL  {name}: columns spark={list(a.columns)} duck={list(b.columns)}"); n_fail += 1; continue
+        if len(a) != len(b):
+            print(f"FAIL  {name}: rows spark={len(a)} duck={len(b)}"); n_fail += 1; continue
+        mism = []
+        for c in a.columns:
+            av, bv = a[c], b[c]
+            if av.dtype.kind == 'f' or bv.dtype.kind == 'f':
+                ok = np.allclose(av.astype(float), bv.astype(float), rtol=0, atol=0, equal_nan=True)
+                exact = ok
+            else:
+                exact = av.equals(bv)
+            if not exact:
+                bad = (av != bv) if av.dtype.kind != 'f' else ~np.isclose(av.astype(float), bv.astype(float), rtol=0, atol=0, equal_nan=True)
+                i = int(np.argmax(bad.values))
+                mism.append(f"{c}[row{i}]: spark={av.iloc[i]!r} duck={bv.iloc[i]!r} (dtypes {av.dtype}/{bv.dtype})")
+        if mism:
+            print(f"FAIL  {name}: {'; '.join(mism[:3])}"); n_fail += 1
+        else:
+            print(f"PASS  {name}: rows={len(a)}")
+            n_pass += 1
+    print(f"\n== {n_pass} pass, {n_fail} fail, {n_rowsonly} rows-only ==")
+    sys.exit(1 if n_fail else 0)
+
+if __name__ == "__main__":
+    main()
