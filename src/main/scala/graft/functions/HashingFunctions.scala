@@ -1,0 +1,206 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graft.{Bridge => ExpressionUtils}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Hash-sketch expressions for near-duplicate detection at scale.
+  *
+  * All three are single-pass native Catalyst expressions with `doGenCode`:
+  * at 100 TB the sketching pass reads every document once, so the sketch
+  * must be computed in one traversal of the token array (a `transform`-HOF
+  * formulation of MinHash would traverse the array k=128 times and allocate
+  * k intermediate arrays per row).
+  *
+  * Hashing: xxhash64 of the token bytes once per token, then k cheap
+  * splitmix64 remixes — standard "one hash + k mixers" MinHash construction
+  * (Broder-style minwise hashing over shingles).
+  */
+object HashingFunctions {
+
+  /** k-minimum MinHash signature over an `array<string>` of shingles. */
+  def minhash_signature(shingles: Column, numHashes: Int, seed: Long = 42L): Column =
+    ExpressionUtils.column(MinHashSignature(ExpressionUtils.expression(shingles), numHashes, seed))
+
+  /** 64-bit SimHash over an `array<string>` of tokens. */
+  def simhash64(tokens: Column, seed: Long = 42L): Column =
+    ExpressionUtils.column(SimHash64(ExpressionUtils.expression(tokens), seed))
+
+  /** Polynomial rolling fingerprint (Karp–Rabin style) over a string's
+    * UTF-8 bytes, mod 2^64. Equal strings ⇒ equal fingerprints; used for
+    * content-identity dedup where the raw text must not be shuffled.
+    */
+  def rolling_fingerprint(text: Column): Column =
+    ExpressionUtils.column(RollingFingerprint(ExpressionUtils.expression(text)))
+}
+
+case class MinHashSignature(child: Expression, numHashes: Int, seed: Long)
+    extends UnaryExpression with ExpectsInputTypes {
+  require(numHashes > 0 && numHashes <= 1024)
+
+  override def inputTypes = Seq(ArrayType(StringType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "minhash_signature"
+
+  /** Per-hash-function xor keys, derived once from the seed. */
+  private lazy val mixKeys: Array[Long] = {
+    val ks = new Array[Long](numHashes)
+    var s = seed
+    var j = 0
+    while (j < numHashes) { s = VectorFunctions.splitmix64(s); ks(j) = s; j += 1 }
+    ks
+  }
+
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val mins = Array.fill(numHashes)(Long.MaxValue)
+    val n = arr.numElements()
+    var i = 0
+    while (i < n) {
+      val s = arr.getUTF8String(i)
+      val h = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, seed)
+      var j = 0
+      while (j < numHashes) {
+        val z = VectorFunctions.splitmix64(h ^ mixKeys(j))
+        if (z < mins(j)) mins(j) = z
+        j += 1
+      }
+      i += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(mins)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val keys = ctx.addReferenceObj("mixKeys", mixKeys, "long[]")
+      val mins = ctx.freshName("mins")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val n = ctx.freshName("n")
+      val s = ctx.freshName("s")
+      val h = ctx.freshName("h")
+      val z = ctx.freshName("z")
+      s"""
+         |long[] $mins = new long[$numHashes];
+         |java.util.Arrays.fill($mins, Long.MAX_VALUE);
+         |int $n = $a.numElements();
+         |for (int $i = 0; $i < $n; $i++) {
+         |  org.apache.spark.unsafe.types.UTF8String $s = $a.getUTF8String($i);
+         |  long $h = org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+         |    $s.getBaseObject(), $s.getBaseOffset(), $s.numBytes(), ${seed}L);
+         |  for (int $j = 0; $j < $numHashes; $j++) {
+         |    long $z = $h ^ $keys[$j];
+         |    $z += 0x9E3779B97F4A7C15L;
+         |    $z = ($z ^ ($z >>> 30)) * 0xBF58476D1CE4E5B9L;
+         |    $z = ($z ^ ($z >>> 27)) * 0x94D049BB133111EBL;
+         |    $z = $z ^ ($z >>> 31);
+         |    if ($z < $mins[$j]) $mins[$j] = $z;
+         |  }
+         |}
+         |${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($mins);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+case class SimHash64(child: Expression, seed: Long)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes = Seq(ArrayType(StringType))
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "simhash64"
+
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val votes = new Array[Int](64)
+    val n = arr.numElements()
+    var i = 0
+    while (i < n) {
+      val s = arr.getUTF8String(i)
+      val h = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, seed)
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+        b += 1
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) { if (votes(b) > 0) out |= (1L << b); b += 1 }
+    out
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val votes = ctx.freshName("votes")
+      val i = ctx.freshName("i")
+      val b = ctx.freshName("b")
+      val n = ctx.freshName("n")
+      val s = ctx.freshName("s")
+      val h = ctx.freshName("h")
+      val out = ctx.freshName("out")
+      s"""
+         |int[] $votes = new int[64];
+         |int $n = $a.numElements();
+         |for (int $i = 0; $i < $n; $i++) {
+         |  org.apache.spark.unsafe.types.UTF8String $s = $a.getUTF8String($i);
+         |  long $h = org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+         |    $s.getBaseObject(), $s.getBaseOffset(), $s.numBytes(), ${seed}L);
+         |  for (int $b = 0; $b < 64; $b++) {
+         |    $votes[$b] += (($h >>> $b) & 1L) == 1L ? 1 : -1;
+         |  }
+         |}
+         |long $out = 0L;
+         |for (int $b = 0; $b < 64; $b++) { if ($votes[$b] > 0) $out |= (1L << $b); }
+         |${ev.value} = $out;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+case class RollingFingerprint(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes = Seq(StringType)
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "rolling_fingerprint"
+
+  override def nullSafeEval(v: Any): Any = {
+    val s = v.asInstanceOf[UTF8String].getBytes
+    var f = 0L
+    var i = 0
+    while (i < s.length) { f = f * 1315423911L + (s(i) & 0xFF); i += 1 }
+    f
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val bytes = ctx.freshName("bytes")
+      val f = ctx.freshName("f")
+      val i = ctx.freshName("i")
+      s"""
+         |byte[] $bytes = $a.getBytes();
+         |long $f = 0L;
+         |for (int $i = 0; $i < $bytes.length; $i++) {
+         |  $f = $f * 1315423911L + ($bytes[$i] & 0xFF);
+         |}
+         |${ev.value} = $f;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

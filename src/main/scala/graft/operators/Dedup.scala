@@ -1,0 +1,196 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.HashingFunctions._
+import graft.functions.TextFunctions._
+
+/** Document deduplication — the core curation operator family of a
+  * training-data pipeline (SURVEY.md §2.8 extension surface):
+  *
+  *  - exact (d01) and normalized-exact (d02): one hash-groupBy shuffle.
+  *  - MinHash + LSH near-dup (d03): the at-scale path. Signatures are one
+  *    codegen'd pass per doc; candidate generation is an equi-join on
+  *    (band, bandKey) — never an n² comparison; exact Jaccard verifies
+  *    candidates so the *output* is exact (LSH with 128 hashes / 32 bands
+  *    misses a j≥0.8 pair with probability < 1e-7, so the DuckDB
+  *    brute-force oracle still matches).
+  *  - blocked n-gram Jaccard (d04): metadata blocking instead of LSH.
+  *  - SimHash near-dup (d05): Hamming-ball search via 4×16-bit band
+  *    pigeonhole (d ≤ 3 ⇒ one band equal — guaranteed recall, no n²).
+  *
+  * Shuffle inventory at 100 TB: d01/d02 shuffle ~1 hashed key per doc;
+  * d03 shuffles doc_id→signature once and candidates once (band join is
+  * the only fan-out, bounded by bucket sizes); nothing ever collects to
+  * the driver.
+  */
+object Dedup {
+
+  val MinHashK = 128
+  val Bands = 32
+  val RowsPerBand = MinHashK / Bands
+  val JaccardThreshold = 0.8
+
+  /** doc_id + distinct 3-gram shingles, empty-shingle docs dropped. */
+  private def shingled(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), wordShingles(col("text"), 3).as("sh"))
+      .filter(size(col("sh")) > 0)
+
+  /** All unordered candidate pairs from an array of bucket members. */
+  private def pairsOf(ids: Column): Column =
+    flatten(transform(ids, (x, i) =>
+      transform(slice(ids, i + 2, size(ids)), y => struct(x.as("id_a"), y.as("id_b")))))
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // exact dedup: group identical text, keep lowest doc_id. The heavy
+    // variant would group by fingerprint first to avoid shuffling raw text
+    // — d02 shows that; here the semantics are the point.
+    "d01_dedup_exact" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .groupBy("text")
+        .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
+        .select("keep_id", "n_copies")
+        .orderBy("keep_id")
+    }),
+
+    // normalized exact dedup, hash-first: normalize → 64-bit rolling
+    // fingerprint → group by the fingerprint (8 bytes shuffled per doc
+    // instead of the full text — the only workable exact dedup at 100 TB).
+    "d02_dedup_normalized" -> ((s, dir) => {
+      val norm = regexp_replace(lower(col("text")), "[^a-z0-9 ]", "")
+      Tables.documents(s, dir)
+        .select(col("doc_id"), rolling_fingerprint(norm).as("fp"))
+        .groupBy("fp")
+        .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
+        .select("keep_id", "n_copies")
+        .orderBy("keep_id")
+    }),
+
+    // MinHash+LSH near-dup pairs, exact-verified. Stages:
+    //   sketch (map) → band explode (map, ×32) → bucket group → candidate
+    //   pairs → join shingles back → exact Jaccard filter.
+    "d03_minhash_lsh" -> ((s, dir) => {
+      val sh = shingled(s, dir)
+      val sig = sh.select(col("doc_id"),
+        minhash_signature(col("sh"), MinHashK).as("sig"))
+      val bands = sig.select(col("doc_id"),
+          explode(transform(sequence(lit(0), lit(Bands - 1)), b =>
+            struct(b.as("band"),
+              xxhash64(slice(col("sig"), b * RowsPerBand + 1, lit(RowsPerBand))).as("bkey"))))
+            .as("bb"))
+        .select(col("doc_id"), col("bb.band").as("band"), col("bb.bkey").as("bkey"))
+      val buckets = bands.groupBy("band", "bkey")
+        .agg(sort_array(collect_set(col("doc_id"))).as("ids"))
+        .filter(size(col("ids")) > 1)
+      val cand = buckets
+        .select(explode(pairsOf(col("ids"))).as("p"))
+        .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
+        .distinct()
+      val a = sh.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
+      val b = sh.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
+      cand.join(a, "id_a").join(b, "id_b")
+        .select(col("id_a"), col("id_b"), jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
+        .filter(col("jaccard") >= JaccardThreshold)
+        .orderBy("id_a", "id_b")
+    }),
+
+    // blocking on metadata (lang, source) instead of LSH: the classic
+    // "cheap key first" candidate strategy. Exact Jaccard inside blocks,
+    // global top-50 most-similar pairs.
+    "d04_ngram_jaccard_blocked" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"), col("source"), wordShingles(col("text"), 3).as("sh"))
+        .filter(size(col("sh")) > 0)
+      val a = d.select(col("lang"), col("source"), col("doc_id").as("id_a"), col("sh").as("sh_a"))
+      val b = d.select(col("lang"), col("source"), col("doc_id").as("id_b"), col("sh").as("sh_b"))
+      a.join(b, Seq("lang", "source"))
+        .filter(col("id_a") < col("id_b"))
+        .select(col("lang"), col("source"), col("id_a"), col("id_b"),
+          jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
+        .orderBy(col("jaccard").desc, col("id_a").asc, col("id_b").asc)
+        .limit(50)
+    }),
+
+    // SimHash near-dup: 64-bit sketch per doc; pairs within Hamming
+    // distance ≤ 3 found by splitting the hash into 4×16-bit bands
+    // (pigeonhole: ≤3 differing bits ⇒ ≥1 band identical). Approximate
+    // sketch → no SQL oracle; invariants in DedupSpec.
+    "d05_simhash_pairs" -> ((s, dir) => {
+      val sh = shingled(s, dir)
+        .select(col("doc_id"), simhash64(col("sh")).as("simhash"))
+      val bandCols = (0 until 4).map { bnd =>
+        struct(lit(bnd).as("band"),
+          pmod(shiftrightunsigned(col("simhash"), bnd * 16), lit(65536L)).as("bkey"))
+      }
+      val bands = sh.select(col("doc_id"), col("simhash"),
+          explode(array(bandCols: _*)).as("bb"))
+        .select(col("doc_id"), col("simhash"), col("bb.band").as("band"), col("bb.bkey").as("bkey"))
+      val buckets = bands.groupBy("band", "bkey")
+        .agg(sort_array(collect_set(struct(col("doc_id"), col("simhash")))).as("members"))
+        .filter(size(col("members")) > 1)
+      val cand = buckets
+        .select(explode(flatten(transform(col("members"), (x, i) =>
+          transform(slice(col("members"), i + 2, size(col("members"))), y =>
+            struct(x.getField("doc_id").as("id_a"), y.getField("doc_id").as("id_b"),
+              x.getField("simhash").as("h_a"), y.getField("simhash").as("h_b")))))).as("p"))
+        .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"),
+          col("p.h_a").as("h_a"), col("p.h_b").as("h_b"))
+        .distinct()
+      cand
+        .select(col("id_a"), col("id_b"),
+          bit_count(col("h_a").bitwiseXOR(col("h_b"))).cast("long").as("hamming"))
+        .filter(col("hamming") <= 3)
+        .orderBy("id_a", "id_b")
+    })
+  )
+
+  def oracles: Map[String, String] = Map(
+    "d01_dedup_exact" ->
+      """SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+        |FROM documents
+        |GROUP BY text
+        |ORDER BY keep_id""".stripMargin,
+
+    "d02_dedup_normalized" ->
+      """SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+        |FROM documents
+        |GROUP BY regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')
+        |ORDER BY keep_id""".stripMargin,
+
+    "d03_minhash_lsh" ->
+      """WITH t AS (
+        |  SELECT doc_id, list_filter(string_split(lower(text), ' '), w -> len(w) > 0) AS w
+        |  FROM documents
+        |), s AS (
+        |  SELECT doc_id,
+        |    list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w) - 1)]) AS sh
+        |  FROM t WHERE len(w) >= 3
+        |)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  len(list_intersect(a.sh, b.sh))::DOUBLE / len(list_distinct(list_concat(a.sh, b.sh)))::DOUBLE AS jaccard
+        |FROM s a JOIN s b ON a.doc_id < b.doc_id
+        |WHERE len(a.sh) > 0 AND len(b.sh) > 0
+        |  AND len(list_intersect(a.sh, b.sh))::DOUBLE / len(list_distinct(list_concat(a.sh, b.sh)))::DOUBLE >= 0.8
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    "d04_ngram_jaccard_blocked" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang, source,
+        |    list_filter(string_split(lower(text), ' '), w -> len(w) > 0) AS w
+        |  FROM documents
+        |), s AS (
+        |  SELECT doc_id, lang, source,
+        |    list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w) - 1)]) AS sh
+        |  FROM t WHERE len(w) >= 3
+        |)
+        |SELECT a.lang, a.source, a.doc_id AS id_a, b.doc_id AS id_b,
+        |  len(list_intersect(a.sh, b.sh))::DOUBLE / len(list_distinct(list_concat(a.sh, b.sh)))::DOUBLE AS jaccard
+        |FROM s a JOIN s b ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+        |WHERE len(a.sh) > 0 AND len(b.sh) > 0
+        |ORDER BY jaccard DESC, id_a ASC, id_b ASC
+        |LIMIT 50""".stripMargin
+    // d05_simhash_pairs: hash-sketch based — invariants asserted in DedupSpec.
+  )
+}

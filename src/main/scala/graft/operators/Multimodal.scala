@@ -1,0 +1,99 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Encoders, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.VectorFunctions
+
+/** Multimodal-column plumbing: opaque `binary` payloads + typed metadata,
+  * processed with partition-local batched "decode".
+  *
+  * The container has no image/audio codecs, so the decode step is a
+  * clearly-marked DETERMINISTIC STUB (`fakeDecode`) — but everything
+  * Spark-side is real and tested: binary column handling, the
+  * `mapPartitions` batch shape (the Scala analog of `mapInPandas`: group
+  * rows into fixed-size batches so a vectorized decoder amortizes per-call
+  * overhead), schema of the decoded output, and partition-preserving
+  * execution (no shuffle — decode is a narrow map, which is what makes it
+  * linear at 100 TB).
+  *
+  * Payloads here are the documents' UTF-8 bytes standing in for media
+  * blobs; in production the same pipeline reads `binary` parquet columns
+  * or binaryFile sources.
+  */
+object Multimodal {
+
+  /** Decoder batch size: the unit a real vectorized decoder (or Arrow
+    * transfer) would amortize over.
+    */
+  val DecodeBatchSize = 64
+
+  case class Blob(doc_id: Long, payload: Array[Byte])
+  case class BlobStats(doc_id: Long, n_bytes: Long, byte_sum: Long)
+  case class Decoded(
+      doc_id: Long, n_bytes: Long,
+      width: Int, height: Int, n_channels: Int,
+      frame_offsets: Array[Long])
+
+  /** STUB: deterministic fake media decode. A real implementation would
+    * hand `batch` to an image/audio codec; we derive plausible, stable
+    * "dimensions" from a fingerprint of the bytes so tests are exact.
+    */
+  private def fakeDecode(batch: Seq[Blob]): Seq[Decoded] = batch.map { b =>
+    var f = 0L
+    var i = 0
+    while (i < b.payload.length) { f = f * 1315423911L + (b.payload(i) & 0xFF); i += 1 }
+    val w = 64 + (VectorFunctions.splitmix64(f) & 0x3FF).toInt        // 64..1087
+    val h = 64 + (VectorFunctions.splitmix64(f + 1) & 0x3FF).toInt
+    val frames = Array.tabulate(4)(k => (VectorFunctions.splitmix64(f + 2 + k) >>> 1) % math.max(b.payload.length, 1L))
+    Decoded(b.doc_id, b.payload.length.toLong, w, h, 3, frames.sorted)
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // binary ingestion + partition-local batched stats. Exact byte math →
+    // oracle-checkable (DuckDB recomputes from the string bytes).
+    "m01_blob_stats" -> ((s, dir) => {
+      val blobs = Tables.documents(s, dir)
+        .select(col("doc_id"), col("text").cast("binary").as("payload"))
+        .as(Encoders.product[Blob])
+      blobs.mapPartitions { it =>
+        it.grouped(DecodeBatchSize).flatMap { batch =>
+          batch.map { b =>
+            var sum = 0L
+            var i = 0
+            while (i < b.payload.length) { sum += (b.payload(i) & 0xFF); i += 1 }
+            BlobStats(b.doc_id, b.payload.length.toLong, sum)
+          }
+        }
+      }(Encoders.product[BlobStats])
+        .toDF()
+        .orderBy("doc_id")
+    }),
+
+    // full stubbed decode: metadata struct + frame sampling offsets. The
+    // decode values are fake (see fakeDecode) → no SQL oracle; schema,
+    // batching, and determinism are asserted in MultimodalSpec.
+    "m02_fake_decode" -> ((s, dir) => {
+      val blobs = Tables.documents(s, dir)
+        .select(col("doc_id"), col("text").cast("binary").as("payload"))
+        .as(Encoders.product[Blob])
+      blobs.mapPartitions { it =>
+        it.grouped(DecodeBatchSize).flatMap(batch => fakeDecode(batch))
+      }(Encoders.product[Decoded])
+        .toDF()
+        .select(col("doc_id"), col("n_bytes"), col("width"), col("height"),
+          col("n_channels"), col("frame_offsets"))
+        .orderBy("doc_id")
+    })
+  )
+
+  def oracles: Map[String, String] = Map(
+    "m01_blob_stats" ->
+      """SELECT doc_id,
+        |  CAST(strlen(text) AS BIGINT) AS n_bytes,
+        |  CAST(list_sum([ascii(text[i]) for i in range(1, len(text)+1)]) AS BIGINT) AS byte_sum
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin
+    // m02_fake_decode: stubbed decode — MultimodalSpec asserts instead.
+  )
+}

@@ -1,0 +1,148 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.VectorFunctions._
+
+/** Embedding similarity search over `embeddings(vec_id, embedding:
+  * array<float>, label)` — the ANN surface of the engine.
+  *
+  * Two tiers, as a scale story:
+  *  - brute force (e01/e02/e04): exact, O(N·Q) cosines. Correct baseline;
+  *    viable when Q is small and broadcastable.
+  *  - LSH-bucketed (e03): hyperplane signatures at scan speed, candidates
+  *    restricted to same-(table,bucket) pairs — the path that survives
+  *    N in the billions. Approximate: recall is property-tested against
+  *    the brute-force baseline in SimilaritySpec, not oracle-checked.
+  *
+  * Oracle parity: cosine is sequential-double (see CosineSimilarity); the
+  * DuckDB side uses an explicit `::DOUBLE` list-comprehension — DuckDB's own
+  * `list_cosine_similarity` is float32 and does NOT bit-match.
+  */
+object Similarity {
+
+  /** DuckDB fragment: exact sequential-double cosine between a.embedding
+    * and b.embedding (embeddings are fixed 64-dim).
+    */
+  private def duckCos(a: String, b: String): String =
+    s"""list_sum([$a.embedding[i]::DOUBLE * $b.embedding[i]::DOUBLE for i in range(1, len($a.embedding)+1)])
+       | / sqrt(list_sum([$a.embedding[i]::DOUBLE * $a.embedding[i]::DOUBLE for i in range(1, len($a.embedding)+1)]))
+       | / sqrt(list_sum([$b.embedding[i]::DOUBLE * $b.embedding[i]::DOUBLE for i in range(1, len($b.embedding)+1)]))""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Global top-100 most-similar pairs, brute force. The n² pair space is
+    // generated with a nested-loop join (one side broadcast); TakeOrdered
+    // keeps per-partition top-100 so nothing but 100×partitions rows hits
+    // the driver. Baseline only — e03 is the at-scale variant.
+    "e01_cosine_pairs_topk" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val a = e.select(col("vec_id").as("id_a"), col("embedding").as("emb_a"))
+      val b = e.select(col("vec_id").as("id_b"), col("embedding").as("emb_b"))
+      a.join(b, col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"),
+          cosine_similarity(col("emb_a"), col("emb_b")).as("cos_sim"))
+        .orderBy(col("cos_sim").desc, col("id_a").asc, col("id_b").asc)
+        .limit(100)
+    }),
+
+    // k-NN for a query set (vec_id < 10) against the full table: queries
+    // broadcast, one scan of the corpus, per-query top-k via ranking window
+    // (the window shuffle is Q keys wide — tiny; the corpus never shuffles
+    // because the broadcast join preserves scan partitioning).
+    "e02_ann_bruteforce" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val q = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding").as("q_emb"))
+      val w = Window.partitionBy("qid").orderBy(col("cos_sim").desc, col("nid").asc)
+      e.select(col("vec_id").as("nid"), col("embedding").as("n_emb"))
+        .join(broadcast(q), col("nid") =!= col("qid"))
+        .select(col("qid"), col("nid"),
+          cosine_similarity(col("q_emb"), col("n_emb")).as("cos_sim"))
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .filter(col("rn") <= 10)
+        .orderBy("qid", "rn")
+    }),
+
+    // nearest neighbor for EVERY vector + near-dup flag — the embedding
+    // flavor of dedup (threshold tuned to this corpus; see Dedup for the
+    // text flavors). Brute force here; the LSH route is the same query
+    // with e03's candidate generation.
+    "e04_embedding_nn_dedup" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val a = e.select(col("vec_id").as("vid"), col("embedding").as("emb_a"))
+      val b = e.select(col("vec_id").as("nid"), col("embedding").as("emb_b"))
+      val w = Window.partitionBy("vid").orderBy(col("cos_sim").desc, col("nid").asc)
+      a.join(b, col("vid") =!= col("nid"))
+        .select(col("vid"), col("nid"),
+          cosine_similarity(col("emb_a"), col("emb_b")).as("cos_sim"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("vid"), col("nid").as("nn_id"), col("cos_sim").as("nn_cos"),
+          (col("cos_sim") > 0.45).as("is_near_dup"))
+        .orderBy("vid")
+    }),
+
+    // LSH-bucketed ANN (the scale path): 16 tables × 6-bit hyperplane
+    // signatures per vector, candidates = same (table, bucket), exact
+    // cosine only on candidates, per-query top-5 after unioning tables.
+    // Tuning note: these embeddings are near-uniform (hard case), so
+    // buckets are kept coarse (64 per table) and recall comes from table
+    // count; corpora with real cluster structure can afford more bits.
+    // Approximate → no SQL oracle; recall vs e02 is asserted in tests.
+    "e03_ann_lsh" -> ((s, dir) => {
+      val bits = 6; val tables = 16; val dim = 64
+      val e = Tables.embeddings(s, dir)
+        .withColumn("buckets", hyperplane_lsh_multi(col("embedding"), bits, tables, dim, seed = 7L))
+      val exploded = e.select(col("vec_id"), col("embedding"),
+          posexplode(col("buckets")).as(Seq("tbl", "bucket")))
+      val q = exploded.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding").as("q_emb"),
+          col("tbl"), col("bucket"))
+      // shuffle both sides on (tbl, bucket) — the join key IS the bucket;
+      // at scale this is a co-partitioned equi-join, never a cross join.
+      val cands = exploded.join(q, Seq("tbl", "bucket"))
+        .filter(col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id").as("nid"), col("q_emb"),
+          col("embedding").as("n_emb"))
+        .distinct() // a pair found by several tables is scored once
+      val w = Window.partitionBy("qid").orderBy(col("cos_sim").desc, col("nid").asc)
+      cands
+        .select(col("qid"), col("nid"),
+          cosine_similarity(col("q_emb"), col("n_emb")).as("cos_sim"))
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .filter(col("rn") <= 5)
+        .orderBy("qid", "rn")
+    })
+  )
+
+  def oracles: Map[String, String] = Map(
+    "e01_cosine_pairs_topk" ->
+      s"""SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |  ${duckCos("a", "b")} AS cos_sim
+         |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+         |ORDER BY cos_sim DESC, id_a ASC, id_b ASC
+         |LIMIT 100""".stripMargin,
+
+    "e02_ann_bruteforce" ->
+      s"""SELECT qid, nid, cos_sim, rn FROM (
+         |  SELECT q.vec_id AS qid, e.vec_id AS nid,
+         |    ${duckCos("q", "e")} AS cos_sim,
+         |    ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY ${duckCos("q", "e")} DESC, e.vec_id ASC) AS rn
+         |  FROM embeddings q JOIN embeddings e ON e.vec_id <> q.vec_id
+         |  WHERE q.vec_id < 10
+         |) WHERE rn <= 10
+         |ORDER BY qid, rn""".stripMargin,
+
+    "e04_embedding_nn_dedup" ->
+      s"""SELECT vid, nn_id, nn_cos, nn_cos > 0.45 AS is_near_dup FROM (
+         |  SELECT a.vec_id AS vid, b.vec_id AS nn_id,
+         |    ${duckCos("a", "b")} AS nn_cos,
+         |    ROW_NUMBER() OVER (PARTITION BY a.vec_id ORDER BY ${duckCos("a", "b")} DESC, b.vec_id ASC) AS rn
+         |  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+         |) WHERE rn = 1
+         |ORDER BY vid""".stripMargin
+    // e03_ann_lsh: approximate — recall asserted in SimilaritySpec instead.
+  )
+}

@@ -1,0 +1,152 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.HashingFunctions._
+import graft.functions.TextFunctions
+import graft.functions.TextFunctions._
+
+/** Text-analysis operators over `documents` (SURVEY.md extension surface):
+  * token counting, quality scoring, language ID, fingerprinting, n-gram
+  * stats. All per-row maps + one aggregation at most — scan-speed at 100 TB
+  * (the only shuffle in this file is t05's n-gram count, which is the
+  * classic high-cardinality-key agg: map-side partial aggregation does the
+  * heavy lifting, the shuffle carries only distinct n-grams).
+  */
+object TextAnalysis {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // token accounting: whitespace tokens + BPE-ish subword units.
+    "t01_token_stats" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .select(
+          col("doc_id"),
+          tokenCountWs(col("text")).as("n_tokens_ws"),
+          tokenCountBpe(col("text")).as("n_tokens_bpe"),
+          col("n_chars"))
+        .orderBy("doc_id")
+    }),
+
+    // quality scoring: exact int ratios, one double composite.
+    "t02_quality_score" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .select(
+          col("doc_id"),
+          stopwordRatio(col("text")).as("stopword_ratio"),
+          punctRatio(col("text")).as("punct_ratio"),
+          meanTokenLen(col("text")).as("mean_token_len"),
+          qualityScore(col("text")).as("quality_score"))
+        .orderBy("doc_id")
+    }),
+
+    // language ID: marker-lexicon scores, alphabetical-first argmax.
+    "t03_lang_id" -> ((s, dir) => {
+      val scores = TextFunctions.LangMarkers.map { case (lang, ms) =>
+        langScore(col("text"), ms).as(s"score_$lang")
+      }
+      Tables.documents(s, dir)
+        .select(col("doc_id") +: col("lang").as("lang_actual") +: scores :+
+          langId(col("text")).as("lang_pred") :+
+          (langId(col("text")) === col("lang")).as("is_match"): _*)
+        .orderBy("doc_id")
+    }),
+
+    // content fingerprinting: rolling hash of normalized text + dup-group
+    // size. Hash value is engine-specific → no SQL oracle; equality
+    // semantics (fp equal ⟺ normalized text equal) asserted in TextSpec.
+    "t04_fingerprint" -> ((s, dir) => {
+      val norm = regexp_replace(lower(col("text")), "[^a-z0-9 ]", "")
+      val d = Tables.documents(s, dir)
+        .select(col("doc_id"), rolling_fingerprint(norm).as("fp"))
+      val groups = d.groupBy("fp").agg(count(lit(1)).as("group_size"))
+      d.join(groups, "fp")
+        .select(col("doc_id"), col("fp"), col("group_size"))
+        .orderBy("doc_id")
+    }),
+
+    // corpus-level n-gram frequency: top-50 word bigrams.
+    "t05_ngram_topk" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .select(explode(wordNgrams(col("text"), 2)).as("ngram"))
+        .groupBy("ngram")
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("ngram").asc)
+        .limit(50)
+    })
+  )
+
+  private val stopList = Stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
+
+  def oracles: Map[String, String] = Map(
+    "t01_token_stats" ->
+      s"""SELECT doc_id,
+         |  len(list_filter(string_split(lower(text), ' '), w -> len(w) > 0)) AS n_tokens_ws,
+         |  len(regexp_extract_all(lower(text), '${TextFunctions.BpeTokenPattern}')) AS n_tokens_bpe,
+         |  n_chars
+         |FROM documents
+         |ORDER BY doc_id""".stripMargin,
+
+    "t02_quality_score" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, text,
+         |    list_filter(string_split(lower(text), ' '), w -> len(w) > 0) AS toks
+         |  FROM documents
+         |), c AS (
+         |  SELECT doc_id,
+         |    CASE WHEN len(toks) = 0 THEN 0.0 ELSE
+         |      len(list_filter(toks, w -> list_contains($stopList, w)))::DOUBLE / len(toks)::DOUBLE END AS stopword_ratio,
+         |    CASE WHEN len(text) = 0 THEN 0.0 ELSE
+         |      len(regexp_extract_all(lower(text), '[^a-z0-9 ]'))::DOUBLE / len(text)::DOUBLE END AS punct_ratio,
+         |    CASE WHEN len(toks) = 0 THEN 0.0 ELSE
+         |      CAST(list_sum(list_transform(toks, w -> len(w))) AS DOUBLE) / len(toks)::DOUBLE END AS mean_token_len,
+         |    len(text) AS n_len
+         |  FROM t
+         |)
+         |SELECT doc_id, stopword_ratio, punct_ratio, mean_token_len,
+         |  least(n_len::DOUBLE / CAST(400.0 AS DOUBLE), CAST(1.0 AS DOUBLE)) * CAST(0.4 AS DOUBLE)
+         |    + least(stopword_ratio * CAST(5.0 AS DOUBLE), CAST(1.0 AS DOUBLE)) * CAST(0.3 AS DOUBLE)
+         |    + (CAST(1.0 AS DOUBLE) - least(punct_ratio * CAST(10.0 AS DOUBLE), CAST(1.0 AS DOUBLE))) * CAST(0.3 AS DOUBLE) AS quality_score
+         |FROM c
+         |ORDER BY doc_id""".stripMargin,
+
+    "t03_lang_id" -> {
+      val scoreExprs = TextFunctions.LangMarkers.map { case (lang, ms) =>
+        val markers = ms.map(w => s"'$w'").mkString("[", ", ", "]")
+        s"len(list_filter(toks, w -> list_contains($markers, w))) AS score_$lang"
+      }.mkString(",\n    ")
+      val langs = TextFunctions.LangMarkers.map(_._1)
+      val best = langs.map(l => s"score_$l").mkString("greatest(", ", ", ")")
+      val caseExpr = langs.map(l => s"WHEN score_$l = $best THEN '$l'").mkString("CASE ", " ", " ELSE 'und' END")
+      s"""WITH t AS (
+         |  SELECT doc_id, lang AS lang_actual,
+         |    list_filter(string_split(lower(text), ' '), w -> len(w) > 0) AS toks
+         |  FROM documents
+         |), sc AS (
+         |  SELECT doc_id, lang_actual,
+         |    $scoreExprs
+         |  FROM t
+         |)
+         |SELECT doc_id, lang_actual, ${langs.map(l => s"score_$l").mkString(", ")},
+         |  $caseExpr AS lang_pred,
+         |  ($caseExpr = lang_actual) AS is_match
+         |FROM sc
+         |ORDER BY doc_id""".stripMargin
+    },
+
+    "t05_ngram_topk" ->
+      """WITH t AS (
+        |  SELECT list_filter(string_split(lower(text), ' '), w -> len(w) > 0) AS w
+        |  FROM documents
+        |), g AS (
+        |  SELECT unnest([w[i] || ' ' || w[i+1] for i in range(1, len(w))]) AS ngram
+        |  FROM t WHERE len(w) >= 2
+        |)
+        |SELECT ngram, COUNT(*) AS n
+        |FROM g
+        |GROUP BY ngram
+        |ORDER BY n DESC, ngram ASC
+        |LIMIT 50""".stripMargin
+    // t04_fingerprint: engine-specific hash — invariants in TextSpec.
+  )
+}

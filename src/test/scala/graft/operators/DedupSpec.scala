@@ -1,0 +1,80 @@
+package graft.operators
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.functions._
+import graft.functions.HashingFunctions._
+import graft.functions.TextFunctions._
+
+class DedupSpec extends SparkSpec {
+
+  test("minhash LSH finds every brute-force pair with jaccard >= threshold (recall = 1 here)") {
+    // ground truth: brute-force exact jaccard over all pairs at sf0.001
+    val sh = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), wordShingles(col("text"), 3).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val a = sh.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
+    val b = sh.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
+    val truth = a.join(b, col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), jaccard(col("sh_a"), col("sh_b")).as("j"))
+      .filter(col("j") >= Dedup.JaccardThreshold)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    val got = Dedup.queries("d03_minhash_lsh")(spark, sfDir)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    assert(truth.nonEmpty, "test data must contain near-dup pairs")
+    assert(got === truth)
+  }
+
+  test("minhash signature estimates jaccard within 0.15 on a pair sample") {
+    val sh = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), wordShingles(col("text"), 3).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val sig = sh.select(col("doc_id"),
+      minhash_signature(col("sh"), Dedup.MinHashK).as("sig"), col("sh"))
+    val a = sig.select(col("doc_id").as("id_a"), col("sig").as("sig_a"), col("sh").as("sh_a"))
+    val b = sig.select(col("doc_id").as("id_b"), col("sig").as("sig_b"), col("sh").as("sh_b"))
+    // estimate = fraction of matching signature positions
+    val rows = a.join(b, col("id_a") < col("id_b") && col("id_b") < 60)
+      .select(
+        jaccard(col("sh_a"), col("sh_b")).as("exact"),
+        (size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y), b => b))
+          .cast("double") / Dedup.MinHashK).as("est"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(math.abs(r.getDouble(0) - r.getDouble(1)) <= 0.15,
+        s"exact=${r.getDouble(0)} est=${r.getDouble(1)}")
+    }
+  }
+
+  test("simhash: identical shingle arrays hash identically; d05 pairs are true close pairs") {
+    val sh = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), wordShingles(col("text"), 3).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val h1 = sh.select(col("doc_id"), simhash64(col("sh")).as("h")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val h2 = sh.select(col("doc_id"), simhash64(col("sh")).as("h")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(h1 === h2)
+
+    val pairs = Dedup.queries("d05_simhash_pairs")(spark, sfDir).collect()
+    pairs.foreach { r =>
+      val ha = h1(r.getLong(0)); val hb = h1(r.getLong(1))
+      assert(java.lang.Long.bitCount(ha ^ hb) <= 3)
+    }
+  }
+
+  test("exact dedup keeps one row per distinct text") {
+    val docs = Tables.documents(spark, sfDir)
+    val distinctTexts = docs.select("text").distinct().count()
+    assert(Dedup.queries("d01_dedup_exact")(spark, sfDir).count() === distinctTexts)
+  }
+
+  test("rolling fingerprint dedup groups match normalized-text groups") {
+    val norm = regexp_replace(lower(col("text")), "[^a-z0-9 ]", "")
+    val docs = Tables.documents(spark, sfDir)
+    val normGroups = docs.select(norm.as("n")).distinct().count()
+    assert(Dedup.queries("d02_dedup_normalized")(spark, sfDir).count() === normGroups)
+  }
+}

@@ -1,0 +1,40 @@
+package graft.operators
+
+import graft.SparkSpec
+
+class SimilaritySpec extends SparkSpec {
+
+  test("e03 LSH ANN achieves >= 0.5 recall@5 against the brute-force baseline") {
+    val brute = Similarity.queries("e02_ann_bruteforce")(spark, sfDir)
+      .filter("rn <= 5")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Similarity.queries("e03_ann_lsh")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(brute.nonEmpty)
+    val recall = (brute & lsh).size.toDouble / brute.size
+    info(s"LSH recall@5 = $recall (candidates found: ${lsh.size})")
+    assert(recall >= 0.5, s"recall $recall too low")
+  }
+
+  test("e03 LSH examines fewer candidates than brute force would") {
+    // the whole point of bucketing: candidate count << N*Q
+    val n = graft.Tables.embeddings(spark, sfDir).count()
+    val lshRows = Similarity.queries("e03_ann_lsh")(spark, sfDir).count()
+    assert(lshRows <= 10 * 5) // top-5 for 10 queries at most
+    assert(n > 0)
+  }
+
+  test("e01 top pairs are symmetric-consistent and sorted by similarity") {
+    val rows = Similarity.queries("e01_cosine_pairs_topk")(spark, sfDir).collect()
+    assert(rows.length > 0 && rows.length <= 100)
+    rows.foreach(r => assert(r.getLong(0) < r.getLong(1)))
+    val sims = rows.map(_.getDouble(2))
+    assert(sims.zip(sims.tail).forall { case (x, y) => x >= y })
+  }
+
+  test("e04 nearest-neighbor output has one row per vector") {
+    val n = graft.Tables.embeddings(spark, sfDir).count()
+    val out = Similarity.queries("e04_embedding_nn_dedup")(spark, sfDir)
+    assert(out.count() === n)
+  }
+}
