@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.operators.{Dedup, Multimodal, Relational, Similarity, TextAnalysis}
+import graft.streaming.StreamingQueries
 
 /** Driver contract — see SURVEY.md §7 and the builder prompt.
   *
@@ -20,11 +21,11 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ Dedup.queries ++ Similarity.queries ++
-      TextAnalysis.queries ++ Multimodal.queries
+      TextAnalysis.queries ++ Multimodal.queries ++ StreamingQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     Relational.oracles ++ Dedup.oracles ++ Similarity.oracles ++
-      TextAnalysis.oracles ++ Multimodal.oracles
+      TextAnalysis.oracles ++ Multimodal.oracles ++ StreamingQueries.oracles
 }

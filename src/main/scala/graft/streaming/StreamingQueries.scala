@@ -1,0 +1,144 @@
+package graft.streaming
+
+import java.util.concurrent.atomic.AtomicInteger
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+import org.apache.spark.sql.types._
+import graft.Tables
+
+/** Structured Streaming queries over the `events` table, run to completion
+  * with `Trigger.AvailableNow` into a memory sink so the final answer is a
+  * plain DataFrame — which makes REAL streaming execution (micro-batches,
+  * state store, complete/append modes) verifiable against the batch DuckDB
+  * oracle. This is the §2 capability-parity surface executed the way the
+  * reference executes: as a stream.
+  *
+  * events.ts is INT64 TIMESTAMP(NANOS) parquet; like `Tables.events` we
+  * read it as long (`nanosAsLong`) and rebuild microsecond timestamps.
+  */
+case class UserEvent(user_id: Long, event_id: Long, ts_sec: Long)
+case class UserState(n: Long, minId: Long, maxTs: Long)
+
+object StreamingQueries {
+
+  private val runIds = new AtomicInteger(0)
+
+  private val eventsSchema = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType), // nanos-as-long
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** events as a bounded file stream (ts: µs timestamp). */
+  private def eventsStream(s: SparkSession, dir: String): DataFrame = {
+    Tables.withNanosAsLong(s)
+    s.readStream
+      .schema(eventsSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+  }
+
+  /** Run `df` (a streaming frame) to completion into a memory sink and
+    * return the sink table. One micro-batch per `maxFilesPerTrigger` file
+    * set; AvailableNow terminates when the backlog is drained.
+    */
+  private def runToTable(df: DataFrame, mode: OutputMode): DataFrame = {
+    val name = s"graft_stream_${runIds.incrementAndGet()}"
+    val q = df.writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode(mode)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    df.sparkSession.table(name)
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // A1 — the reference's one analytic (global count conservation,
+    // FlattenChunksTest.scala:59) as a complete-mode streaming aggregate.
+    "s01_stream_count" -> ((s, dir) => {
+      val agg = eventsStream(s, dir).groupBy().agg(count(lit(1)).as("n"))
+      runToTable(agg, OutputMode.Complete()).orderBy("n")
+    }),
+
+    // event-time tumbling windows as a STREAMING aggregation (state-store
+    // backed); complete mode emits the final window set, which must equal
+    // the batch q17 answer.
+    "s02_stream_tumbling" -> ((s, dir) => {
+      val agg = eventsStream(s, dir)
+        .groupBy(window(col("ts"), "1 hour").as("win"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(38,6)")).cast("double").as("sum_value"))
+        .select(date_format(col("win.start"), "yyyy-MM-dd HH:mm:ss").as("win_start"),
+          col("event_type"), col("n"), col("sum_value"))
+      runToTable(agg, OutputMode.Complete()).orderBy("win_start", "event_type")
+    }),
+
+    // streaming dedup (C5's exactly-once upgrade path): distinct
+    // (user_id, event_type) pairs via dropDuplicates state, append mode.
+    "s03_stream_dedup" -> ((s, dir) => {
+      val distinctPairs = eventsStream(s, dir)
+        .select("user_id", "event_type")
+        .dropDuplicates("user_id", "event_type")
+      runToTable(distinctPairs, OutputMode.Append()).orderBy("user_id", "event_type")
+    }),
+
+    // A3/A4 — per-key running state via mapGroupsWithState (the per-shard
+    // fold + last-processed Ref of CheckpointOnChunkEndStreamClient.scala:
+    // 52-85, keyed by user). Order-independent state so the emission is
+    // exact; single AvailableNow batch ⇒ one emission per key.
+    "s04_stream_user_state" -> ((s, dir) => {
+      import s.implicits._
+      val typed = eventsStream(s, dir)
+        .select(col("user_id"), col("event_id"), col("ts").cast("long").as("ts_sec"))
+        .as[UserEvent]
+      val stated = typed
+        .groupByKey(_.user_id)
+        .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+          (user: Long, rows: Iterator[UserEvent], state: GroupState[UserState]) =>
+            val prev = state.getOption.getOrElse(UserState(0L, Long.MaxValue, Long.MinValue))
+            var n = prev.n; var minId = prev.minId; var maxTs = prev.maxTs
+            rows.foreach { r =>
+              n += 1
+              if (r.event_id < minId) minId = r.event_id
+              if (r.ts_sec > maxTs) maxTs = r.ts_sec
+            }
+            state.update(UserState(n, minId, maxTs))
+            (user, n, minId, maxTs)
+        }
+        .toDF("user_id", "n_events", "min_event_id", "max_ts_sec")
+      runToTable(stated, OutputMode.Update())
+        .withColumn("max_ts", date_format(timestamp_seconds(col("max_ts_sec")), "yyyy-MM-dd HH:mm:ss"))
+        .select("user_id", "n_events", "min_event_id", "max_ts")
+        .orderBy("user_id")
+    })
+  )
+
+  def oracles: Map[String, String] = Map(
+    "s01_stream_count" -> "SELECT COUNT(*) AS n FROM events",
+
+    "s02_stream_tumbling" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS win_start,
+        |  event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST("value" AS DECIMAL(38,6))) AS DOUBLE) AS sum_value
+        |FROM events
+        |GROUP BY 1, 2
+        |ORDER BY win_start, event_type""".stripMargin,
+
+    "s03_stream_dedup" ->
+      """SELECT DISTINCT user_id, event_type FROM events
+        |ORDER BY user_id, event_type""".stripMargin,
+
+    "s04_stream_user_state" ->
+      """SELECT user_id, COUNT(*) AS n_events, MIN(event_id) AS min_event_id,
+        |  strftime(date_trunc('second', MAX(ts)), '%Y-%m-%d %H:%M:%S') AS max_ts
+        |FROM events
+        |GROUP BY user_id
+        |ORDER BY user_id""".stripMargin
+  )
+}
