@@ -18,22 +18,20 @@ object TextFunctions {
   def tokens(text: Column): Column =
     filter(split(lower(text), " "), t => length(t) > 0)
 
-  /** Word n-grams in document order (repeats kept; `sequence` guarded so
-    * docs shorter than n yield an empty array, not an error).
+  /** Word n-grams in document order (repeats kept; docs shorter than n
+    * yield an empty array). Native single-pass expression — see
+    * [[WordNgrams]] for why the HOF formulation is quadratic.
     */
-  def wordNgrams(text: Column, n: Int): Column = {
-    val ts = tokens(text)
-    when(size(ts) >= n,
-      transform(sequence(lit(0), size(ts) - n),
-        i => concat_ws(" ", (0 until n).map(k => element_at(ts, i + k + 1)): _*)))
-      .otherwise(array().cast("array<string>"))
-  }
+  def wordNgrams(text: Column, n: Int): Column =
+    org.apache.spark.sql.graft.Bridge.column(
+      WordNgrams(org.apache.spark.sql.graft.Bridge.expression(text), n, distinct = false))
 
   /** Distinct word n-gram shingles (the near-dup unit — token sets saturate
     * on small vocabularies, n-grams stay discriminative).
     */
   def wordShingles(text: Column, n: Int): Column =
-    array_distinct(wordNgrams(text, n))
+    org.apache.spark.sql.graft.Bridge.column(
+      WordNgrams(org.apache.spark.sql.graft.Bridge.expression(text), n, distinct = true))
 
   /** Exact token-set Jaccard similarity of two shingle arrays: int set
     * sizes, one final double division (bit-exact across engines).

@@ -98,10 +98,15 @@ object Dedup {
 
     // blocking on metadata (lang, source) instead of LSH: the classic
     // "cheap key first" candidate strategy. Exact Jaccard inside blocks,
-    // global top-50 most-similar pairs.
+    // global top-50 most-similar pairs. Shingles are hashed to int64
+    // BEFORE the pair join: intersect/union cardinalities (and hence
+    // jaccard) are unchanged (64-bit collisions are ~1e-14 here), while
+    // the arrays shuffled through the n²-per-block join shrink ~25× and
+    // compare as primitives instead of strings.
     "d04_ngram_jaccard_blocked" -> ((s, dir) => {
       val d = Tables.documents(s, dir)
-        .select(col("doc_id"), col("lang"), col("source"), wordShingles(col("text"), 3).as("sh"))
+        .select(col("doc_id"), col("lang"), col("source"),
+          transform(wordShingles(col("text"), 3), g => xxhash64(g)).as("sh"))
         .filter(size(col("sh")) > 0)
       val a = d.select(col("lang"), col("source"), col("doc_id").as("id_a"), col("sh").as("sh_a"))
       val b = d.select(col("lang"), col("source"), col("doc_id").as("id_b"), col("sh").as("sh_b"))
