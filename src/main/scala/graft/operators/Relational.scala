@@ -364,6 +364,21 @@ object Relational {
         .orderBy("c_custkey")
     }),
 
+    // PIVOT: wide conditional aggregation — one shuffle on the row key,
+    // the column-key dispatch is free map-side (Spark rewrites pivot into
+    // CASE WHEN aggregates; values enumerated so the plan is static).
+    "q28_pivot" -> ((s, dir) => {
+      Tables.orders(s, dir)
+        .groupBy("o_orderpriority")
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(dsum(col("o_totalprice")))
+        .select(col("o_orderpriority"),
+          coalesce(col("F"), lit(0.0)).as("sum_f"),
+          coalesce(col("O"), lit(0.0)).as("sum_o"),
+          coalesce(col("P"), lit(0.0)).as("sum_p"))
+        .orderBy("o_orderpriority")
+    }),
+
     // ---- approximate / sketch (weaker rows-only driver check; no oracle) ------
     "q27_approx_distinct" -> ((s, dir) => {
       Tables.lineitem(s, dir)
@@ -602,7 +617,16 @@ object Relational {
         |  SELECT o_custkey, MAX(o_totalprice) AS max_price FROM orders GROUP BY o_custkey
         |) ON c_custkey = o_custkey
         |WHERE max_price > 400000
-        |ORDER BY c_custkey""".stripMargin
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q28_pivot" ->
+      """SELECT o_orderpriority,
+        |  COALESCE(CAST(SUM(CAST(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END AS DECIMAL(38,6))) AS DOUBLE), 0.0) AS sum_f,
+        |  COALESCE(CAST(SUM(CAST(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END AS DECIMAL(38,6))) AS DOUBLE), 0.0) AS sum_o,
+        |  COALESCE(CAST(SUM(CAST(CASE WHEN o_orderstatus = 'P' THEN o_totalprice END AS DECIMAL(38,6))) AS DOUBLE), 0.0) AS sum_p
+        |FROM orders
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin
     // q27_approx_distinct: approximate sketches — intentionally no oracle
     // (driver records the weaker rows-only check).
   )

@@ -84,6 +84,69 @@ object Similarity {
         .orderBy("vid")
     }),
 
+    // per-label centroids (the IVF coarse quantizer / k-means building
+    // block): one narrow posexplode (×dim), one hash agg on (label, dim).
+    // Sum order is pinned by sorting each group's values by vec_id and
+    // adding sequentially — bit-reproducible across engines AND across
+    // partitionings (a plain avg() of doubles is not).
+    "e05_label_centroids" -> ((s, dir) => {
+      Tables.embeddings(s, dir)
+        .select(col("label").cast("long").as("label"), col("vec_id"),
+          posexplode(col("embedding")).as(Seq("dim", "v")))
+        .groupBy("label", "dim")
+        .agg(
+          sort_array(collect_list(struct(col("vec_id"), col("v").cast("double").as("v")))).as("vals"),
+          count(lit(1)).as("n"))
+        .select(col("label"), col("dim").cast("long").as("dim"),
+          (aggregate(col("vals"), lit(0.0), (acc, x) => acc + x.getField("v")) / col("n"))
+            .as("centroid"))
+        .orderBy("label", "dim")
+    }),
+
+    // IVF-style ANN (the other scale path, complementing e03's LSH):
+    // coarse-quantize the corpus by nearest label-centroid, probe only the
+    // top-2 cells per query, exact cosine within candidates. At scale the
+    // centroid table is tiny and broadcast; the corpus partitions by cell,
+    // so a query touches ~nprobe/ncells of the data. Approximate → recall
+    // vs e02 asserted in SimilaritySpec, rows-only driver check.
+    "e06_ivf_ann" -> ((s, dir) => {
+      val nprobe = 2
+      val e = Tables.embeddings(s, dir)
+      // centroids as array<float> per label, dims assembled in order
+      val cents = e
+        .select(col("label"), col("vec_id"), posexplode(col("embedding")).as(Seq("dim", "v")))
+        .groupBy("label", "dim")
+        .agg(sort_array(collect_list(struct(col("vec_id"), col("v").cast("double").as("v")))).as("vals"),
+          count(lit(1)).as("n"))
+        .select(col("label"), col("dim"),
+          (aggregate(col("vals"), lit(0.0), (acc, x) => acc + x.getField("v")) / col("n")).as("c"))
+        .groupBy("label")
+        .agg(transform(sort_array(collect_list(struct(col("dim"), col("c")))), s => s.getField("c"))
+          .cast("array<float>").as("centroid"))
+        .select(col("label").as("cell"), col("centroid"))
+      // every vector scored against every centroid (ncells is tiny —
+      // broadcast), argmax = assigned cell for corpus, top-nprobe for queries
+      val scored = e.join(broadcast(cents))
+        .select(col("vec_id"), col("embedding"), col("cell"),
+          cosine_similarity(col("embedding"), col("centroid")).as("ccos"))
+      val wAssign = Window.partitionBy("vec_id").orderBy(col("ccos").desc, col("cell").asc)
+      val assigned = scored.withColumn("rn", row_number().over(wAssign))
+        .filter(col("rn") === 1)
+        .select(col("vec_id").as("nid"), col("embedding").as("n_emb"), col("cell"))
+      val probes = scored.filter(col("vec_id") < 10)
+        .withColumn("rn", row_number().over(wAssign))
+        .filter(col("rn") <= nprobe)
+        .select(col("vec_id").as("qid"), col("embedding").as("q_emb"), col("cell"))
+      val wTop = Window.partitionBy("qid").orderBy(col("cos_sim").desc, col("nid").asc)
+      assigned.join(probes, "cell")
+        .filter(col("nid") =!= col("qid"))
+        .select(col("qid"), col("nid"),
+          cosine_similarity(col("q_emb"), col("n_emb")).as("cos_sim"))
+        .withColumn("rn", row_number().over(wTop).cast("long"))
+        .filter(col("rn") <= 5)
+        .orderBy("qid", "rn")
+    }),
+
     // LSH-bucketed ANN (the scale path): 16 tables × 6-bit hyperplane
     // signatures per vector, candidates = same (table, bucket), exact
     // cosine only on candidates, per-query top-5 after unioning tables.
@@ -142,7 +205,20 @@ object Similarity {
          |    ROW_NUMBER() OVER (PARTITION BY a.vec_id ORDER BY ${duckCos("a", "b")} DESC, b.vec_id ASC) AS rn
          |  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
          |) WHERE rn = 1
-         |ORDER BY vid""".stripMargin
-    // e03_ann_lsh: approximate — recall asserted in SimilaritySpec instead.
+         |ORDER BY vid""".stripMargin,
+    // e03_ann_lsh / e06_ivf_ann: approximate — recall asserted in
+    // SimilaritySpec instead of a SQL oracle.
+
+    "e05_label_centroids" ->
+      """WITH x AS (
+        |  SELECT label, vec_id,
+        |    unnest([{'d': i - 1, 'v': embedding[i]::DOUBLE} for i in range(1, len(embedding) + 1)]) AS u
+        |  FROM embeddings
+        |)
+        |SELECT CAST(label AS BIGINT) AS label, CAST(u.d AS BIGINT) AS dim,
+        |  list_sum(list(u.v ORDER BY vec_id)) / COUNT(*) AS centroid
+        |FROM x
+        |GROUP BY label, u.d
+        |ORDER BY label, dim""".stripMargin
   )
 }

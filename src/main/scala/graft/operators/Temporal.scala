@@ -1,0 +1,143 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Temporal operators over `events` that Spark has no single built-in for
+  * — as-of join, banded range join, gap sessionization — each written in
+  * its scalable formulation (SURVEY.md §2.8 extension surface).
+  *
+  * Precision note: events.ts is µs-aligned in the source data (verified:
+  * epoch_ns % 1000 == 0 for every row), so Spark's µs timestamps and
+  * DuckDB's ns timestamps order and compare identically; gaps/outputs are
+  * surfaced at second granularity per the repo convention.
+  */
+object Temporal {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // AS-OF JOIN: for each purchase, the user's most recent view at-or-
+    // before it. NOT a join at all in the scalable form: union both sides,
+    // one shuffle on user_id, one ordered pass with a running "last view"
+    // — O(n log n) per user vs. the naive inequality join's O(n²). This is
+    // how an as-of survives 100 TB: no range-condition nested loop, no
+    // per-key explosion, state = one value.
+    "a01_asof_join" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.events(s, dir)
+        .filter(col("event_type").isin("view", "purchase"))
+        .withColumn("view_ts",
+          max(when(col("event_type") === "view", col("ts"))).over(w))
+        .filter(col("event_type") === "purchase")
+        .select(
+          col("event_id"), col("user_id"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("purchase_ts"),
+          date_format(col("view_ts"), "yyyy-MM-dd HH:mm:ss").as("asof_view_ts"),
+          (col("ts").cast("long") - col("view_ts").cast("long")).as("staleness_sec"))
+        .orderBy("event_id")
+    }),
+
+    // BANDED RANGE JOIN: purchases within 10 minutes after a view by the
+    // same user. The range condition is turned into an equi-join by
+    // bucketing time into band-width buckets and joining each view to
+    // (bucket, bucket+1) — candidate pairs are O(events per 2 buckets),
+    // never O(n²), and the join is a plain shuffled equi-join Catalyst
+    // already knows how to plan. The exact range predicate then prunes.
+    "a02_range_join" -> ((s, dir) => {
+      val bandSec = 600L
+      val e = Tables.events(s, dir).withColumn("ts_sec", col("ts").cast("long"))
+      val views = e.filter(col("event_type") === "view")
+        .select(col("user_id"), col("event_id").as("view_id"), col("ts_sec").as("view_sec"),
+          explode(array((col("ts_sec") / bandSec).cast("long"),
+            (col("ts_sec") / bandSec).cast("long") + 1)).as("bucket"))
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("purchase_id"), col("ts_sec").as("purchase_sec"),
+          (col("ts_sec") / bandSec).cast("long").as("bucket"))
+      views.join(purchases, Seq("user_id", "bucket"))
+        .filter(col("purchase_sec") > col("view_sec") &&
+                col("purchase_sec") <= col("view_sec") + bandSec)
+        .select(col("user_id"), col("view_id"), col("purchase_id"),
+          (col("purchase_sec") - col("view_sec")).as("gap_sec"))
+        .distinct() // a pair can match in both candidate buckets
+        .orderBy("user_id", "view_id", "purchase_id")
+    }),
+
+    // GAP SESSIONIZATION: 30-minute-inactivity sessions per user — the
+    // batch analog of streaming session windows. One shuffle on user_id,
+    // two window passes (flag starts, running-sum session ids), one
+    // aggregate. Session ids are (user, seq) — globally unique without any
+    // driver-side coordination.
+    "a03_sessionize" -> ((s, dir) => {
+      val gapSec = 1800L
+      val wOrd = Window.partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
+      val e = Tables.events(s, dir)
+        .withColumn("ts_sec", col("ts").cast("long"))
+        .withColumn("prev_sec", lag(col("ts_sec"), 1).over(wOrd))
+        .withColumn("is_new",
+          when(col("prev_sec").isNull || col("ts_sec") - col("prev_sec") > gapSec, 1L)
+            .otherwise(0L))
+        .withColumn("session_seq",
+          sum(col("is_new")).over(wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      e.groupBy("user_id", "session_seq")
+        .agg(
+          count(lit(1)).as("n_events"),
+          date_format(timestamp_seconds(min(col("ts_sec"))), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+          (max(col("ts_sec")) - min(col("ts_sec"))).as("duration_sec"),
+          countDistinct(col("event_type")).as("n_types"))
+        .orderBy("user_id", "session_seq")
+    })
+  )
+
+  def oracles: Map[String, String] = Map(
+    "a01_asof_join" ->
+      """SELECT event_id, user_id,
+        |  strftime(date_trunc('second', ts), '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+        |  strftime(date_trunc('second', view_ts), '%Y-%m-%d %H:%M:%S') AS asof_view_ts,
+        |  CAST(epoch(date_trunc('second', ts)) - epoch(date_trunc('second', view_ts)) AS BIGINT) AS staleness_sec
+        |FROM (
+        |  SELECT event_id, user_id, event_type, ts,
+        |    MAX(CASE WHEN event_type = 'view' THEN ts END) OVER (
+        |      PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS view_ts
+        |  FROM events WHERE event_type IN ('view', 'purchase')
+        |)
+        |WHERE event_type = 'purchase'
+        |ORDER BY event_id""".stripMargin,
+
+    "a02_range_join" ->
+      """SELECT v.user_id AS user_id, v.event_id AS view_id, p.event_id AS purchase_id,
+        |  CAST(epoch(date_trunc('second', p.ts)) - epoch(date_trunc('second', v.ts)) AS BIGINT) AS gap_sec
+        |FROM (SELECT * FROM events WHERE event_type = 'view') v
+        |JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+        |  ON v.user_id = p.user_id
+        | AND epoch(date_trunc('second', p.ts)) > epoch(date_trunc('second', v.ts))
+        | AND epoch(date_trunc('second', p.ts)) <= epoch(date_trunc('second', v.ts)) + 600
+        |ORDER BY user_id, view_id, purchase_id""".stripMargin,
+
+    "a03_sessionize" ->
+      """WITH flagged AS (
+        |  SELECT user_id, event_id, event_type, ts,
+        |    epoch(date_trunc('second', ts)) AS ts_sec,
+        |    CASE WHEN LAG(epoch(date_trunc('second', ts))) OVER w IS NULL
+        |           OR epoch(date_trunc('second', ts)) - LAG(epoch(date_trunc('second', ts))) OVER w > 1800
+        |         THEN 1 ELSE 0 END AS is_new
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+        |), numbered AS (
+        |  SELECT *, SUM(is_new) OVER (
+        |    PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+        |  FROM flagged
+        |)
+        |SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+        |  COUNT(*) AS n_events,
+        |  strftime(to_timestamp(MIN(ts_sec)), '%Y-%m-%d %H:%M:%S') AS session_start,
+        |  CAST(MAX(ts_sec) - MIN(ts_sec) AS BIGINT) AS duration_sec,
+        |  COUNT(DISTINCT event_type) AS n_types
+        |FROM numbered
+        |GROUP BY user_id, session_seq
+        |ORDER BY user_id, session_seq""".stripMargin
+  )
+}

@@ -24,6 +24,29 @@ class SimilaritySpec extends SparkSpec {
     assert(n > 0)
   }
 
+  test("e05 centroids: one row per (label, dim), values are plausible means") {
+    val labels = graft.Tables.embeddings(spark, sfDir).select("label").distinct().count()
+    val rows = Similarity.queries("e05_label_centroids")(spark, sfDir).collect()
+    assert(rows.length === labels * 64)
+    assert(rows.forall(r => math.abs(r.getDouble(2)) <= 1.0))
+  }
+
+  test("e06 IVF ANN returns top-5 per query with nonzero recall vs brute force") {
+    val brute = Similarity.queries("e02_ann_bruteforce")(spark, sfDir)
+      .filter("rn <= 5")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Similarity.queries("e06_ivf_ann")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(ivf.size <= 10 * 5)
+    val recall = (brute & ivf).size.toDouble / brute.size
+    info(s"IVF recall@5 = $recall (nprobe=2 of 10 cells)")
+    // near-uniform synthetic embeddings are the IVF worst case; the spec
+    // pins the mechanism (cells partition the corpus, probing works), not
+    // a production recall target — e03 (multi-table LSH) is the scale path
+    // tuned for this corpus.
+    assert(recall > 0.0, s"IVF found none of the true top-5")
+  }
+
   test("e01 top pairs are symmetric-consistent and sorted by similarity") {
     val rows = Similarity.queries("e01_cosine_pairs_topk")(spark, sfDir).collect()
     assert(rows.length > 0 && rows.length <= 100)
