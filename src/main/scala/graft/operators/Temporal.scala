@@ -64,6 +64,26 @@ object Temporal {
         .orderBy("user_id", "view_id", "purchase_id")
     }),
 
+    // Spark's native session_window operator — same gap semantics as a03
+    // but via the built-in merging session assigner (the operator the
+    // STREAMING path uses with a watermark; in batch it plans as a single
+    // shuffle + sort per key). ts truncated to seconds first so the gap
+    // decision arithmetic is engine-portable; session_window starts a new
+    // session at gap >= 30 min (prev_ts + gap is an exclusive end), which
+    // the oracle mirrors with >=.
+    "a04_session_window" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .withColumn("tss", timestamp_seconds(col("ts").cast("long")))
+        .groupBy(session_window(col("tss"), "30 minutes").as("w"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct(col("event_type")).as("n_types"))
+        .select(col("user_id"),
+          date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+          date_format(col("w.end"), "yyyy-MM-dd HH:mm:ss").as("session_end"),
+          col("n_events"), col("n_types"))
+        .orderBy("user_id", "session_start")
+    }),
+
     // GAP SESSIONIZATION: 30-minute-inactivity sessions per user — the
     // batch analog of streaming session windows. One shuffle on user_id,
     // two window passes (flag starts, running-sum session ids), one
@@ -138,6 +158,30 @@ object Temporal {
         |  COUNT(DISTINCT event_type) AS n_types
         |FROM numbered
         |GROUP BY user_id, session_seq
-        |ORDER BY user_id, session_seq""".stripMargin
+        |ORDER BY user_id, session_seq""".stripMargin,
+
+    "a04_session_window" ->
+      """WITH flagged AS (
+        |  SELECT user_id, event_id, event_type, ts,
+        |    epoch(date_trunc('second', ts)) AS ts_sec,
+        |    CASE WHEN LAG(epoch(date_trunc('second', ts))) OVER w IS NULL
+        |           OR epoch(date_trunc('second', ts)) - LAG(epoch(date_trunc('second', ts))) OVER w >= 1800
+        |         THEN 1 ELSE 0 END AS is_new
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+        |), numbered AS (
+        |  SELECT *, SUM(is_new) OVER (
+        |    PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+        |  FROM flagged
+        |)
+        |SELECT user_id,
+        |  strftime(to_timestamp(MIN(ts_sec)), '%Y-%m-%d %H:%M:%S') AS session_start,
+        |  strftime(to_timestamp(MAX(ts_sec) + 1800), '%Y-%m-%d %H:%M:%S') AS session_end,
+        |  COUNT(*) AS n_events,
+        |  COUNT(DISTINCT event_type) AS n_types
+        |FROM numbered
+        |GROUP BY user_id, session_seq
+        |ORDER BY user_id, session_start""".stripMargin
   )
 }

@@ -66,6 +66,36 @@ class StreamingPipelineSpec extends SparkSpec {
     assert(out.find(_.getLong(2) == 2L).get.isNullAt(out.head.fieldIndex("id")))
   }
 
+  test("stream-stream interval join: two sharded streams join on key within a time bound") {
+    import org.apache.spark.sql.functions._
+    val dirA = tmp("graft-ss-a")
+    val dirB = tmp("graft-ss-b")
+    new ShardedBatchProducer(dirA, nrShards = 4, batchSize = 200).emit(1, 1001)
+    new ShardedBatchProducer(dirB, nrShards = 4, batchSize = 200).emit(500, 1501)
+
+    // watermarks on both sides bound the join state (the 100 TB-safe
+    // form); producer arrival_ts is base+seq ms, so matching keys land
+    // inside the interval.
+    val a = Pipelines.ingest(spark, dirA).withWatermark("arrival_ts", "1 hour")
+      .select(col("sequence_number").as("k"), col("arrival_ts").as("ts_a"))
+    val b = Pipelines.ingest(spark, dirB).withWatermark("arrival_ts", "1 hour")
+      .select(col("sequence_number").as("k2"), col("arrival_ts").as("ts_b"))
+    val joined = a.join(b,
+      col("k") === col("k2") &&
+        col("ts_b") >= col("ts_a") &&
+        col("ts_b") <= col("ts_a") + expr("interval 10 minutes"))
+
+    val q = joined.writeStream
+      .format("memory").queryName("ss_join")
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+
+    val got = spark.table("ss_join").select("k").collect().map(_.getLong(0)).sorted
+    assert(got.toSeq === (500L to 1000L).toSeq, "join = overlap of the two key ranges")
+  }
+
   test("stream limit: listener stops the query once >= N records are ingested") {
     val dir = tmp("graft-limit")
     val n = 5000L
