@@ -1,0 +1,93 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import graft.functions.{VectorFunctions, WordNgrams}
+import graft.streaming.{Envelope, TestMsg}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Property-based invariants (SURVEY.md §5d): serde round-trips, hash
+  * determinism, shingling/jaccard laws — driver-side where the property is
+  * about pure expression semantics, Spark-side where encoding matters.
+  */
+class PropertySpec extends SparkSpec {
+
+  /** Deterministic manual sampling (the scalatest-scalacheck bridge isn't
+    * on the classpath; raw Gen + fixed seeds gives reproducible cases).
+    */
+  private def samples[A](g: Gen[A], n: Int = 100): Seq[A] =
+    (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(i.toLong)))
+
+  test("JSON serde round-trip: encode then decode is identity for any id") {
+    import spark.implicits._
+    val ids = Gen.listOfN(200, Gen.chooseNum(Int.MinValue, Int.MaxValue)).sample.get
+    val df = ids.toDF("id")
+      .select(Envelope.encode(col("id")).as("data"))
+      .withColumn("msg", from_json(col("data"), Envelope.msgSchema))
+      .select(col("msg.id").as("id"))
+    assert(df.as[Int].collect().toSeq === ids)
+  }
+
+  test("word n-grams: count law |ngrams| == max(0, tokens - n + 1), repeats kept") {
+    val cases = samples(for {
+      words <- Gen.listOf(Gen.oneOf("a", "bb", "ccc", "a", "dd"))
+      n <- Gen.choose(1, 4)
+    } yield (words, n))
+    assert(cases.nonEmpty)
+    cases.foreach { case (words, n) =>
+      val text = words.mkString(" ")
+      val expr = WordNgrams(
+        org.apache.spark.sql.catalyst.expressions.Literal(UTF8String.fromString(text),
+          org.apache.spark.sql.types.StringType), n, distinct = false)
+      val out = expr.eval(null).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      assert(out.numElements() === math.max(0, words.length - n + 1))
+    }
+  }
+
+  test("word shingles: distinct variant is the distinct of the plain variant, order-preserving") {
+    samples(Gen.listOf(Gen.oneOf("x", "y", "z"))).foreach { words =>
+      val text = words.mkString(" ")
+      def run(distinct: Boolean): Seq[String] = {
+        val e = WordNgrams(
+          org.apache.spark.sql.catalyst.expressions.Literal(UTF8String.fromString(text),
+            org.apache.spark.sql.types.StringType), 2, distinct)
+        val a = e.eval(null).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+        (0 until a.numElements()).map(i => a.getUTF8String(i).toString)
+      }
+      assert(run(true) === run(false).distinct)
+    }
+  }
+
+  test("splitmix64 is a bijection-quality mixer: no collisions on a dense range") {
+    val xs = (0L until 20000L).map(VectorFunctions.splitmix64)
+    assert(xs.distinct.length === xs.length)
+  }
+
+  test("dedup idempotence: d01 output is stable under re-application") {
+    val d1 = graft.operators.Dedup.queries("d01_dedup_exact")(spark, sfDir)
+    // a second exact-dedup over the already-deduped keep set keeps every row
+    val n1 = d1.count()
+    val n2 = d1.dropDuplicates("keep_id").count()
+    assert(n1 === n2)
+  }
+
+  test("jaccard symmetry and unit self-similarity on corpus pairs") {
+    import graft.functions.TextFunctions._
+    val d = Tables.documents(spark, sfDir).limit(20)
+      .select(col("doc_id"), wordShingles(col("text"), 3).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val a = d.select(col("doc_id").as("ia"), col("sh").as("sa"))
+    val b = d.select(col("doc_id").as("ib"), col("sh").as("sb"))
+    val pairs = a.join(b)
+      .select(col("ia"), col("ib"),
+        jaccard(col("sa"), col("sb")).as("jab"),
+        jaccard(col("sb"), col("sa")).as("jba"))
+      .collect()
+    pairs.foreach { r =>
+      assert(r.getDouble(2) === r.getDouble(3)) // symmetric
+      if (r.getLong(0) == r.getLong(1)) assert(r.getDouble(2) === 1.0) // self = 1
+      assert(r.getDouble(2) >= 0.0 && r.getDouble(2) <= 1.0)
+    }
+  }
+}
