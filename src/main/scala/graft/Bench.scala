@@ -18,12 +18,23 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // warmup: exercise scan+join+agg+sort+codegen once on the smallest SF.
-    try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
+    // one untimed pass first: JIT + whole-stage-codegen compilation +
+    // parquet footer caches land here, so the timed pass measures
+    // steady-state query cost (what a long-lived cluster actually pays)
+    // instead of charging ~6-10 s of JVM warmup to whichever query runs
+    // first.
+    SparkEntry.queries.foreach { case (_, fn) =>
+      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      catch { case _: Throwable => () }
+    }
 
+    // noop write forces evaluation of EVERY output column — a bare
+    // count() would let Catalyst skip projection work entirely and
+    // under-time the scan-heavy queries.
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      catch { case _: Throwable => () }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

@@ -13,10 +13,13 @@ class StreamingPipelineSpec extends SparkSpec {
 
   private def tmp(prefix: String) = Files.createTempDirectory(prefix).toString
 
-  test("count conservation: N produced == N counted across 32 shards") {
+  test("count conservation at reference scale: 100k records == 100k counted across 32 shards") {
+    // exact reference workload parameters: nrRecords = 100000, batchSize =
+    // 500, nrShards = 32 (FlattenChunksTest.scala:25-27), same invariant
+    // (:59) — processed count conserved across all shards.
     val dir = tmp("graft-ingest")
     val ckpt = tmp("graft-ckpt")
-    val n = 10000L
+    val n = 100000L
     val producer = new ShardedBatchProducer(dir, nrShards = 32, batchSize = 500)
     producer.emit(1, n + 1)
 
