@@ -118,6 +118,34 @@ object Dedup {
         .limit(50)
     }),
 
+    // corpus-level set similarity: exact Jaccard between the distinct-
+    // shingle UNIVERSES of en-language sources. The pair discovery is a
+    // join on the shingle (shuffle keyed by shingle — scales with corpus
+    // size, not with source-pair count); only intersecting source pairs
+    // surface. The MinHashMergeAggregator estimates this same quantity
+    // from constant-size sketches — DedupSpec asserts the estimate tracks
+    // this exact answer.
+    "d06_source_shingle_jaccard" -> ((s, dir) => {
+      val sh = Tables.documents(s, dir)
+        .filter(col("lang") === "en")
+        .select(col("source"), explode(wordShingles(col("text"), 3)).as("g"))
+        .distinct()
+      val sizes = sh.groupBy("source").agg(count(lit(1)).as("n"))
+      val a = sh.select(col("source").as("src_a"), col("g"))
+      val b = sh.select(col("source").as("src_b"), col("g"))
+      val inter = a.join(b, "g")
+        .filter(col("src_a") < col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(count(lit(1)).as("n_inter"))
+      inter
+        .join(sizes.select(col("source").as("src_a"), col("n").as("n_a")), "src_a")
+        .join(sizes.select(col("source").as("src_b"), col("n").as("n_b")), "src_b")
+        .select(col("src_a"), col("src_b"), col("n_a"), col("n_b"), col("n_inter"),
+          (col("n_inter").cast("double") /
+            (col("n_a") + col("n_b") - col("n_inter")).cast("double")).as("jaccard"))
+        .orderBy("src_a", "src_b")
+    }),
+
     // SimHash near-dup: 64-bit sketch per doc; pairs within Hamming
     // distance ≤ 3 found by splitting the hash into 4×16-bit bands
     // (pigeonhole: ≤3 differing bits ⇒ ≥1 band identical). Approximate
@@ -195,7 +223,30 @@ object Dedup {
         |FROM s a JOIN s b ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
         |WHERE len(a.sh) > 0 AND len(b.sh) > 0
         |ORDER BY jaccard DESC, id_a ASC, id_b ASC
-        |LIMIT 50""".stripMargin
+        |LIMIT 50""".stripMargin,
+
+    "d06_source_shingle_jaccard" ->
+      """WITH t AS (
+        |  SELECT doc_id, source,
+        |    list_filter(string_split(lower(text), ' '), w -> len(w) > 0) AS w
+        |  FROM documents WHERE lang = 'en'
+        |), s AS (
+        |  SELECT DISTINCT source,
+        |    unnest(list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w) - 1)])) AS g
+        |  FROM t WHERE len(w) >= 3
+        |), sizes AS (
+        |  SELECT source, COUNT(*) AS n FROM s GROUP BY source
+        |), inter AS (
+        |  SELECT a.source AS src_a, b.source AS src_b, COUNT(*) AS n_inter
+        |  FROM s a JOIN s b ON a.g = b.g AND a.source < b.source
+        |  GROUP BY 1, 2
+        |)
+        |SELECT src_a, src_b, sa.n AS n_a, sb.n AS n_b, n_inter,
+        |  CAST(n_inter AS DOUBLE) / CAST(sa.n + sb.n - n_inter AS DOUBLE) AS jaccard
+        |FROM inter
+        |JOIN sizes sa ON sa.source = src_a
+        |JOIN sizes sb ON sb.source = src_b
+        |ORDER BY src_a, src_b""".stripMargin
     // d05_simhash_pairs: hash-sketch based — invariants asserted in DedupSpec.
   )
 }

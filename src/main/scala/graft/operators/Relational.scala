@@ -364,6 +364,22 @@ object Relational {
         .orderBy("c_custkey")
     }),
 
+    // CUBE: all 4 grouping-set combinations expanded map-side (rows ×4,
+    // same single shuffle as a plain agg — grouping sets never need
+    // multiple passes).
+    "q29_cube" -> ((s, dir) => {
+      Tables.orders(s, dir)
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+          grouping("o_orderstatus").cast("int").as("g_status"),
+          grouping("o_orderpriority").cast("int").as("g_priority"))
+        .select(
+          coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+          coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+          col("n"), col("g_status"), col("g_priority"))
+        .orderBy("g_status", "g_priority", "status", "priority")
+    }),
+
     // PIVOT: wide conditional aggregation — one shuffle on the row key,
     // the column-key dispatch is free map-side (Spark rewrites pivot into
     // CASE WHEN aggregates; values enumerated so the plan is static).
@@ -618,6 +634,17 @@ object Relational {
         |) ON c_custkey = o_custkey
         |WHERE max_price > 400000
         |ORDER BY c_custkey""".stripMargin,
+
+    "q29_cube" ->
+      """SELECT
+        |  COALESCE(o_orderstatus, 'ALL') AS status,
+        |  COALESCE(o_orderpriority, 'ALL') AS priority,
+        |  COUNT(*) AS n,
+        |  CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+        |  CAST(GROUPING(o_orderpriority) AS INT) AS g_priority
+        |FROM orders
+        |GROUP BY CUBE(o_orderstatus, o_orderpriority)
+        |ORDER BY g_status, g_priority, status, priority""".stripMargin,
 
     "q28_pivot" ->
       """SELECT o_orderpriority,
