@@ -1,0 +1,62 @@
+package graft.plans
+
+import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan, TakeOrderedAndProjectExec}
+import org.apache.spark.sql.execution.exchange.BroadcastExchangeExec
+import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, SortMergeJoinExec}
+import graft.{SparkEntry, SparkSpec}
+
+/** Plan-shape regressions: these properties ARE the 100 TB story, so they
+  * are pinned as tests — a refactor that silently drops a pushdown or
+  * turns a broadcast join into a shuffle would pass value-equality tests
+  * and still be a disaster at scale.
+  */
+class PlanShapeSpec extends SparkSpec {
+
+  private def sparkPlan(name: String): SparkPlan =
+    SparkEntry.queries(name)(spark, sfDir).queryExecution.sparkPlan
+
+  private def collectAll[T](p: SparkPlan)(pf: PartialFunction[SparkPlan, T]): Seq[T] =
+    p.collect(pf) ++ p.subqueries.flatMap(s => collectAll(s)(pf))
+
+  test("q02: all predicates push into the parquet scan; only needed columns read") {
+    val scans = collectAll(sparkPlan("q02_filter_project")) { case f: FileSourceScanExec => f }
+    val pushed = scans.head.metadata("PushedFilters")
+    assert(pushed.contains("GreaterThanOrEqual(l_shipdate") && pushed.contains("LessThan(l_quantity"),
+      s"missing pushdown: $pushed")
+    // 4 used columns + 2 filter-only columns; a 16-column read would mean pruning broke
+    assert(scans.head.requiredSchema.size <= 6,
+      s"column pruning regressed: ${scans.head.requiredSchema.fieldNames.mkString(",")}")
+  }
+
+  test("q03: dimension join is a broadcast hash join (no fact-side shuffle)") {
+    val p = sparkPlan("q03_join_broadcast")
+    assert(collectAll(p) { case j: BroadcastHashJoinExec => j }.nonEmpty, p.toString)
+  }
+
+  test("q04: fact-fact join is sort-merge as hinted") {
+    val p = sparkPlan("q04_join_sortmerge")
+    assert(collectAll(p) { case j: SortMergeJoinExec => j }.nonEmpty, p.toString)
+  }
+
+  test("q05: all three dimension joins broadcast") {
+    // exchanges are inserted by plan preparation, so count the join nodes
+    val p = sparkPlan("q05_star_join")
+    val n = collectAll(p) { case j: BroadcastHashJoinExec => j }.size
+    assert(n >= 3, s"expected >=3 broadcast hash joins (customer/nation/region), got $n")
+  }
+
+  test("q09: global top-k plans as TakeOrderedAndProject, never a full sort") {
+    val p = sparkPlan("q09_topk")
+    assert(collectAll(p) { case t: TakeOrderedAndProjectExec => t }.nonEmpty, p.toString)
+    assert(collectAll(p) { case s: org.apache.spark.sql.execution.SortExec => s }.isEmpty,
+      "global SortExec should not appear for a limit-k query")
+  }
+
+  test("q01: aggregation is two-phase (map-side partial before the shuffle)") {
+    val p = sparkPlan("q01_agg_pricing_summary")
+    val aggs = collectAll(p) {
+      case h: org.apache.spark.sql.execution.aggregate.HashAggregateExec => h
+    }
+    assert(aggs.size >= 2, s"expected partial+final HashAggregate, got ${aggs.size}")
+  }
+}
