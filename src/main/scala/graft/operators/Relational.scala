@@ -301,6 +301,23 @@ object Relational {
         .orderBy("event_type")
     }),
 
+    // from_json into a MAP type + map explode — the dynamic-schema JSON
+    // path (q19 is the static-path get_json_object). Narrow per-row op;
+    // the only shuffle is the final agg.
+    "q30_json_map" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .select(col("event_type"),
+          explode(from_json(col("props"),
+            org.apache.spark.sql.types.MapType(
+              org.apache.spark.sql.types.StringType,
+              org.apache.spark.sql.types.IntegerType))).as(Seq("key", "value")))
+        .groupBy("event_type", "key")
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("long")).as("sum_v"),
+          max(col("value")).as("max_v"))
+        .orderBy("event_type", "key")
+    }),
+
     "q20_string_funcs" -> ((s, dir) => {
       Tables.customer(s, dir)
         .select(
@@ -588,6 +605,15 @@ object Relational {
         |FROM events
         |GROUP BY event_type
         |ORDER BY event_type""".stripMargin,
+
+    "q30_json_map" ->
+      """SELECT event_type, u.k AS key,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(json_extract_string(props, '$.' || u.k) AS INT)) AS BIGINT) AS sum_v,
+        |  MAX(CAST(json_extract_string(props, '$.' || u.k) AS INT)) AS max_v
+        |FROM events, UNNEST(json_keys(props)) AS u(k)
+        |GROUP BY event_type, u.k
+        |ORDER BY event_type, key""".stripMargin,
 
     "q20_string_funcs" ->
       """SELECT c_custkey,
