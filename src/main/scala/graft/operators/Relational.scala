@@ -412,6 +412,40 @@ object Relational {
         .orderBy("o_orderpriority")
     }),
 
+    // ---- SQL-text interface (the spark.sql surface over the same tables) ----
+    // NOT IN with a nullable-free key still exercises Spark's null-aware
+    // anti-join planning (NAAJ) — a genuinely different operator from
+    // left_anti (q08): one extra null-check branch per probe row.
+    "q31_sql_not_in" -> ((s, dir) => {
+      Tables.customer(s, dir).createOrReplaceTempView("customer_v")
+      Tables.orders(s, dir).createOrReplaceTempView("orders_v")
+      s.sql("""
+        SELECT c_custkey, c_name
+        FROM customer_v
+        WHERE c_custkey NOT IN (
+          SELECT o_custkey FROM orders_v WHERE o_totalprice > 300000)
+        ORDER BY c_custkey""")
+    }),
+
+    // CTE + correlated EXISTS + window, all as SQL text — the full
+    // declarative path (parser → analyzer → same Catalyst plans the
+    // DataFrame API produces).
+    "q32_sql_cte_exists" -> ((s, dir) => {
+      Tables.orders(s, dir).createOrReplaceTempView("orders_v2")
+      Tables.lineitem(s, dir).createOrReplaceTempView("lineitem_v2")
+      s.sql("""
+        WITH big_items AS (
+          SELECT l_orderkey FROM lineitem_v2 WHERE l_quantity >= 49
+        )
+        SELECT o_orderpriority,
+               COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS sum_price
+        FROM orders_v2
+        WHERE EXISTS (SELECT 1 FROM big_items WHERE l_orderkey = o_orderkey)
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority""")
+    }),
+
     // ---- approximate / sketch (weaker rows-only driver check; no oracle) ------
     "q27_approx_distinct" -> ((s, dir) => {
       Tables.lineitem(s, dir)
@@ -605,6 +639,25 @@ object Relational {
         |FROM events
         |GROUP BY event_type
         |ORDER BY event_type""".stripMargin,
+
+    "q31_sql_not_in" ->
+      """SELECT c_custkey, c_name
+        |FROM customer
+        |WHERE c_custkey NOT IN (
+        |  SELECT o_custkey FROM orders WHERE o_totalprice > 300000)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q32_sql_cte_exists" ->
+      """WITH big_items AS (
+        |  SELECT l_orderkey FROM lineitem WHERE l_quantity >= 49
+        |)
+        |SELECT o_orderpriority,
+        |       COUNT(*) AS n_orders,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS sum_price
+        |FROM orders
+        |WHERE EXISTS (SELECT 1 FROM big_items WHERE l_orderkey = o_orderkey)
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
 
     "q30_json_map" ->
       """SELECT event_type, u.k AS key,
