@@ -36,7 +36,8 @@ class EnvelopeSynthSource extends TableProvider {
                         properties: util.Map[String, String]): Table =
     new SynthTable(
       records = Option(properties.get("records")).map(_.toLong).getOrElse(1000L),
-      shards = Option(properties.get("shards")).map(_.toInt).getOrElse(32))
+      shards = Option(properties.get("shards")).map(_.toInt).getOrElse(32),
+      maxPerBatch = Option(properties.get("maxrecordsperbatch")).map(_.toLong).getOrElse(500L))
 }
 
 object EnvelopeSynthSource {
@@ -57,25 +58,28 @@ object EnvelopeSynthSource {
   val BaseTsMicros: Long = 1767225600000L * 1000L // 2026-01-01 UTC, µs
 }
 
-private[sources] class SynthTable(records: Long, shards: Int)
+private[sources] class SynthTable(records: Long, shards: Int, maxPerBatch: Long)
     extends Table with SupportsRead {
 
   override def name(): String = s"envelope_synth(records=$records, shards=$shards)"
   override def schema(): StructType = EnvelopeSynthSource.schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new SynthScanBuilder(records, shards)
+    new SynthScanBuilder(records, shards, maxPerBatch)
 }
 
-private[sources] class SynthScanBuilder(records: Long, shards: Int)
+private[sources] class SynthScanBuilder(records: Long, shards: Int, maxPerBatch: Long)
     extends ScanBuilder with Scan with Batch {
 
   override def build(): Scan = this
   override def readSchema(): StructType = EnvelopeSynthSource.schema
   override def toBatch: Batch = this
   override def description(): String = s"EnvelopeSynth[$records records, $shards shards]"
+
+  override def toMicroBatchStream(checkpointLocation: String): org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new SynthMicroBatchStream(records, shards, maxPerBatch)
 
   override def planInputPartitions(): Array[InputPartition] =
     Array.tabulate(shards)(s => SynthShardPartition(s, shards, records))

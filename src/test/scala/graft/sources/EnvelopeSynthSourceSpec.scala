@@ -34,6 +34,35 @@ class EnvelopeSynthSourceSpec extends SparkSpec {
     assert(bad.forall(_ <= 1), "each physical partition holds exactly one shard")
   }
 
+  test("micro-batch stream: chunked batches, offsets are sequence checkpoints, restart resumes") {
+    import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+    val ckpt = java.nio.file.Files.createTempDirectory("synth-stream-ckpt").toString
+    val sink = java.nio.file.Files.createTempDirectory("synth-stream-sink").toString
+
+    def run(records: Long): Unit = {
+      val q = spark.readStream.format("graft.sources.EnvelopeSynthSource")
+        .option("records", records.toString)
+        .option("shards", "8")
+        .option("maxRecordsPerBatch", "500")
+        .load()
+        .writeStream.format("parquet")
+        .option("path", sink).option("checkpointLocation", ckpt)
+        .outputMode(OutputMode.Append())
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+
+    run(2000)  // 4 batches of 500 (chunk-sized admission control)
+    run(5000)  // restart: offset log resumes at 2000, emits only 2001..5000
+    val out = spark.read.parquet(sink)
+    assert(out.count() === 5000L, "restart resumed from the committed offset")
+    assert(out.select("sequence_number").distinct().count() === 5000L, "exactly once")
+    // offsets in the checkpoint are human-readable sequence numbers
+    val offsets = new java.io.File(ckpt, "offsets").listFiles().map(_.getName).sorted
+    assert(offsets.length >= 5, s"chunked micro-batches expected, got ${offsets.length}")
+  }
+
   test("the reference count-conservation pipeline runs unchanged on the DSv2 source") {
     // decode → count: same invariant as the file-stream path, same
     // producer parameters as the reference (100k / 32 shards)
