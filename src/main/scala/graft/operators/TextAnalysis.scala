@@ -65,6 +65,22 @@ object TextAnalysis {
         .orderBy("doc_id")
     }),
 
+    // deterministic train/val/test holdout split: bucket = xxhash64 of the
+    // STABLE key, never rand() — identical assignment on every run, every
+    // cluster size, every retry (the property that keeps a 100 TB corpus
+    // split consistent across reprocessing). 80/10/10 by hash bucket.
+    // Hash values are engine-specific → rows-only driver check; split
+    // determinism/disjointness/proportions asserted in TextSpec.
+    "t06_hash_split" -> ((s, dir) => {
+      val bucket = pmod(xxhash64(col("doc_id")), lit(100))
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test").as("split"))
+        .groupBy("split")
+        .agg(count(lit(1)).as("n"), min("doc_id").as("min_id"), max("doc_id").as("max_id"))
+        .orderBy("split")
+    }),
+
     // corpus-level n-gram frequency: top-50 word bigrams.
     "t05_ngram_topk" -> ((s, dir) => {
       Tables.documents(s, dir)

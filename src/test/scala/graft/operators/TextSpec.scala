@@ -57,6 +57,17 @@ class TextSpec extends SparkSpec {
     assert(preds.subsetOf(langs + "und"))
   }
 
+  test("t06 hash split: deterministic, complete, disjoint, ~80/10/10") {
+    val runs = (1 to 2).map(_ =>
+      TextAnalysis.queries("t06_hash_split")(spark, sfDir)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap)
+    assert(runs(0) === runs(1), "identical assignment across runs")
+    val total = runs(0).values.sum
+    assert(total === graft.Tables.documents(spark, sfDir).count(), "complete partition")
+    val trainFrac = runs(0)("train").toDouble / total
+    assert(trainFrac > 0.6 && trainFrac < 0.95, s"train fraction $trainFrac near 0.8")
+  }
+
   test("word shingles: short docs yield empty arrays, not errors") {
     import spark.implicits._
     val got = Seq("one two", "a", "", "x y z w").toDF("text")
