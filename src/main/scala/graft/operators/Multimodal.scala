@@ -70,6 +70,21 @@ object Multimodal {
         .orderBy("doc_id")
     }),
 
+    // decode → resize-plan chain: two batched narrow maps composed without
+    // a shuffle between them (the whole multimodal pipeline is one stage).
+    // Geometry is derived from the stubbed decode → rows-only check +
+    // MultimodalSpec invariants (aspect preserved, bounded, deterministic).
+    "m03_resize_plan" -> ((s, dir) => {
+      val blobs = Tables.documents(s, dir)
+        .select(col("doc_id"), col("text").cast("binary").as("payload"))
+        .as(Encoders.product[Blob])
+      blobs.mapPartitions { it =>
+        it.grouped(DecodeBatchSize).flatMap(b => planResize(fakeDecode(b), maxSide = 256))
+      }(Encoders.product[Resized])
+        .toDF()
+        .orderBy("doc_id")
+    }),
+
     // full stubbed decode: metadata struct + frame sampling offsets. The
     // decode values are fake (see fakeDecode) → no SQL oracle; schema,
     // batching, and determinism are asserted in MultimodalSpec.
@@ -86,6 +101,24 @@ object Multimodal {
         .orderBy("doc_id")
     })
   )
+
+  case class Resized(
+      doc_id: Long, src_w: Int, src_h: Int, dst_w: Int, dst_h: Int,
+      scale: Double, est_bytes: Long)
+
+  /** STUB resize planning: computes target geometry (fit longest side to
+    * `maxSide`, aspect preserved) and output size from the fake-decoded
+    * dims. A real pipeline hands (payload, dst_w, dst_h) to the codec; the
+    * Spark-side contract — batched narrow map, typed output schema — is
+    * identical and is what the spec pins.
+    */
+  private def planResize(batch: Seq[Decoded], maxSide: Int): Seq[Resized] = batch.map { d =>
+    val longest = math.max(d.width, d.height)
+    val scale = if (longest <= maxSide) 1.0 else maxSide.toDouble / longest
+    val dw = math.max(1, math.round(d.width * scale).toInt)
+    val dh = math.max(1, math.round(d.height * scale).toInt)
+    Resized(d.doc_id, d.width, d.height, dw, dh, scale, dw.toLong * dh * d.n_channels)
+  }
 
   def oracles: Map[String, String] = Map(
     "m01_blob_stats" ->

@@ -33,6 +33,25 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("m03 resize plan: aspect preserved, bounded to maxSide, deterministic") {
+    val rows = Multimodal.queries("m03_resize_plan")(spark, sfDir).collect()
+    assert(rows.length === Tables.documents(spark, sfDir).count())
+    rows.foreach { r =>
+      val (sw, sh, dw, dh, scale) =
+        (r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4), r.getDouble(5))
+      assert(math.max(dw, dh) <= 256, "longest side fits the target")
+      assert(scale <= 1.0 && scale > 0.0)
+      if (scale < 1.0) {
+        // geometry follows the documented recipe exactly (aspect preserved
+        // up to per-axis rounding)
+        assert(dw === math.max(1, math.round(sw * scale).toInt))
+        assert(dh === math.max(1, math.round(sh * scale).toInt))
+        assert(scale === 256.0 / math.max(sw, sh))
+      } else assert(dw === sw && dh === sh)
+      assert(r.getLong(6) === dw.toLong * dh * 3, "bytes = w*h*channels")
+    }
+  }
+
   test("m02 decode runs as a narrow map (no shuffle in the plan before the final sort)") {
     val plan = Multimodal.queries("m02_fake_decode")(spark, sfDir)
       .queryExecution.executedPlan.toString
