@@ -23,6 +23,21 @@ import graft.functions.VectorFunctions._
   */
 object Similarity {
 
+  /** Per-label centroid components in long format (label, dim, c):
+    * order-pinned sequential summation so the result is bit-reproducible
+    * across engines and partitionings. Shared by e05 (surfaced directly)
+    * and e06 (assembled into the IVF coarse quantizer).
+    */
+  private def centroidComponents(e: DataFrame): DataFrame =
+    e.select(col("label"), col("vec_id"), posexplode(col("embedding")).as(Seq("dim", "v")))
+      .groupBy("label", "dim")
+      .agg(
+        sort_array(collect_list(struct(col("vec_id"), col("v").cast("double").as("v")))).as("vals"),
+        count(lit(1)).as("n"))
+      .select(col("label"), col("dim"),
+        (aggregate(col("vals"), lit(0.0), (acc, x) => acc + x.getField("v")) / col("n"))
+          .as("c"))
+
   /** DuckDB fragment: exact sequential-double cosine between a.embedding
     * and b.embedding (embeddings are fixed 64-dim).
     */
@@ -90,16 +105,9 @@ object Similarity {
     // adding sequentially — bit-reproducible across engines AND across
     // partitionings (a plain avg() of doubles is not).
     "e05_label_centroids" -> ((s, dir) => {
-      Tables.embeddings(s, dir)
-        .select(col("label").cast("long").as("label"), col("vec_id"),
-          posexplode(col("embedding")).as(Seq("dim", "v")))
-        .groupBy("label", "dim")
-        .agg(
-          sort_array(collect_list(struct(col("vec_id"), col("v").cast("double").as("v")))).as("vals"),
-          count(lit(1)).as("n"))
-        .select(col("label"), col("dim").cast("long").as("dim"),
-          (aggregate(col("vals"), lit(0.0), (acc, x) => acc + x.getField("v")) / col("n"))
-            .as("centroid"))
+      centroidComponents(Tables.embeddings(s, dir))
+        .select(col("label").cast("long").as("label"), col("dim").cast("long").as("dim"),
+          col("c").as("centroid"))
         .orderBy("label", "dim")
     }),
 
@@ -113,13 +121,7 @@ object Similarity {
       val nprobe = 2
       val e = Tables.embeddings(s, dir)
       // centroids as array<float> per label, dims assembled in order
-      val cents = e
-        .select(col("label"), col("vec_id"), posexplode(col("embedding")).as(Seq("dim", "v")))
-        .groupBy("label", "dim")
-        .agg(sort_array(collect_list(struct(col("vec_id"), col("v").cast("double").as("v")))).as("vals"),
-          count(lit(1)).as("n"))
-        .select(col("label"), col("dim"),
-          (aggregate(col("vals"), lit(0.0), (acc, x) => acc + x.getField("v")) / col("n")).as("c"))
+      val cents = centroidComponents(e)
         .groupBy("label")
         .agg(transform(sort_array(collect_list(struct(col("dim"), col("c")))), s => s.getField("c"))
           .cast("array<float>").as("centroid"))
