@@ -265,6 +265,25 @@ object Relational {
         .orderBy("o_custkey", "order_seq")
     }),
 
+    // remaining window surface: ntile buckets, first/last_value with an
+    // explicit full frame, and a RANGE (value-based) frame — peers join the
+    // frame by VALUE, so the result is independent of tie order.
+    "q33_window_extras" -> ((s, dir) => {
+      val w = Window.partitionBy("c_mktsegment").orderBy(col("c_acctbal").desc, col("c_custkey").asc)
+      val full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      val byBal = Window.partitionBy("c_mktsegment").orderBy(col("c_acctbal").asc)
+        .rangeBetween(-100L, Window.currentRow)
+      Tables.customer(s, dir)
+        .withColumn("quartile", ntile(4).over(w).cast("long"))
+        .withColumn("top_name", first_value(col("c_name")).over(full))
+        .withColumn("bottom_name", last_value(col("c_name")).over(full))
+        .withColumn("near_balance_sum",
+          sum(col("c_acctbal").cast("decimal(38,6)")).over(byBal).cast("double"))
+        .select("c_custkey", "c_mktsegment", "c_acctbal", "quartile",
+          "top_name", "bottom_name", "near_balance_sum")
+        .orderBy("c_custkey")
+    }),
+
     // ---- event-time windows (batch-expressible analogs of §2.5 streaming) ----
     // tumbling 1h: window() assigns each row one bucket — pure map-side,
     // then one hash agg shuffle on (bucket, type).
@@ -614,6 +633,19 @@ object Relational {
         |FROM orders
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC)
         |ORDER BY o_custkey, order_seq""".stripMargin,
+
+    "q33_window_extras" ->
+      """SELECT c_custkey, c_mktsegment, c_acctbal,
+        |  CAST(NTILE(4) OVER w AS BIGINT) AS quartile,
+        |  FIRST_VALUE(c_name) OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey ASC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS top_name,
+        |  LAST_VALUE(c_name) OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey ASC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS bottom_name,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(38,6))) OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal ASC
+        |    RANGE BETWEEN 100 PRECEDING AND CURRENT ROW) AS DOUBLE) AS near_balance_sum
+        |FROM customer
+        |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey ASC)
+        |ORDER BY c_custkey""".stripMargin,
 
     "q17_event_tumbling" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS win_start,
