@@ -1,0 +1,136 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.HashingFunctions._
+import graft.functions.TextFunctions
+import graft.functions.TextFunctions._
+
+/** The flagship composition: a full training-data curation pipeline as ONE
+  * declarative query — the production shape where the operator families
+  * (TextAnalysis → Dedup) chain without materialization barriers:
+  *
+  *   quality filter → language filter → exact dedup → near-dedup (LSH)
+  *
+  * Every stage is the at-scale formulation: filters are scan-level, exact
+  * dedup shuffles one key, near-dup candidates come from the banded LSH
+  * join (never n²), and the drop rule ("remove any doc with a near-dup of
+  * smaller id") is deterministic and order-free, so the oracle can state
+  * it declaratively too.
+  */
+object Curation {
+
+  val QualityMin = 0.5
+  val Jac = 0.8
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p01_curation_pipeline" -> ((s, dir) => {
+      // stage 1+2: quality + language gates (narrow, scan-speed)
+      val gated = Tables.documents(s, dir)
+        .filter(qualityScore(col("text")) >= QualityMin && langId(col("text")) === "en")
+
+      // stage 3: exact dedup on normalized text — keep the smallest doc_id
+      val norm = regexp_replace(lower(col("text")), "[^a-z0-9 ]", "")
+      val wNorm = Window.partitionBy("norm").orderBy("doc_id")
+      val exactKept = gated
+        .withColumn("norm", norm)
+        .withColumn("rn", row_number().over(wNorm))
+        .filter(col("rn") === 1)
+        .drop("rn", "norm")
+
+      // stage 4: near-dedup among survivors — LSH candidates, exact
+      // verify, drop the larger id of every confirmed pair
+      val sh = exactKept
+        .select(col("doc_id"), wordShingles(col("text"), 3).as("sh"))
+        .filter(size(col("sh")) > 0)
+      val sig = sh.select(col("doc_id"),
+        minhash_signature(col("sh"), Dedup.MinHashK).as("sig"))
+      val bands = sig.select(col("doc_id"),
+          explode(transform(sequence(lit(0), lit(Dedup.Bands - 1)), b =>
+            struct(b.as("band"),
+              xxhash64(slice(col("sig"), b * Dedup.RowsPerBand + 1, lit(Dedup.RowsPerBand))).as("bkey"))))
+            .as("bb"))
+        .select(col("doc_id"), col("bb.band").as("band"), col("bb.bkey").as("bkey"))
+      val buckets = bands.groupBy("band", "bkey")
+        .agg(sort_array(collect_set(col("doc_id"))).as("ids"))
+        .filter(size(col("ids")) > 1)
+      val cand = buckets
+        .select(explode(flatten(transform(col("ids"), (x, i) =>
+          transform(slice(col("ids"), i + 2, size(col("ids"))),
+            y => struct(x.as("id_a"), y.as("id_b")))))).as("p"))
+        .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
+        .distinct()
+      val a = sh.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
+      val b = sh.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
+      val nearDupLosers = cand.join(a, "id_a").join(b, "id_b")
+        .filter(jaccard(col("sh_a"), col("sh_b")) >= Jac)
+        .select(col("id_b").as("doc_id")) // id_a < id_b: larger id loses
+        .distinct()
+
+      exactKept.join(nearDupLosers, Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
+          qualityScore(col("text")).as("quality_score"))
+        .orderBy("doc_id")
+    })
+  )
+
+  private val langCase: String = {
+    val langs = TextFunctions.LangMarkers.map(_._1)
+    val best = langs.map(l => s"score_$l").mkString("greatest(", ", ", ")")
+    langs.map(l => s"WHEN score_$l = $best THEN '$l'").mkString("CASE ", " ", " ELSE 'und' END")
+  }
+
+  private val scoreExprs: String = TextFunctions.LangMarkers.map { case (lang, ms) =>
+    val markers = ms.map(w => s"'$w'").mkString("[", ", ", "]")
+    s"len(list_filter(toks, w -> list_contains($markers, w))) AS score_$lang"
+  }.mkString(",\n    ")
+
+  private val stopList = Stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
+
+  def oracles: Map[String, String] = Map(
+    "p01_curation_pipeline" ->
+      s"""WITH t AS (
+         |  SELECT *, list_filter(string_split(lower(text), ' '), w -> len(w) > 0) AS toks
+         |  FROM documents
+         |), scored AS (
+         |  SELECT *,
+         |    $scoreExprs,
+         |    CASE WHEN len(toks) = 0 THEN 0.0 ELSE
+         |      len(list_filter(toks, w -> list_contains($stopList, w)))::DOUBLE / len(toks)::DOUBLE END AS stop_ratio,
+         |    CASE WHEN len(text) = 0 THEN 0.0 ELSE
+         |      len(regexp_extract_all(lower(text), '[^a-z0-9 ]'))::DOUBLE / len(text)::DOUBLE END AS p_ratio
+         |  FROM t
+         |), quality AS (
+         |  SELECT *,
+         |    least(len(text)::DOUBLE / 400.0, 1.0) * 0.4
+         |      + least(stop_ratio * 5.0, 1.0) * 0.3
+         |      + (1.0 - least(p_ratio * 10.0, 1.0)) * 0.3 AS q
+         |  FROM scored
+         |), gated AS (
+         |  SELECT * FROM quality
+         |  WHERE q >= $QualityMin AND ($langCase) = 'en'
+         |), exact_kept AS (
+         |  SELECT * FROM (
+         |    SELECT *, ROW_NUMBER() OVER (
+         |      PARTITION BY regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')
+         |      ORDER BY doc_id) AS rn
+         |    FROM gated
+         |  ) WHERE rn = 1
+         |), sh AS (
+         |  SELECT doc_id,
+         |    list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] for i in range(1, len(toks) - 1)]) AS g
+         |  FROM exact_kept WHERE len(toks) >= 3
+         |), losers AS (
+         |  SELECT DISTINCT b.doc_id
+         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |  WHERE len(a.g) > 0 AND len(b.g) > 0
+         |    AND len(list_intersect(a.g, b.g))::DOUBLE / len(list_distinct(list_concat(a.g, b.g)))::DOUBLE >= $Jac
+         |)
+         |SELECT doc_id, lang, source, n_chars, q AS quality_score
+         |FROM exact_kept
+         |WHERE doc_id NOT IN (SELECT doc_id FROM losers)
+         |ORDER BY doc_id""".stripMargin
+  )
+}
