@@ -227,6 +227,23 @@ object Relational {
       onlY96.union(both).orderBy("tag", "o_custkey")
     }),
 
+    // multiset (bag) semantics: EXCEPT ALL / INTERSECT ALL preserve
+    // duplicate counts — a different operator from q12's set versions
+    // (planned as anti/semi joins on (row, multiplicity) rather than
+    // distinct-then-join).
+    "q34_multiset_ops" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val ship96 = li.filter(year(col("l_shipdate")) === 1996).select("l_orderkey")
+      val recv96 = li.filter(col("l_quantity") >= 25).select("l_orderkey")
+      val exceptAll = ship96.exceptAll(recv96)
+        .groupBy("l_orderkey").agg(count(lit(1)).as("n")).withColumn("op", lit("except_all"))
+      val intersectAll = ship96.intersectAll(recv96)
+        .groupBy("l_orderkey").agg(count(lit(1)).as("n")).withColumn("op", lit("intersect_all"))
+      exceptAll.union(intersectAll)
+        .select("op", "l_orderkey", "n")
+        .orderBy("op", "l_orderkey")
+    }),
+
     // ---- window functions -----------------------------------------------------
     // ranking per partition: single shuffle on the partition key, in-memory
     // sort per key group. row_number/rank/dense_rank in one Window node.
@@ -608,6 +625,17 @@ object Relational {
         |  UNION ALL
         |  SELECT o_custkey, 'both_years' AS tag FROM (SELECT * FROM y96 INTERSECT SELECT * FROM y97)
         |) ORDER BY tag, o_custkey""".stripMargin,
+
+    "q34_multiset_ops" ->
+      """WITH s96 AS (SELECT l_orderkey FROM lineitem WHERE EXTRACT(year FROM l_shipdate) = 1996),
+        |     r96 AS (SELECT l_orderkey FROM lineitem WHERE l_quantity >= 25)
+        |SELECT op, l_orderkey, n FROM (
+        |  SELECT 'except_all' AS op, l_orderkey, COUNT(*) AS n
+        |  FROM (SELECT * FROM s96 EXCEPT ALL SELECT * FROM r96) GROUP BY l_orderkey
+        |  UNION ALL
+        |  SELECT 'intersect_all' AS op, l_orderkey, COUNT(*) AS n
+        |  FROM (SELECT * FROM s96 INTERSECT ALL SELECT * FROM r96) GROUP BY l_orderkey
+        |) ORDER BY op, l_orderkey""".stripMargin,
 
     "q14_window_rank" ->
       """SELECT o_custkey, o_orderkey, o_totalprice, rn, rnk FROM (
