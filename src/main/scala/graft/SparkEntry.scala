@@ -13,10 +13,12 @@ import graft.streaming.StreamingQueries
 object SparkEntry {
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
-    * The star join exercises scan+broadcast+sort-merge+agg in one plan.
+    * The curation pipeline chains the engine's signature surface — text
+    * quality/lang gates, exact dedup, MinHash-LSH near-dedup — in one
+    * declarative plan (scan + window + hash-agg + band-join + anti-join).
     */
   def entry(spark: SparkSession): DataFrame =
-    Relational.queries("q05_star_join")(spark, "/root/testdata/sf0.001")
+    Curation.queries("p01_curation_pipeline")(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

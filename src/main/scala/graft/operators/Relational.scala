@@ -393,6 +393,25 @@ object Relational {
         .orderBy("l_orderkey", "l_linenumber")
     }),
 
+    // NULL semantics — the classic cross-engine parity trap, pinned
+    // explicitly: nullif-created nulls, null-safe equality (<=> vs IS NOT
+    // DISTINCT FROM), count(col) vs count(*), and nulls as group keys.
+    "q35_null_semantics" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+        .withColumn("maybe_priority",
+          nullif(col("o_orderpriority"), lit("3-MEDIUM")))
+      o.groupBy("maybe_priority")
+        .agg(
+          count(lit(1)).as("n_rows"),
+          count(col("maybe_priority")).as("n_nonnull"),
+          sum(col("maybe_priority").isNull.cast("long")).as("n_null"),
+          sum((col("maybe_priority") <=> lit("1-URGENT")).cast("long")).as("n_nullsafe_urgent"))
+        .select(
+          coalesce(col("maybe_priority"), lit("<NULL>")).as("priority_key"),
+          col("n_rows"), col("n_nonnull"), col("n_null"), col("n_nullsafe_urgent"))
+        .orderBy("priority_key")
+    }),
+
     // ---- subqueries ------------------------------------------------------------
     // scalar subquery: global avg broadcast into the filter.
     "q25_scalar_subquery" -> ((s, dir) => {
@@ -759,6 +778,16 @@ object Relational {
         |FROM lineitem
         |WHERE l_orderkey % 1000 = 0
         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q35_null_semantics" ->
+      """SELECT COALESCE(maybe_priority, '<NULL>') AS priority_key,
+        |  COUNT(*) AS n_rows,
+        |  COUNT(maybe_priority) AS n_nonnull,
+        |  CAST(SUM(CASE WHEN maybe_priority IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+        |  CAST(SUM(CASE WHEN maybe_priority IS NOT DISTINCT FROM '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT) AS n_nullsafe_urgent
+        |FROM (SELECT NULLIF(o_orderpriority, '3-MEDIUM') AS maybe_priority FROM orders)
+        |GROUP BY maybe_priority
+        |ORDER BY priority_key""".stripMargin,
 
     "q25_scalar_subquery" ->
       """SELECT o_orderkey, o_totalprice
