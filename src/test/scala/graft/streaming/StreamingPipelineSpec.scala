@@ -69,6 +69,17 @@ class StreamingPipelineSpec extends SparkSpec {
     assert(out.find(_.getLong(2) == 2L).get.isNullAt(out.head.fieldIndex("id")))
   }
 
+  test("decode: FAILFAST mode surfaces malformed payloads as errors (reference's fail-the-effect)") {
+    import spark.implicits._
+    val env = Seq(("s-0", "key1", 1L, "not json at all"))
+      .toDF("shard_id", "partition_key", "sequence_number", "data")
+    val ex = intercept[org.apache.spark.SparkException] {
+      Envelope.decoded(env, failFast = true).collect()
+    }
+    assert(ex.getMessage.contains("MALFORMED_RECORD_IN_PARSING") ||
+      ex.getCause != null, s"unexpected error shape: ${ex.getMessage.take(200)}")
+  }
+
   test("stream-stream interval join: two sharded streams join on key within a time bound") {
     import org.apache.spark.sql.functions._
     val dirA = tmp("graft-ss-a")
