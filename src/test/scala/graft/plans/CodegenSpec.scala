@@ -1,0 +1,59 @@
+package graft.plans
+
+import org.apache.spark.sql.functions._
+import graft.{SparkSpec, Tables}
+import graft.functions.HashingFunctions._
+import graft.functions.TextFunctions._
+import graft.functions.VectorFunctions._
+
+/** Evidence that the custom expressions participate in whole-stage codegen
+  * — the "functions, not UDFs" design position made checkable. A UDF (or a
+  * CodegenFallback expression) would appear OUTSIDE WholeStageCodegen
+  * spans and break the fused pipeline exactly where the per-row work is
+  * hottest.
+  */
+class CodegenSpec extends SparkSpec {
+
+  private def codegenPlan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("custom scalar expressions evaluate inside WholeStageCodegen spans") {
+    val d = Tables.documents(spark, sfDir)
+    val e = Tables.embeddings(spark, sfDir)
+    val plans = Seq(
+      codegenPlan(d.select(rolling_fingerprint(col("text")).as("fp"))),
+      codegenPlan(d.select(minhash_signature(wordShingles(col("text"), 3), 16).as("sig"))),
+      codegenPlan(d.select(simhash64(wordShingles(col("text"), 3)).as("h"))),
+      codegenPlan(e.select(cosine_similarity(col("embedding"), col("embedding")).as("c"))),
+      codegenPlan(e.select(hyperplane_lsh_multi(col("embedding"), 4, 2, 64, 7L).as("b"))))
+    plans.foreach { p =>
+      // "*(n)" prefixes mark operators fused into a whole-stage-codegen
+      // stage; the Project carrying the custom expression must be starred,
+      // not a standalone interpreted Project
+      assert(!p.contains("CodegenFallback"), s"codegen fallback leaked into:\n$p")
+      assert(p.linesIterator.exists(l => l.contains("*(") && l.contains("Project")),
+        s"projection not fused into codegen:\n$p")
+    }
+  }
+
+  test("codegen and interpreted paths agree for every custom expression") {
+    val d = Tables.documents(spark, sfDir).limit(50)
+    val viaCodegen = d.select(col("doc_id"),
+        rolling_fingerprint(col("text")).as("fp"),
+        simhash64(wordShingles(col("text"), 3)).as("sh"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // spark.sql.codegen.wholeStage=false forces the eval path
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    try {
+      val viaEval = d.select(col("doc_id"),
+          rolling_fingerprint(col("text")).as("fp"),
+          simhash64(wordShingles(col("text"), 3)).as("sh"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(viaCodegen === viaEval, "doGenCode and nullSafeEval must agree")
+    } finally {
+      spark.conf.unset("spark.sql.codegen.wholeStage")
+      spark.conf.unset("spark.sql.codegen.factoryMode")
+    }
+  }
+}
