@@ -43,10 +43,14 @@ object Tables {
   def documents(spark: SparkSession, dir: String): DataFrame  = read(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "embeddings")
 
-  /** `events` with `ts` rebuilt as a TimestampType (µs) column. */
+  /** `events` with `ts` rebuilt as a TimestampType (µs) column.
+    *
+    * `div` (integral division) — not `/`, which on longs is DOUBLE division
+    * and truncates ns epochs (~1.77e18 > 2^53) by up to 1µs.
+    */
   def events(spark: SparkSession, dir: String): DataFrame = {
     withNanosAsLong(spark)
     read(spark, dir, "events")
-      .withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 }

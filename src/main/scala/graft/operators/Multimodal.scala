@@ -96,8 +96,11 @@ object Multimodal {
         it.grouped(DecodeBatchSize).flatMap(batch => fakeDecode(batch))
       }(Encoders.product[Decoded])
         .toDF()
+        // frame_offsets serialized to a string: the driver's rows-only
+        // pandas sort cannot hash array columns.
         .select(col("doc_id"), col("n_bytes"), col("width"), col("height"),
-          col("n_channels"), col("frame_offsets"))
+          col("n_channels"),
+          concat_ws(",", col("frame_offsets")).as("frame_offsets_csv"))
         .orderBy("doc_id")
     })
   )
@@ -121,6 +124,9 @@ object Multimodal {
   }
 
   def oracles: Map[String, String] = Map(
+    // NOTE: this oracle iterates CHARACTERS (ascii(text[i]), strlen) while
+    // the Spark side sums UTF-8 BYTES — identical only because the fixture
+    // is pure ASCII, which MultimodalSpec asserts as a precondition.
     "m01_blob_stats" ->
       """SELECT doc_id,
         |  CAST(strlen(text) AS BIGINT) AS n_bytes,

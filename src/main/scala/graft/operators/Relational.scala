@@ -503,10 +503,16 @@ object Relational {
 
     // ---- approximate / sketch (weaker rows-only driver check; no oracle) ------
     "q27_approx_distinct" -> ((s, dir) => {
+      // Percentiles surfaced as three scalar columns (not an array) so the
+      // driver's rows-only pandas sort can handle the output.
       Tables.lineitem(s, dir)
         .groupBy("l_returnflag")
         .agg(approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
              expr("approx_percentile(l_extendedprice, array(0.5, 0.95, 0.99))").as("price_pcts"))
+        .select(col("l_returnflag"), col("approx_parts"),
+                col("price_pcts").getItem(0).as("price_p50"),
+                col("price_pcts").getItem(1).as("price_p95"),
+                col("price_pcts").getItem(2).as("price_p99"))
         .orderBy("l_returnflag")
     })
   )

@@ -33,11 +33,15 @@ class EnvelopeSynthSource extends TableProvider {
     EnvelopeSynthSource.schema
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
-                        properties: util.Map[String, String]): Table =
+                        properties: util.Map[String, String]): Table = {
+    // Spark hands getTable the ORIGINAL-case option map; re-wrap it so
+    // `.option("maxRecordsPerBatch", ...)` and friends resolve.
+    val opts = new CaseInsensitiveStringMap(properties)
     new SynthTable(
-      records = Option(properties.get("records")).map(_.toLong).getOrElse(1000L),
-      shards = Option(properties.get("shards")).map(_.toInt).getOrElse(32),
-      maxPerBatch = Option(properties.get("maxrecordsperbatch")).map(_.toLong).getOrElse(500L))
+      records = Option(opts.get("records")).map(_.toLong).getOrElse(1000L),
+      shards = Option(opts.get("shards")).map(_.toInt).getOrElse(32),
+      maxPerBatch = Option(opts.get("maxrecordsperbatch")).map(_.toLong).getOrElse(500L))
+  }
 }
 
 object EnvelopeSynthSource {

@@ -16,6 +16,9 @@ class StreamLimit(spark: SparkSession, limit: Long) extends StreamingQueryListen
   private val seen = new AtomicLong(0L)
   @volatile private var queryId: java.util.UUID = _
 
+  /** Call AFTER attach(): progress events that arrive un-attached are
+    * ignored (counting them would tally — and stop — unrelated queries).
+    */
   def register(): Unit = spark.streams.addListener(this)
 
   def attach(q: StreamingQuery): Unit = { queryId = q.id }
@@ -27,7 +30,9 @@ class StreamLimit(spark: SparkSession, limit: Long) extends StreamingQueryListen
     spark.streams.removeListener(this)
 
   override def onQueryProgress(e: StreamingQueryListener.QueryProgressEvent): Unit = {
-    if (queryId == null || e.progress.id == queryId) {
+    // Count only after attach(): with no queryId this would tally (and
+    // potentially stop) ANY streaming query on the session.
+    if (queryId != null && e.progress.id == queryId) {
       val total = seen.addAndGet(e.progress.numInputRows)
       if (total >= limit) {
         // stop asynchronously — stop() joins the stream thread, and this

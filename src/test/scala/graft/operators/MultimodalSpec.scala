@@ -5,6 +5,17 @@ import org.apache.spark.sql.functions._
 
 class MultimodalSpec extends SparkSpec {
 
+  test("m01 oracle precondition: fixture documents are pure ASCII") {
+    // The DuckDB oracle sums ascii(text[i]) over CHARACTERS while Spark
+    // sums UTF-8 BYTES; the two agree only for ASCII text. Pin the fixture
+    // assumption so a future non-ASCII fixture fails loudly here instead of
+    // silently diverging in the driver check.
+    val nonAscii = Tables.documents(spark, sfDir)
+      .where(length(col("text")) =!= octet_length(col("text")))
+      .count()
+    assert(nonAscii === 0L, "m01 oracle assumes ASCII-only documents")
+  }
+
   test("m01 blob stats match driver-side byte math") {
     val got = Multimodal.queries("m01_blob_stats")(spark, sfDir)
       .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
@@ -21,14 +32,14 @@ class MultimodalSpec extends SparkSpec {
     val df1 = Multimodal.queries("m02_fake_decode")(spark, sfDir)
     val df2 = Multimodal.queries("m02_fake_decode")(spark, sfDir)
     assert(df1.schema.fieldNames.toSeq ===
-      Seq("doc_id", "n_bytes", "width", "height", "n_channels", "frame_offsets"))
+      Seq("doc_id", "n_bytes", "width", "height", "n_channels", "frame_offsets_csv"))
     val c1 = df1.collect(); val c2 = df2.collect()
     assert(c1.map(_.toString).toSeq === c2.map(_.toString).toSeq)
     assert(c1.length === Tables.documents(spark, sfDir).count())
     c1.foreach { r =>
       assert(r.getInt(2) >= 64 && r.getInt(2) < 1088) // stub width range
-      assert(r.getSeq[Long](5).length === 4)          // 4 sampled frames
-      val offs = r.getSeq[Long](5)
+      val offs = r.getString(5).split(",").map(_.toLong).toSeq
+      assert(offs.length === 4)                       // 4 sampled frames
       assert(offs.forall(o => o >= 0 && o < math.max(r.getLong(1), 1L)))
     }
   }

@@ -43,7 +43,7 @@ class EnvelopeSynthSourceSpec extends SparkSpec {
       val q = spark.readStream.format("graft.sources.EnvelopeSynthSource")
         .option("records", records.toString)
         .option("shards", "8")
-        .option("maxRecordsPerBatch", "500")
+        .option("maxRecordsPerBatch", "400") // non-default: proves camelCase options resolve
         .load()
         .writeStream.format("parquet")
         .option("path", sink).option("checkpointLocation", ckpt)
@@ -53,7 +53,7 @@ class EnvelopeSynthSourceSpec extends SparkSpec {
       q.awaitTermination()
     }
 
-    run(2000)  // 4 batches of 500 (chunk-sized admission control)
+    run(2000)  // 5 batches of 400 (chunk-sized admission control)
     run(5000)  // restart: offset log resumes at 2000, emits only 2001..5000
     val out = spark.read.parquet(sink)
     assert(out.count() === 5000L, "restart resumed from the committed offset")

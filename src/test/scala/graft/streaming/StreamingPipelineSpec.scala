@@ -118,14 +118,14 @@ class StreamingPipelineSpec extends SparkSpec {
     producer.emit(1, n + 1) // 50 files of 100
 
     val lim = new StreamLimit(spark, limit)
-    lim.register()
     // 5 files (500 rows) per micro-batch; listener should stop after ~3 batches.
     val src = Pipelines.ingest(spark, dir, maxFilesPerTrigger = Some(5))
     val q = Pipelines.decoded(src).writeStream
       .format("noop")
       .trigger(Trigger.ProcessingTime(0L))
       .start()
-    lim.attach(q)
+    lim.attach(q) // attach BEFORE register: un-attached listeners count nothing
+    lim.register()
     q.awaitTermination(120000L)
     assert(!q.isActive, "limit listener should have stopped the query")
     assert(lim.totalSeen >= limit && lim.totalSeen < n,
