@@ -38,6 +38,58 @@ object Similarity {
         (aggregate(col("vals"), lit(0.0), (acc, x) => acc + x.getField("v")) / col("n"))
           .as("c"))
 
+  /** LSH candidate pair generation shared by e01b/e04b (same hyperplane
+    * tables as e03): explode per-table buckets, bound each bucket to
+    * `maxBucket` members (a degenerate bucket — e.g. a corpus of identical
+    * vectors — would otherwise explode the within-bucket pair space
+    * quadratically; dropped buckets lose only pairs that the OTHER 15
+    * tables still have 15 chances to emit), self-join on (table, bucket),
+    * and dedup the DIRECTED id pair. Only 8-byte ids travel through the
+    * distinct — embeddings are joined back afterwards by key, so the wide
+    * vectors never ride through the pair-dedup shuffle.
+    *
+    * Scale note: bucket count is 2^bits per table, so `bits` must grow
+    * with log2(N / targetBucketSize) for the within-bucket join to stay
+    * linear. The defaults (4 bits × 24 tables) are tuned for the synthetic
+    * corpora's HARD regime — near-dups at cos ≈ 0.45–0.51, where per-bit
+    * agreement is only ~0.65 — giving ≥ 0.98 expected recall there; a real
+    * embedding corpus (dups at cos ≥ 0.9) reaches the same recall with far
+    * more bits and fewer tables.
+    */
+  private def lshCandidatePairs(e: DataFrame, bits: Int = 6, tables: Int = 48,
+                                maxBucket: Long = 10000L,
+                                dedup: Boolean = true): DataFrame = {
+    val ex = e
+      .withColumn("buckets", hyperplane_lsh_multi(col("embedding"), bits, tables, 64, seed = 7L))
+      .select(col("vec_id"), posexplode(col("buckets")).as(Seq("tbl", "bucket")))
+    val bounded = ex.join(
+      ex.groupBy("tbl", "bucket").agg(count(lit(1)).as("bsz"))
+        .filter(col("bsz") <= maxBucket)
+        .select("tbl", "bucket"),
+      Seq("tbl", "bucket"))
+    val pairs = bounded.select(col("vec_id").as("vid"), col("tbl"), col("bucket"))
+      .join(bounded.select(col("vec_id").as("nid"), col("tbl"), col("bucket")),
+        Seq("tbl", "bucket"))
+      .filter(col("vid") =!= col("nid"))
+      .select("vid", "nid")
+    // dedup=false skips a full shuffle of the pair set; callers whose
+    // downstream already collapses duplicates (e04b's per-vid top-1
+    // window) pay a few re-scored cosines instead — far cheaper than
+    // shuffling the biggest intermediate in the query.
+    if (dedup) pairs.distinct() else pairs
+  }
+
+  /** Exact cosine over candidate id-pairs: embeddings fetched by two
+    * equi-joins (shuffles keyed on 8-byte ids — at scale both sides hash
+    * co-partition; nothing quadratic).
+    */
+  private def scoreCandidates(e: DataFrame, pairs: DataFrame): DataFrame =
+    pairs
+      .join(e.select(col("vec_id").as("vid"), col("embedding").as("emb_a")), "vid")
+      .join(e.select(col("vec_id").as("nid"), col("embedding").as("emb_b")), "nid")
+      .select(col("vid"), col("nid"),
+        cosine_similarity(col("emb_a"), col("emb_b")).as("cos_sim"))
+
   /** DuckDB fragment: exact sequential-double cosine between a.embedding
     * and b.embedding (embeddings are fixed 64-dim).
     */
@@ -97,6 +149,37 @@ object Similarity {
         .select(col("vid"), col("nid").as("nn_id"), col("cos_sim").as("nn_cos"),
           (col("cos_sim") > 0.45).as("is_near_dup"))
         .orderBy("vid")
+    }),
+
+    // e04's output shape on e03's candidate machinery — the embedding
+    // dedup that SURVIVES 100× scale: LSH candidates (linear), exact
+    // cosine on candidates only, per-vid top-1. Approximate: a vid whose
+    // true NN shares no bucket gets its best candidate instead (and a vid
+    // with no candidates is absent — by construction not a near-dup).
+    // Recall vs the exact e04 is asserted in SimilaritySpec; rows-only
+    // driver check.
+    "e04b_embedding_nn_dedup_lsh" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val w = Window.partitionBy("vid").orderBy(col("cos_sim").desc, col("nid").asc)
+      scoreCandidates(e, lshCandidatePairs(e, dedup = false))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("vid"), col("nid").as("nn_id"), col("cos_sim").as("nn_cos"),
+          (col("cos_sim") > 0.45).as("is_near_dup"))
+        .orderBy("vid")
+    }),
+
+    // e01's output shape, banded: global top-100 most-similar pairs from
+    // LSH candidates only (vid < nid halves the directed pair space).
+    // The top of the ranking is exactly where LSH recall is highest —
+    // near-identical vectors collide in some table with probability ~1.
+    // Approximate → overlap vs e01 asserted in SimilaritySpec; rows-only.
+    "e01b_cosine_pairs_topk_lsh" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      scoreCandidates(e, lshCandidatePairs(e).filter(col("vid") < col("nid")))
+        .select(col("vid").as("id_a"), col("nid").as("id_b"), col("cos_sim"))
+        .orderBy(col("cos_sim").desc, col("id_a").asc, col("id_b").asc)
+        .limit(100)
     }),
 
     // per-label centroids (the IVF coarse quantizer / k-means building

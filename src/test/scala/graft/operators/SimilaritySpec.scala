@@ -60,4 +60,44 @@ class SimilaritySpec extends SparkSpec {
     val out = Similarity.queries("e04_embedding_nn_dedup")(spark, sfDir)
     assert(out.count() === n)
   }
+
+  test("e04b LSH NN-dedup: >= 0.9 recall on the near-dup set vs exact e04") {
+    // (vid -> nn_id) from the exact O(n²) path, restricted to the rows
+    // that matter for dedup (is_near_dup): that's the set a production
+    // pipeline acts on, and the set where LSH collision probability is
+    // provably highest (cos > 0.45 ⇒ ≥ 0.65 per-bit agreement).
+    val exact = Similarity.queries("e04_embedding_nn_dedup")(spark, sfDir).collect()
+    val exactNN = exact.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val nearDups = exact.filter(_.getBoolean(3)).map(_.getLong(0)).toSet
+    val lsh = Similarity.queries("e04b_embedding_nn_dedup_lsh")(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(nearDups.nonEmpty, "fixture should contain planted near-dups")
+    val hit = nearDups.count(v => lsh.get(v).contains(exactNN(v)))
+    val recall = hit.toDouble / nearDups.size
+    val agreeAll = exactNN.count { case (v, nn) => lsh.get(v).contains(nn) }.toDouble / exactNN.size
+    info(s"e04b near-dup recall = $recall (${nearDups.size} near-dups); overall NN agreement = $agreeAll")
+    assert(recall >= 0.9, s"near-dup recall $recall below 0.9")
+    // output shape matches e04 exactly
+    assert(Similarity.queries("e04b_embedding_nn_dedup_lsh")(spark, sfDir)
+      .schema.fieldNames.toSeq ===
+      Seq("vid", "nn_id", "nn_cos", "is_near_dup"))
+  }
+
+  test("e04b/e01b plans contain no quadratic join (that's the point)") {
+    for (q <- Seq("e04b_embedding_nn_dedup_lsh", "e01b_cosine_pairs_topk_lsh")) {
+      val plan = Similarity.queries(q)(spark, sfDir).queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+        s"$q should join only on (tbl, bucket) / id keys; plan:\n$plan")
+    }
+  }
+
+  test("e01b banded top-pairs: high overlap with the exact top-100") {
+    val exact = Similarity.queries("e01_cosine_pairs_topk")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val banded = Similarity.queries("e01b_cosine_pairs_topk_lsh")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val overlap = (exact & banded).size.toDouble / exact.size
+    info(s"e01b top-100 overlap = $overlap")
+    assert(overlap >= 0.9, s"top-100 overlap $overlap below 0.9")
+  }
 }
