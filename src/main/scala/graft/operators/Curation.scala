@@ -40,30 +40,23 @@ object Curation {
         .filter(col("rn") === 1)
         .drop("rn", "norm")
 
-      // stage 4: near-dedup among survivors — LSH candidates, exact
-      // verify, drop the larger id of every confirmed pair
+      // stage 4: near-dedup among survivors — LSH candidates (bucket-capped
+      // band join, shared with d03 via Dedup.minhashBandCandidates), exact
+      // verify, drop the larger id of every confirmed pair. One shingling
+      // pass produces BOTH the MinHash signature and the int64-hashed
+      // shingle array; the verify join ships only the hashes (~25× smaller
+      // than raw trigram strings — that join-back is the heavy shuffle at
+      // scale). Hashing preserves intersect/union cardinalities, hence
+      // jaccard, up to ~1e-14 collision odds.
       val sh = exactKept
-        .select(col("doc_id"), wordShingles(col("text"), 3).as("sh"))
-        .filter(size(col("sh")) > 0)
-      val sig = sh.select(col("doc_id"),
-        minhash_signature(col("sh"), Dedup.MinHashK).as("sig"))
-      val bands = sig.select(col("doc_id"),
-          explode(transform(sequence(lit(0), lit(Dedup.Bands - 1)), b =>
-            struct(b.as("band"),
-              xxhash64(slice(col("sig"), b * Dedup.RowsPerBand + 1, lit(Dedup.RowsPerBand))).as("bkey"))))
-            .as("bb"))
-        .select(col("doc_id"), col("bb.band").as("band"), col("bb.bkey").as("bkey"))
-      val buckets = bands.groupBy("band", "bkey")
-        .agg(sort_array(collect_set(col("doc_id"))).as("ids"))
-        .filter(size(col("ids")) > 1)
-      val cand = buckets
-        .select(explode(flatten(transform(col("ids"), (x, i) =>
-          transform(slice(col("ids"), i + 2, size(col("ids"))),
-            y => struct(x.as("id_a"), y.as("id_b")))))).as("p"))
-        .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
-        .distinct()
-      val a = sh.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
-      val b = sh.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
+        .select(col("doc_id"), wordShingles(col("text"), 3).as("raw"))
+        .filter(size(col("raw")) > 0)
+        .select(col("doc_id"),
+          minhash_signature(col("raw"), Dedup.MinHashK).as("sig"),
+          transform(col("raw"), g => xxhash64(g)).as("hsh"))
+      val cand = Dedup.minhashBandCandidates(sh.select(col("doc_id"), col("sig")))
+      val a = sh.select(col("doc_id").as("id_a"), col("hsh").as("sh_a"))
+      val b = sh.select(col("doc_id").as("id_b"), col("hsh").as("sh_b"))
       val nearDupLosers = cand.join(a, "id_a").join(b, "id_b")
         .filter(jaccard(col("sh_a"), col("sh_b")) >= Jac)
         .select(col("id_b").as("doc_id")) // id_a < id_b: larger id loses

@@ -32,6 +32,16 @@ object Dedup {
   val RowsPerBand = MinHashK / Bands
   val JaccardThreshold = 0.8
 
+  /** Bucket-width cap for every LSH/SimHash bucket stage: a degenerate
+    * band key (boilerplate-heavy corpus, constant field) would otherwise
+    * make one bucket's array — and its n² pair fan-out — arbitrarily
+    * large. Pairs only found in an over-wide bucket are dropped; true
+    * near-dups still surface via the other bands (d03: 32, d05: 4), and
+    * EXACT duplicates are d01/d02's job, not LSH's. 256 members ⇒ ≤ 32 640
+    * pairs per bucket, a bounded task at any corpus size.
+    */
+  val MaxBucket = 256
+
   /** doc_id + distinct 3-gram shingles, empty-shingle docs dropped. */
   private def shingled(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
@@ -42,6 +52,26 @@ object Dedup {
   private def pairsOf(ids: Column): Column =
     flatten(transform(ids, (x, i) =>
       transform(slice(ids, i + 2, size(ids)), y => struct(x.as("id_a"), y.as("id_b")))))
+
+  /** MinHash band explode → bucket group → capped candidate pairs, from a
+    * (doc_id, sig) frame. Exposed for DedupSpec's bucket-explosion
+    * property test.
+    */
+  private[operators] def minhashBandCandidates(sig: DataFrame,
+                                               maxBucket: Int = MaxBucket): DataFrame = {
+    val bands = sig.select(col("doc_id"),
+        explode(transform(sequence(lit(0), lit(Bands - 1)), b =>
+          struct(b.as("band"),
+            xxhash64(slice(col("sig"), b * RowsPerBand + 1, lit(RowsPerBand))).as("bkey"))))
+          .as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bkey").as("bkey"))
+    bands.groupBy("band", "bkey")
+      .agg(sort_array(collect_set(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")) > 1 && size(col("ids")) <= maxBucket)
+      .select(explode(pairsOf(col("ids"))).as("p"))
+      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
+      .distinct()
+  }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // exact dedup: group identical text, keep lowest doc_id. The heavy
@@ -75,19 +105,7 @@ object Dedup {
       val sh = shingled(s, dir)
       val sig = sh.select(col("doc_id"),
         minhash_signature(col("sh"), MinHashK).as("sig"))
-      val bands = sig.select(col("doc_id"),
-          explode(transform(sequence(lit(0), lit(Bands - 1)), b =>
-            struct(b.as("band"),
-              xxhash64(slice(col("sig"), b * RowsPerBand + 1, lit(RowsPerBand))).as("bkey"))))
-            .as("bb"))
-        .select(col("doc_id"), col("bb.band").as("band"), col("bb.bkey").as("bkey"))
-      val buckets = bands.groupBy("band", "bkey")
-        .agg(sort_array(collect_set(col("doc_id"))).as("ids"))
-        .filter(size(col("ids")) > 1)
-      val cand = buckets
-        .select(explode(pairsOf(col("ids"))).as("p"))
-        .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
-        .distinct()
+      val cand = minhashBandCandidates(sig)
       val a = sh.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
       val b = sh.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
       cand.join(a, "id_a").join(b, "id_b")
@@ -162,7 +180,7 @@ object Dedup {
         .select(col("doc_id"), col("simhash"), col("bb.band").as("band"), col("bb.bkey").as("bkey"))
       val buckets = bands.groupBy("band", "bkey")
         .agg(sort_array(collect_set(struct(col("doc_id"), col("simhash")))).as("members"))
-        .filter(size(col("members")) > 1)
+        .filter(size(col("members")) > 1 && size(col("members")) <= MaxBucket)
       val cand = buckets
         .select(explode(flatten(transform(col("members"), (x, i) =>
           transform(slice(col("members"), i + 2, size(col("members"))), y =>

@@ -37,8 +37,10 @@ object Skew {
     // oracle is the unsalted SQL — decimal partials re-merge exactly.
     "k01_salted_agg" -> ((s, dir) => {
       val li = Tables.lineitem(s, dir)
+      // row identity hashed directly from the two longs — a concat_ws
+      // string detour would pay a per-row build+hash-of-string tax
       saltedSumCount(li, col("l_returnflag"),
-        concat_ws("/", col("l_orderkey"), col("l_linenumber")),
+        hash(col("l_orderkey"), col("l_linenumber")),
         col("l_extendedprice"), salts = 16)
         .select(col("k").as("l_returnflag"), col("sum_value"), col("n"))
         .orderBy("l_returnflag")

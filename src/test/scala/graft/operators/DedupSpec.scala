@@ -103,4 +103,30 @@ class DedupSpec extends SparkSpec {
         s"sources ($a,$b): estimate $est vs exact $j (k=$k, stderr ~ 0.044)")
     }
   }
+
+  test("bucket cap: a corpus of identical docs cannot explode LSH pair generation") {
+    import spark.implicits._
+    // 600 identical docs: every band funnels ALL of them into ONE bucket —
+    // uncapped, that is 600·599/2 ≈ 180k candidate pairs from a single key
+    // (the degenerate-corpus disaster the cap exists for).
+    val n = 600
+    val docs = (1 to n).map(i => (i.toLong, "the same boilerplate text repeated for every single document here"))
+      .toDF("doc_id", "text")
+    val sig = docs.select(col("doc_id"),
+      minhash_signature(wordShingles(col("text"), 3), Dedup.MinHashK).as("sig"))
+    val capped = Dedup.minhashBandCandidates(sig).count()
+    assert(capped === 0L,
+      s"over-wide buckets (> ${Dedup.MaxBucket}) must be dropped, got $capped pairs")
+    // an explicit high cap restores the quadratic blow-up — proving the
+    // cap (not an accident of the data) is what bounds the work
+    val uncapped = Dedup.minhashBandCandidates(sig, maxBucket = n + 1).count()
+    assert(uncapped === n.toLong * (n - 1) / 2)
+    // and a mixed corpus under the cap still pairs up its true dups
+    val mixed = docs.limit(10).union(
+      Seq((9999L, "a genuinely different text about something else entirely altogether"))
+        .toDF("doc_id", "text"))
+    val mixedSig = mixed.select(col("doc_id"),
+      minhash_signature(wordShingles(col("text"), 3), Dedup.MinHashK).as("sig"))
+    assert(Dedup.minhashBandCandidates(mixedSig).count() === 45L) // C(10,2), loner excluded
+  }
 }
