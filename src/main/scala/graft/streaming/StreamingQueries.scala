@@ -116,8 +116,45 @@ object StreamingQueries {
         .withColumn("max_ts", date_format(timestamp_seconds(col("max_ts_sec")), "yyyy-MM-dd HH:mm:ss"))
         .select("user_id", "n_events", "min_event_id", "max_ts")
         .orderBy("user_id")
+    }),
+
+    // S1 under the hard gate: the engine's OWN DSv2 source (the
+    // shardedStream analog) driven through real micro-batch execution —
+    // 32 shards, 10 admission-controlled batches of 10k — then the
+    // reference topology (decode → count, FlattenChunksTest.scala:35-53).
+    // The source is deterministic, so the oracle is closed form: n = R,
+    // sum(id) = R(R+1)/2 proves every record arrived exactly once AND
+    // decoded (a dropped batch, duplicated offset range, or mangled JSON
+    // all break the sum).
+    "s05_synth_source_count" -> ((s, dir) => {
+      val agg = Envelope.decoded(synthStream(s)).groupBy()
+        .agg(count(lit(1)).as("n"), sum(col("id").cast("long")).as("sum_id"))
+      runToTable(agg, OutputMode.Complete()).orderBy("n")
+    }),
+
+    // A4 on the DSv2 source: per-shard record count + last sequence
+    // number (the per-shard "last processed" Ref of
+    // CheckpointOnChunkEndStreamClient.scala:52-85). Oracle = the same
+    // routing hash evaluated driver-side in plain Scala — independent of
+    // every distributed moving part under test (partition planning,
+    // offset ranges, batch assembly).
+    "s06_synth_source_shards" -> ((s, dir) => {
+      val agg = synthStream(s).groupBy("shard_id")
+        .agg(count(lit(1)).as("n"), max(col("sequence_number")).as("last_seq"))
+      runToTable(agg, OutputMode.Complete()).orderBy("shard_id")
     })
   )
+
+  /** Reference topology scale: 100k records over 32 shards. */
+  val SynthRecords = 100000L
+  val SynthShards = 32
+
+  private def synthStream(s: SparkSession): DataFrame =
+    s.readStream.format("graft.sources.EnvelopeSynthSource")
+      .option("records", SynthRecords.toString)
+      .option("shards", SynthShards.toString)
+      .option("maxRecordsPerBatch", "10000")
+      .load()
 
   def oracles: Map[String, String] = Map(
     "s01_stream_count" -> "SELECT COUNT(*) AS n FROM events",
@@ -139,6 +176,26 @@ object StreamingQueries {
         |  strftime(date_trunc('second', MAX(ts)), '%Y-%m-%d %H:%M:%S') AS max_ts
         |FROM events
         |GROUP BY user_id
-        |ORDER BY user_id""".stripMargin
+        |ORDER BY user_id""".stripMargin,
+
+    // closed form: the source enumerates 1..R exactly once
+    "s05_synth_source_count" ->
+      s"""SELECT CAST($SynthRecords AS BIGINT) AS n,
+         |  CAST(${SynthRecords * (SynthRecords + 1) / 2} AS BIGINT) AS sum_id""".stripMargin,
+
+    // per-shard expectation from the routing hash evaluated in plain
+    // driver-side Scala (nothing distributed), emitted as a VALUES literal
+    "s06_synth_source_shards" -> {
+      val rows = (1L to SynthRecords)
+        .groupBy(i => graft.sources.EnvelopeSynthSource.shardOf(i, SynthShards))
+        .toSeq.sortBy(_._1)
+        .map { case (sh, ids) =>
+          s"('shardId-${"%012d".format(sh)}', CAST(${ids.size} AS BIGINT), CAST(${ids.max} AS BIGINT))"
+        }
+      s"""SELECT * FROM (VALUES
+         |  ${rows.mkString(",\n  ")}
+         |) AS t(shard_id, n, last_seq)
+         |ORDER BY shard_id""".stripMargin
+    }
   )
 }

@@ -83,6 +83,63 @@ class CheckpointRestartSpec extends SparkSpec {
     }
   }
 
+  test("chaos: repeated kill/restart under a live producer conserves the count exactly") {
+    // The reference's strongest evidence is the with-errors run
+    // (log_output/chunkedCheckpointing100kWithErrors.log: 77 lease
+    // conflicts, count still conserved). Same shape here: a producer
+    // keeps emitting on its own thread while the consumer is killed and
+    // restarted mid-stream 3 times, then a final drain. The WAL-then-
+    // commit checkpoint + file-sink metadata log must deliver EXACTLY
+    // the emitted records — no loss from the kills, no duplication from
+    // re-run in-flight batches.
+    val src = tmp("graft-chaos-src")
+    val ckpt = tmp("graft-chaos-ckpt")
+    val sink = tmp("graft-chaos-sink")
+    val producer = new ShardedBatchProducer(src, nrShards = 8, batchSize = 100)
+    val total = 10000L
+
+    val writerError = new java.util.concurrent.atomic.AtomicReference[Throwable]()
+    val writer = new Thread(() => {
+      try {
+        var lo = 1L
+        while (lo <= total) {
+          val hi = math.min(lo + 1000L, total + 1L)
+          producer.emit(lo, hi)
+          lo = hi
+          Thread.sleep(200L)
+        }
+      } catch { case t: Throwable => writerError.set(t) }
+    }, "chaos-producer")
+
+    def start(trigger: Trigger) =
+      Pipelines.decoded(Pipelines.ingest(spark, src, maxFilesPerTrigger = Some(3)))
+        .select("sequence_number", "shard_id", "id")
+        .writeStream
+        .format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .outputMode(OutputMode.Append())
+        .trigger(trigger)
+        .start()
+
+    writer.start()
+    for (k <- 1 to 3) { // three kill cycles, each mid-flight
+      val q = start(Trigger.ProcessingTime(0L))
+      Thread.sleep(800L + 400L * k)
+      q.stop() // kill with batches in flight — not a graceful drain
+    }
+    writer.join(60000L)
+    assert(writerError.get() === null, s"producer thread failed: ${writerError.get()}")
+    val drain = start(Trigger.AvailableNow())
+    drain.awaitTermination(120000L)
+
+    val out = spark.read.parquet(sink) // reads ONLY _spark_metadata-committed files
+    assert(out.count() === total, "count conserved across kills")
+    assert(out.select("sequence_number").distinct().count() === total, "no duplicates")
+    assert(out.agg(sum(col("id").cast("long"))).head().getLong(0) === total * (total + 1) / 2,
+      "content conserved, not just cardinality")
+  }
+
   test("at-least-once to exactly-once: dropDuplicatesWithinWatermark collapses redelivery") {
     import spark.implicits._
     val src = tmp("graft-dedup-src")
