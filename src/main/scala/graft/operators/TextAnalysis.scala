@@ -81,6 +81,43 @@ object TextAnalysis {
         .orderBy("split")
     }),
 
+    // benchmark decontamination — the step every training pipeline runs
+    // before release: flag training docs sharing any 4-gram shingle with
+    // the held-out eval set (here: doc_id % 97 == 0, a deterministic
+    // pseudo-benchmark). One explode per side + an equi-join KEYED BY THE
+    // SHINGLE — shuffle scales with corpus shingle volume, never with
+    // |train| × |eval|; the eval side is tiny and broadcastable at any
+    // corpus size.
+    "t07_decontaminate" -> ((s, dir) => {
+      val sh = Tables.documents(s, dir)
+        .select(col("doc_id"), explode(wordShingles(col("text"), 4)).as("g"))
+      val evalG = sh.filter(col("doc_id") % 97 === 0).select("g").distinct()
+      sh.filter(col("doc_id") % 97 =!= 0)
+        .join(evalG, "g")
+        .groupBy("doc_id")
+        // shingles are distinct within a doc, so count == distinct count
+        .agg(count(lit(1)).as("n_shared"))
+        .orderBy("doc_id")
+    }),
+
+    // deterministic source-mixture sampling: admit each doc iff a
+    // stateless mix of its id lands under the source's target rate
+    // (30..93% by source number). (id % prime) bounds the product so the
+    // arithmetic never overflows int64 at any id scale, and the whole rule
+    // is plain integer SQL — the oracle runs it verbatim. Like t06, no
+    // rand(): re-sampling on retries/re-runs is bit-identical. For
+    // adversarially structured ids use xxhash64 as t06 does (engine-
+    // specific hash → that variant is rows-only).
+    "t08_mixture_sample" -> ((s, dir) => {
+      val rate = lit(30L) + regexp_extract(col("source"), "[0-9]+", 0).cast("long") % 10 * 7L
+      val mix = col("doc_id") % 1000003L * 2654435761L % 100L
+      Tables.documents(s, dir)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_total"),
+          count(when(mix < rate, 1)).as("n_sampled"))
+        .orderBy("source")
+    }),
+
     // corpus-level n-gram frequency: top-50 word bigrams.
     "t05_ngram_topk" -> ((s, dir) => {
       Tables.documents(s, dir)
@@ -162,7 +199,34 @@ object TextAnalysis {
         |FROM g
         |GROUP BY ngram
         |ORDER BY n DESC, ngram ASC
-        |LIMIT 50""".stripMargin
+        |LIMIT 50""".stripMargin,
+
+    "t07_decontaminate" ->
+      """WITH t AS (
+        |  SELECT doc_id, list_filter(string_split(lower(text), ' '), w -> len(w) > 0) AS w
+        |  FROM documents
+        |), s AS (
+        |  SELECT doc_id,
+        |    unnest(list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]
+        |      for i in range(1, len(w) - 2)])) AS g
+        |  FROM t WHERE len(w) >= 4
+        |), ev AS (
+        |  SELECT DISTINCT g FROM s WHERE doc_id % 97 = 0
+        |)
+        |SELECT s.doc_id, COUNT(*) AS n_shared
+        |FROM s JOIN ev USING (g)
+        |WHERE s.doc_id % 97 <> 0
+        |GROUP BY s.doc_id
+        |ORDER BY doc_id""".stripMargin,
+
+    "t08_mixture_sample" ->
+      """SELECT source,
+        |  COUNT(*) AS n_total,
+        |  COUNT(CASE WHEN (doc_id % 1000003) * 2654435761 % 100
+        |    < 30 + CAST(regexp_extract(source, '[0-9]+') AS BIGINT) % 10 * 7 THEN 1 END) AS n_sampled
+        |FROM documents
+        |GROUP BY source
+        |ORDER BY source""".stripMargin
     // t04_fingerprint: engine-specific hash — invariants in TextSpec.
   )
 }

@@ -120,7 +120,7 @@ object StreamingQueries {
 
     // S1 under the hard gate: the engine's OWN DSv2 source (the
     // shardedStream analog) driven through real micro-batch execution —
-    // 32 shards, 10 admission-controlled batches of 10k — then the
+    // 32 shards, 4 admission-controlled batches of 25k — then the
     // reference topology (decode → count, FlattenChunksTest.scala:35-53).
     // The source is deterministic, so the oracle is closed form: n = R,
     // sum(id) = R(R+1)/2 proves every record arrived exactly once AND
@@ -153,7 +153,7 @@ object StreamingQueries {
     s.readStream.format("graft.sources.EnvelopeSynthSource")
       .option("records", SynthRecords.toString)
       .option("shards", SynthShards.toString)
-      .option("maxRecordsPerBatch", "10000")
+      .option("maxRecordsPerBatch", "25000") // 4 micro-batches: multi-batch semantics without per-batch overhead dominating
       .load()
 
   def oracles: Map[String, String] = Map(
