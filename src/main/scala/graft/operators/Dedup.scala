@@ -65,9 +65,18 @@ object Dedup {
             xxhash64(slice(col("sig"), b * RowsPerBand + 1, lit(RowsPerBand))).as("bkey"))))
           .as("bb"))
       .select(col("doc_id"), col("bb.band").as("band"), col("bb.bkey").as("bkey"))
-    bands.groupBy("band", "bkey")
+    // The cap must act BEFORE collect_set: a count aggregate (constant
+    // state per bucket) decides which buckets live, so a degenerate
+    // bucket is dropped without ever materializing its member array —
+    // filtering on size(ids) afterwards would already have built the
+    // arbitrarily large array in executor memory.
+    val admitted = bands.groupBy("band", "bkey")
+      .agg(count(lit(1)).as("bsz"))
+      .filter(col("bsz") > 1 && col("bsz") <= maxBucket)
+      .select("band", "bkey")
+    bands.join(admitted, Seq("band", "bkey"))
+      .groupBy("band", "bkey")
       .agg(sort_array(collect_set(col("doc_id"))).as("ids"))
-      .filter(size(col("ids")) > 1 && size(col("ids")) <= maxBucket)
       .select(explode(pairsOf(col("ids"))).as("p"))
       .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
       .distinct()
@@ -178,9 +187,15 @@ object Dedup {
       val bands = sh.select(col("doc_id"), col("simhash"),
           explode(array(bandCols: _*)).as("bb"))
         .select(col("doc_id"), col("simhash"), col("bb.band").as("band"), col("bb.bkey").as("bkey"))
-      val buckets = bands.groupBy("band", "bkey")
+      // count-first cap (see minhashBandCandidates): degenerate buckets
+      // are dropped before their member arrays exist
+      val admitted = bands.groupBy("band", "bkey")
+        .agg(count(lit(1)).as("bsz"))
+        .filter(col("bsz") > 1 && col("bsz") <= MaxBucket)
+        .select("band", "bkey")
+      val buckets = bands.join(admitted, Seq("band", "bkey"))
+        .groupBy("band", "bkey")
         .agg(sort_array(collect_set(struct(col("doc_id"), col("simhash")))).as("members"))
-        .filter(size(col("members")) > 1 && size(col("members")) <= MaxBucket)
       val cand = buckets
         .select(explode(flatten(transform(col("members"), (x, i) =>
           transform(slice(col("members"), i + 2, size(col("members"))), y =>

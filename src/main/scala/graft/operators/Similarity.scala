@@ -160,12 +160,18 @@ object Similarity {
     // driver check.
     "e04b_embedding_nn_dedup_lsh" -> ((s, dir) => {
       val e = Tables.embeddings(s, dir)
-      val w = Window.partitionBy("vid").orderBy(col("cos_sim").desc, col("nid").asc)
+      // top-1 as a lexicographic struct-max, NOT a row_number window: a
+      // hash aggregate reduces map-side (one candidate per vid survives
+      // each task), where the window would sort-shuffle the full
+      // candidate set — the difference between shuffling |vids| rows and
+      // |candidates| rows. (-nid) makes the tie-break nid-ascending,
+      // identical to e04's ordering.
       scoreCandidates(e, lshCandidatePairs(e, dedup = false))
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-        .select(col("vid"), col("nid").as("nn_id"), col("cos_sim").as("nn_cos"),
-          (col("cos_sim") > 0.45).as("is_near_dup"))
+        .groupBy("vid")
+        .agg(max(struct(col("cos_sim"), (-col("nid")).as("neg_nid"))).as("best"))
+        .select(col("vid"), (-col("best.neg_nid")).as("nn_id"),
+          col("best.cos_sim").as("nn_cos"),
+          (col("best.cos_sim") > 0.45).as("is_near_dup"))
         .orderBy("vid")
     }),
 
@@ -232,6 +238,29 @@ object Similarity {
         .orderBy("qid", "rn")
     }),
 
+    // int8 vector quantization — the embedding-compression step an ANN
+    // serving layer runs (4× smaller vectors, SIMD-friendly dot products).
+    // Per-vector symmetric scheme: scale = 127 / max|x|, q_d = ⌊x_d·127 /
+    // max|x|⌋. One posexplode + a vec_id-partitioned max window + one agg —
+    // shuffles only (vec_id, dim) rows, scale-linear. floor (not round)
+    // keeps the arithmetic bit-identical across engines, so the summary
+    // stats are oracle-exact; the quantized array itself stays internal
+    // (array outputs crash the driver checker).
+    "e07_vector_quantize" -> ((s, dir) => {
+      val wv = Window.partitionBy("vec_id")
+      val q = Tables.embeddings(s, dir)
+        .select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim", "v")))
+        .withColumn("v", col("v").cast("double"))
+        .withColumn("maxabs", max(abs(col("v"))).over(wv))
+        .withColumn("q", floor(col("v") * 127.0 / col("maxabs")))
+      q.groupBy("vec_id")
+        .agg(max(col("maxabs")).as("maxabs"),
+          sum(col("q")).as("q_sum"),
+          min(col("q")).as("q_min"),
+          max(col("q")).as("q_max"))
+        .orderBy("vec_id")
+    }),
+
     // LSH-bucketed ANN (the scale path): 16 tables × 6-bit hyperplane
     // signatures per vector, candidates = same (table, bucket), exact
     // cosine only on candidates, per-query top-5 after unioning tables.
@@ -293,6 +322,21 @@ object Similarity {
          |ORDER BY vid""".stripMargin,
     // e03_ann_lsh / e06_ivf_ann: approximate — recall asserted in
     // SimilaritySpec instead of a SQL oracle.
+
+    "e07_vector_quantize" ->
+      """WITH m AS (
+        |  SELECT vec_id,
+        |    list_max(list_transform(embedding, x -> abs(x::DOUBLE))) AS maxabs,
+        |    list_transform(embedding, x -> CAST(floor(x::DOUBLE * 127.0 /
+        |      list_max(list_transform(embedding, y -> abs(y::DOUBLE)))) AS BIGINT)) AS q
+        |  FROM embeddings
+        |)
+        |SELECT vec_id, maxabs,
+        |  CAST(list_sum(q) AS BIGINT) AS q_sum,
+        |  CAST(list_min(q) AS BIGINT) AS q_min,
+        |  CAST(list_max(q) AS BIGINT) AS q_max
+        |FROM m
+        |ORDER BY vec_id""".stripMargin,
 
     "e05_label_centroids" ->
       """WITH x AS (
