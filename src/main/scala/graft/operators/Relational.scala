@@ -501,6 +501,25 @@ object Relational {
         ORDER BY o_orderpriority""")
     }),
 
+    // explicit GROUPING SETS (the general form behind q24's ROLLUP / q29's
+    // CUBE): three hand-picked grouping combinations in ONE pass — the
+    // sets expand map-side (×|sets|) into a single shuffle, same as
+    // rollup/cube, so at 100 TB this is one aggregation, not three.
+    // GROUPING() disambiguates real NULL keys from superaggregate rows.
+    "q36_grouping_sets" -> ((s, dir) => {
+      Tables.lineitem(s, dir).createOrReplaceTempView("lineitem_v3")
+      s.sql("""
+        SELECT COALESCE(l_returnflag, 'ALL') AS flag,
+               COALESCE(l_linestatus, 'ALL') AS status,
+               CAST(GROUPING(l_returnflag) AS INT) AS g_flag,
+               CAST(GROUPING(l_linestatus) AS INT) AS g_status,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_qty
+        FROM lineitem_v3
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+        ORDER BY g_flag, g_status, flag, status""")
+    }),
+
     // ---- approximate / sketch (weaker rows-only driver check; no oracle) ------
     "q27_approx_distinct" -> ((s, dir) => {
       // Percentiles surfaced as three scalar columns (not an array) so the
@@ -808,6 +827,18 @@ object Relational {
         |) ON c_custkey = o_custkey
         |WHERE max_price > 400000
         |ORDER BY c_custkey""".stripMargin,
+
+    "q36_grouping_sets" ->
+      """SELECT
+        |  COALESCE(l_returnflag, 'ALL') AS flag,
+        |  COALESCE(l_linestatus, 'ALL') AS status,
+        |  CAST(GROUPING(l_returnflag) AS INT) AS g_flag,
+        |  CAST(GROUPING(l_linestatus) AS INT) AS g_status,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_qty
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+        |ORDER BY g_flag, g_status, flag, status""".stripMargin,
 
     "q29_cube" ->
       """SELECT

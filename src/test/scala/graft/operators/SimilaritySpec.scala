@@ -4,7 +4,7 @@ import graft.SparkSpec
 
 class SimilaritySpec extends SparkSpec {
 
-  test("e03 LSH ANN achieves >= 0.5 recall@5 against the brute-force baseline") {
+  test("e03 LSH ANN achieves >= 0.8 recall@5 against the brute-force baseline") {
     val brute = Similarity.queries("e02_ann_bruteforce")(spark, sfDir)
       .filter("rn <= 5")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
@@ -13,7 +13,7 @@ class SimilaritySpec extends SparkSpec {
     assert(brute.nonEmpty)
     val recall = (brute & lsh).size.toDouble / brute.size
     info(s"LSH recall@5 = $recall (candidates found: ${lsh.size})")
-    assert(recall >= 0.5, s"recall $recall too low")
+    assert(recall >= 0.8, s"recall $recall too low")
   }
 
   test("e03 LSH examines fewer candidates than brute force would") {

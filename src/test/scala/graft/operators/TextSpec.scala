@@ -74,4 +74,21 @@ class TextSpec extends SparkSpec {
       .select(size(wordShingles(col("text"), 3)).as("n")).as[Int].collect()
     assert(got.toSeq === Seq(0, 0, 0, 2))
   }
+
+  test("t08 mixture sampler: achieved rate tracks each source's target rate") {
+    // the oracle pins exact parity; this pins the STATISTICAL claim — the
+    // stateless id mix is uniform enough that every source's achieved
+    // sampling rate lands near its target (binomial stderr at these
+    // per-source counts is ~7-10 points; allow 3 sigma)
+    val rows = TextAnalysis.queries("t08_mixture_sample")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val srcNum = "[0-9]+".r.findFirstIn(r.getString(0)).get.toLong
+      val target = (30L + srcNum % 10 * 7L).toDouble / 100.0
+      val achieved = r.getLong(2).toDouble / r.getLong(1)
+      val sigma = math.sqrt(target * (1 - target) / r.getLong(1))
+      assert(math.abs(achieved - target) <= 3 * sigma + 0.02,
+        s"${r.getString(0)}: achieved $achieved vs target $target (n=${r.getLong(1)})")
+    }
+  }
 }

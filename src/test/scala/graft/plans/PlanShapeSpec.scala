@@ -58,4 +58,22 @@ class PlanShapeSpec extends SparkSpec {
     }
     assert(aggs.size >= 2, s"expected partial+final HashAggregate, got ${aggs.size}")
   }
+
+  test("t07: the eval-shingle side broadcasts (train side never shuffles by shingle)") {
+    // at 100 TB the train side dwarfs the eval benchmark; the join must
+    // ship the eval shingles to the data, not re-shuffle the corpus
+    val p = sparkPlan("t07_decontaminate")
+    assert(collectAll(p) { case j: BroadcastHashJoinExec => j }.nonEmpty, p.toString)
+  }
+
+  test("e07: quantization is one explode pass, no join, two-phase final agg") {
+    val p = sparkPlan("e07_vector_quantize")
+    assert(collectAll(p) { case j: BroadcastHashJoinExec => j }.isEmpty &&
+      collectAll(p) { case j: SortMergeJoinExec => j }.isEmpty,
+      "quantization must not join")
+    val aggs = collectAll(p) {
+      case h: org.apache.spark.sql.execution.aggregate.HashAggregateExec => h
+    }
+    assert(aggs.size >= 2, s"expected partial+final HashAggregate, got ${aggs.size}")
+  }
 }
