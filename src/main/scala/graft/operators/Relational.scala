@@ -168,6 +168,19 @@ object Relational {
         .orderBy("c_custkey")
     }),
 
+    // full outer join with NULLs on BOTH sides: customers' 1997-only vs
+    // 1998-only order activity. Single-key sort-merge; null-extension is
+    // symmetric — the join that left/right outer can't express without a
+    // union hack.
+    "q37_full_outer_join" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+      def yearAgg(y: Int, n: String) =
+        o.filter(year(col("o_orderdate")) === y)
+          .groupBy("o_custkey").agg(count(lit(1)).as(n))
+      yearAgg(1997, "n_1997").join(yearAgg(1998, "n_1998"), Seq("o_custkey"), "full_outer")
+        .orderBy("o_custkey")
+    }),
+
     // semi join (EXISTS): planned as LeftSemi — probe side streams, no
     // duplication of matches; cheaper than inner+distinct at scale.
     "q07_semi_join" -> ((s, dir) => {
@@ -827,6 +840,18 @@ object Relational {
         |) ON c_custkey = o_custkey
         |WHERE max_price > 400000
         |ORDER BY c_custkey""".stripMargin,
+
+    "q37_full_outer_join" ->
+      """WITH y97 AS (
+        |  SELECT o_custkey, COUNT(*) AS n_1997 FROM orders
+        |  WHERE year(o_orderdate) = 1997 GROUP BY o_custkey
+        |), y98 AS (
+        |  SELECT o_custkey, COUNT(*) AS n_1998 FROM orders
+        |  WHERE year(o_orderdate) = 1998 GROUP BY o_custkey
+        |)
+        |SELECT COALESCE(y97.o_custkey, y98.o_custkey) AS o_custkey, n_1997, n_1998
+        |FROM y97 FULL OUTER JOIN y98 ON y97.o_custkey = y98.o_custkey
+        |ORDER BY o_custkey""".stripMargin,
 
     "q36_grouping_sets" ->
       """SELECT

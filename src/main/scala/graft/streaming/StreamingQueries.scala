@@ -118,6 +118,30 @@ object StreamingQueries {
         .orderBy("user_id")
     }),
 
+    // stream-stream interval self-join UNDER THE ORACLE GATE (the spec
+    // suite exercises the mechanism on sharded files; this pins the
+    // ANSWER): same-user event pairs within 10 minutes, both sides
+    // watermarked, append mode. Inner SS-join state is range-bounded by
+    // the watermark at scale; with AvailableNow the emission is exactly
+    // the batch join's answer, which is what DuckDB computes.
+    "s07_stream_stream_join" -> ((s, dir) => {
+      val a = eventsStream(s, dir)
+        .select(col("event_id").as("event_id_a"), col("user_id"), col("ts").as("ts_a"))
+        .withWatermark("ts_a", "30 minutes")
+      val b = eventsStream(s, dir)
+        .select(col("event_id").as("event_id_b"), col("user_id").as("user_id_b"),
+          col("ts").as("ts_b"))
+        .withWatermark("ts_b", "30 minutes")
+      val j = a.join(b,
+          col("user_id") === col("user_id_b") &&
+            col("event_id_a") =!= col("event_id_b") &&
+            col("ts_b") >= col("ts_a") &&
+            col("ts_b") <= col("ts_a") + expr("INTERVAL 10 MINUTES"))
+        .select(col("user_id"), col("event_id_a"), col("event_id_b"),
+          (unix_micros(col("ts_b")) - unix_micros(col("ts_a"))).as("gap_us"))
+      runToTable(j, OutputMode.Append()).orderBy("user_id", "event_id_a", "event_id_b")
+    }),
+
     // S1 under the hard gate: the engine's OWN DSv2 source (the
     // shardedStream analog) driven through real micro-batch execution —
     // 32 shards, 4 admission-controlled batches of 25k — then the
@@ -177,6 +201,14 @@ object StreamingQueries {
         |FROM events
         |GROUP BY user_id
         |ORDER BY user_id""".stripMargin,
+
+    "s07_stream_stream_join" ->
+      """SELECT a.user_id, a.event_id AS event_id_a, b.event_id AS event_id_b,
+        |  date_diff('microsecond', a.ts, b.ts) AS gap_us
+        |FROM events a JOIN events b
+        |  ON a.user_id = b.user_id AND a.event_id <> b.event_id
+        |  AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 10 MINUTE
+        |ORDER BY a.user_id, event_id_a, event_id_b""".stripMargin,
 
     // closed form: the source enumerates 1..R exactly once
     "s05_synth_source_count" ->
