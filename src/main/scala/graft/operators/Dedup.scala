@@ -82,6 +82,46 @@ object Dedup {
       .distinct()
   }
 
+  /** Connected components over undirected near-dup pairs (id_a, id_b) by
+    * iterative min-label propagation: every endpoint starts labeled with
+    * itself; each round a node takes the min label in its closed
+    * neighborhood; fixpoint when no label changes. Rounds = component
+    * diameter (dup clusters are shallow), each round is one equi-join +
+    * one agg, and only a 1-row convergence count reaches the driver.
+    * Returns (doc_id, cluster_id = min doc_id in the component).
+    * Exposed for DedupSpec's chain-transitivity test.
+    */
+  private[operators] def connectedComponents(pairs: DataFrame): DataFrame = {
+    // undirected edges + self-loops (self-loop keeps a node's own label
+    // in the min; symmetric closure makes propagation direction-free)
+    val pa = pairs.toDF("id_a", "id_b")
+    val edges = pa
+      .union(pa.select(col("id_b"), col("id_a")))
+      .union(pa.select(col("id_a"), col("id_a")))
+      .union(pa.select(col("id_b"), col("id_b")))
+      .toDF("src", "dst").distinct()
+      .persist()
+    var labels = edges.select(col("src").as("doc_id"), col("src").as("lbl")).distinct()
+    var converged = false
+    var rounds = 0
+    while (!converged && rounds < 50) {
+      val next = edges.join(labels, edges("dst") === labels("doc_id"))
+        .groupBy(col("src"))
+        .agg(min(col("lbl")).as("lbl"))
+        .select(col("src").as("doc_id"), col("lbl"))
+        .persist()
+      val prev = labels
+      val changed = next.join(prev.withColumnRenamed("lbl", "old"), "doc_id")
+        .filter(col("lbl") =!= col("old")).count() // 1 row to the driver
+      if (rounds > 0) prev.unpersist()
+      labels = next
+      converged = changed == 0
+      rounds += 1
+    }
+    edges.unpersist()
+    labels.select(col("doc_id"), col("lbl").as("cluster_id"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // exact dedup: group identical text, keep lowest doc_id. The heavy
     // variant would group by fingerprint first to avoid shuffling raw text
@@ -143,6 +183,28 @@ object Dedup {
           jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
         .orderBy(col("jaccard").desc, col("id_a").asc, col("id_b").asc)
         .limit(50)
+    }),
+
+    // duplicate-CLUSTER resolution: pairwise near-dup output (d03) is not
+    // actionable until pairs become clusters with one canonical doc each
+    // (A~B, B~C must collapse to {A,B,C} keep-A, even when A~C was never
+    // emitted). Connected components via iterative min-label propagation:
+    // every doc in a dup pair starts labeled with itself; each round every
+    // doc takes the min label in its neighborhood; converged when no label
+    // changes. Rounds = cluster diameter (near-dup clusters are shallow —
+    // a handful of shuffles at any corpus size), each round one equi-join
+    // + one agg, nothing but a 1-row convergence count ever reaches the
+    // driver. Output: (doc_id, cluster_id = min reachable doc_id).
+    "d07_dup_clusters" -> ((s, dir) => {
+      val sh = shingled(s, dir)
+      val sig = sh.select(col("doc_id"),
+        minhash_signature(col("sh"), MinHashK).as("sig"))
+      val a = sh.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
+      val b = sh.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
+      val pairs = minhashBandCandidates(sig).join(a, "id_a").join(b, "id_b")
+        .filter(jaccard(col("sh_a"), col("sh_b")) >= JaccardThreshold)
+        .select(col("id_a"), col("id_b"))
+      connectedComponents(pairs).orderBy("doc_id")
     }),
 
     // corpus-level set similarity: exact Jaccard between the distinct-
@@ -257,6 +319,33 @@ object Dedup {
         |WHERE len(a.sh) > 0 AND len(b.sh) > 0
         |ORDER BY jaccard DESC, id_a ASC, id_b ASC
         |LIMIT 50""".stripMargin,
+
+    "d07_dup_clusters" ->
+      """WITH RECURSIVE t AS (
+        |  SELECT doc_id, list_filter(string_split(lower(text), ' '), w -> len(w) > 0) AS w
+        |  FROM documents
+        |), s AS (
+        |  SELECT doc_id,
+        |    list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w) - 1)]) AS sh
+        |  FROM t WHERE len(w) >= 3
+        |), pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM s a JOIN s b ON a.doc_id < b.doc_id
+        |  WHERE len(a.sh) > 0 AND len(b.sh) > 0
+        |    AND len(list_intersect(a.sh, b.sh))::DOUBLE / len(list_distinct(list_concat(a.sh, b.sh)))::DOUBLE >= 0.8
+        |), edges AS (
+        |  SELECT id_a AS src, id_b AS dst FROM pairs
+        |  UNION SELECT id_b, id_a FROM pairs
+        |  UNION SELECT id_a, id_a FROM pairs
+        |  UNION SELECT id_b, id_b FROM pairs
+        |), reach AS (
+        |  SELECT src AS doc_id, dst AS reach_id FROM edges
+        |  UNION
+        |  SELECT r.doc_id, e.dst FROM reach r JOIN edges e ON r.reach_id = e.src
+        |)
+        |SELECT doc_id, MIN(reach_id) AS cluster_id
+        |FROM reach GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin,
 
     "d06_source_shingle_jaccard" ->
       """WITH t AS (

@@ -129,4 +129,17 @@ class DedupSpec extends SparkSpec {
       minhash_signature(wordShingles(col("text"), 3), Dedup.MinHashK).as("sig"))
     assert(Dedup.minhashBandCandidates(mixedSig).count() === 45L) // C(10,2), loner excluded
   }
+
+  test("connected components: chains collapse transitively, min id wins, loners absent") {
+    import spark.implicits._
+    // 1-2-3-4 is a path (1~4 never directly paired), {10,11} a pair,
+    // {20,21,22} a triangle — all must take their component's min id,
+    // and docs in no pair must not appear at all
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L),
+      (20L, 21L), (21L, 22L), (20L, 22L)).toDF("id_a", "id_b")
+    val got = Dedup.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L))
+  }
 }
