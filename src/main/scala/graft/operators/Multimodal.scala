@@ -30,6 +30,7 @@ object Multimodal {
 
   case class Blob(doc_id: Long, payload: Array[Byte])
   case class BlobStats(doc_id: Long, n_bytes: Long, byte_sum: Long)
+  case class BlobFeature(doc_id: Long, bin: Int, n: Long)
   case class Decoded(
       doc_id: Long, n_bytes: Long,
       width: Int, height: Int, n_channels: Int,
@@ -68,6 +69,30 @@ object Multimodal {
       }(Encoders.product[BlobStats])
         .toDF()
         .orderBy("doc_id")
+    }),
+
+    // batched feature extraction — the "embed the blob" step of a
+    // multimodal pipeline, here a REAL feature (16-bin byte histogram,
+    // exact ints) rather than a stub, so the whole batched-UDF path gets
+    // a hash-matched oracle. Same narrow mapPartitions shape a vectorized
+    // image/audio featurizer uses; emitted long-format (doc_id, bin, n)
+    // with empty bins omitted.
+    "m04_feature_extract" -> ((s, dir) => {
+      val blobs = Tables.documents(s, dir)
+        .select(col("doc_id"), col("text").cast("binary").as("payload"))
+        .as(Encoders.product[Blob])
+      blobs.mapPartitions { it =>
+        it.grouped(DecodeBatchSize).flatMap { batch =>
+          batch.flatMap { b =>
+            val hist = new Array[Long](16)
+            var i = 0
+            while (i < b.payload.length) { hist((b.payload(i) & 0xFF) >>> 4) += 1; i += 1 }
+            hist.zipWithIndex.collect { case (n, bin) if n > 0 => BlobFeature(b.doc_id, bin, n) }
+          }
+        }
+      }(Encoders.product[BlobFeature])
+        .toDF()
+        .orderBy("doc_id", "bin")
     }),
 
     // decode → resize-plan chain: two batched narrow maps composed without
@@ -132,7 +157,18 @@ object Multimodal {
         |  CAST(strlen(text) AS BIGINT) AS n_bytes,
         |  CAST(list_sum([ascii(text[i]) for i in range(1, len(text)+1)]) AS BIGINT) AS byte_sum
         |FROM documents
-        |ORDER BY doc_id""".stripMargin
+        |ORDER BY doc_id""".stripMargin,
+
+    // same ASCII-fixture precondition as m01 (chars ⇔ bytes)
+    "m04_feature_extract" ->
+      """WITH c AS (
+        |  SELECT doc_id, unnest([ascii(text[i]) // 16 for i in range(1, len(text)+1)]) AS bin
+        |  FROM documents
+        |)
+        |SELECT doc_id, CAST(bin AS INT) AS bin, COUNT(*) AS n
+        |FROM c
+        |GROUP BY doc_id, bin
+        |ORDER BY doc_id, bin""".stripMargin
     // m02_fake_decode: stubbed decode — MultimodalSpec asserts instead.
   )
 }
