@@ -42,19 +42,20 @@ object Similarity {
     * tables as e03): explode per-table buckets, bound each bucket to
     * `maxBucket` members (a degenerate bucket — e.g. a corpus of identical
     * vectors — would otherwise explode the within-bucket pair space
-    * quadratically; dropped buckets lose only pairs that the OTHER 15
-    * tables still have 15 chances to emit), self-join on (table, bucket),
+    * quadratically; dropped buckets lose only pairs that the other 47
+    * tables each get another chance to emit), self-join on (table, bucket),
     * and dedup the DIRECTED id pair. Only 8-byte ids travel through the
     * distinct — embeddings are joined back afterwards by key, so the wide
     * vectors never ride through the pair-dedup shuffle.
     *
     * Scale note: bucket count is 2^bits per table, so `bits` must grow
     * with log2(N / targetBucketSize) for the within-bucket join to stay
-    * linear. The defaults (4 bits × 24 tables) are tuned for the synthetic
+    * linear. The defaults (6 bits × 48 tables) are tuned for the synthetic
     * corpora's HARD regime — near-dups at cos ≈ 0.45–0.51, where per-bit
-    * agreement is only ~0.65 — giving ≥ 0.98 expected recall there; a real
-    * embedding corpus (dups at cos ≥ 0.9) reaches the same recall with far
-    * more bits and fewer tables.
+    * agreement is only ~0.65 — giving ~0.98 expected recall there at half
+    * the candidate volume of fewer-bits/fewer-tables settings; a real
+    * embedding corpus (dups at cos ≥ 0.9) reaches the same recall with
+    * far more bits and fewer tables.
     */
   private def lshCandidatePairs(e: DataFrame, bits: Int = 6, tables: Int = 48,
                                 maxBucket: Long = 10000L,
@@ -202,12 +203,12 @@ object Similarity {
 
     // IVF-style ANN (the other scale path, complementing e03's LSH):
     // coarse-quantize the corpus by nearest label-centroid, probe only the
-    // top-2 cells per query, exact cosine within candidates. At scale the
+    // top-4 cells per query, exact cosine within candidates. At scale the
     // centroid table is tiny and broadcast; the corpus partitions by cell,
     // so a query touches ~nprobe/ncells of the data. Approximate → recall
     // vs e02 asserted in SimilaritySpec, rows-only driver check.
     "e06_ivf_ann" -> ((s, dir) => {
-      val nprobe = 2
+      val nprobe = 4
       val e = Tables.embeddings(s, dir)
       // centroids as array<float> per label, dims assembled in order
       val cents = centroidComponents(e)

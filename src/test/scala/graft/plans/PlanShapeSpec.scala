@@ -59,6 +59,20 @@ class PlanShapeSpec extends SparkSpec {
     assert(aggs.size >= 2, s"expected partial+final HashAggregate, got ${aggs.size}")
   }
 
+  test("AQE is on and coalesces post-shuffle partitions to the data, not the config") {
+    // at 100 TB the shuffle-partition CONFIG is always wrong for some
+    // stage; AQE re-planning (partition coalescing, skew splits, runtime
+    // join demotion) is what makes one config survive every stage. Pin
+    // that it is active: a small aggregate must execute with fewer
+    // partitions than spark.sql.shuffle.partitions.
+    assert(spark.conf.get("spark.sql.adaptive.enabled") === "true", "AQE must stay on")
+    val df = SparkEntry.queries("q01_agg_pricing_summary")(spark, sfDir)
+    df.collect() // execute THIS QueryExecution so AQE finalizes it in place
+    val shuffleReads = df.queryExecution.executedPlan.toString
+    assert(shuffleReads.contains("AQEShuffleRead") || shuffleReads.contains("coalesced"),
+      s"expected AQE-coalesced shuffle read in:\n$shuffleReads")
+  }
+
   test("t07: the eval-shingle side broadcasts (train side never shuffles by shingle)") {
     // at 100 TB the train side dwarfs the eval benchmark; the join must
     // ship the eval shingles to the data, not re-shuffle the corpus
