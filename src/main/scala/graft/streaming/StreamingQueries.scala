@@ -118,6 +118,24 @@ object StreamingQueries {
         .orderBy("user_id")
     }),
 
+    // session windows as a STREAMING aggregation (state-store session
+    // merging, the dynamic-gap machinery a04 runs in batch): complete
+    // mode emits the final merged session set, which must equal the batch
+    // a04 answer — same oracle. countDistinct is unsupported in
+    // streaming; size(collect_set(...)) computes the identical value.
+    "s08_stream_sessions" -> ((s, dir) => {
+      val agg = eventsStream(s, dir)
+        .withColumn("tss", timestamp_seconds(col("ts").cast("long")))
+        .groupBy(session_window(col("tss"), "30 minutes").as("w"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+          size(collect_set(col("event_type"))).cast("long").as("n_types"))
+        .select(col("user_id"),
+          date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+          date_format(col("w.end"), "yyyy-MM-dd HH:mm:ss").as("session_end"),
+          col("n_events"), col("n_types"))
+      runToTable(agg, OutputMode.Complete()).orderBy("user_id", "session_start")
+    }),
+
     // stream-stream interval self-join UNDER THE ORACLE GATE (the spec
     // suite exercises the mechanism on sharded files; this pins the
     // ANSWER): same-user event pairs within 10 minutes, both sides
@@ -201,6 +219,9 @@ object StreamingQueries {
         |FROM events
         |GROUP BY user_id
         |ORDER BY user_id""".stripMargin,
+
+    // identical semantics to the batch a04 oracle (Temporal.oracles)
+    "s08_stream_sessions" -> graft.operators.Temporal.oracles("a04_session_window"),
 
     "s07_stream_stream_join" ->
       """SELECT a.user_id, a.event_id AS event_id_a, b.event_id AS event_id_b,
