@@ -45,17 +45,33 @@ object StreamingQueries {
   /** Run `df` (a streaming frame) to completion into a memory sink and
     * return the sink table. One micro-batch per `maxFilesPerTrigger` file
     * set; AvailableNow terminates when the backlog is drained.
+    *
+    * `statePartitions`: stateful operators (stream-stream join, session
+    * merge) open/commit one state store PER shuffle partition PER side —
+    * at the default 32 partitions that fixed cost dwarfs these bounded
+    * inputs. The partition count is pinned at the first checkpoint, so
+    * scoping it here (fresh checkpoint every run) only sets state-store
+    * parallelism; results are identical. On a real cluster this is the
+    * knob you size to key-cardinality, not to the global shuffle default.
     */
-  private def runToTable(df: DataFrame, mode: OutputMode): DataFrame = {
-    val name = s"graft_stream_${runIds.incrementAndGet()}"
-    val q = df.writeStream
-      .format("memory")
-      .queryName(name)
-      .outputMode(mode)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    df.sparkSession.table(name)
+  private def runToTable(df: DataFrame, mode: OutputMode,
+                         statePartitions: Option[Int] = None): DataFrame = {
+    val spark = df.sparkSession
+    val old = spark.conf.get("spark.sql.shuffle.partitions")
+    statePartitions.foreach(n => spark.conf.set("spark.sql.shuffle.partitions", n.toString))
+    try {
+      val name = s"graft_stream_${runIds.incrementAndGet()}"
+      val q = df.writeStream
+        .format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      spark.table(name)
+    } finally {
+      statePartitions.foreach(_ => spark.conf.set("spark.sql.shuffle.partitions", old))
+    }
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -133,7 +149,8 @@ object StreamingQueries {
           date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
           date_format(col("w.end"), "yyyy-MM-dd HH:mm:ss").as("session_end"),
           col("n_events"), col("n_types"))
-      runToTable(agg, OutputMode.Complete()).orderBy("user_id", "session_start")
+      runToTable(agg, OutputMode.Complete(), statePartitions = Some(8))
+        .orderBy("user_id", "session_start")
     }),
 
     // stream-stream interval self-join UNDER THE ORACLE GATE (the spec
@@ -157,7 +174,8 @@ object StreamingQueries {
             col("ts_b") <= col("ts_a") + expr("INTERVAL 10 MINUTES"))
         .select(col("user_id"), col("event_id_a"), col("event_id_b"),
           (unix_micros(col("ts_b")) - unix_micros(col("ts_a"))).as("gap_us"))
-      runToTable(j, OutputMode.Append()).orderBy("user_id", "event_id_a", "event_id_b")
+      runToTable(j, OutputMode.Append(), statePartitions = Some(8))
+        .orderBy("user_id", "event_id_a", "event_id_b")
     }),
 
     // S1 under the hard gate: the engine's OWN DSv2 source (the
