@@ -57,30 +57,38 @@ object Dedup {
     * (doc_id, sig) frame. Exposed for DedupSpec's bucket-explosion
     * property test.
     */
-  private[operators] def minhashBandCandidates(sig: DataFrame,
-                                               maxBucket: Int = MaxBucket): DataFrame = {
-    val bands = sig.select(col("doc_id"),
+  /** (doc_id, band, bkey) rows — 32 band keys per signature. */
+  private def minhashBands(sig: DataFrame): DataFrame =
+    sig.select(col("doc_id"),
         explode(transform(sequence(lit(0), lit(Bands - 1)), b =>
           struct(b.as("band"),
             xxhash64(slice(col("sig"), b * RowsPerBand + 1, lit(RowsPerBand))).as("bkey"))))
           .as("bb"))
       .select(col("doc_id"), col("bb.band").as("band"), col("bb.bkey").as("bkey"))
-    // The cap must act BEFORE collect_set: a count aggregate (constant
-    // state per bucket) decides which buckets live, so a degenerate
-    // bucket is dropped without ever materializing its member array —
-    // filtering on size(ids) afterwards would already have built the
-    // arbitrarily large array in executor memory.
-    val admitted = bands.groupBy("band", "bkey")
-      .agg(count(lit(1)).as("bsz"))
-      .filter(col("bsz") > 1 && col("bsz") <= maxBucket)
-      .select("band", "bkey")
-    bands.join(admitted, Seq("band", "bkey"))
+
+  /** Band rows restricted to admitted buckets: >1 member (pairs possible)
+    * and ≤ maxBucket. The cap must act BEFORE collect_set: a count
+    * aggregate (constant state per bucket) decides which buckets live, so
+    * a degenerate bucket is dropped without ever materializing its member
+    * array — filtering on size(ids) afterwards would already have built
+    * the arbitrarily large array in executor memory.
+    */
+  private def admittedBands(bands: DataFrame, maxBucket: Int): DataFrame =
+    bands.join(
+      bands.groupBy("band", "bkey")
+        .agg(count(lit(1)).as("bsz"))
+        .filter(col("bsz") > 1 && col("bsz") <= maxBucket)
+        .select("band", "bkey"),
+      Seq("band", "bkey"))
+
+  private[operators] def minhashBandCandidates(sig: DataFrame,
+                                               maxBucket: Int = MaxBucket): DataFrame =
+    admittedBands(minhashBands(sig), maxBucket)
       .groupBy("band", "bkey")
       .agg(sort_array(collect_set(col("doc_id"))).as("ids"))
       .select(explode(pairsOf(col("ids"))).as("p"))
       .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
       .distinct()
-  }
 
   /** Connected components over undirected near-dup pairs (id_a, id_b) by
     * iterative min-label propagation: every endpoint starts labeled with
@@ -183,6 +191,35 @@ object Dedup {
           jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
         .orderBy(col("jaccard").desc, col("id_a").asc, col("id_b").asc)
         .limit(50)
+    }),
+
+    // INCREMENTAL dedup — the daily-ingest shape: new arrivals (doc_id ≥
+    // 400 here; an ingest date in production) are near-dup-checked against
+    // the WHOLE corpus without ever re-pairing old×old. The band join is
+    // asymmetric: full-corpus band rows equi-join the NEW docs' band rows
+    // only, so candidate work scales with |new| × bucket width, not
+    // |corpus|² — at 100 TB the new side's band keys are a broadcastable
+    // sliver of the day's data. Every pair includes ≥1 new doc by
+    // construction; jaccard-verified exactly like d03.
+    "d08_incremental_dedup" -> ((s, dir) => {
+      val cutoff = 400L
+      val sh = shingled(s, dir)
+      val sig = sh.select(col("doc_id"),
+        minhash_signature(col("sh"), MinHashK).as("sig"))
+      val bandsAll = admittedBands(minhashBands(sig), MaxBucket)
+      val bandsNew = bandsAll.filter(col("doc_id") >= cutoff)
+        .withColumnRenamed("doc_id", "new_id")
+      val cand = bandsAll.join(bandsNew, Seq("band", "bkey"))
+        .filter(col("doc_id") =!= col("new_id"))
+        .select(least(col("doc_id"), col("new_id")).as("id_a"),
+          greatest(col("doc_id"), col("new_id")).as("id_b"))
+        .distinct()
+      val a = sh.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
+      val b = sh.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
+      cand.join(a, "id_a").join(b, "id_b")
+        .select(col("id_a"), col("id_b"), jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
+        .filter(col("jaccard") >= JaccardThreshold)
+        .orderBy("id_a", "id_b")
     }),
 
     // duplicate-CLUSTER resolution: pairwise near-dup output (d03) is not
@@ -319,6 +356,24 @@ object Dedup {
         |WHERE len(a.sh) > 0 AND len(b.sh) > 0
         |ORDER BY jaccard DESC, id_a ASC, id_b ASC
         |LIMIT 50""".stripMargin,
+
+    // brute-force restricted to pairs involving a new doc: new docs have
+    // the larger ids here, so with id_a < id_b the condition is id_b ≥ 400
+    "d08_incremental_dedup" ->
+      """WITH t AS (
+        |  SELECT doc_id, list_filter(string_split(lower(text), ' '), w -> len(w) > 0) AS w
+        |  FROM documents
+        |), s AS (
+        |  SELECT doc_id,
+        |    list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w) - 1)]) AS sh
+        |  FROM t WHERE len(w) >= 3
+        |)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  len(list_intersect(a.sh, b.sh))::DOUBLE / len(list_distinct(list_concat(a.sh, b.sh)))::DOUBLE AS jaccard
+        |FROM s a JOIN s b ON a.doc_id < b.doc_id
+        |WHERE b.doc_id >= 400 AND len(a.sh) > 0 AND len(b.sh) > 0
+        |  AND len(list_intersect(a.sh, b.sh))::DOUBLE / len(list_distinct(list_concat(a.sh, b.sh)))::DOUBLE >= 0.8
+        |ORDER BY id_a, id_b""".stripMargin,
 
     "d07_dup_clusters" ->
       """WITH RECURSIVE t AS (
