@@ -118,6 +118,22 @@ object TextAnalysis {
         .orderBy("source")
     }),
 
+    // intra-document repetition — the standard boilerplate/babble signal
+    // of curation rule sets (duplicate-trigram fraction): 1 − distinct/
+    // total trigrams. Both counts come from the same codegen'd WordNgrams
+    // pass family (distinct=false / distinct=true); pure per-row map,
+    // scan-speed at any corpus size.
+    "t09_repetition" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+        .select(col("doc_id"),
+          size(wordNgrams(col("text"), 3)).cast("long").as("n_ngrams"),
+          size(wordShingles(col("text"), 3)).cast("long").as("n_distinct"))
+      d.withColumn("rep_ratio",
+          when(col("n_ngrams") === 0, 0.0)
+            .otherwise(lit(1.0) - col("n_distinct").cast("double") / col("n_ngrams").cast("double")))
+        .orderBy("doc_id")
+    }),
+
     // corpus-level n-gram frequency: top-50 word bigrams.
     "t05_ngram_topk" -> ((s, dir) => {
       Tables.documents(s, dir)
@@ -217,6 +233,25 @@ object TextAnalysis {
         |FROM s JOIN ev USING (g)
         |WHERE s.doc_id % 97 <> 0
         |GROUP BY s.doc_id
+        |ORDER BY doc_id""".stripMargin,
+
+    "t09_repetition" ->
+      """WITH t AS (
+        |  SELECT doc_id, list_filter(string_split(lower(text), ' '), w -> len(w) > 0) AS w
+        |  FROM documents
+        |), g AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(w) >= 3 THEN len(w) - 2 ELSE 0 END AS n_ngrams,
+        |    CASE WHEN len(w) >= 3 THEN
+        |      len(list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w) - 1)]))
+        |    ELSE 0 END AS n_distinct
+        |  FROM t
+        |)
+        |SELECT doc_id, CAST(n_ngrams AS BIGINT) AS n_ngrams,
+        |  CAST(n_distinct AS BIGINT) AS n_distinct,
+        |  CASE WHEN n_ngrams = 0 THEN 0.0
+        |       ELSE 1.0 - CAST(n_distinct AS DOUBLE) / CAST(n_ngrams AS DOUBLE) END AS rep_ratio
+        |FROM g
         |ORDER BY doc_id""".stripMargin,
 
     "t08_mixture_sample" ->
