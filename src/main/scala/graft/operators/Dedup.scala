@@ -109,25 +109,37 @@ object Dedup {
       .union(pa.select(col("id_b"), col("id_b")))
       .toDF("src", "dst").distinct()
       .persist()
-    var labels = edges.select(col("src").as("doc_id"), col("src").as("lbl")).distinct()
-    var converged = false
-    var rounds = 0
-    while (!converged && rounds < 50) {
-      val next = edges.join(labels, edges("dst") === labels("doc_id"))
-        .groupBy(col("src"))
-        .agg(min(col("lbl")).as("lbl"))
-        .select(col("src").as("doc_id"), col("lbl"))
-        .persist()
-      val prev = labels
-      val changed = next.join(prev.withColumnRenamed("lbl", "old"), "doc_id")
-        .filter(col("lbl") =!= col("old")).count() // 1 row to the driver
-      if (rounds > 0) prev.unpersist()
-      labels = next
-      converged = changed == 0
-      rounds += 1
+    // size the per-round shuffles to the EDGE SET, not the global config:
+    // the dup graph is orders of magnitude smaller than the corpus that
+    // produced it, and the loop pays the partition fixed cost every round.
+    // (The count also materializes the persisted edges before the loop.)
+    val spark = pairs.sparkSession
+    val defaultParts = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val nParts = math.max(8, math.min(defaultParts, (edges.count() / 100000L).toInt))
+    spark.conf.set("spark.sql.shuffle.partitions", nParts.toString)
+    try {
+      var labels = edges.select(col("src").as("doc_id"), col("src").as("lbl")).distinct()
+      var converged = false
+      var rounds = 0
+      while (!converged && rounds < 50) {
+        val next = edges.join(labels, edges("dst") === labels("doc_id"))
+          .groupBy(col("src"))
+          .agg(min(col("lbl")).as("lbl"))
+          .select(col("src").as("doc_id"), col("lbl"))
+          .persist()
+        val prev = labels
+        val changed = next.join(prev.withColumnRenamed("lbl", "old"), "doc_id")
+          .filter(col("lbl") =!= col("old")).count() // 1 row to the driver
+        if (rounds > 0) prev.unpersist()
+        labels = next
+        converged = changed == 0
+        rounds += 1
+      }
+      labels.select(col("doc_id"), col("lbl").as("cluster_id"))
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", defaultParts.toString)
+      edges.unpersist()
     }
-    edges.unpersist()
-    labels.select(col("doc_id"), col("lbl").as("cluster_id"))
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
