@@ -1,0 +1,43 @@
+package graft.operators
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.functions._
+
+/** q27's sketches are rows-only at the driver gate (HLL/KLL internals are
+  * engine-specific, so no SQL oracle can hash-match) — this spec supplies
+  * the real check: the approximations must land within their configured
+  * error bounds of the exact answers.
+  */
+class SketchSpec extends SparkSpec {
+
+  test("q27: approx_count_distinct within rsd bound; percentiles bracket the exact ranks") {
+    val got = Relational.queries("q27_approx_distinct")(spark, sfDir).collect()
+    assert(got.nonEmpty)
+    val li = Tables.lineitem(spark, sfDir)
+    val exactDistinct = li.groupBy("l_returnflag")
+      .agg(countDistinct(col("l_partkey")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    got.foreach { r =>
+      val flag = r.getString(0)
+      val approx = r.getLong(1)
+      val exact = exactDistinct(flag)
+      // rsd 0.02 configured; allow 5 sigma
+      assert(math.abs(approx - exact).toDouble / exact <= 0.10,
+        s"$flag: approx_count_distinct $approx vs exact $exact")
+    }
+    // exact percentiles of the same column bracket the sketch answers:
+    // approx_percentile guarantees rank error <= accuracy default (1e-4
+    // relative rank) — generous value-space tolerance here
+    val exactPct = li.groupBy("l_returnflag")
+      .agg(expr("percentile(CAST(l_extendedprice AS DOUBLE), array(0.5, 0.95, 0.99))").as("p"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Double](1)).toMap
+    got.foreach { r =>
+      val flag = r.getString(0)
+      val (p50, p95, p99) = (r.getDouble(2), r.getDouble(3), r.getDouble(4))
+      val ex = exactPct(flag)
+      assert(math.abs(p50 - ex(0)) / ex(0) <= 0.01, s"$flag p50 $p50 vs ${ex(0)}")
+      assert(math.abs(p95 - ex(1)) / ex(1) <= 0.01, s"$flag p95 $p95 vs ${ex(1)}")
+      assert(math.abs(p99 - ex(2)) / ex(2) <= 0.01, s"$flag p99 $p99 vs ${ex(2)}")
+    }
+  }
+}
