@@ -31,14 +31,18 @@ object Curation {
       val gated = Tables.documents(s, dir)
         .filter(qualityScore(col("text")) >= QualityMin && langId(col("text")) === "en")
 
-      // stage 3: exact dedup on normalized text — keep the smallest doc_id
+      // stage 3: exact dedup on normalized text — keep the smallest doc_id.
+      // min_by(whole-row, doc_id) instead of a row_number window: a hash
+      // aggregate partial-reduces map-side and never sorts; the window
+      // would sort every row within its norm partition to discard all but
+      // one.
       val norm = regexp_replace(lower(col("text")), "[^a-z0-9 ]", "")
-      val wNorm = Window.partitionBy("norm").orderBy("doc_id")
+      val gatedCols = gated.columns
       val exactKept = gated
         .withColumn("norm", norm)
-        .withColumn("rn", row_number().over(wNorm))
-        .filter(col("rn") === 1)
-        .drop("rn", "norm")
+        .groupBy("norm")
+        .agg(min_by(struct(gatedCols.map(col): _*), col("doc_id")).as("r"))
+        .select(col("r.*"))
 
       // stage 4: near-dedup among survivors — LSH candidates (bucket-capped
       // band join, shared with d03 via Dedup.minhashBandCandidates), exact
