@@ -189,7 +189,7 @@ object StreamingQueries {
     "s05_synth_source_count" -> ((s, dir) => {
       val agg = Envelope.decoded(synthStream(s)).groupBy()
         .agg(count(lit(1)).as("n"), sum(col("id").cast("long")).as("sum_id"))
-      runToTable(agg, OutputMode.Complete()).orderBy("n")
+      runToTable(agg, OutputMode.Complete(), statePartitions = Some(8)).orderBy("n")
     }),
 
     // A4 on the DSv2 source: per-shard record count + last sequence
@@ -201,7 +201,7 @@ object StreamingQueries {
     "s06_synth_source_shards" -> ((s, dir) => {
       val agg = synthStream(s).groupBy("shard_id")
         .agg(count(lit(1)).as("n"), max(col("sequence_number")).as("last_seq"))
-      runToTable(agg, OutputMode.Complete()).orderBy("shard_id")
+      runToTable(agg, OutputMode.Complete(), statePartitions = Some(8)).orderBy("shard_id")
     })
   )
 
