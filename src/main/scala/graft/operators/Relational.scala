@@ -514,6 +514,23 @@ object Relational {
         ORDER BY o_orderpriority""")
     }),
 
+    // top-k PER GROUP via the bounded TopKAggregator — NOT a row_number
+    // window. The window form sorts and shuffles every row; the
+    // aggregator's k-bounded state partial-aggregates map-side, so the
+    // shuffle carries k rows per group per task instead of the input.
+    // The oracle states the same answer in window form — proving the
+    // bounded-state plan IS the window semantics.
+    "q38_topk_per_group" -> ((s, dir) => {
+      import graft.functions.TopKAggregator.top_k
+      Tables.orders(s, dir)
+        .groupBy("o_orderpriority")
+        .agg(top_k(col("o_totalprice").cast("double"), col("o_orderkey"), 3).as("top"))
+        .select(col("o_orderpriority"), posexplode(col("top")).as(Seq("i", "t")))
+        .select(col("o_orderpriority"), (col("i") + 1).cast("long").as("rank"),
+          col("t.id").as("o_orderkey"), col("t.score").as("price"))
+        .orderBy("o_orderpriority", "rank")
+    }),
+
     // explicit GROUPING SETS (the general form behind q24's ROLLUP / q29's
     // CUBE): three hand-picked grouping combinations in ONE pass — the
     // sets expand map-side (×|sets|) into a single shuffle, same as
@@ -840,6 +857,16 @@ object Relational {
         |) ON c_custkey = o_custkey
         |WHERE max_price > 400000
         |ORDER BY c_custkey""".stripMargin,
+
+    "q38_topk_per_group" ->
+      """SELECT o_orderpriority, rn AS rank, o_orderkey, price FROM (
+        |  SELECT o_orderpriority, o_orderkey,
+        |    CAST(o_totalprice AS DOUBLE) AS price,
+        |    ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+        |      ORDER BY CAST(o_totalprice AS DOUBLE) DESC, o_orderkey ASC) AS rn
+        |  FROM orders
+        |) WHERE rn <= 3
+        |ORDER BY o_orderpriority, rank""".stripMargin,
 
     "q37_full_outer_join" ->
       """WITH y97 AS (
