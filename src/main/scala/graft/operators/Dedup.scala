@@ -42,6 +42,14 @@ object Dedup {
     */
   val MaxBucket = 256
 
+  /** Round cap for connectedComponents — label propagation needs rounds
+    * equal to the component diameter, and near-dup clusters are shallow
+    * (a chain this long means the corpus is pathological). Hitting the cap
+    * without convergence THROWS rather than silently emitting partial
+    * cluster labels.
+    */
+  val MaxCcRounds = 50
+
   /** doc_id + distinct 3-gram shingles, empty-shingle docs dropped. */
   private def shingled(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
@@ -57,8 +65,10 @@ object Dedup {
     * (doc_id, sig) frame. Exposed for DedupSpec's bucket-explosion
     * property test.
     */
-  /** (doc_id, band, bkey) rows — 32 band keys per signature. */
-  private def minhashBands(sig: DataFrame): DataFrame =
+  /** (doc_id, band, bkey) rows — 32 band keys per signature. Exposed for
+    * DedupSpec's fixture-precondition check on bucket widths.
+    */
+  private[operators] def minhashBands(sig: DataFrame): DataFrame =
     sig.select(col("doc_id"),
         explode(transform(sequence(lit(0), lit(Bands - 1)), b =>
           struct(b.as("band"),
@@ -99,7 +109,8 @@ object Dedup {
     * Returns (doc_id, cluster_id = min doc_id in the component).
     * Exposed for DedupSpec's chain-transitivity test.
     */
-  private[operators] def connectedComponents(pairs: DataFrame): DataFrame = {
+  private[operators] def connectedComponents(pairs: DataFrame,
+                                             maxRounds: Int = MaxCcRounds): DataFrame = {
     // undirected edges + self-loops (self-loop keeps a node's own label
     // in the min; symmetric closure makes propagation direction-free)
     val pa = pairs.toDF("id_a", "id_b")
@@ -113,6 +124,11 @@ object Dedup {
     // the dup graph is orders of magnitude smaller than the corpus that
     // produced it, and the loop pays the partition fixed cost every round.
     // (The count also materializes the persisted edges before the loop.)
+    // NOTE: this mutates session-global spark.sql.shuffle.partitions for
+    // the duration of the loop (restored in finally). That assumes a
+    // single-threaded runner — true for Verify/Bench/specs, which execute
+    // queries sequentially; do not call this concurrently with other
+    // queries on the same SparkSession.
     val spark = pairs.sparkSession
     val defaultParts = spark.conf.get("spark.sql.shuffle.partitions").toInt
     val nParts = math.max(8, math.min(defaultParts, (edges.count() / 100000L).toInt))
@@ -121,7 +137,7 @@ object Dedup {
       var labels = edges.select(col("src").as("doc_id"), col("src").as("lbl")).distinct()
       var converged = false
       var rounds = 0
-      while (!converged && rounds < 50) {
+      while (!converged && rounds < maxRounds) {
         val next = edges.join(labels, edges("dst") === labels("doc_id"))
           .groupBy(col("src"))
           .agg(min(col("lbl")).as("lbl"))
@@ -135,7 +151,17 @@ object Dedup {
         converged = changed == 0
         rounds += 1
       }
-      labels.select(col("doc_id"), col("lbl").as("cluster_id"))
+      if (!converged)
+        throw new IllegalStateException(
+          s"connectedComponents hit the $maxRounds-round cap without converging: " +
+            "component diameter exceeds the cap; emitting partial labels would be wrong")
+      // materialize the result off the cached lineage (localCheckpoint) so
+      // the final round's persisted frame can be released HERE — otherwise
+      // every invocation leaks one cached dataset for the session lifetime
+      val out = labels.select(col("doc_id"), col("lbl").as("cluster_id"))
+        .localCheckpoint(true)
+      labels.unpersist()
+      out
     } finally {
       spark.conf.set("spark.sql.shuffle.partitions", defaultParts.toString)
       edges.unpersist()

@@ -109,7 +109,12 @@ object TextAnalysis {
     // adversarially structured ids use xxhash64 as t06 does (engine-
     // specific hash → that variant is rows-only).
     "t08_mixture_sample" -> ((s, dir) => {
-      val rate = lit(30L) + regexp_extract(col("source"), "[0-9]+", 0).cast("long") % 10 * 7L
+      // guard the digit extraction: a digitless source name yields "" from
+      // regexp_extract — cast("") would throw under ANSI; when() makes the
+      // rate null so the row is simply never sampled (mirrored by the
+      // oracle's TRY_CAST, which also nulls out)
+      val digits = regexp_extract(col("source"), "[0-9]+", 0)
+      val rate = lit(30L) + when(digits =!= "", digits.cast("long")) % 10 * 7L
       val mix = col("doc_id") % 1000003L * 2654435761L % 100L
       Tables.documents(s, dir)
         .groupBy("source")
@@ -258,7 +263,7 @@ object TextAnalysis {
       """SELECT source,
         |  COUNT(*) AS n_total,
         |  COUNT(CASE WHEN (doc_id % 1000003) * 2654435761 % 100
-        |    < 30 + CAST(regexp_extract(source, '[0-9]+') AS BIGINT) % 10 * 7 THEN 1 END) AS n_sampled
+        |    < 30 + TRY_CAST(regexp_extract(source, '[0-9]+') AS BIGINT) % 10 * 7 THEN 1 END) AS n_sampled
         |FROM documents
         |GROUP BY source
         |ORDER BY source""".stripMargin

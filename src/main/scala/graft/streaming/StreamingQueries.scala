@@ -53,6 +53,11 @@ object StreamingQueries {
     * scoping it here (fresh checkpoint every run) only sets state-store
     * parallelism; results are identical. On a real cluster this is the
     * knob you size to key-cardinality, not to the global shuffle default.
+    *
+    * NOTE: the scoped value mutates session-global
+    * spark.sql.shuffle.partitions (restored in finally) — single-threaded
+    * runner assumed (Verify/Bench/specs run queries sequentially); do not
+    * start concurrent queries on the same SparkSession around this.
     */
   private def runToTable(df: DataFrame, mode: OutputMode,
                          statePartitions: Option[Int] = None): DataFrame = {

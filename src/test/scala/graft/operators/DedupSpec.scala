@@ -130,6 +130,42 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.minhashBandCandidates(mixedSig).count() === 45L) // C(10,2), loner excluded
   }
 
+  test("connected components: non-convergence at the round cap throws, not partial labels") {
+    import spark.implicits._
+    // a 10-node path has diameter 9 — 3 rounds of min-label propagation
+    // cannot finish it; silently returning the round-3 labels would be
+    // wrong, so the cap must surface as an error
+    val chain = (1L until 10L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val ex = intercept[IllegalStateException] {
+      Dedup.connectedComponents(chain, maxRounds = 3).collect()
+    }
+    assert(ex.getMessage.contains("without converging"))
+    // the same graph converges fine under the real cap
+    val ok = Dedup.connectedComponents(chain).collect().map(r => r.getLong(1)).distinct
+    assert(ok === Array(1L))
+  }
+
+  test("fixture precondition: no minhash band bucket exceeds MaxBucket at gate SFs") {
+    // MaxBucket gates d03/d07/d08/p01, which are verified against EXACT
+    // brute-force oracles: a fixture bucket wider than the cap would drop
+    // true pairs and fail (or silently skew) oracle parity. Assert the
+    // precondition here so a future fixture change fails loudly at the
+    // precondition, not at the oracle diff. (p01's buckets are subsets of
+    // these — same doc ⇒ same band keys — so the full corpus covers it.)
+    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1")) {
+      val sig = Tables.documents(spark, dir)
+        .select(col("doc_id"), wordShingles(col("text"), 3).as("sh"))
+        .filter(size(col("sh")) > 0)
+        .select(col("doc_id"), minhash_signature(col("sh"), Dedup.MinHashK).as("sig"))
+      val widest = Dedup.minhashBands(sig)
+        .groupBy("band", "bkey").count()
+        .agg(max("count").as("m")).collect()(0).getLong(0)
+      assert(widest <= Dedup.MaxBucket,
+        s"$dir: widest band bucket $widest > cap ${Dedup.MaxBucket} — " +
+          "exact-gated LSH queries would silently drop true pairs")
+    }
+  }
+
   test("connected components: chains collapse transitively, min id wins, loners absent") {
     import spark.implicits._
     // 1-2-3-4 is a path (1~4 never directly paired), {10,11} a pair,
