@@ -1,8 +1,9 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, ExpectsInputTypes, Expression, Literal, UnaryExpression, XXH64}
 import org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graft.{Bridge => ExpressionUtils}
@@ -37,6 +38,25 @@ object HashingFunctions {
     */
   def rolling_fingerprint(text: Column): Column =
     ExpressionUtils.column(RollingFingerprint(ExpressionUtils.expression(text)))
+
+  /** Spark's own runtime-filter bloom aggregate (the machinery behind
+    * `spark.sql.optimizer.runtime.bloomFilter`), surfaced as a library
+    * function: aggregates LONG keys into a serialized bloom filter binary.
+    * Sized explicitly — at ~16 bits/item the false-positive rate is < 1%.
+    */
+  def bloom_filter_agg(key: Column, estItems: Long, numBits: Long): Column =
+    ExpressionUtils.column(new BloomFilterAggregate(
+      ExpressionUtils.expression(key),
+      Literal(estItems), Literal(numBits)).toAggregateExpression())
+
+  /** Membership probe against a `bloom_filter_agg` binary. No false
+    * negatives; false positives at the configured rate — callers must
+    * follow with an exact verification join when exactness matters.
+    * `bloom` must be foldable (a `lit(bytes)` collected from the agg).
+    */
+  def might_contain(bloom: Column, key: Column): Column =
+    ExpressionUtils.column(BloomFilterMightContain(
+      ExpressionUtils.expression(bloom), ExpressionUtils.expression(key)))
 }
 
 case class MinHashSignature(child: Expression, numHashes: Int, seed: Long)

@@ -1,6 +1,7 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.HashingFunctions._
@@ -15,6 +16,29 @@ import graft.functions.TextFunctions._
   * heavy lifting, the shuffle carries only distinct n-grams).
   */
 object TextAnalysis {
+
+  /** t10: sliding-window chunking geometry (chars). */
+  val ChunkSize = 200
+  val ChunkStride = 150
+
+  /** t11: training-sequence token budget. */
+  val SeqBudget = 512
+
+  /** t12: PII classes, applied in order (earlier classes consume their
+    * matches before later, broader ones run). Patterns stay inside the
+    * regex subset Java and RE2 share, so the DuckDB oracle runs them
+    * verbatim.
+    */
+  val PiiPatterns: Seq[(String, String, String)] = Seq(
+    ("email", "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}", "<EMAIL>"),
+    ("phone", "\\+?[0-9][0-9()\\- ]{6,}[0-9]", "<PHONE>"),
+    ("id", "[0-9]{3,}", "<ID>"))
+
+  /** Chained redaction of every PII class — a pure per-row map (zero
+    * shuffle, scan-speed at any corpus size).
+    */
+  def redactPii(c: Column): Column =
+    PiiPatterns.foldLeft(c) { case (acc, (_, pat, tag)) => regexp_replace(acc, pat, tag) }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // token accounting: whitespace tokens + BPE-ish subword units.
@@ -123,6 +147,88 @@ object TextAnalysis {
         .orderBy("source")
     }),
 
+    // RAG/context-window chunking: overlapping fixed-size character
+    // windows (size 200, stride 150 ⇒ 50-char overlap), one row per
+    // chunk with its offset. A narrow explode — no shuffle at all; chunk
+    // count is ⌈len/stride⌉ so output volume is ~4/3× input, constant
+    // factor at any corpus size.
+    "t10_chunk_docs" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .filter(length(col("text")) > 0)
+        .select(col("doc_id"), col("text"),
+          explode(expr(s"sequence(0, (length(text) - 1) div $ChunkStride)")).as("ci"))
+        .select(col("doc_id"),
+          col("ci").cast("long").as("chunk_idx"),
+          (col("ci") * ChunkStride).cast("long").as("chunk_start"),
+          col("text").substr(col("ci") * ChunkStride + 1, lit(ChunkSize)).as("chunk_text"))
+        .withColumn("chunk_len", length(col("chunk_text")).cast("long"))
+        .orderBy("doc_id", "chunk_idx")
+    }),
+
+    // training-sequence packing, concat-and-chunk style: per source,
+    // docs in doc_id order form one token stream that is cut every 512
+    // tokens; each doc reports which sequences it lands in. The prefix
+    // sum is a window WITHIN source — embarrassingly parallel across
+    // sources, and the shuffle carries (source, doc_id, n_tokens) triples
+    // only, never text. (A single global stream would serialize on one
+    // partition; per-group streams are the form that scales.)
+    "t11_pack_sequences" -> ((s, dir) => {
+      val w = Window.partitionBy("source").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"),
+          tokenCountWs(col("text")).cast("long").as("n_tokens"))
+        .filter(col("n_tokens") > 0)
+        .withColumn("cum", sum("n_tokens").over(w))
+        .select(col("doc_id"), col("source"), col("n_tokens"),
+          (col("cum") - col("n_tokens")).as("start_off"),
+          expr(s"(cum - n_tokens) div $SeqBudget").as("first_seq"),
+          expr(s"(cum - 1) div $SeqBudget").as("last_seq"))
+        .withColumn("n_seqs", col("last_seq") - col("first_seq") + 1)
+        .orderBy("doc_id")
+    }),
+
+    // PII redaction — the release gate every published dataset passes:
+    // mask email / phone / long-digit-id spans, report per-class match
+    // counts (counted independently on the original text). Exercised here
+    // on customer names (the fixture's digit-bearing column); the full
+    // pattern set incl. emails and phone formats is pinned in TextSpec.
+    "t12_pii_redact" -> ((s, dir) => {
+      // lit(pat), not expr("... '$pat' ..."): a SQL string literal would
+      // re-process the regex's backslashes
+      val counts = PiiPatterns.map { case (name, pat, _) =>
+        size(regexp_extract_all(col("c_name"), lit(pat), lit(0))).cast("long").as(s"n_$name")
+      }
+      Tables.customer(s, dir)
+        .select(col("c_custkey") +: redactPii(col("c_name")).as("masked_name") +: counts: _*)
+        .orderBy("c_custkey")
+    }),
+
+    // t07's decontamination with the at-scale prefilter: the eval set's
+    // 4-gram hashes are folded into Spark's own runtime-filter bloom
+    // (bloom_filter_agg — a few hundred KB however big the corpus), the
+    // corpus is pre-filtered by might_contain BEFORE the shuffle join, and
+    // the surviving sliver is exactly verified against the eval grams, so
+    // false positives never reach the output (and blooms have no false
+    // negatives — t13 ≡ t07, which is why the same oracle gates it). At
+    // 100 TB the bloom probe drops ~99% of corpus grams at scan speed;
+    // the collect of the filter binary to the driver is the broadcast of
+    // a small dimension, not a data-path collect.
+    "t13_bloom_decontaminate" -> ((s, dir) => {
+      val grams = Tables.documents(s, dir)
+        .select(col("doc_id"), explode(wordShingles(col("text"), 4)).as("g"))
+        .select(col("doc_id"), xxhash64(col("g")).as("h"))
+      val evalH = grams.filter(col("doc_id") % 97 === 0).select("h").distinct()
+      val bloom = evalH.agg(bloom_filter_agg(col("h"), 1 << 14, (1 << 14) * 16L).as("bf"))
+        .head().getAs[Array[Byte]](0)
+      grams.filter(col("doc_id") % 97 =!= 0)
+        .filter(might_contain(lit(bloom), col("h")))
+        .join(broadcast(evalH), "h")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_shared"))
+        .orderBy("doc_id")
+    }),
+
     // intra-document repetition — the standard boilerplate/babble signal
     // of curation rule sets (duplicate-trigram fraction): 1 − distinct/
     // total trigrams. Both counts come from the same codegen'd WordNgrams
@@ -221,6 +327,76 @@ object TextAnalysis {
         |GROUP BY ngram
         |ORDER BY n DESC, ngram ASC
         |LIMIT 50""".stripMargin,
+
+    "t10_chunk_docs" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, text FROM documents WHERE len(text) > 0
+         |), c AS (
+         |  SELECT doc_id, text,
+         |    unnest(range(0, (len(text) - 1) // $ChunkStride + 1)) AS ci
+         |  FROM t
+         |)
+         |SELECT doc_id, ci AS chunk_idx, ci * $ChunkStride AS chunk_start,
+         |  substr(text, ci * $ChunkStride + 1, $ChunkSize) AS chunk_text,
+         |  len(substr(text, ci * $ChunkStride + 1, $ChunkSize)) AS chunk_len
+         |FROM c
+         |ORDER BY doc_id, chunk_idx""".stripMargin,
+
+    "t11_pack_sequences" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, source,
+         |    len(list_filter(string_split(lower(text), ' '), w -> len(w) > 0)) AS n_tokens
+         |  FROM documents
+         |), c AS (
+         |  SELECT doc_id, source, n_tokens,
+         |    CAST(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+         |  FROM t WHERE n_tokens > 0
+         |)
+         |SELECT doc_id, source, n_tokens,
+         |  cum - n_tokens AS start_off,
+         |  (cum - n_tokens) // $SeqBudget AS first_seq,
+         |  (cum - 1) // $SeqBudget AS last_seq,
+         |  (cum - 1) // $SeqBudget - (cum - n_tokens) // $SeqBudget + 1 AS n_seqs
+         |FROM c
+         |ORDER BY doc_id""".stripMargin,
+
+    "t12_pii_redact" -> {
+      // masked text + per-class counts generated from the SAME PiiPatterns
+      // the Spark side folds over — one source of truth for the regexes
+      val masked = PiiPatterns.foldLeft("c_name") { case (acc, (_, pat, tag)) =>
+        s"regexp_replace($acc, '$pat', '$tag', 'g')"
+      }
+      val counts = PiiPatterns.map { case (name, pat, _) =>
+        s"len(regexp_extract_all(c_name, '$pat')) AS n_$name"
+      }.mkString(",\n  ")
+      s"""SELECT c_custkey,
+         |  $masked AS masked_name,
+         |  $counts
+         |FROM customer
+         |ORDER BY c_custkey""".stripMargin
+    },
+
+    // t13 ≡ t07 by construction (bloom prefilter admits a superset — no
+    // false negatives — and the exact verify join removes the false
+    // positives), so the same exact-join oracle gates both
+    "t13_bloom_decontaminate" ->
+      """WITH t AS (
+        |  SELECT doc_id, list_filter(string_split(lower(text), ' '), w -> len(w) > 0) AS w
+        |  FROM documents
+        |), s AS (
+        |  SELECT doc_id,
+        |    unnest(list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]
+        |      for i in range(1, len(w) - 2)])) AS g
+        |  FROM t WHERE len(w) >= 4
+        |), ev AS (
+        |  SELECT DISTINCT g FROM s WHERE doc_id % 97 = 0
+        |)
+        |SELECT s.doc_id, COUNT(*) AS n_shared
+        |FROM s JOIN ev USING (g)
+        |WHERE s.doc_id % 97 <> 0
+        |GROUP BY s.doc_id
+        |ORDER BY doc_id""".stripMargin,
 
     "t07_decontaminate" ->
       """WITH t AS (

@@ -75,6 +75,78 @@ class TextSpec extends SparkSpec {
     assert(got.toSeq === Seq(0, 0, 0, 2))
   }
 
+  test("t10 chunking: stride-aligned prefixes reassemble every document exactly") {
+    import spark.implicits._
+    // the first ChunkStride chars of each chunk, concatenated in order,
+    // must reproduce the original text (overlap = size - stride is the
+    // only redundancy) — the property that makes chunking lossless
+    val rebuilt = TextAnalysis.queries("t10_chunk_docs")(spark, sfDir)
+      .groupBy("doc_id")
+      // collect_list has no order guarantee — sort the structs by chunk_idx
+      .agg(concat_ws("", transform(array_sort(collect_list(struct(col("chunk_idx"), col("chunk_text")))),
+        s => substring(s.getField("chunk_text"), 1, TextAnalysis.ChunkStride))).as("rebuilt"))
+      .select(col("doc_id"), col("rebuilt"))
+    val orig = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+    val diff = rebuilt.join(orig, "doc_id")
+      .filter(col("rebuilt") =!= col("text")).count()
+    assert(diff === 0L)
+    // chunk geometry: every chunk is exactly min(ChunkSize, len - start)
+    // chars — full-width until the text runs out
+    val bad = TextAnalysis.queries("t10_chunk_docs")(spark, sfDir)
+      .join(orig.select(col("doc_id"), length(col("text")).cast("long").as("len")), "doc_id")
+      .filter(col("chunk_len") =!=
+        least(lit(TextAnalysis.ChunkSize.toLong), col("len") - col("chunk_start")))
+      .count()
+    assert(bad === 0L)
+  }
+
+  test("t11 packing: offsets are contiguous per source and sequences cover every token") {
+    val packed = TextAnalysis.queries("t11_pack_sequences")(spark, sfDir).collect()
+    assert(packed.nonEmpty)
+    // group by source, check start_off contiguity in doc_id order
+    packed.groupBy(_.getString(1)).foreach { case (_, rows) =>
+      val ordered = rows.sortBy(_.getLong(0))
+      var expect = 0L
+      ordered.foreach { r =>
+        assert(r.getLong(3) === expect, s"doc ${r.getLong(0)}: start_off ${r.getLong(3)} != $expect")
+        expect += r.getLong(2)
+      }
+    }
+    // a doc spanning k sequences has first_seq + k - 1 = last_seq, and
+    // every doc's span is consistent with its token count and the budget
+    packed.foreach { r =>
+      val (tok, off, first, last, n) =
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))
+      assert(first === off / TextAnalysis.SeqBudget)
+      assert(last === (off + tok - 1) / TextAnalysis.SeqBudget)
+      assert(n === last - first + 1)
+    }
+  }
+
+  test("t12 redaction: masks emails, phones, ids on adversarial inline rows") {
+    import spark.implicits._
+    val rows = Seq(
+      ("reach me at jane.doe+spam@example.co.uk please", "reach me at <EMAIL> please"),
+      ("call +1 (555) 123-4567 now", "call <PHONE> now"),
+      ("id 123456789 and zip 02139", "id <PHONE> and zip <ID>"), // 9-digit run reads as phone-like; 5-digit as id
+      ("no pii here at all", "no pii here at all"),
+      ("a@b.io or 12 cats", "<EMAIL> or 12 cats") // short digit runs survive
+    ).toDF("text", "expected")
+    val got = rows.select(TextAnalysis.redactPii(col("text")).as("m"), col("expected")).collect()
+    got.foreach(r => assert(r.getString(0) === r.getString(1)))
+  }
+
+  test("t13 bloom prefilter: superset of true matches, equal final answer to t07") {
+    // the bloom path must agree with the exact join exactly (no false
+    // negatives, FPs removed by the verify join)
+    val exact = TextAnalysis.queries("t07_decontaminate")(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val bloom = TextAnalysis.queries("t13_bloom_decontaminate")(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(bloom === exact)
+    assert(exact.nonEmpty, "fixture must contain contaminated docs")
+  }
+
   test("t08 mixture sampler: achieved rate tracks each source's target rate") {
     // the oracle pins exact parity; this pins the STATISTICAL claim — the
     // stateless id mix is uniform enough that every source's achieved
