@@ -550,6 +550,21 @@ object Relational {
         ORDER BY g_flag, g_status, flag, status""")
     }),
 
+    // lateral explode with position (the generate/flatten relational op):
+    // part names unnest to (pos, word) pairs — a narrow generate, no
+    // shuffle until the one hash agg on the word key. The position column
+    // exercises ordinal semantics (posexplode ⟷ DuckDB's zipped unnest).
+    "q39_explode_pos" -> ((s, dir) => {
+      Tables.part(s, dir)
+        .select(col("p_partkey"), posexplode(split(col("p_name"), " ")).as(Seq("pos", "word")))
+        .groupBy("word")
+        .agg(count(lit(1)).as("n"),
+          min(col("pos")).cast("long").as("min_pos"),
+          max(col("pos")).cast("long").as("max_pos"),
+          countDistinct(col("p_partkey")).as("n_parts"))
+        .orderBy("word")
+    }),
+
     // ---- approximate / sketch (weaker rows-only driver check; no oracle) ------
     "q27_approx_distinct" -> ((s, dir) => {
       // Percentiles surfaced as three scalar columns (not an array) so the
@@ -867,6 +882,19 @@ object Relational {
         |  FROM orders
         |) WHERE rn <= 3
         |ORDER BY o_orderpriority, rank""".stripMargin,
+
+    "q39_explode_pos" ->
+      """WITH t AS (
+        |  SELECT p_partkey, string_split(p_name, ' ') AS w FROM part
+        |), g AS (
+        |  SELECT p_partkey, unnest(w) AS word, unnest(range(len(w))) AS pos FROM t
+        |)
+        |SELECT word, COUNT(*) AS n,
+        |  MIN(pos) AS min_pos, MAX(pos) AS max_pos,
+        |  COUNT(DISTINCT p_partkey) AS n_parts
+        |FROM g
+        |GROUP BY word
+        |ORDER BY word""".stripMargin,
 
     "q37_full_outer_join" ->
       """WITH y97 AS (

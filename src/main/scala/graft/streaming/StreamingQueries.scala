@@ -194,7 +194,7 @@ object StreamingQueries {
     "s05_synth_source_count" -> ((s, dir) => {
       val agg = Envelope.decoded(synthStream(s)).groupBy()
         .agg(count(lit(1)).as("n"), sum(col("id").cast("long")).as("sum_id"))
-      runToTable(agg, OutputMode.Complete(), statePartitions = Some(8)).orderBy("n")
+      runToTable(agg, OutputMode.Complete(), statePartitions = Some(4)).orderBy("n")
     }),
 
     // A4 on the DSv2 source: per-shard record count + last sequence
@@ -206,7 +206,7 @@ object StreamingQueries {
     "s06_synth_source_shards" -> ((s, dir) => {
       val agg = synthStream(s).groupBy("shard_id")
         .agg(count(lit(1)).as("n"), max(col("sequence_number")).as("last_seq"))
-      runToTable(agg, OutputMode.Complete(), statePartitions = Some(8)).orderBy("shard_id")
+      runToTable(agg, OutputMode.Complete(), statePartitions = Some(4)).orderBy("shard_id")
     })
   )
 
@@ -218,7 +218,7 @@ object StreamingQueries {
     s.readStream.format("graft.sources.EnvelopeSynthSource")
       .option("records", SynthRecords.toString)
       .option("shards", SynthShards.toString)
-      .option("maxRecordsPerBatch", "25000") // 4 micro-batches: multi-batch semantics without per-batch overhead dominating
+      .option("maxRecordsPerBatch", "50000") // 2 micro-batches: multi-batch semantics without per-batch overhead dominating
       .load()
 
   def oracles: Map[String, String] = Map(

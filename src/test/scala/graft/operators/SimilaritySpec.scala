@@ -39,12 +39,12 @@ class SimilaritySpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(ivf.size <= 10 * 5)
     val recall = (brute & ivf).size.toDouble / brute.size
-    info(s"IVF recall@5 = $recall (nprobe=4 of 10 cells)")
-    // near-uniform synthetic embeddings are the IVF worst case; the spec
-    // pins the mechanism (cells partition the corpus, probing works), not
-    // a production recall target — e03 (multi-table LSH) is the scale path
-    // tuned for this corpus.
-    assert(recall >= 0.4, s"IVF recall $recall below 0.4")
+    info(s"IVF recall@5 = $recall (nprobe=4 of 10 cells, index multi-assign 2)")
+    // near-uniform synthetic embeddings are the IVF worst case; top-2
+    // index multi-assignment ("spill") lifted measured recall 0.6 → 0.9
+    // here. Floor at 0.7 to pin the mechanism incl. the spill without
+    // chasing the last decimal of a worst-case corpus.
+    assert(recall >= 0.7, s"IVF recall $recall below 0.7")
   }
 
   test("e01 top pairs are symmetric-consistent and sorted by similarity") {
