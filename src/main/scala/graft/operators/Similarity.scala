@@ -246,6 +246,43 @@ object Similarity {
         .orderBy("qid", "rn")
     }),
 
+    // one Lloyd iteration of k-means — the clustering step a curation
+    // pipeline runs for topic balancing / IVF index training: assign every
+    // vector to its nearest current centroid (the e05 label centroids as
+    // init), then recompute centroids over the NEW assignment. Centroids
+    // are tiny and broadcast; assignment is a scan; the recompute is one
+    // (cluster, dim)-keyed agg with order-pinned sequential sums, so both
+    // the assignment argmax and the new centroid doubles are
+    // bit-reproducible — the whole iteration is under the exact oracle.
+    // Iterating to convergence = rerunning this step (driver loop, same
+    // shape as d07); one step is the verifiable unit.
+    "e08_kmeans_step" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val cents = centroidComponents(e)
+        .groupBy("label")
+        .agg(transform(sort_array(collect_list(struct(col("dim"), col("c")))), s => s.getField("c"))
+          .cast("array<float>").as("centroid"))
+        .select(col("label").as("cell"), col("centroid"))
+      val wAssign = Window.partitionBy("vec_id").orderBy(col("ccos").desc, col("cell").asc)
+      val assigned = e.join(broadcast(cents))
+        .select(col("vec_id"), col("embedding"), col("cell"),
+          cosine_similarity(col("embedding"), col("centroid")).as("ccos"))
+        .withColumn("rn", row_number().over(wAssign))
+        .filter(col("rn") === 1)
+        .select(col("vec_id"), col("embedding"), col("cell"))
+      assigned
+        .select(col("cell"), col("vec_id"), posexplode(col("embedding")).as(Seq("dim", "v")))
+        .groupBy("cell", "dim")
+        .agg(
+          sort_array(collect_list(struct(col("vec_id"), col("v").cast("double").as("v")))).as("vals"),
+          count(lit(1)).as("n"))
+        .select(col("cell").cast("long").as("cluster"), col("dim").cast("long").as("dim"),
+          (aggregate(col("vals"), lit(0.0), (acc, x) => acc + x.getField("v")) / col("n"))
+            .as("centroid_new"),
+          col("n").as("n_members"))
+        .orderBy("cluster", "dim")
+    }),
+
     // int8 vector quantization — the embedding-compression step an ANN
     // serving layer runs (4× smaller vectors, SIMD-friendly dot products).
     // Per-vector symmetric scheme: scale = 127 / max|x|, q_d = ⌊x_d·127 /
@@ -347,6 +384,42 @@ object Similarity {
         |  CAST(list_max(q) AS BIGINT) AS q_max
         |FROM m
         |ORDER BY vec_id""".stripMargin,
+
+    // the init centroids replicate e05's order-pinned doubles, get the
+    // same float32 cast Spark's array<float> applies, and the assignment
+    // cosine widens float elements to double exactly like CosineSimilarity
+    "e08_kmeans_step" ->
+      """WITH x AS (
+        |  SELECT label, vec_id,
+        |    unnest([{'d': i - 1, 'v': embedding[i]::DOUBLE} for i in range(1, len(embedding) + 1)]) AS u
+        |  FROM embeddings
+        |), cd AS (
+        |  SELECT label, u.d AS dim, list_sum(list(u.v ORDER BY vec_id)) / COUNT(*) AS c
+        |  FROM x GROUP BY label, u.d
+        |), cent AS (
+        |  SELECT label AS cell, list_transform(list(c ORDER BY dim), v -> v::FLOAT) AS ce
+        |  FROM cd GROUP BY label
+        |), scored AS (
+        |  SELECT e.vec_id, e.embedding, c.cell,
+        |    list_sum([e.embedding[i]::DOUBLE * c.ce[i]::DOUBLE for i in range(1, len(e.embedding) + 1)])
+        |    / sqrt(list_sum([e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE for i in range(1, len(e.embedding) + 1)]))
+        |    / sqrt(list_sum([c.ce[i]::DOUBLE * c.ce[i]::DOUBLE for i in range(1, len(c.ce) + 1)])) AS ccos
+        |  FROM embeddings e, cent c
+        |), assigned AS (
+        |  SELECT vec_id, embedding, cell FROM (
+        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cell ASC) AS rn
+        |    FROM scored
+        |  ) WHERE rn = 1
+        |), y AS (
+        |  SELECT cell, vec_id,
+        |    unnest([{'d': i - 1, 'v': embedding[i]::DOUBLE} for i in range(1, len(embedding) + 1)]) AS u
+        |  FROM assigned
+        |)
+        |SELECT CAST(cell AS BIGINT) AS cluster, CAST(u.d AS BIGINT) AS dim,
+        |  list_sum(list(u.v ORDER BY vec_id)) / COUNT(*) AS centroid_new,
+        |  COUNT(*) AS n_members
+        |FROM y GROUP BY cell, u.d
+        |ORDER BY cluster, dim""".stripMargin,
 
     "e05_label_centroids" ->
       """WITH x AS (

@@ -100,6 +100,27 @@ object StreamingQueries {
       runToTable(agg, OutputMode.Complete()).orderBy("win_start", "event_type")
     }),
 
+    // watermark FINALIZATION in append mode — the semantic complete-mode
+    // s02 cannot show: a window row is emitted exactly once, and only
+    // after the event-time watermark (max ts − 30 min) passes its end.
+    // With AvailableNow the final no-data micro-batch flushes every
+    // window the terminal watermark closed, so the emitted set is
+    // deterministic: windows with end ≤ max(ts) − 30 min — which is what
+    // the oracle states in closed form. Windows still open at shutdown
+    // (the last half hour of data) are correctly ABSENT: that
+    // at-most-the-watermark emission contract is the exactly-once story
+    // a downstream consumer relies on.
+    "s09_stream_append_finalized" -> ((s, dir) => {
+      val agg = eventsStream(s, dir)
+        .withWatermark("ts", "30 minutes")
+        .groupBy(window(col("ts"), "1 hour").as("win"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(date_format(col("win.start"), "yyyy-MM-dd HH:mm:ss").as("win_start"),
+          col("event_type"), col("n"))
+      runToTable(agg, OutputMode.Append(), statePartitions = Some(8))
+        .orderBy("win_start", "event_type")
+    }),
+
     // streaming dedup (C5's exactly-once upgrade path): distinct
     // (user_id, event_type) pairs via dropDuplicates state, append mode.
     "s03_stream_dedup" -> ((s, dir) => {
@@ -230,6 +251,20 @@ object StreamingQueries {
         |  CAST(SUM(CAST("value" AS DECIMAL(38,6))) AS DOUBLE) AS sum_value
         |FROM events
         |GROUP BY 1, 2
+        |ORDER BY win_start, event_type""".stripMargin,
+
+    // closed-form watermark: only windows whose end the terminal
+    // watermark (max ts − 30 min) passed are finalized and emitted
+    "s09_stream_append_finalized" ->
+      """WITH m AS (
+        |  SELECT max(ts) - INTERVAL 30 MINUTE AS wm FROM events
+        |), w AS (
+        |  SELECT date_trunc('hour', ts) AS ws, event_type, COUNT(*) AS n
+        |  FROM events GROUP BY 1, 2
+        |)
+        |SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS win_start, event_type, n
+        |FROM w, m
+        |WHERE ws + INTERVAL 1 HOUR <= wm
         |ORDER BY win_start, event_type""".stripMargin,
 
     "s03_stream_dedup" ->

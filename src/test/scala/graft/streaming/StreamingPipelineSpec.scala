@@ -110,6 +110,26 @@ class StreamingPipelineSpec extends SparkSpec {
     assert(got.toSeq === (500L to 1000L).toSeq, "join = overlap of the two key ranges")
   }
 
+  test("s09 append emission is the finalized prefix of the complete-mode answer") {
+    // append mode must emit a SUBSET of complete mode's windows — exactly
+    // those the terminal watermark (max ts − 30 min) closed; the withheld
+    // tail is exactly the windows still open at shutdown
+    val complete = StreamingQueries.queries("s02_stream_tumbling")(spark, sfDir)
+      .select("win_start", "event_type", "n")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val append = StreamingQueries.queries("s09_stream_append_finalized")(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(append.nonEmpty && append.size < complete.size,
+      s"append (${append.size}) should finalize strictly fewer windows than complete (${complete.size})")
+    append.foreach { case (k, n) =>
+      assert(complete.get(k).contains(n), s"window $k: append count $n disagrees with complete")
+    }
+    val withheldStarts = (complete.keySet -- append.keySet).map(_._1)
+    val latestFinalized = append.keySet.map(_._1).max
+    withheldStarts.foreach(ws => assert(ws > latestFinalized,
+      s"withheld window $ws is older than an emitted one — not a watermark tail"))
+  }
+
   test("stream limit: listener stops the query once >= N records are ingested") {
     val dir = tmp("graft-limit")
     val n = 5000L
