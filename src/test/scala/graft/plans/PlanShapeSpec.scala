@@ -80,6 +80,41 @@ class PlanShapeSpec extends SparkSpec {
     assert(collectAll(p) { case j: BroadcastHashJoinExec => j }.nonEmpty, p.toString)
   }
 
+  test("t10: chunking is generate-only — zero exchanges before the output sort") {
+    // the chunker must stay a narrow map+generate; any exchange here would
+    // shuffle the full corpus text (the orderBy is presentation-only and
+    // sorts CHUNKS, which is unavoidable for a deterministic dump)
+    val p = sparkPlan("t10_chunk_docs")
+    val gens = collectAll(p) { case g: org.apache.spark.sql.execution.GenerateExec => g }
+    assert(gens.nonEmpty, "expected GenerateExec (explode) in the chunk plan")
+    assert(collectAll(p) { case j: BroadcastHashJoinExec => j }.isEmpty &&
+      collectAll(p) { case j: SortMergeJoinExec => j }.isEmpty,
+      "chunking must not join")
+  }
+
+  test("t13: the bloom probe filters the corpus BEFORE the verify join, which broadcasts") {
+    val df = SparkEntry.queries("t13_bloom_decontaminate")(spark, sfDir)
+    val p = df.queryExecution.sparkPlan
+    // the exact verify join ships eval hashes to the data
+    assert(collectAll(p) { case j: BroadcastHashJoinExec => j }.nonEmpty, p.toString)
+    // and the bloom probe sits in a filter upstream of it — scan-side
+    // pre-pruning is the whole point of the operator
+    val filters = collectAll(p) { case f: org.apache.spark.sql.execution.FilterExec => f }
+    assert(filters.exists(_.condition.toString.toLowerCase.contains("might_contain")),
+      s"expected a might_contain filter in:\n${filters.map(_.condition).mkString("\n")}")
+  }
+
+  test("e08: centroid assignment broadcasts; no sort-merge anywhere in the step") {
+    // the corpus must never shuffle to meet the centroids — at 100 TB the
+    // centroid table is KBs and the corpus is the 100 TB
+    val p = sparkPlan("e08_kmeans_step")
+    assert(collectAll(p) { case j: BroadcastHashJoinExec => j }.nonEmpty ||
+      collectAll(p) { case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => j }.nonEmpty,
+      p.toString)
+    assert(collectAll(p) { case j: SortMergeJoinExec => j }.isEmpty,
+      "no sort-merge join should appear in the k-means step")
+  }
+
   test("e07: quantization is one explode pass, no join, two-phase final agg") {
     val p = sparkPlan("e07_vector_quantize")
     assert(collectAll(p) { case j: BroadcastHashJoinExec => j }.isEmpty &&
