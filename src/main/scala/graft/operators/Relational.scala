@@ -565,6 +565,23 @@ object Relational {
         .orderBy("word")
     }),
 
+    // EXACT percentiles (q27's approx_percentile is the sketch; this is
+    // the ground truth a sketch is validated against). Spark's percentile
+    // is a full-sort-per-group aggregate — correct but memory-bound by
+    // the widest group, which is why the approx variant exists for 100 TB;
+    // both belong in the library. Interpolated values over integer
+    // l_quantity are exact binary fractions, so DuckDB's quantile_cont
+    // matches bit-for-bit.
+    "q40_exact_percentiles" -> ((s, dir) => {
+      Tables.lineitem(s, dir)
+        .groupBy("l_returnflag")
+        .agg(expr("percentile(l_quantity, 0.25)").as("q25"),
+          expr("percentile(l_quantity, 0.5)").as("median"),
+          expr("percentile(l_quantity, 0.75)").as("q75"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag")
+    }),
+
     // ---- approximate / sketch (weaker rows-only driver check; no oracle) ------
     "q27_approx_distinct" -> ((s, dir) => {
       // Percentiles surfaced as three scalar columns (not an array) so the
@@ -882,6 +899,16 @@ object Relational {
         |  FROM orders
         |) WHERE rn <= 3
         |ORDER BY o_orderpriority, rank""".stripMargin,
+
+    "q40_exact_percentiles" ->
+      """SELECT l_returnflag,
+        |  quantile_cont(l_quantity, 0.25) AS q25,
+        |  quantile_cont(l_quantity, 0.5) AS median,
+        |  quantile_cont(l_quantity, 0.75) AS q75,
+        |  COUNT(*) AS n
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
 
     "q39_explode_pos" ->
       """WITH t AS (

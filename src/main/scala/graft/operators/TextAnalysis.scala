@@ -229,6 +229,29 @@ object TextAnalysis {
         .orderBy("doc_id")
     }),
 
+    // corpus-frequency fluency signal: score each document by how rare
+    // its tokens are corpus-wide (the integer-exact cousin of a unigram
+    // LM perplexity — rare-token ratio flags gibberish/OCR noise, a
+    // standard curation rule). Two shuffles: the corpus unigram count
+    // (distinct tokens only, map-side combined) and the token→freq
+    // join-back keyed by token; at 100 TB the unigram table is the thing
+    // you'd broadcast — integer sums keep the whole query hash-exact.
+    "t14_rare_token_ratio" -> ((s, dir) => {
+      val rareBelow = 20L
+      val toks = Tables.documents(s, dir)
+        .select(col("doc_id"),
+          explode(filter(split(lower(col("text")), " "), w => length(w) > 0)).as("tok"))
+      val freq = toks.groupBy("tok").agg(count(lit(1)).as("cf"))
+      toks.join(freq, "tok")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tokens"),
+          sum(col("cf")).as("cf_sum"),
+          count(when(col("cf") < rareBelow, 1)).as("n_rare"))
+        .select(col("doc_id"), col("n_tokens"), col("cf_sum"), col("n_rare"),
+          (col("n_rare").cast("double") / col("n_tokens").cast("double")).as("rare_ratio"))
+        .orderBy("doc_id")
+    }),
+
     // intra-document repetition — the standard boilerplate/babble signal
     // of curation rule sets (duplicate-trigram fraction): 1 − distinct/
     // total trigrams. Both counts come from the same codegen'd WordNgrams
@@ -396,6 +419,22 @@ object TextAnalysis {
         |FROM s JOIN ev USING (g)
         |WHERE s.doc_id % 97 <> 0
         |GROUP BY s.doc_id
+        |ORDER BY doc_id""".stripMargin,
+
+    "t14_rare_token_ratio" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(list_filter(string_split(lower(text), ' '), w -> len(w) > 0)) AS tok
+        |  FROM documents
+        |), freq AS (
+        |  SELECT tok, COUNT(*) AS cf FROM toks GROUP BY tok
+        |)
+        |SELECT t.doc_id, COUNT(*) AS n_tokens,
+        |  CAST(SUM(f.cf) AS BIGINT) AS cf_sum,
+        |  COUNT(CASE WHEN f.cf < 20 THEN 1 END) AS n_rare,
+        |  CAST(COUNT(CASE WHEN f.cf < 20 THEN 1 END) AS DOUBLE)
+        |    / CAST(COUNT(*) AS DOUBLE) AS rare_ratio
+        |FROM toks t JOIN freq f USING (tok)
+        |GROUP BY t.doc_id
         |ORDER BY doc_id""".stripMargin,
 
     "t07_decontaminate" ->

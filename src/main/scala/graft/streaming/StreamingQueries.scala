@@ -100,6 +100,23 @@ object StreamingQueries {
       runToTable(agg, OutputMode.Complete()).orderBy("win_start", "event_type")
     }),
 
+    // stream-STATIC enrichment — the most common production streaming
+    // join: each micro-batch joins a broadcast dimension (stateless — no
+    // state store, no watermark needed), then aggregates. At scale the
+    // dimension re-broadcasts per batch and the stream side never
+    // shuffles for the join; output = plain batch join answer, so the
+    // oracle is ordinary SQL.
+    "s10_stream_static_enrich" -> ((s, dir) => {
+      val cust = Tables.customer(s, dir).select(col("c_custkey"), col("c_mktsegment"))
+      val agg = eventsStream(s, dir)
+        .join(broadcast(cust), col("user_id") === col("c_custkey"))
+        .groupBy("c_mktsegment", "event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(38,6)")).cast("double").as("sum_value"))
+      runToTable(agg, OutputMode.Complete(), statePartitions = Some(8))
+        .orderBy("c_mktsegment", "event_type")
+    }),
+
     // watermark FINALIZATION in append mode — the semantic complete-mode
     // s02 cannot show: a window row is emitted exactly once, and only
     // after the event-time watermark (max ts − 30 min) passes its end.
@@ -252,6 +269,13 @@ object StreamingQueries {
         |FROM events
         |GROUP BY 1, 2
         |ORDER BY win_start, event_type""".stripMargin,
+
+    "s10_stream_static_enrich" ->
+      """SELECT c_mktsegment, event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST("value" AS DECIMAL(38,6))) AS DOUBLE) AS sum_value
+        |FROM events JOIN customer ON user_id = c_custkey
+        |GROUP BY c_mktsegment, event_type
+        |ORDER BY c_mktsegment, event_type""".stripMargin,
 
     // closed-form watermark: only windows whose end the terminal
     // watermark (max ts − 30 min) passed are finalized and emitted
