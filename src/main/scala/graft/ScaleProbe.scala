@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** sf1-equivalent probe for the scale-path queries.
+  *
+  * The driver ships sf ≤ 0.1; the LSH/banded paths claim sub-linear growth
+  * precisely where their brute counterparts stop being runnable, so this
+  * main manufactures a 10× corpus (50 k docs / 50 k vectors ≈ sf1) from
+  * sf0.1 and times the scale paths on it:
+  *
+  *  - documents ×F: every word of replica r > 0 is suffixed with r, so
+  *    replicas share no shingles — the corpus is F independent copies and
+  *    the expected near-dup structure (pairs, clusters) is exactly F× the
+  *    original, making "time grows ~F×, not F²×" a checkable claim.
+  *  - embeddings ×F: replica r's vector is the original rotated by r
+  *    positions — norm-preserving, and rotations of these near-uniform
+  *    vectors decorrelate, so replicas are background noise to each
+  *    other, not a wall of cos≈1 duplicates that would inflate every LSH
+  *    bucket by F.
+  *
+  * Replica ids offset by 10 M so id-derived salts/splits stay disjoint.
+  * Output: one line per query, warm-pass timing (same protocol as Bench).
+  * Results are recorded in SCALING.md §"sf1 probe".
+  */
+object ScaleProbe {
+
+  private def scaledDocs(s: SparkSession, dir: String, factor: Int): DataFrame = {
+    val base = Tables.documents(s, dir)
+    val reps = (0 until factor).map { r =>
+      if (r == 0) base
+      else base.select(
+        (col("doc_id") + lit(r * 10000000L)).as("doc_id"),
+        concat_ws(" ", transform(split(col("text"), " "), w => concat(w, lit(r.toString)))).as("text"),
+        col("lang"), col("source"), col("n_chars"))
+    }
+    reps.reduce(_ unionByName _)
+  }
+
+  private def scaledEmbeddings(s: SparkSession, dir: String, factor: Int): DataFrame = {
+    val base = Tables.embeddings(s, dir)
+    val reps = (0 until factor).map { r =>
+      if (r == 0) base
+      else base.select(
+        (col("vec_id") + lit(r * 10000000L)).as("vec_id"),
+        concat(slice(col("embedding"), r + 1, 64 - r), slice(col("embedding"), 1, r)).as("embedding"),
+        col("label"))
+    }
+    reps.reduce(_ unionByName _)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val srcDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
+    val outDir = if (args.length > 1) args(1) else "/tmp/graft_scale"
+    val factor = if (args.length > 2) args(2).toInt else 10
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    scaledDocs(spark, srcDir, factor).repartition(32)
+      .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
+    scaledEmbeddings(spark, srcDir, factor).repartition(32)
+      .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
+    println(s"[probe] built ${factor}x corpus at $outDir")
+
+    val probes = Seq(
+      "d03_minhash_lsh", "d07_dup_clusters", "t07_decontaminate",
+      "t13_bloom_decontaminate", "t10_chunk_docs", "t11_pack_sequences",
+      "t14_rare_token_ratio", "e03_ann_lsh", "e04b_embedding_nn_dedup_lsh",
+      "e01b_cosine_pairs_topk_lsh", "e08_kmeans_step", "p01_curation_pipeline")
+    // warm pass (JIT + codegen + parquet footers), then the timed pass
+    for (pass <- Seq("warm", "timed"); name <- probes) {
+      val t0 = System.nanoTime()
+      val ok =
+        try { SparkEntry.queries(name)(spark, outDir).write.format("noop").mode("overwrite").save(); true }
+        catch { case e: Throwable => println(s"[probe] $name FAILED: ${e.getMessage}"); false }
+      if (pass == "timed" && ok)
+        println(f"[probe] $name: ${(System.nanoTime() - t0) / 1e9}%.2f s at ${factor}x")
+    }
+    spark.stop()
+  }
+}
