@@ -44,6 +44,18 @@ class FormatRoundTripSpec extends SparkSpec {
     assert(fingerprint(back) === fingerprint(sample))
   }
 
+  test("orc round-trip with explicit schema preserves values and pushes filters") {
+    val dir = tmp("graft-orc")
+    sample.write.mode("overwrite").orc(dir)
+    val back = spark.read.schema(schema).orc(dir)
+    assert(fingerprint(back) === fingerprint(sample))
+    val filtered = back.filter(col("o_totalprice") > 100000)
+    val scan = filtered.queryExecution.sparkPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.head
+    assert(scan.metadata("PushedFilters").contains("GreaterThan(o_totalprice,100000.0)"))
+  }
+
   test("zstd parquet round-trip preserves values and keeps pushdown") {
     val dir = tmp("graft-zstd")
     sample.write.mode("overwrite").option("compression", "zstd").parquet(dir)
