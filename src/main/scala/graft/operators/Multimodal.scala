@@ -31,6 +31,13 @@ object Multimodal {
   case class Blob(doc_id: Long, payload: Array[Byte])
   case class BlobStats(doc_id: Long, n_bytes: Long, byte_sum: Long)
   case class BlobFeature(doc_id: Long, bin: Int, n: Long)
+  case class FrameSample(doc_id: Long, n_frames: Long, n_sampled: Long, probe_sum: Long)
+
+  /** m05 frame grid: a "frame" every `FrameStride` bytes; sample every
+    * `SampleEvery`-th frame.
+    */
+  val FrameStride = 64
+  val SampleEvery = 3
   case class Decoded(
       doc_id: Long, n_bytes: Long,
       width: Int, height: Int, n_channels: Int,
@@ -110,6 +117,33 @@ object Multimodal {
         .orderBy("doc_id")
     }),
 
+    // frame sampling over the real byte grid — the video-style access
+    // pattern (decode only every k-th frame): a fixed stride imposes a
+    // frame grid on the payload, every 3rd frame is probed, and the probe
+    // reads one real byte per sampled frame. Unlike m02's stubbed decode
+    // this is exact byte math end to end, so the whole sampling path is
+    // oracle-checked. Same batched narrow map — no shuffle, scan-linear.
+    "m05_frame_sample" -> ((s, dir) => {
+      val blobs = Tables.documents(s, dir)
+        .select(col("doc_id"), col("text").cast("binary").as("payload"))
+        .as(Encoders.product[Blob])
+      blobs.mapPartitions { it =>
+        it.grouped(DecodeBatchSize).flatMap { batch =>
+          batch.map { b =>
+            val nf = (b.payload.length + FrameStride - 1) / FrameStride
+            var ns = 0L; var sum = 0L; var fi = 0
+            while (fi < nf) {
+              if (fi % SampleEvery == 0) { ns += 1; sum += (b.payload(fi * FrameStride) & 0xFF) }
+              fi += 1
+            }
+            FrameSample(b.doc_id, nf.toLong, ns, sum)
+          }
+        }
+      }(Encoders.product[FrameSample])
+        .toDF()
+        .orderBy("doc_id")
+    }),
+
     // full stubbed decode: metadata struct + frame sampling offsets. The
     // decode values are fake (see fakeDecode) → no SQL oracle; schema,
     // batching, and determinism are asserted in MultimodalSpec.
@@ -158,6 +192,23 @@ object Multimodal {
         |  CAST(list_sum([ascii(text[i]) for i in range(1, len(text)+1)]) AS BIGINT) AS byte_sum
         |FROM documents
         |ORDER BY doc_id""".stripMargin,
+
+    // same ASCII-fixture precondition as m01 (chars ⇔ bytes); the probe
+    // byte at frame offset o is text[o+1] in DuckDB's 1-based indexing
+    "m05_frame_sample" ->
+      s"""WITH f AS (
+         |  SELECT doc_id, text,
+         |    unnest(range(0, (strlen(text) + ${FrameStride - 1}) // $FrameStride)) AS fi
+         |  FROM documents
+         |)
+         |SELECT doc_id,
+         |  COUNT(*) AS n_frames,
+         |  COUNT(CASE WHEN fi % $SampleEvery = 0 THEN 1 END) AS n_sampled,
+         |  CAST(SUM(CASE WHEN fi % $SampleEvery = 0
+         |    THEN ascii(text[(fi * $FrameStride + 1)::INT]) ELSE 0 END) AS BIGINT) AS probe_sum
+         |FROM f
+         |GROUP BY doc_id
+         |ORDER BY doc_id""".stripMargin,
 
     // same ASCII-fixture precondition as m01 (chars ⇔ bytes)
     "m04_feature_extract" ->
