@@ -54,6 +54,10 @@ object ScaleProbe {
     val srcDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
     val outDir = if (args.length > 1) args(1) else "/tmp/graft_scale"
     val factor = if (args.length > 2) args(2).toInt else 10
+    // rotation r of a 64-dim vector is distinct only for r in 1..63 — at
+    // r = 64 it is the identity (cos = 1 duplicates, the exact failure
+    // mode the rotation exists to avoid) and beyond that slice() breaks
+    require(factor >= 1 && factor <= 64, s"factor must be in [1, 64], got $factor")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

@@ -24,7 +24,9 @@ object GraftFunctions {
 
   private def intArg(name: String, e: Expression): Int = e match {
     case Literal(v: Int, _) => v
-    case Literal(v: Long, _) => v.toInt
+    case Literal(v: Long, _) if v.isValidInt => v.toInt
+    case Literal(v: Long, _) => throw new IllegalArgumentException(
+      s"$name parameter $v out of Int range") // silent truncation would diverge from the DSL
     case other => throw new IllegalArgumentException(
       s"$name expects a literal integer parameter, got: $other")
   }
@@ -70,9 +72,6 @@ object GraftFunctions {
       case args => throw new IllegalArgumentException(
         s"hyperplane_lsh_multi(emb, bits, tables, dim) got ${args.length} args")
     })
-
-  private def info(name: String): ExpressionInfo =
-    new ExpressionInfo("graft.functions", name)
 
   /** Register every function on an already-built session. */
   def register(spark: SparkSession): Unit =

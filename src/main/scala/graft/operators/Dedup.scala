@@ -151,10 +151,12 @@ object Dedup {
         converged = changed == 0
         rounds += 1
       }
-      if (!converged)
+      if (!converged) {
+        labels.unpersist() // don't leak the final round's cache on the error path
         throw new IllegalStateException(
           s"connectedComponents hit the $maxRounds-round cap without converging: " +
             "component diameter exceeds the cap; emitting partial labels would be wrong")
+      }
       // materialize the result off the cached lineage (localCheckpoint) so
       // the final round's persisted frame can be released HERE — otherwise
       // every invocation leaks one cached dataset for the session lifetime

@@ -124,7 +124,11 @@ object Multimodal {
     // this is exact byte math end to end, so the whole sampling path is
     // oracle-checked. Same batched narrow map — no shuffle, scan-linear.
     "m05_frame_sample" -> ((s, dir) => {
+      // empty payloads are excluded on BOTH sides: a zero-byte blob has no
+      // frame grid, and the oracle's unnest(range(0,0)) would drop the doc
+      // while an unguarded Spark side emitted a zero row
       val blobs = Tables.documents(s, dir)
+        .filter(length(col("text")) > 0)
         .select(col("doc_id"), col("text").cast("binary").as("payload"))
         .as(Encoders.product[Blob])
       blobs.mapPartitions { it =>
@@ -199,7 +203,7 @@ object Multimodal {
       s"""WITH f AS (
          |  SELECT doc_id, text,
          |    unnest(range(0, (strlen(text) + ${FrameStride - 1}) // $FrameStride)) AS fi
-         |  FROM documents
+         |  FROM documents WHERE strlen(text) > 0
          |)
          |SELECT doc_id,
          |  COUNT(*) AS n_frames,

@@ -24,6 +24,9 @@ object TextAnalysis {
   /** t11: training-sequence token budget. */
   val SeqBudget = 512
 
+  /** t14: corpus-frequency threshold below which a token counts as rare. */
+  val RareBelow = 20L
+
   /** t12: PII classes, applied in order (earlier classes consume their
     * matches before later, broader ones run). Patterns stay inside the
     * regex subset Java and RE2 share, so the DuckDB oracle runs them
@@ -237,7 +240,6 @@ object TextAnalysis {
     // join-back keyed by token; at 100 TB the unigram table is the thing
     // you'd broadcast — integer sums keep the whole query hash-exact.
     "t14_rare_token_ratio" -> ((s, dir) => {
-      val rareBelow = 20L
       val toks = Tables.documents(s, dir)
         .select(col("doc_id"),
           explode(filter(split(lower(col("text")), " "), w => length(w) > 0)).as("tok"))
@@ -246,7 +248,7 @@ object TextAnalysis {
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_tokens"),
           sum(col("cf")).as("cf_sum"),
-          count(when(col("cf") < rareBelow, 1)).as("n_rare"))
+          count(when(col("cf") < RareBelow, 1)).as("n_rare"))
         .select(col("doc_id"), col("n_tokens"), col("cf_sum"), col("n_rare"),
           (col("n_rare").cast("double") / col("n_tokens").cast("double")).as("rare_ratio"))
         .orderBy("doc_id")
@@ -422,20 +424,20 @@ object TextAnalysis {
         |ORDER BY doc_id""".stripMargin,
 
     "t14_rare_token_ratio" ->
-      """WITH toks AS (
-        |  SELECT doc_id, unnest(list_filter(string_split(lower(text), ' '), w -> len(w) > 0)) AS tok
-        |  FROM documents
-        |), freq AS (
-        |  SELECT tok, COUNT(*) AS cf FROM toks GROUP BY tok
-        |)
-        |SELECT t.doc_id, COUNT(*) AS n_tokens,
-        |  CAST(SUM(f.cf) AS BIGINT) AS cf_sum,
-        |  COUNT(CASE WHEN f.cf < 20 THEN 1 END) AS n_rare,
-        |  CAST(COUNT(CASE WHEN f.cf < 20 THEN 1 END) AS DOUBLE)
-        |    / CAST(COUNT(*) AS DOUBLE) AS rare_ratio
-        |FROM toks t JOIN freq f USING (tok)
-        |GROUP BY t.doc_id
-        |ORDER BY doc_id""".stripMargin,
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest(list_filter(string_split(lower(text), ' '), w -> len(w) > 0)) AS tok
+         |  FROM documents
+         |), freq AS (
+         |  SELECT tok, COUNT(*) AS cf FROM toks GROUP BY tok
+         |)
+         |SELECT t.doc_id, COUNT(*) AS n_tokens,
+         |  CAST(SUM(f.cf) AS BIGINT) AS cf_sum,
+         |  COUNT(CASE WHEN f.cf < $RareBelow THEN 1 END) AS n_rare,
+         |  CAST(COUNT(CASE WHEN f.cf < $RareBelow THEN 1 END) AS DOUBLE)
+         |    / CAST(COUNT(*) AS DOUBLE) AS rare_ratio
+         |FROM toks t JOIN freq f USING (tok)
+         |GROUP BY t.doc_id
+         |ORDER BY doc_id""".stripMargin,
 
     "t07_decontaminate" ->
       """WITH t AS (
