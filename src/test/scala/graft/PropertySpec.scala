@@ -72,6 +72,58 @@ class PropertySpec extends SparkSpec {
     assert(n1 === n2)
   }
 
+  test("PII redaction is idempotent: redact(redact(x)) == redact(x)") {
+    import spark.implicits._
+    import graft.operators.TextAnalysis.redactPii
+    // replacement tags contain no digits or '@', so a second pass can
+    // never find new matches — crafted adjacency cases plus random noise
+    val crafted = Seq(
+      "a@b.io next to 123456789 and +1 (555) 123-4567",
+      "1234567890abc123456 and x12y", // two runs replaced in ONE pass, juxtaposed tags
+      "<ID>123<ID>", "edge@case.com@twice.org", "")
+    val noisy = samples(Gen.listOf(Gen.oneOf(
+      "word", "1", "12", "123", "@", "a@b.cd", "555-123-4567", "(", ")", "-", " ")).map(_.mkString(" ")), 60)
+    val df = (crafted ++ noisy).toDF("t")
+      .select(redactPii(col("t")).as("once"))
+      .select(col("once"), redactPii(col("once")).as("twice"))
+    df.collect().foreach(r => assert(r.getString(0) === r.getString(1),
+      s"not idempotent: '${r.getString(0)}' -> '${r.getString(1)}'"))
+  }
+
+  test("t11 packing law: per source, sequences exactly tile the token stream") {
+    import graft.operators.TextAnalysis
+    val rows = TextAnalysis.queries("t11_pack_sequences")(spark, sfDir).collect()
+    rows.groupBy(_.getString(1)).foreach { case (_, rs) =>
+      val total = rs.map(_.getLong(2)).sum
+      val maxLast = rs.map(_.getLong(5)).max
+      assert(maxLast === (total - 1) / TextAnalysis.SeqBudget,
+        "the last sequence index must equal ceil(total/B) - 1 — no gaps, no overrun")
+    }
+  }
+
+  test("t10 chunk-count law: n_chunks == (len - 1) div stride + 1") {
+    import graft.operators.TextAnalysis
+    val counts = TextAnalysis.queries("t10_chunk_docs")(spark, sfDir)
+      .groupBy("doc_id").count()
+    val lens = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), length(col("text")).cast("long").as("len"))
+    val bad = counts.join(lens, "doc_id")
+      .filter(col("count") =!= (col("len") - 1).divide(TextAnalysis.ChunkStride).cast("long") + 1)
+      .count()
+    assert(bad === 0L)
+  }
+
+  test("bloom filter: no false negatives over random key sets") {
+    import spark.implicits._
+    import graft.functions.HashingFunctions.{bloom_filter_agg, might_contain}
+    val keys = Gen.listOfN(5000, Gen.chooseNum(Long.MinValue, Long.MaxValue)).sample.get.distinct
+    val df = keys.toDF("k")
+    val bloom = df.agg(bloom_filter_agg(col("k"), 8192L, 8192L * 16).as("bf"))
+      .head().getAs[Array[Byte]](0)
+    val hits = df.filter(might_contain(lit(bloom), col("k"))).count()
+    assert(hits === keys.length.toLong, "every inserted key must probe positive")
+  }
+
   test("jaccard symmetry and unit self-similarity on corpus pairs") {
     import graft.functions.TextFunctions._
     val d = Tables.documents(spark, sfDir).limit(20)
