@@ -1,0 +1,35 @@
+package graft.plans
+
+import graft.{SparkEntry, SparkSpec}
+
+/** SCALING.md's "determinism across partitionings" claim, machine-checked:
+  * re-running a query with a different shuffle-partition count must give a
+  * BIT-IDENTICAL result — the property that makes answers stable when the
+  * cluster size changes (and what makes the DuckDB oracle exact). The
+  * queries chosen are the ones where naive formulations break it: float
+  * aggregation order (q01 decimal pass-through, e05/e08 order-pinned
+  * sums), multi-stage LSH candidate generation (d03), and a composed
+  * pipeline (p01).
+  */
+class PartitionInvarianceSpec extends SparkSpec {
+
+  private val Probes = Seq(
+    "q01_agg_pricing_summary", "e05_label_centroids", "e08_kmeans_step",
+    "d03_minhash_lsh", "p01_curation_pipeline", "t11_pack_sequences")
+
+  private def runAt(name: String, parts: Int): Seq[String] = {
+    val old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", parts.toString)
+    try SparkEntry.queries(name)(spark, sfDir).collect().map(_.toString).toSeq
+    finally spark.conf.set("spark.sql.shuffle.partitions", old)
+  }
+
+  Probes.foreach { name =>
+    test(s"$name: identical result at 3 and 13 shuffle partitions") {
+      val a = runAt(name, 3)
+      val b = runAt(name, 13)
+      assert(a.nonEmpty)
+      assert(a === b, s"$name diverged when the partition count changed")
+    }
+  }
+}
