@@ -84,6 +84,50 @@ object Temporal {
         .orderBy("user_id", "session_start")
     }),
 
+    // FUNNEL: view → click → purchase in strict temporal order, per-user
+    // first-passage times. Each stage is one conditional min AFTER the
+    // previous stage's time — three hash aggs + two equi-joins keyed by
+    // user (never a sequence scan per user pair, never a window over the
+    // whole event stream). Left joins keep users who stall mid-funnel;
+    // `stage` counts how far each got.
+    "a05_funnel" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+        .filter(col("event_type").isin("view", "click", "purchase"))
+        .select(col("user_id"), col("event_type"), col("ts").cast("long").as("sec"))
+      val tA = e.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min("sec").as("t_view"))
+      val tB = e.filter(col("event_type") === "click").join(tA, "user_id")
+        .filter(col("sec") > col("t_view"))
+        .groupBy("user_id").agg(min("sec").as("t_click"))
+      val tC = e.filter(col("event_type") === "purchase").join(tB, "user_id")
+        .filter(col("sec") > col("t_click"))
+        .groupBy("user_id").agg(min("sec").as("t_purchase"))
+      tA.join(tB, Seq("user_id"), "left").join(tC, Seq("user_id"), "left")
+        .select(col("user_id"),
+          date_format(timestamp_seconds(col("t_view")), "yyyy-MM-dd HH:mm:ss").as("first_view"),
+          date_format(timestamp_seconds(col("t_click")), "yyyy-MM-dd HH:mm:ss").as("first_click_after"),
+          date_format(timestamp_seconds(col("t_purchase")), "yyyy-MM-dd HH:mm:ss").as("first_purchase_after"),
+          (lit(1L) + when(col("t_click").isNotNull, 1L).otherwise(0L)
+            + when(col("t_purchase").isNotNull, 1L).otherwise(0L)).as("stage"))
+        .orderBy("user_id")
+    }),
+
+    // COHORT RETENTION: users grouped by first-active week, activity
+    // counted per (cohort_week, week) cell — the classic retention
+    // triangle. Shuffles only (user, week) pairs; the matrix is
+    // weeks² cells regardless of corpus size.
+    "a06_retention" -> ((s, dir) => {
+      val w = Tables.events(s, dir)
+        .select(col("user_id"),
+          date_format(date_trunc("week", col("ts")), "yyyy-MM-dd").as("week"))
+        .distinct()
+      val cohort = w.groupBy("user_id").agg(min("week").as("cohort_week"))
+      w.join(cohort, "user_id")
+        .groupBy("cohort_week", "week")
+        .agg(countDistinct("user_id").as("n_active"))
+        .orderBy("cohort_week", "week")
+    }),
+
     // GAP SESSIONIZATION: 30-minute-inactivity sessions per user — the
     // batch analog of streaming session windows. One shuffle on user_id,
     // two window passes (flag starts, running-sum session ids), one
@@ -125,6 +169,40 @@ object Temporal {
         |)
         |WHERE event_type = 'purchase'
         |ORDER BY event_id""".stripMargin,
+
+    "a05_funnel" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, epoch(date_trunc('second', ts)) AS sec
+        |  FROM events WHERE event_type IN ('view', 'click', 'purchase')
+        |), a AS (
+        |  SELECT user_id, MIN(sec) AS t_view FROM e WHERE event_type = 'view' GROUP BY user_id
+        |), b AS (
+        |  SELECT e.user_id, MIN(sec) AS t_click FROM e JOIN a USING (user_id)
+        |  WHERE event_type = 'click' AND sec > t_view GROUP BY e.user_id
+        |), c AS (
+        |  SELECT e.user_id, MIN(sec) AS t_purchase FROM e JOIN b USING (user_id)
+        |  WHERE event_type = 'purchase' AND sec > t_click GROUP BY e.user_id
+        |)
+        |SELECT a.user_id,
+        |  strftime(to_timestamp(t_view), '%Y-%m-%d %H:%M:%S') AS first_view,
+        |  strftime(to_timestamp(t_click), '%Y-%m-%d %H:%M:%S') AS first_click_after,
+        |  strftime(to_timestamp(t_purchase), '%Y-%m-%d %H:%M:%S') AS first_purchase_after,
+        |  CAST(1 + CASE WHEN t_click IS NULL THEN 0 ELSE 1 END
+        |    + CASE WHEN t_purchase IS NULL THEN 0 ELSE 1 END AS BIGINT) AS stage
+        |FROM a LEFT JOIN b USING (user_id) LEFT JOIN c USING (user_id)
+        |ORDER BY user_id""".stripMargin,
+
+    "a06_retention" ->
+      """WITH w AS (
+        |  SELECT DISTINCT user_id, strftime(date_trunc('week', ts), '%Y-%m-%d') AS week
+        |  FROM events
+        |), c AS (
+        |  SELECT user_id, MIN(week) AS cohort_week FROM w GROUP BY user_id
+        |)
+        |SELECT cohort_week, week, COUNT(DISTINCT w.user_id) AS n_active
+        |FROM w JOIN c USING (user_id)
+        |GROUP BY cohort_week, week
+        |ORDER BY cohort_week, week""".stripMargin,
 
     "a02_range_join" ->
       """SELECT v.user_id AS user_id, v.event_id AS view_id, p.event_id AS purchase_id,
