@@ -16,6 +16,31 @@ import graft.Tables
   */
 object Temporal {
 
+  /** Funnel core over (user_id, event_type, sec) rows — extracted so the
+    * stall paths (stage-1/stage-2 users, click-before-view) can be
+    * unit-tested on crafted events: the shipped fixture happens to take
+    * every user to stage 3, which would leave the left-join/stage logic
+    * unexercised by the oracle gate alone.
+    */
+  private[operators] def funnel(e: DataFrame): DataFrame = {
+    val tA = e.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min("sec").as("t_view"))
+    val tB = e.filter(col("event_type") === "click").join(tA, "user_id")
+      .filter(col("sec") > col("t_view"))
+      .groupBy("user_id").agg(min("sec").as("t_click"))
+    val tC = e.filter(col("event_type") === "purchase").join(tB, "user_id")
+      .filter(col("sec") > col("t_click"))
+      .groupBy("user_id").agg(min("sec").as("t_purchase"))
+    tA.join(tB, Seq("user_id"), "left").join(tC, Seq("user_id"), "left")
+      .select(col("user_id"),
+        date_format(timestamp_seconds(col("t_view")), "yyyy-MM-dd HH:mm:ss").as("first_view"),
+        date_format(timestamp_seconds(col("t_click")), "yyyy-MM-dd HH:mm:ss").as("first_click_after"),
+        date_format(timestamp_seconds(col("t_purchase")), "yyyy-MM-dd HH:mm:ss").as("first_purchase_after"),
+        (lit(1L) + when(col("t_click").isNotNull, 1L).otherwise(0L)
+          + when(col("t_purchase").isNotNull, 1L).otherwise(0L)).as("stage"))
+      .orderBy("user_id")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // AS-OF JOIN: for each purchase, the user's most recent view at-or-
     // before it. NOT a join at all in the scalable form: union both sides,
@@ -91,25 +116,9 @@ object Temporal {
     // whole event stream). Left joins keep users who stall mid-funnel;
     // `stage` counts how far each got.
     "a05_funnel" -> ((s, dir) => {
-      val e = Tables.events(s, dir)
+      funnel(Tables.events(s, dir)
         .filter(col("event_type").isin("view", "click", "purchase"))
-        .select(col("user_id"), col("event_type"), col("ts").cast("long").as("sec"))
-      val tA = e.filter(col("event_type") === "view")
-        .groupBy("user_id").agg(min("sec").as("t_view"))
-      val tB = e.filter(col("event_type") === "click").join(tA, "user_id")
-        .filter(col("sec") > col("t_view"))
-        .groupBy("user_id").agg(min("sec").as("t_click"))
-      val tC = e.filter(col("event_type") === "purchase").join(tB, "user_id")
-        .filter(col("sec") > col("t_click"))
-        .groupBy("user_id").agg(min("sec").as("t_purchase"))
-      tA.join(tB, Seq("user_id"), "left").join(tC, Seq("user_id"), "left")
-        .select(col("user_id"),
-          date_format(timestamp_seconds(col("t_view")), "yyyy-MM-dd HH:mm:ss").as("first_view"),
-          date_format(timestamp_seconds(col("t_click")), "yyyy-MM-dd HH:mm:ss").as("first_click_after"),
-          date_format(timestamp_seconds(col("t_purchase")), "yyyy-MM-dd HH:mm:ss").as("first_purchase_after"),
-          (lit(1L) + when(col("t_click").isNotNull, 1L).otherwise(0L)
-            + when(col("t_purchase").isNotNull, 1L).otherwise(0L)).as("stage"))
-        .orderBy("user_id")
+        .select(col("user_id"), col("event_type"), col("ts").cast("long").as("sec")))
     }),
 
     // COHORT RETENTION: users grouped by first-active week, activity
@@ -122,9 +131,12 @@ object Temporal {
           date_format(date_trunc("week", col("ts")), "yyyy-MM-dd").as("week"))
         .distinct()
       val cohort = w.groupBy("user_id").agg(min("week").as("cohort_week"))
+      // `w` is already distinct on (user_id, week) and cohort adds one row
+      // per user, so users are unique within every cell — a plain count
+      // avoids the distinct-aggregate Expand pass entirely
       w.join(cohort, "user_id")
         .groupBy("cohort_week", "week")
-        .agg(countDistinct("user_id").as("n_active"))
+        .agg(count(lit(1)).as("n_active"))
         .orderBy("cohort_week", "week")
     }),
 
@@ -199,7 +211,7 @@ object Temporal {
         |), c AS (
         |  SELECT user_id, MIN(week) AS cohort_week FROM w GROUP BY user_id
         |)
-        |SELECT cohort_week, week, COUNT(DISTINCT w.user_id) AS n_active
+        |SELECT cohort_week, week, COUNT(*) AS n_active
         |FROM w JOIN c USING (user_id)
         |GROUP BY cohort_week, week
         |ORDER BY cohort_week, week""".stripMargin,

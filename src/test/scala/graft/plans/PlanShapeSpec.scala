@@ -115,6 +115,27 @@ class PlanShapeSpec extends SparkSpec {
       "no sort-merge join should appear in the k-means step")
   }
 
+  test("p01: the curation pipeline contains no nested-loop join anywhere") {
+    // the near-dedup stage must stay a banded equi-join; a cartesian or
+    // BroadcastNestedLoop appearing here means the LSH candidate
+    // generation degraded to an all-pairs comparison
+    val p = sparkPlan("p01_curation_pipeline")
+    assert(collectAll(p) {
+      case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => j
+      case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c
+    }.isEmpty, "quadratic join in the curation pipeline")
+  }
+
+  test("d03: LSH candidate generation is equi-join only (no quadratic fallback)") {
+    val p = sparkPlan("d03_minhash_lsh")
+    assert(collectAll(p) {
+      case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => j
+      case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c
+    }.isEmpty, "quadratic join in the LSH path")
+    assert(collectAll(p) { case g: org.apache.spark.sql.execution.GenerateExec => g }.nonEmpty,
+      "expected the band explode")
+  }
+
   test("e07: quantization is one explode pass, no join, two-phase final agg") {
     val p = sparkPlan("e07_vector_quantize")
     assert(collectAll(p) { case j: BroadcastHashJoinExec => j }.isEmpty &&
