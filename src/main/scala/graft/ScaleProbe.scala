@@ -38,6 +38,25 @@ object ScaleProbe {
     reps.reduce(_ unionByName _)
   }
 
+  /** events ×F: replica r is a disjoint user population (+10 M ids) living
+    * in the SAME time window — per-user temporal structure (sessions,
+    * funnels, as-of pairs) is preserved per replica, so the expected
+    * output is exactly F× the original and the probe measures pure data
+    * growth. `ts` is re-emitted as the raw long nanos the canonical
+    * reader (`Tables.events`) expects.
+    */
+  private def scaledEvents(s: SparkSession, dir: String, factor: Int): DataFrame = {
+    Tables.withNanosAsLong(s)
+    val base = s.read.parquet(s"$dir/events.parquet")
+    val reps = (0 until factor).map { r =>
+      if (r == 0) base
+      else base
+        .withColumn("user_id", col("user_id") + lit(r * 10000000L))
+        .withColumn("event_id", col("event_id") + lit(r * 100000000L))
+    }
+    reps.reduce(_ unionByName _)
+  }
+
   private def scaledEmbeddings(s: SparkSession, dir: String, factor: Int): DataFrame = {
     val base = Tables.embeddings(s, dir)
     val reps = (0 until factor).map { r =>
@@ -71,13 +90,17 @@ object ScaleProbe {
       .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
     scaledEmbeddings(spark, srcDir, factor).repartition(32)
       .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
+    scaledEvents(spark, srcDir, factor).repartition(32)
+      .write.mode("overwrite").parquet(s"$outDir/events.parquet")
     println(s"[probe] built ${factor}x corpus at $outDir")
 
     val probes = Seq(
       "d03_minhash_lsh", "d07_dup_clusters", "t07_decontaminate",
       "t13_bloom_decontaminate", "t10_chunk_docs", "t11_pack_sequences",
       "t14_rare_token_ratio", "e03_ann_lsh", "e04b_embedding_nn_dedup_lsh",
-      "e01b_cosine_pairs_topk_lsh", "e08_kmeans_step", "p01_curation_pipeline")
+      "e01b_cosine_pairs_topk_lsh", "e08_kmeans_step", "p01_curation_pipeline",
+      "a01_asof_join", "a02_range_join", "a03_sessionize", "a05_funnel",
+      "a06_retention", "q17_event_tumbling")
     // warm pass (JIT + codegen + parquet footers), then the timed pass
     for (pass <- Seq("warm", "timed"); name <- probes) {
       val t0 = System.nanoTime()
