@@ -565,6 +565,24 @@ object Relational {
         .orderBy("word")
     }),
 
+    // distribution window functions (the q33 leftovers): percent_rank /
+    // cume_dist are rank arithmetic — (rank-1)/(n-1) and row/n — whose
+    // int-by-int IEEE divisions are correctly rounded identically in any
+    // engine, so they sit under the exact gate; nth_value runs over an
+    // explicit running frame. Total order (acctbal, custkey) kills peer
+    // groups, making every value deterministic.
+    "q41_window_distribution" -> ((s, dir) => {
+      val w = Window.partitionBy("c_mktsegment")
+        .orderBy(col("c_acctbal").asc, col("c_custkey").asc)
+      val wf = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.customer(s, dir)
+        .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"),
+          percent_rank().over(w).as("pct_rank"),
+          cume_dist().over(w).as("cume"),
+          nth_value(col("c_custkey"), 2).over(wf).as("second_key"))
+        .orderBy("c_custkey")
+    }),
+
     // EXACT percentiles (q27's approx_percentile is the sketch; this is
     // the ground truth a sketch is validated against). Spark's percentile
     // is a full-sort-per-group aggregate — correct but memory-bound by
@@ -899,6 +917,17 @@ object Relational {
         |  FROM orders
         |) WHERE rn <= 3
         |ORDER BY o_orderpriority, rank""".stripMargin,
+
+    "q41_window_distribution" ->
+      """SELECT c_custkey, c_mktsegment, c_acctbal,
+        |  percent_rank() OVER w AS pct_rank,
+        |  cume_dist() OVER w AS cume,
+        |  nth_value(c_custkey, 2) OVER (
+        |    PARTITION BY c_mktsegment ORDER BY c_acctbal ASC, c_custkey ASC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS second_key
+        |FROM customer
+        |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal ASC, c_custkey ASC)
+        |ORDER BY c_custkey""".stripMargin,
 
     "q40_exact_percentiles" ->
       """SELECT l_returnflag,
