@@ -40,11 +40,19 @@ object Bench {
       // look like a fast run.
       name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
-    // 3-decimal timings: keeps the single JSON line short enough that a
-    // tail-capped log capture doesn't truncate the last entries.
+    // The driver captures only the LAST ~2000 chars of the run log, so the
+    // whole JSON line must fit in that window (minus sbt's ~90-char
+    // [success] trailer). Full query names blew past it at 96 queries
+    // (rounds 2-3 recorded parsed=null), so emit each query under its
+    // unique family code — the prefix before the first '_' ("q01_agg_..."
+    // -> "q01") — falling back to the full name if a collision ever
+    // appears. 3-decimal timings for the same reason.
     def fmt(v: Double): String = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
-      .mkString("{", ",", "}")
+    def code(name: String): String = name.takeWhile(_ != '_')
+    val codesUnique = results.keys.map(code).toSet.size == results.size
+    val qs = results.map { case (k, v) =>
+      s"\"" + (if (codesUnique) code(k) else k) + "\":" + fmt(v)
+    }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.filter(_ >= 0).sum else 0.0
     println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     Console.out.flush()

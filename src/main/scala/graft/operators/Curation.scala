@@ -27,22 +27,34 @@ object Curation {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p01_curation_pipeline" -> ((s, dir) => {
-      // stage 1+2: quality + language gates (narrow, scan-speed)
+      // stage 1+2: quality + language gates (narrow, scan-speed). The
+      // gated survivor set feeds THREE consumers (fingerprint agg, the
+      // exact-dedup semi join, the final anti-join), and the gate
+      // expressions (regex-heavy quality/lang scoring) are the most
+      // expensive per-row work in the pipeline — materialize the gated
+      // corpus once (localCheckpoint; a disk-backed intermediate table in
+      // production) so the corpus is scanned and scored exactly once.
+      val norm = regexp_replace(lower(col("text")), "[^a-z0-9 ]", "")
       val gated = Tables.documents(s, dir)
         .filter(qualityScore(col("text")) >= QualityMin && langId(col("text")) === "en")
+        .withColumn("fp", xxhash64(norm))
+        .localCheckpoint(true)
 
       // stage 3: exact dedup on normalized text — keep the smallest doc_id.
-      // min_by(whole-row, doc_id) instead of a row_number window: a hash
-      // aggregate partial-reduces map-side and never sorts; the window
-      // would sort every row within its norm partition to discard all but
-      // one.
-      val norm = regexp_replace(lower(col("text")), "[^a-z0-9 ]", "")
-      val gatedCols = gated.columns
-      val exactKept = gated
-        .withColumn("norm", norm)
-        .groupBy("norm")
-        .agg(min_by(struct(gatedCols.map(col): _*), col("doc_id")).as("r"))
-        .select(col("r.*"))
+      // Hash-first two-pass (d02's shape): group an 8-byte fingerprint of
+      // the normalized text → min(doc_id), then a semi join recovers the
+      // surviving rows. Both passes are hash-aggregable / hash-joinable —
+      // the min_by(whole-row) single-pass alternative plans a
+      // SortAggregate (struct buffers aren't hash-aggregable) and shuffles
+      // every column through the agg; here the agg shuffles 16 bytes per
+      // doc and the semi join's build side is bare ids (broadcast at these
+      // SFs via AQE; an id-keyed shuffle at 100 TB — never the text).
+      // Fingerprint collisions (~1e-14) are the same accepted odds as d02.
+      val keepIds = gated
+        .groupBy("fp")
+        .agg(min("doc_id").as("doc_id"))
+        .select("doc_id")
+      val exactKept = gated.join(keepIds, Seq("doc_id"), "left_semi").drop("fp")
 
       // stage 4: near-dedup among survivors — LSH candidates (bucket-capped
       // band join, shared with d03 via Dedup.minhashBandCandidates), exact
@@ -52,12 +64,16 @@ object Curation {
       // than raw trigram strings — that join-back is the heavy shuffle at
       // scale). Hashing preserves intersect/union cardinalities, hence
       // jaccard, up to ~1e-14 collision odds.
+      // materialized once (localCheckpoint): banding and BOTH verify-join
+      // sides consume it — without this the survivor scan+shingle+sketch
+      // lineage runs three times. Production: a disk-backed sketch table.
       val sh = exactKept
         .select(col("doc_id"), wordShingles(col("text"), 3).as("raw"))
         .filter(size(col("raw")) > 0)
         .select(col("doc_id"),
           minhash_signature(col("raw"), Dedup.MinHashK).as("sig"),
           transform(col("raw"), g => xxhash64(g)).as("hsh"))
+        .localCheckpoint(true)
       val cand = Dedup.minhashBandCandidates(sh.select(col("doc_id"), col("sig")))
       val a = sh.select(col("doc_id").as("id_a"), col("hsh").as("sh_a"))
       val b = sh.select(col("doc_id").as("id_b"), col("hsh").as("sh_b"))

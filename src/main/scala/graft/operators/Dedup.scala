@@ -42,6 +42,12 @@ object Dedup {
     */
   val MaxBucket = 256
 
+  /** Jaccard threshold for the prefix-filter exact join (d09) — lower
+    * than d03's 0.8 so the prefix filter (not the verify) does the
+    * pruning work the test exercises.
+    */
+  val PrefixJaccard = 0.6
+
   /** Round cap for connectedComponents — label propagation needs rounds
     * equal to the component diameter, and near-dup clusters are shallow
     * (a chain this long means the corpus is pathological). Hitting the cap
@@ -55,6 +61,27 @@ object Dedup {
     Tables.documents(s, dir)
       .select(col("doc_id"), wordShingles(col("text"), 3).as("sh"))
       .filter(size(col("sh")) > 0)
+
+  /** One shingling pass per doc yielding BOTH the MinHash signature (for
+    * banding) and the int64-hashed shingle array (for exact verify),
+    * materialized once (localCheckpoint, MEMORY_AND_DISK) because every
+    * consumer — band explode, and the two verify-join sides — would
+    * otherwise re-run the scan+shingle+sketch lineage from parquet.
+    * Hashing the shingles preserves intersect/union cardinalities (hence
+    * Jaccard, bit-exactly: same integer operands, same double division)
+    * up to ~1e-14 collision odds, while the arrays shipped through the
+    * candidate verify join shrink ~25× and compare as primitives.
+    * At 100 TB this is the "persist the sketch table" step of a
+    * production pipeline — a disk-backed materialization orders of
+    * magnitude smaller than the corpus (128 ints + ~n_tokens longs per
+    * doc, no raw text).
+    */
+  private def sketched(s: SparkSession, dir: String): DataFrame =
+    shingled(s, dir)
+      .select(col("doc_id"),
+        minhash_signature(col("sh"), MinHashK).as("sig"),
+        transform(col("sh"), g => xxhash64(g)).as("hsh"))
+      .localCheckpoint(true)
 
   /** All unordered candidate pairs from an array of bucket members. */
   private def pairsOf(ids: Column): Column =
@@ -196,15 +223,15 @@ object Dedup {
     }),
 
     // MinHash+LSH near-dup pairs, exact-verified. Stages:
-    //   sketch (map) → band explode (map, ×32) → bucket group → candidate
-    //   pairs → join shingles back → exact Jaccard filter.
+    //   sketch (map, once) → band explode (map, ×32) → bucket group →
+    //   candidate pairs → join hashed shingles back → exact Jaccard
+    //   filter. The sketch table is materialized once and feeds all three
+    //   uses (banding + both verify sides).
     "d03_minhash_lsh" -> ((s, dir) => {
-      val sh = shingled(s, dir)
-      val sig = sh.select(col("doc_id"),
-        minhash_signature(col("sh"), MinHashK).as("sig"))
-      val cand = minhashBandCandidates(sig)
-      val a = sh.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
-      val b = sh.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
+      val sk = sketched(s, dir)
+      val cand = minhashBandCandidates(sk.select(col("doc_id"), col("sig")))
+      val a = sk.select(col("doc_id").as("id_a"), col("hsh").as("sh_a"))
+      val b = sk.select(col("doc_id").as("id_b"), col("hsh").as("sh_b"))
       cand.join(a, "id_a").join(b, "id_b")
         .select(col("id_a"), col("id_b"), jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
         .filter(col("jaccard") >= JaccardThreshold)
@@ -243,10 +270,9 @@ object Dedup {
     // construction; jaccard-verified exactly like d03.
     "d08_incremental_dedup" -> ((s, dir) => {
       val cutoff = 400L
-      val sh = shingled(s, dir)
-      val sig = sh.select(col("doc_id"),
-        minhash_signature(col("sh"), MinHashK).as("sig"))
-      val bandsAll = admittedBands(minhashBands(sig), MaxBucket)
+      val sk = sketched(s, dir)
+      val bandsAll = admittedBands(
+        minhashBands(sk.select(col("doc_id"), col("sig"))), MaxBucket)
       val bandsNew = bandsAll.filter(col("doc_id") >= cutoff)
         .withColumnRenamed("doc_id", "new_id")
       val cand = bandsAll.join(bandsNew, Seq("band", "bkey"))
@@ -254,11 +280,82 @@ object Dedup {
         .select(least(col("doc_id"), col("new_id")).as("id_a"),
           greatest(col("doc_id"), col("new_id")).as("id_b"))
         .distinct()
-      val a = sh.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
-      val b = sh.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
+      val a = sk.select(col("doc_id").as("id_a"), col("hsh").as("sh_a"))
+      val b = sk.select(col("doc_id").as("id_b"), col("hsh").as("sh_b"))
       cand.join(a, "id_a").join(b, "id_b")
         .select(col("id_a"), col("id_b"), jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
         .filter(col("jaccard") >= JaccardThreshold)
+        .orderBy("id_a", "id_b")
+    }),
+
+    // EXACT similarity join via prefix filtering (the PPJoin family —
+    // Xiao et al., "Efficient Similarity Joins for Near Duplicate
+    // Detection", WWW 2008): unlike LSH (d03, probabilistic recall) or
+    // metadata blocking (d04, n² inside unbounded blocks), this finds
+    // EVERY pair with Jaccard ≥ t and never compares all pairs. Order all
+    // shingles by global rarity (document frequency asc); a doc's PREFIX
+    // is its |sh| − ceil(t·|sh|) + 1 rarest shingles. If J(x,y) ≥ t the
+    // prefixes must intersect (missing the whole prefix caps the overlap
+    // below t·|x|), so candidates = an equi-join on prefix shingles —
+    // keyed by the RAREST tokens, which is what bounds bucket width; a
+    // size-compatibility filter (min/max ≥ t) prunes further, and exact
+    // Jaccard verifies. Shuffles: one DF count keyed by shingle, one
+    // per-doc sort, one candidate join keyed by rare shingles — all
+    // linear-ish in corpus size; candidate fan-out degrades only if the
+    // corpus is so self-similar that rare tokens stop existing (the
+    // positional/suffix filters of full PPJoin are the published
+    // refinement for that regime).
+    "d09_prefix_filter_join" -> ((s, dir) => {
+      val t = PrefixJaccard
+      val sk = sketched(s, dir).select(col("doc_id"), col("hsh"), size(col("hsh")).as("n"))
+      val toks = sk.select(col("doc_id"), col("n"), explode(col("hsh")).as("tok"))
+      val dfreq = toks.groupBy("tok").agg(count(lit(1)).as("df"))
+      // per doc: sort its shingles by (global rarity, shingle) and keep
+      // the prefix. FP note: t is the binary double just below 0.6, so
+      // ceil(n*t) ≤ ceil(0.6n) — the prefix can only come out longer than
+      // the exact formula, never shorter (no lost candidates).
+      // singleton shingles (global df = 1) are kept for the ORDERING —
+      // they occupy prefix positions — but dropped from the join input
+      // afterwards: a token only one doc contains can never connect two
+      // docs, and in natural text most rare shingles are singletons, so
+      // this shrinks the candidate join's probe sides by the largest
+      // factor available without losing a single true pair.
+      val pre = toks.join(dfreq, "tok")
+        .groupBy("doc_id", "n")
+        .agg(sort_array(collect_list(struct(col("df"), col("tok")))).as("ordered"))
+        .select(col("doc_id"), col("n"),
+          posexplode(slice(col("ordered"),
+            lit(1), (col("n") - ceil(col("n") * t) + 1).cast("int"))).as(Seq("pos0", "o")))
+        .filter(col("o.df") > 1)
+        .select(col("doc_id"), col("n"), (col("pos0") + 1).as("pos"), col("o.tok").as("tok"))
+      // POSITIONAL filter (the "P" of PPJoin): a match at 1-based sorted
+      // positions (i, j) caps the overlap at 1 + min(n_a−i, n_b−j); a true
+      // pair needs overlap ≥ α = ⌈t/(1+t)·(n_a+n_b)⌉, and its FIRST common
+      // token always sits inside both prefixes and passes this cap, so
+      // keeping pairs where ANY match passes loses nothing. On a
+      // shared-template corpus (many docs sharing SOME boilerplate
+      // shingles) this is what separates "shares a rare token" from
+      // "could actually clear the threshold" — it cuts candidates by
+      // orders of magnitude. The α factor rounds DOWN in FP (0.6/1.6 →
+      // one ulp under 0.375), which only loosens the test — never drops a
+      // true pair.
+      val alphaF = t / (1.0 + t)
+      val ca = pre.select(col("tok"), col("doc_id").as("id_a"),
+        col("n").as("n_a"), col("pos").as("pos_a"))
+      val cb = pre.select(col("tok"), col("doc_id").as("id_b"),
+        col("n").as("n_b"), col("pos").as("pos_b"))
+      val cand = ca.join(cb, "tok")
+        .filter(col("id_a") < col("id_b") &&
+          least(col("n_a"), col("n_b")).cast("double") >=
+            greatest(col("n_a"), col("n_b")) * t &&
+          lit(1) + least(col("n_a") - col("pos_a"), col("n_b") - col("pos_b")) >=
+            ceil((col("n_a") + col("n_b")) * alphaF))
+        .select("id_a", "id_b").distinct()
+      val av = sk.select(col("doc_id").as("id_a"), col("hsh").as("sh_a"))
+      val bv = sk.select(col("doc_id").as("id_b"), col("hsh").as("sh_b"))
+      cand.join(av, "id_a").join(bv, "id_b")
+        .select(col("id_a"), col("id_b"), jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
+        .filter(col("jaccard") >= t)
         .orderBy("id_a", "id_b")
     }),
 
@@ -273,12 +370,11 @@ object Dedup {
     // + one agg, nothing but a 1-row convergence count ever reaches the
     // driver. Output: (doc_id, cluster_id = min reachable doc_id).
     "d07_dup_clusters" -> ((s, dir) => {
-      val sh = shingled(s, dir)
-      val sig = sh.select(col("doc_id"),
-        minhash_signature(col("sh"), MinHashK).as("sig"))
-      val a = sh.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
-      val b = sh.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
-      val pairs = minhashBandCandidates(sig).join(a, "id_a").join(b, "id_b")
+      val sk = sketched(s, dir)
+      val a = sk.select(col("doc_id").as("id_a"), col("hsh").as("sh_a"))
+      val b = sk.select(col("doc_id").as("id_b"), col("hsh").as("sh_b"))
+      val pairs = minhashBandCandidates(sk.select(col("doc_id"), col("sig")))
+        .join(a, "id_a").join(b, "id_b")
         .filter(jaccard(col("sh_a"), col("sh_b")) >= JaccardThreshold)
         .select(col("id_a"), col("id_b"))
       connectedComponents(pairs).orderBy("doc_id")
@@ -378,6 +474,24 @@ object Dedup {
         |FROM s a JOIN s b ON a.doc_id < b.doc_id
         |WHERE len(a.sh) > 0 AND len(b.sh) > 0
         |  AND len(list_intersect(a.sh, b.sh))::DOUBLE / len(list_distinct(list_concat(a.sh, b.sh)))::DOUBLE >= 0.8
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    // brute force over ALL pairs — the exactness claim of the prefix
+    // filter is precisely that it equals this quadratic reference.
+    "d09_prefix_filter_join" ->
+      s"""WITH t AS (
+        |  SELECT doc_id, list_filter(string_split(lower(text), ' '), w -> len(w) > 0) AS w
+        |  FROM documents
+        |), s AS (
+        |  SELECT doc_id,
+        |    list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w) - 1)]) AS sh
+        |  FROM t WHERE len(w) >= 3
+        |)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  len(list_intersect(a.sh, b.sh))::DOUBLE / len(list_distinct(list_concat(a.sh, b.sh)))::DOUBLE AS jaccard
+        |FROM s a JOIN s b ON a.doc_id < b.doc_id
+        |WHERE len(a.sh) > 0 AND len(b.sh) > 0
+        |  AND len(list_intersect(a.sh, b.sh))::DOUBLE / len(list_distinct(list_concat(a.sh, b.sh)))::DOUBLE >= $PrefixJaccard
         |ORDER BY id_a, id_b""".stripMargin,
 
     "d04_ngram_jaccard_blocked" ->

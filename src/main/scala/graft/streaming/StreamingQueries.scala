@@ -19,6 +19,9 @@ import graft.Tables
   */
 case class UserEvent(user_id: Long, event_id: Long, ts_sec: Long)
 case class UserState(n: Long, minId: Long, maxTs: Long)
+case class SessEvent(user_id: Long, event_id: Long, ts_sec: Long, event_type: String)
+case class SessionRow(user_id: Long, start_sec: Long, end_sec: Long,
+                      n_events: Long, n_types: Long)
 
 object StreamingQueries {
 
@@ -171,7 +174,11 @@ object StreamingQueries {
             (user, n, minId, maxTs)
         }
         .toDF("user_id", "n_events", "min_event_id", "max_ts_sec")
-      runToTable(stated, OutputMode.Update())
+      // 8 state partitions: same sizing rationale as s08/s10 — the
+      // per-partition state-store open/commit (×2 batches: data +
+      // AvailableNow final) dominates at the default 32 for this bounded
+      // key set; on a cluster this is sized to key cardinality.
+      runToTable(stated, OutputMode.Update(), statePartitions = Some(8))
         .withColumn("max_ts", date_format(timestamp_seconds(col("max_ts_sec")), "yyyy-MM-dd HH:mm:ss"))
         .select("user_id", "n_events", "min_event_id", "max_ts")
         .orderBy("user_id")
@@ -221,6 +228,67 @@ object StreamingQueries {
         .orderBy("user_id", "event_id_a", "event_id_b")
     }),
 
+    // stream-stream LEFT OUTER join — the production shape for "did this
+    // event get a follow-up?": same-user follow-ups within 10 minutes;
+    // rows with none emit ONCE, with nulls, when the watermark closes
+    // their join window (left state evicted unmatched). Under AvailableNow
+    // the final no-data batch advances the watermark to max(ts) − 30 min,
+    // so the emitted set is deterministic and closed-form: all matched
+    // pairs, plus null rows exactly for the unmatched left rows whose
+    // 10-minute window that terminal watermark passed — left rows still
+    // inside it are correctly ABSENT (the at-most-the-watermark contract,
+    // same as s09). State is range-bounded by the watermark at scale.
+    "s11_stream_left_outer" -> ((s, dir) => {
+      val a = eventsStream(s, dir)
+        .select(col("event_id").as("event_id_a"), col("user_id"), col("ts").as("ts_a"))
+        .withWatermark("ts_a", "30 minutes")
+      val b = eventsStream(s, dir)
+        .select(col("event_id").as("event_id_b"), col("user_id").as("user_id_b"),
+          col("ts").as("ts_b"))
+        .withWatermark("ts_b", "30 minutes")
+      val j = a.join(b,
+          col("user_id") === col("user_id_b") &&
+            col("event_id_a") =!= col("event_id_b") &&
+            col("ts_b") >= col("ts_a") &&
+            col("ts_b") <= col("ts_a") + expr("INTERVAL 10 MINUTES"),
+          "left_outer")
+        .select(col("user_id"), col("event_id_a"), col("event_id_b"),
+          (unix_micros(col("ts_b")) - unix_micros(col("ts_a"))).as("gap_us"))
+      runToTable(j, OutputMode.Append(), statePartitions = Some(8))
+        .orderBy("user_id", "event_id_a", "event_id_b")
+    }),
+
+    // custom per-key session state via flatMapGroupsWithState — the
+    // reference's fold-with-Ref pattern (CheckpointOnChunkEndStreamClient
+    // .scala:52-85) generalized to MULTI-ROW emission per key: one output
+    // row per session, split on >30 min gaps. The group iterator is
+    // unordered (shuffle order), so the fold sorts its own events — the
+    // state logic must be order-free to be exactly-once, same discipline
+    // as s04. Semantics mirror a03's batch sessionization (strict >30 min
+    // break on second-truncated time), so the oracle is the same
+    // lag/running-sum SQL.
+    "s12_stream_custom_sessions" -> ((s, dir) => {
+      import s.implicits._
+      val typed = eventsStream(s, dir)
+        .select(col("user_id"), col("event_id"),
+          expr("unix_micros(ts) div 1000000").as("ts_sec"),
+          col("event_type"))
+        .as[SessEvent]
+      val sessions = typed
+        .groupByKey(_.user_id)
+        .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+          (user: Long, rows: Iterator[SessEvent], state: GroupState[Long]) =>
+            splitSessions(user, rows.toSeq).iterator
+        }
+      val df = sessions.toDF()
+        .select(col("user_id"),
+          date_format(timestamp_seconds(col("start_sec")), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+          date_format(timestamp_seconds(col("end_sec")), "yyyy-MM-dd HH:mm:ss").as("session_end"),
+          col("n_events"), col("n_types"))
+      runToTable(df, OutputMode.Append(), statePartitions = Some(8))
+        .orderBy("user_id", "session_start")
+    }),
+
     // S1 under the hard gate: the engine's OWN DSv2 source (the
     // shardedStream analog) driven through real micro-batch execution —
     // 32 shards, 4 admission-controlled batches of 25k — then the
@@ -258,6 +326,28 @@ object StreamingQueries {
       .option("shards", SynthShards.toString)
       .option("maxRecordsPerBatch", "50000") // 2 micro-batches: multi-batch semantics without per-batch overhead dominating
       .load()
+
+  /** The s12 state fold, order-free (sorts its own input): split one
+    * user's events into sessions on a STRICT >30 min gap between
+    * second-truncated times (a03's batch semantics). Exposed so the
+    * boundary cases the fixture never hits (gap exactly 1800 s, single
+    * event, empty input) are unit-testable — the oracle gate only
+    * exercises what the fixture contains.
+    */
+  private[streaming] def splitSessions(user: Long, rows: Seq[SessEvent]): Seq[SessionRow] = {
+    val evs = rows.toArray.sortBy(e => (e.ts_sec, e.event_id))
+    val out = scala.collection.mutable.ArrayBuffer.empty[SessionRow]
+    var i = 0
+    while (i < evs.length) {
+      var j = i
+      while (j + 1 < evs.length && evs(j + 1).ts_sec - evs(j).ts_sec <= 1800L) j += 1
+      val sess = evs.slice(i, j + 1)
+      out += SessionRow(user, sess.head.ts_sec, sess.last.ts_sec,
+        sess.length.toLong, sess.map(_.event_type).distinct.length.toLong)
+      i = j + 1
+    }
+    out.toSeq
+  }
 
   def oracles: Map[String, String] = Map(
     "s01_stream_count" -> "SELECT COUNT(*) AS n FROM events",
@@ -312,6 +402,47 @@ object StreamingQueries {
         |  ON a.user_id = b.user_id AND a.event_id <> b.event_id
         |  AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 10 MINUTE
         |ORDER BY a.user_id, event_id_a, event_id_b""".stripMargin,
+
+    // left outer = inner pairs + null rows for unmatched left rows whose
+    // 10-min window the terminal watermark (max ts − 30 min) closed;
+    // left rows with open windows are absent (s09's emission contract)
+    "s11_stream_left_outer" ->
+      """WITH m AS (SELECT max(ts) - INTERVAL 30 MINUTE AS wm FROM events)
+        |SELECT a.user_id, a.event_id AS event_id_a, b.event_id AS event_id_b,
+        |  date_diff('microsecond', a.ts, b.ts) AS gap_us
+        |FROM events a
+        |LEFT JOIN events b
+        |  ON a.user_id = b.user_id AND a.event_id <> b.event_id
+        |  AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 10 MINUTE
+        |CROSS JOIN m
+        |WHERE b.event_id IS NOT NULL OR a.ts + INTERVAL 10 MINUTE < wm
+        |ORDER BY 1, 2, 3""".stripMargin,
+
+    // batch sessionization restated (a03's strict >30 min break on
+    // second-truncated time), emitted by the custom state fold
+    "s12_stream_custom_sessions" ->
+      """WITH flagged AS (
+        |  SELECT user_id, event_id, event_type, ts,
+        |    epoch(date_trunc('second', ts)) AS ts_sec,
+        |    CASE WHEN LAG(epoch(date_trunc('second', ts))) OVER w IS NULL
+        |           OR epoch(date_trunc('second', ts)) - LAG(epoch(date_trunc('second', ts))) OVER w > 1800
+        |         THEN 1 ELSE 0 END AS is_new
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+        |), numbered AS (
+        |  SELECT *, SUM(is_new) OVER (
+        |    PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+        |  FROM flagged
+        |)
+        |SELECT user_id,
+        |  strftime(to_timestamp(MIN(ts_sec)), '%Y-%m-%d %H:%M:%S') AS session_start,
+        |  strftime(to_timestamp(MAX(ts_sec)), '%Y-%m-%d %H:%M:%S') AS session_end,
+        |  COUNT(*) AS n_events,
+        |  COUNT(DISTINCT event_type) AS n_types
+        |FROM numbered
+        |GROUP BY user_id, session_seq
+        |ORDER BY user_id, session_start""".stripMargin,
 
     // closed form: the source enumerates 1..R exactly once
     "s05_synth_source_count" ->

@@ -26,6 +26,26 @@ class DedupSpec extends SparkSpec {
     assert(got === truth)
   }
 
+  test("prefix filter is exact: d09 equals brute force at its threshold, both directions") {
+    // the claim under test is EXACTNESS (no lost candidates), so the
+    // ground truth is the full quadratic join at the same threshold
+    val sh = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), wordShingles(col("text"), 3).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val a = sh.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
+    val b = sh.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
+    val truth = a.join(b, col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), jaccard(col("sh_a"), col("sh_b")).as("j"))
+      .filter(col("j") >= Dedup.PrefixJaccard)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    val got = Dedup.queries("d09_prefix_filter_join")(spark, sfDir)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    assert(truth.nonEmpty, "test data must contain pairs above the d09 threshold")
+    assert(got === truth)
+  }
+
   test("minhash signature estimates jaccard within 0.15 on a pair sample") {
     val sh = Tables.documents(spark, sfDir)
       .select(col("doc_id"), wordShingles(col("text"), 3).as("sh"))

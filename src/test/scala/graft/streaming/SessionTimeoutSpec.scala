@@ -92,4 +92,34 @@ class SessionTimeoutSpec extends SparkSpec {
       assert(duration === ids.max - ids.min, "session span = ms span of its seqs")
     }
   }
+
+  test("s12 session fold: strict-1800s boundary, order-freeness, degenerate inputs") {
+    def ev(id: Long, t: Long, typ: String = "click") = SessEvent(7L, id, t, typ)
+
+    // gap of exactly 1800 s stays ONE session (strict > breaks)
+    val exact = StreamingQueries.splitSessions(7L, Seq(ev(1, 1000), ev(2, 2800)))
+    assert(exact.map(s => (s.start_sec, s.end_sec, s.n_events)) === Seq((1000L, 2800L, 2L)))
+
+    // 1801 s splits
+    val split = StreamingQueries.splitSessions(7L, Seq(ev(1, 1000), ev(2, 2801)))
+    assert(split.map(s => (s.start_sec, s.end_sec)) === Seq((1000L, 1000L), (2801L, 2801L)))
+
+    // the fold sorts its own input: shuffled arrival order changes nothing
+    val shuffled = StreamingQueries.splitSessions(7L, Seq(ev(2, 2801), ev(1, 1000)))
+    assert(shuffled === split)
+
+    // chain of ≤1800 gaps never splits even when first-to-last exceeds it
+    val chain = StreamingQueries.splitSessions(7L,
+      Seq(ev(1, 0), ev(2, 1800), ev(3, 3600), ev(4, 5400)))
+    assert(chain.map(s => (s.start_sec, s.end_sec, s.n_events)) === Seq((0L, 5400L, 4L)))
+
+    // n_types counts distinct event types per session, not globally
+    val types = StreamingQueries.splitSessions(7L,
+      Seq(ev(1, 0, "a"), ev(2, 10, "b"), ev(3, 5000, "a")))
+    assert(types.map(_.n_types) === Seq(2L, 1L))
+
+    // degenerate inputs
+    assert(StreamingQueries.splitSessions(7L, Nil) === Nil)
+    assert(StreamingQueries.splitSessions(7L, Seq(ev(1, 42))).map(_.n_events) === Seq(1L))
+  }
 }
