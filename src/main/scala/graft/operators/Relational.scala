@@ -583,6 +583,27 @@ object Relational {
         .orderBy("c_custkey")
     }),
 
+    // IGNORE NULLS window navigation — the gap-filling family: LOCF
+    // ("last observation carried forward") via last(ignoreNulls) over a
+    // running frame, previous/first/nth non-null observation. Nulls are
+    // injected deterministically (click events report no value) so the
+    // fixture genuinely exercises the skip-nulls machinery. Values are
+    // navigated, never combined — no float arithmetic, exact parity.
+    "q42_window_ignore_nulls" -> ((s, dir) => {
+      val ord = Window.partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
+      val cum = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val full = ord.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      Tables.events(s, dir)
+        .withColumn("v",
+          when(col("event_type") === "click", lit(null)).otherwise(col("value")))
+        .select(col("user_id"), col("event_id"), col("v"),
+          last(col("v"), ignoreNulls = true).over(cum).as("locf_value"),
+          lag(col("v"), 1, null, ignoreNulls = true).over(ord).as("prev_obs"),
+          first(col("v"), ignoreNulls = true).over(full).as("first_obs"),
+          nth_value(col("v"), 2, ignoreNulls = true).over(full).as("second_obs"))
+        .orderBy("user_id", "event_id")
+    }),
+
     // EXACT percentiles (q27's approx_percentile is the sketch; this is
     // the ground truth a sketch is validated against). Spark's percentile
     // is a full-sort-per-group aggregate — correct but memory-bound by
@@ -917,6 +938,25 @@ object Relational {
         |  FROM orders
         |) WHERE rn <= 3
         |ORDER BY o_orderpriority, rank""".stripMargin,
+
+    "q42_window_ignore_nulls" ->
+      """WITH t AS (
+        |  SELECT user_id, event_id, ts,
+        |    CASE WHEN event_type = 'click' THEN NULL ELSE "value" END AS v
+        |  FROM events
+        |)
+        |SELECT user_id, event_id, v,
+        |  last_value(v IGNORE NULLS) OVER cum AS locf_value,
+        |  lag(v IGNORE NULLS) OVER ord AS prev_obs,
+        |  first_value(v IGNORE NULLS) OVER var AS first_obs,
+        |  nth_value(v, 2 IGNORE NULLS) OVER var AS second_obs
+        |FROM t
+        |WINDOW ord AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC),
+        |  cum AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |  var AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY user_id, event_id""".stripMargin,
 
     "q41_window_distribution" ->
       """SELECT c_custkey, c_mktsegment, c_acctbal,

@@ -140,6 +140,40 @@ object Temporal {
         .orderBy("cohort_week", "week")
     }),
 
+    // TIME-WEIGHTED AVERAGE — the correct mean for irregularly-sampled
+    // series (sensor readings, prices, metrics): each value is weighted
+    // by how long it was "current" (until the next event), so a value
+    // held for an hour counts 60× one held for a minute. One shuffle on
+    // user_id; per-user arrays are bounded by per-key event counts, and
+    // the weighted sum is an ORDER-PINNED sequential fold over the
+    // time-sorted events — float summation order is part of the
+    // semantics, so both engines fold left over the identical sequence
+    // and the doubles match bit-for-bit (HOFs are interpreted, fine at
+    // per-user array sizes).
+    "a07_time_weighted_avg" -> ((s, dir) => {
+      val arr = Tables.events(s, dir)
+        .select(col("user_id"),
+          struct(expr("unix_micros(ts)").as("ts_us"), col("event_id"),
+            col("value").as("v")).as("e"))
+        .groupBy("user_id")
+        .agg(sort_array(collect_list(col("e"))).as("evs"),
+          count(lit(1)).as("n_events"))
+      arr.filter(size(col("evs")) > 1)
+        .withColumn("span_us",
+          element_at(col("evs"), -1).getField("ts_us") -
+            element_at(col("evs"), 1).getField("ts_us"))
+        .filter(col("span_us") > 0L)
+        .withColumn("wsum", expr(
+          """aggregate(
+            |  transform(sequence(1, size(evs) - 1), i ->
+            |    evs[i-1].v * (cast(evs[i].ts_us - evs[i-1].ts_us as double) / 1000000.0d)),
+            |  cast(0.0d as double), (acc, x) -> acc + x)""".stripMargin))
+        .select(col("user_id"), col("n_events"),
+          (col("span_us").cast("double") / 1000000.0d).as("span_sec"),
+          (col("wsum") / (col("span_us").cast("double") / 1000000.0d)).as("twa_value"))
+        .orderBy("user_id")
+    }),
+
     // GAP SESSIONIZATION: 30-minute-inactivity sessions per user — the
     // batch analog of streaming session windows. One shuffle on user_id,
     // two window passes (flag starts, running-sum session ids), one
@@ -167,6 +201,32 @@ object Temporal {
   )
 
   def oracles: Map[String, String] = Map(
+    // identical fold order: 1-based DuckDB lists, list_reduce left-fold
+    // over the same time-sorted term sequence the Spark aggregate() folds
+    "a07_time_weighted_avg" ->
+      """WITH l AS (
+        |  SELECT user_id, COUNT(*) AS n_events,
+        |    list(struct_pack(ts_us := epoch_us(ts), event_id := event_id, v := "value")
+        |         ORDER BY epoch_us(ts), event_id) AS evs
+        |  FROM events
+        |  GROUP BY user_id
+        |), t AS (
+        |  SELECT user_id, n_events,
+        |    evs[len(evs)].ts_us - evs[1].ts_us AS span_us,
+        |    list_reduce(
+        |      list_prepend(0.0::DOUBLE, list_transform(range(2, len(evs) + 1), i ->
+        |        evs[i-1].v * ((evs[i].ts_us - evs[i-1].ts_us)::DOUBLE / 1000000.0))),
+        |      (a, b) -> a + b) AS wsum
+        |  FROM l
+        |  WHERE len(evs) > 1
+        |)
+        |SELECT user_id, n_events,
+        |  span_us::DOUBLE / 1000000.0 AS span_sec,
+        |  wsum / (span_us::DOUBLE / 1000000.0) AS twa_value
+        |FROM t
+        |WHERE span_us > 0
+        |ORDER BY user_id""".stripMargin,
+
     "a01_asof_join" ->
       """SELECT event_id, user_id,
         |  strftime(date_trunc('second', ts), '%Y-%m-%d %H:%M:%S') AS purchase_ts,
