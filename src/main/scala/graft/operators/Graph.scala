@@ -1,0 +1,162 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Graph analytics over the part co-purchase graph (parts that appear in
+  * the same order are neighbors) — the family d07's connected components
+  * opened, completed with the other two classics: triangle counting and a
+  * PageRank iteration.
+  *
+  * Both are written in their at-scale formulations:
+  * - g01 orients every edge by (degree, id) before wedging, so wedge
+  *   generation is Σ out-deg² with out-degrees bounded by √(2·|E|) — the
+  *   standard trick that keeps a power-law hub from exploding the join
+  *   (a raw wedge join on an unoriented graph is Σ deg², which one hub
+  *   makes quadratic).
+  * - g02 is one message-passing round as two hash joins + one hash agg,
+  *   with integer contributions (floor(SCALE / deg)) so the per-vertex
+  *   sum is order-independent — float PageRank sums would be
+  *   shuffle-order-dependent and unverifiable against any oracle.
+  *
+  * The reference has no graph surface; these extend the north-star
+  * analytic catalog (SURVEY.md §2.8) the way d07 does.
+  */
+object Graph {
+
+  /** g02: fixed-point scale for integer rank contributions. */
+  val RankScale = 1000000000000L // 1e12
+
+  /** Undirected co-purchase edges (u < v), deduplicated. Per-order part
+    * sets are small (TPC-H ~4 lineitems/order), so the self-join on
+    * l_orderkey is bounded per key — never an n² blowup.
+    */
+  private[operators] def partEdges(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+    li.select(col("ok"), col("pk").as("u"))
+      .join(li.select(col("ok"), col("pk").as("v")), "ok")
+      .filter(col("u") < col("v"))
+      .select("u", "v").distinct()
+  }
+
+  private def degrees(e: DataFrame): DataFrame =
+    e.select(col("u").as("x")).unionAll(e.select(col("v").as("x")))
+      .groupBy("x").agg(count(lit(1)).as("deg"))
+
+  /** g01 core over undirected (u < v) edges — extracted so closed-form
+    * graphs (K4 = 4 triangles, C4 = 0, two sharing an edge = 2) pin the
+    * count exactly and a brute-force triple enumeration cross-checks it.
+    */
+  private[operators] def triangleStats(e: DataFrame): DataFrame = {
+    val deg = degrees(e)
+    val withDeg = e
+      .join(deg.select(col("x").as("u"), col("deg").as("du")), "u")
+      .join(deg.select(col("x").as("v"), col("deg").as("dv")), "v")
+    val lower = struct(col("du"), col("u")) < struct(col("dv"), col("v"))
+    val oriented = withDeg.select(
+      when(lower, col("u")).otherwise(col("v")).as("a"),
+      when(lower, col("v")).otherwise(col("u")).as("b"))
+    val wedges = oriented.as("e1")
+      .join(oriented.as("e2"),
+        col("e1.a") === col("e2.a") && col("e1.b") < col("e2.b"))
+      .select(col("e1.b").as("x"), col("e2.b").as("y"))
+    val tri = wedges
+      .join(e, col("x") === col("u") && col("y") === col("v"))
+      .agg(count(lit(1)).as("n_triangles"))
+    val stats = e.agg(count(lit(1)).as("n_edges"))
+      .crossJoin(deg.agg(count(lit(1)).as("n_vertices"),
+        sum(expr("(deg * (deg - 1)) div 2")).as("n_wedges")))
+    stats.crossJoin(tri)
+      .select(col("n_vertices"), col("n_edges"), col("n_wedges"), col("n_triangles"),
+        when(col("n_wedges") === 0, 0.0)
+          .otherwise((col("n_triangles") * 3).cast("double") / col("n_wedges").cast("double"))
+          .as("clustering_coeff"))
+  }
+
+  /** g02 core over undirected (u < v) edges: one integer message round. */
+  private[operators] def pagerankStep(e: DataFrame, topK: Int): DataFrame = {
+    val deg = degrees(e)
+    val msgs = e.select(col("u").as("src"), col("v").as("dst"))
+      .unionAll(e.select(col("v").as("src"), col("u").as("dst")))
+      .join(deg.select(col("x").as("src"), col("deg")), "src")
+      .select(col("dst"), expr(s"${RankScale}L div deg").as("contrib"))
+    msgs.groupBy("dst")
+      .agg(sum("contrib").as("rank_num"), count(lit(1)).as("in_deg"))
+      .orderBy(col("rank_num").desc, col("dst").asc)
+      .limit(topK)
+      .select(col("dst").as("part_id"), col("in_deg"), col("rank_num"))
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // TRIANGLE COUNT + global clustering coefficient. Degree-ordered
+    // orientation → every triangle has exactly one source vertex with
+    // both out-edges, so each is counted once; wedges close against the
+    // undirected edge set with one equi-join. All integers; the
+    // coefficient is one IEEE division of exact longs — bit-identical
+    // across engines.
+    "g01_triangle_count" -> ((s, dir) => triangleStats(partEdges(s, dir))),
+
+    // One PAGERANK round from the uniform state: every vertex sends
+    // floor(RankScale / deg) along each incident edge; rank = exact
+    // integer sum of incoming contributions. Two broadcast-or-shuffled
+    // hash joins + one hash agg — the shape every BSP/Pregel round
+    // lowers to on Spark. Top-25 hubs by rank.
+    "g02_pagerank_step" -> ((s, dir) => pagerankStep(partEdges(s, dir), 25))
+  )
+
+  def oracles: Map[String, String] = Map(
+    "g01_triangle_count" ->
+      """WITH li AS (
+        |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+        |), e AS (
+        |  SELECT DISTINCT a.pk AS u, b.pk AS v
+        |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+        |), deg AS (
+        |  SELECT x, COUNT(*) AS deg
+        |  FROM (SELECT u AS x FROM e UNION ALL SELECT v AS x FROM e)
+        |  GROUP BY x
+        |), o AS (
+        |  SELECT CASE WHEN (du.deg, e.u) < (dv.deg, e.v) THEN e.u ELSE e.v END AS a,
+        |         CASE WHEN (du.deg, e.u) < (dv.deg, e.v) THEN e.v ELSE e.u END AS b
+        |  FROM e JOIN deg du ON du.x = e.u JOIN deg dv ON dv.x = e.v
+        |), wedge AS (
+        |  SELECT e1.b AS x, e2.b AS y
+        |  FROM o e1 JOIN o e2 ON e1.a = e2.a AND e1.b < e2.b
+        |), tri AS (
+        |  SELECT COUNT(*) AS n_triangles FROM wedge JOIN e ON x = u AND y = v
+        |), stats AS (
+        |  SELECT (SELECT COUNT(*) FROM deg) AS n_vertices,
+        |         (SELECT COUNT(*) FROM e) AS n_edges,
+        |         (SELECT CAST(SUM((deg * (deg - 1)) // 2) AS BIGINT) FROM deg) AS n_wedges
+        |)
+        |SELECT n_vertices, n_edges, n_wedges, n_triangles,
+        |  CASE WHEN n_wedges = 0 THEN 0.0
+        |       ELSE (n_triangles * 3)::DOUBLE / n_wedges::DOUBLE END AS clustering_coeff
+        |FROM stats, tri""".stripMargin,
+
+    "g02_pagerank_step" ->
+      s"""WITH li AS (
+         |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+         |), e AS (
+         |  SELECT DISTINCT a.pk AS u, b.pk AS v
+         |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+         |), deg AS (
+         |  SELECT x, COUNT(*) AS deg
+         |  FROM (SELECT u AS x FROM e UNION ALL SELECT v AS x FROM e)
+         |  GROUP BY x
+         |), msgs AS (
+         |  SELECT m.dst, $RankScale // d.deg AS contrib
+         |  FROM (SELECT u AS src, v AS dst FROM e
+         |        UNION ALL SELECT v AS src, u AS dst FROM e) m
+         |  JOIN deg d ON d.x = m.src
+         |)
+         |SELECT dst AS part_id, COUNT(*) AS in_deg,
+         |  CAST(SUM(contrib) AS BIGINT) AS rank_num
+         |FROM msgs
+         |GROUP BY dst
+         |ORDER BY rank_num DESC, part_id ASC
+         |LIMIT 25""".stripMargin
+  )
+}

@@ -514,6 +514,31 @@ object Relational {
         ORDER BY o_orderpriority""")
     }),
 
+    // LATERAL correlated derived table — "top-3 orders per customer"
+    // written the way an analyst writes it (the subquery conceptually
+    // re-executes per outer row). Catalyst decorrelates it (the
+    // per-partition LIMIT becomes a ranked filter under a
+    // DomainJoin-rewritten join), so the physical plan is shuffles +
+    // window, never a per-row loop — which is why the form survives a
+    // customer table of any size. Same answer shape as q38, arrived at
+    // through the opposite interface: SQL-text decorrelation vs a typed
+    // bounded aggregator.
+    "q43_lateral_topk" -> ((s, dir) => {
+      Tables.customer(s, dir).createOrReplaceTempView("customer_l")
+      Tables.orders(s, dir).createOrReplaceTempView("orders_l")
+      s.sql("""
+        SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+        FROM customer_l c,
+        LATERAL (
+          SELECT o_orderkey, o_totalprice
+          FROM orders_l
+          WHERE o_custkey = c.c_custkey
+          ORDER BY o_totalprice DESC, o_orderkey ASC
+          LIMIT 3
+        ) o
+        ORDER BY c.c_custkey, o.o_totalprice DESC, o.o_orderkey""")
+    }),
+
     // top-k PER GROUP via the bounded TopKAggregator — NOT a row_number
     // window. The window form sorts and shuffles every row; the
     // aggregator's k-bounded state partial-aggregates map-side, so the
@@ -851,6 +876,18 @@ object Relational {
         |WHERE c_custkey NOT IN (
         |  SELECT o_custkey FROM orders WHERE o_totalprice > 300000)
         |ORDER BY c_custkey""".stripMargin,
+
+    "q43_lateral_topk" ->
+      """SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+        |FROM customer c,
+        |LATERAL (
+        |  SELECT o_orderkey, o_totalprice
+        |  FROM orders
+        |  WHERE o_custkey = c.c_custkey
+        |  ORDER BY o_totalprice DESC, o_orderkey ASC
+        |  LIMIT 3
+        |) o
+        |ORDER BY c.c_custkey, o.o_totalprice DESC, o.o_orderkey""".stripMargin,
 
     "q32_sql_cte_exists" ->
       """WITH big_items AS (

@@ -41,6 +41,63 @@ object Temporal {
       .orderBy("user_id")
   }
 
+  /** a08 core over (user_id, event_id, ts: timestamp, value) rows —
+    * extracted so fill semantics (multi-hour gaps carry the LAST reading
+    * of the last observed hour; leading hour always observed; per-user
+    * grid bounds) are unit-testable on crafted series.
+    */
+  private[operators] def gapFill(events: DataFrame): DataFrame = {
+    val e = events.select(col("user_id"), col("event_id"), col("ts"),
+      expr("(cast(ts as long) div 3600) * 3600").as("hsec"), col("value"))
+    val wLast = Window.partitionBy("user_id", "hsec")
+      .orderBy(col("ts").desc, col("event_id").desc)
+    val hourly = e.withColumn("rn", row_number().over(wLast))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("hsec"), col("value").as("hv"))
+    val grid = e.groupBy("user_id").agg(min("hsec").as("h0"), max("hsec").as("h1"))
+      .select(col("user_id"), explode(expr("sequence(h0, h1, 3600)")).as("hsec"))
+    val wFill = Window.partitionBy("user_id").orderBy("hsec")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(hourly, Seq("user_id", "hsec"), "left")
+      .withColumn("value_filled", last(col("hv"), ignoreNulls = true).over(wFill))
+      .select(col("user_id"),
+        date_format(timestamp_seconds(col("hsec")), "yyyy-MM-dd HH:mm:ss").as("hour"),
+        col("value_filled"),
+        when(col("hv").isNotNull, 1L).otherwise(0L).as("is_observed"))
+      .orderBy("user_id", "hour")
+  }
+
+  /** a09 core over (start_sec, end_sec) inclusive intervals — extracted so
+    * the sweep-line + two-phase prefix sum is unit-testable on crafted
+    * intervals (midnight-crossing carry-in, nested/disjoint overlap,
+    * tie-at-max picks the earliest second).
+    */
+  private[operators] def intervalConcurrency(sess: DataFrame): DataFrame = {
+    val deltas = sess.select(col("start_sec").as("sec"), lit(1L).as("d"))
+      .unionAll(sess.select((col("end_sec") + 1).as("sec"), lit(-1L).as("d")))
+      .groupBy("sec").agg(sum("d").as("d"))
+      .withColumn("day", expr("sec div 86400"))
+    val wIn = Window.partitionBy("day").orderBy("sec")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val partial = deltas.withColumn("run_in_day", sum("d").over(wIn))
+    val totals = deltas.groupBy("day").agg(sum("d").as("day_total"))
+    // single-partition window — but over the per-day totals, a
+    // metadata-sized frame (one row per day regardless of corpus size)
+    val wDays = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = totals
+      .withColumn("carry", coalesce(sum("day_total").over(wDays), lit(0L)))
+      .select("day", "carry")
+    val conc = partial.join(broadcast(offsets), "day")
+      .withColumn("conc", col("carry") + col("run_in_day"))
+    val wPick = Window.partitionBy("day").orderBy(col("conc").desc, col("sec").asc)
+    conc.withColumn("rn", row_number().over(wPick)).filter(col("rn") === 1)
+      .select(
+        date_format(timestamp_seconds(col("day") * 86400), "yyyy-MM-dd").as("day"),
+        col("conc").as("max_concurrency"),
+        date_format(timestamp_seconds(col("sec")), "yyyy-MM-dd HH:mm:ss").as("at_ts"))
+      .orderBy("day")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // AS-OF JOIN: for each purchase, the user's most recent view at-or-
     // before it. NOT a join at all in the scalable form: union both sides,
@@ -174,6 +231,45 @@ object Temporal {
         .orderBy("user_id")
     }),
 
+    // GAP-FILL / RESAMPLE: the missing-data cousin of a07 — project each
+    // user's irregular series onto a regular hourly grid and forward-fill
+    // the last observed value. Three scalable pieces: (1) an hourly
+    // "last reading" reduction (row_number per (user, hour) — one
+    // shuffle, state = 1 row); (2) grid generation with sequence() —
+    // rows bounded by the user's time span, no driver loop; (3) the fill
+    // itself as last(ignoreNulls) over a per-user ordered window. Nothing
+    // global: every stage partitions by user_id.
+    "a08_gap_fill" -> ((s, dir) =>
+      gapFill(Tables.events(s, dir)
+        .select(col("user_id"), col("event_id"), col("ts"), col("value")))),
+
+    // INTERVAL CONCURRENCY (sweep line): peak number of simultaneously
+    // open sessions per day. The classic formulation is a GLOBAL ordered
+    // running sum — a single-partition window that dies at scale — so
+    // this is the two-phase prefix sum instead: (1) partial running sums
+    // within each day partition; (2) carry-in offsets from the per-day
+    // totals, a metadata-sized frame (one row per day regardless of
+    // corpus size) whose single-partition window is therefore free, then
+    // broadcast back. Same decomposition t11 uses for packing; it is how
+    // any global prefix sum survives 100 TB.
+    "a09_interval_concurrency" -> ((s, dir) => {
+      val gapSec = 1800L
+      val wOrd = Window.partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
+      val e = Tables.events(s, dir)
+        .withColumn("ts_sec", col("ts").cast("long"))
+        .withColumn("prev_sec", lag(col("ts_sec"), 1).over(wOrd))
+        .withColumn("is_new",
+          when(col("prev_sec").isNull || col("ts_sec") - col("prev_sec") > gapSec, 1L)
+            .otherwise(0L))
+        .withColumn("session_seq",
+          sum(col("is_new")).over(wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      // +1 when a session opens, -1 the second after it closes (inclusive
+      // intervals); same-second deltas pre-summed inside the core so
+      // ordering within a timestamp can never matter
+      intervalConcurrency(e.groupBy("user_id", "session_seq")
+        .agg(min("ts_sec").as("start_sec"), max("ts_sec").as("end_sec")))
+    }),
+
     // GAP SESSIONIZATION: 30-minute-inactivity sessions per user — the
     // batch analog of streaming session windows. One shuffle on user_id,
     // two window passes (flag starts, running-sum session ids), one
@@ -226,6 +322,71 @@ object Temporal {
         |FROM t
         |WHERE span_us > 0
         |ORDER BY user_id""".stripMargin,
+
+    // grid = range(h0, h1+3600, 3600) (end-exclusive) ≡ Spark's inclusive
+    // sequence(h0, h1, 3600); the fill is the same last-ignore-nulls
+    // window both engines define identically
+    "a08_gap_fill" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, ts,
+        |    (CAST(epoch(date_trunc('second', ts)) AS BIGINT) // 3600) * 3600 AS hsec, "value"
+        |  FROM events
+        |), h AS (
+        |  SELECT user_id, hsec, "value" AS hv FROM (
+        |    SELECT user_id, hsec, "value",
+        |      ROW_NUMBER() OVER (PARTITION BY user_id, hsec ORDER BY ts DESC, event_id DESC) AS rn
+        |    FROM e) WHERE rn = 1
+        |), b AS (
+        |  SELECT user_id, MIN(hsec) AS h0, MAX(hsec) AS h1 FROM e GROUP BY user_id
+        |), grid AS (
+        |  SELECT user_id, unnest(range(h0, h1 + 3600, 3600)) AS hsec FROM b
+        |)
+        |SELECT g.user_id AS user_id,
+        |  strftime(to_timestamp(g.hsec), '%Y-%m-%d %H:%M:%S') AS hour,
+        |  LAST_VALUE(hv IGNORE NULLS) OVER (PARTITION BY g.user_id ORDER BY g.hsec
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_filled,
+        |  CAST(CASE WHEN hv IS NULL THEN 0 ELSE 1 END AS BIGINT) AS is_observed
+        |FROM grid g LEFT JOIN h USING (user_id, hsec)
+        |ORDER BY user_id, hour""".stripMargin,
+
+    // single flat running sum (DuckDB is single-node — the oracle needs
+    // no prefix-sum decomposition); sessions CTE = a03's exact semantics
+    "a09_interval_concurrency" ->
+      """WITH flagged AS (
+        |  SELECT user_id, event_id, CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS ts_sec,
+        |    CASE WHEN LAG(epoch(date_trunc('second', ts))) OVER w IS NULL
+        |           OR epoch(date_trunc('second', ts)) - LAG(epoch(date_trunc('second', ts))) OVER w > 1800
+        |         THEN 1 ELSE 0 END AS is_new
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+        |), numbered AS (
+        |  SELECT *, SUM(is_new) OVER (
+        |    PARTITION BY user_id ORDER BY ts_sec ASC, event_id ASC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+        |  FROM flagged
+        |), sess AS (
+        |  SELECT user_id, session_seq, MIN(ts_sec) AS start_sec, MAX(ts_sec) AS end_sec
+        |  FROM numbered GROUP BY user_id, session_seq
+        |), d0 AS (
+        |  SELECT start_sec AS sec, 1 AS d FROM sess
+        |  UNION ALL
+        |  SELECT end_sec + 1 AS sec, -1 AS d FROM sess
+        |), deltas AS (
+        |  SELECT sec, SUM(d) AS d FROM d0 GROUP BY sec
+        |), run AS (
+        |  SELECT sec, sec // 86400 AS day,
+        |    SUM(d) OVER (ORDER BY sec ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS conc
+        |  FROM deltas
+        |), pick AS (
+        |  SELECT day, conc, sec,
+        |    ROW_NUMBER() OVER (PARTITION BY day ORDER BY conc DESC, sec ASC) AS rn
+        |  FROM run
+        |)
+        |SELECT strftime(to_timestamp(day * 86400), '%Y-%m-%d') AS day,
+        |  CAST(conc AS BIGINT) AS max_concurrency,
+        |  strftime(to_timestamp(sec), '%Y-%m-%d %H:%M:%S') AS at_ts
+        |FROM pick WHERE rn = 1
+        |ORDER BY day""".stripMargin,
 
     "a01_asof_join" ->
       """SELECT event_id, user_id,

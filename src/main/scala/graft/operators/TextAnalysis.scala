@@ -278,6 +278,33 @@ object TextAnalysis {
         .agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("ngram").asc)
         .limit(50)
+    }),
+
+    // TF-IDF keyword extraction: top-5 terms per doc. Two hash aggs
+    // (term-frequency, then document-frequency over the already-distinct
+    // (doc, term) pairs — df is NEVER a count-distinct over raw tokens),
+    // a broadcast of the 1-row corpus count, and a per-doc ranking
+    // window. Deliberately ln-free: rank by tf·N/df, which orders
+    // identically to tf·idf for any monotone idf — one IEEE division of
+    // exact integers, so both engines produce bit-identical scores and
+    // the gate can hash-match floats.
+    "t15_tfidf_topk" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val tf = docs
+        .select(col("doc_id"),
+          explode(expr("filter(split(lower(text), ' '), w -> length(w) > 0)")).as("tok"))
+        .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+      val df = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+      val nDocs = docs.select(count(lit(1)).as("n_docs"))
+      val wTop = Window.partitionBy("doc_id").orderBy(col("score").desc, col("tok").asc)
+      tf.join(df, "tok")
+        .crossJoin(broadcast(nDocs))
+        .withColumn("score",
+          (col("tf") * col("n_docs")).cast("double") / col("df").cast("double"))
+        .withColumn("rn", row_number().over(wTop))
+        .filter(col("rn") <= 5)
+        .select(col("doc_id"), col("tok"), col("tf"), col("df"), col("score"))
+        .orderBy(col("doc_id"), col("score").desc, col("tok"))
     })
   )
 
@@ -338,6 +365,28 @@ object TextAnalysis {
          |FROM sc
          |ORDER BY doc_id""".stripMargin
     },
+
+    "t15_tfidf_topk" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    unnest(list_filter(string_split(lower(text), ' '), w -> len(w) > 0)) AS tok
+        |  FROM documents
+        |), tf AS (
+        |  SELECT doc_id, tok, COUNT(*) AS tf FROM toks GROUP BY doc_id, tok
+        |), df AS (
+        |  SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok
+        |), n AS (
+        |  SELECT COUNT(*) AS n_docs FROM documents
+        |), scored AS (
+        |  SELECT tf.doc_id, tf.tok, tf.tf, df.df,
+        |    (tf.tf * n.n_docs)::DOUBLE / df.df::DOUBLE AS score
+        |  FROM tf JOIN df USING (tok) CROSS JOIN n
+        |), r AS (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, tok ASC) AS rn
+        |  FROM scored
+        |)
+        |SELECT doc_id, tok, tf, df, score FROM r WHERE rn <= 5
+        |ORDER BY doc_id, score DESC, tok""".stripMargin,
 
     "t05_ngram_topk" ->
       """WITH t AS (

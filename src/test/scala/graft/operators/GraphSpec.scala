@@ -1,0 +1,78 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** Closed-form graphs pin the triangle/pagerank semantics the oracle gate
+  * exercises only on the (unknown-answer) fixture graph, plus a
+  * brute-force cross-check of the degree-oriented counting.
+  */
+class GraphSpec extends SparkSpec {
+
+  import org.apache.spark.sql.DataFrame
+
+  private def edges(pairs: (Long, Long)*): DataFrame = {
+    import spark.implicits._
+    pairs.map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+      .distinct.toDF("u", "v")
+  }
+
+  private def triCount(e: DataFrame): Long =
+    Graph.triangleStats(e).collect()(0).getAs[Long]("n_triangles")
+
+  test("g01 closed forms: K4 = 4, C4 = 0, shared-edge pair = 2, star = 0") {
+    // K4 (complete graph on 4 vertices): C(4,3) = 4 triangles
+    assert(triCount(edges((1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4))) === 4L)
+    // C4 (square, no diagonals): 0
+    assert(triCount(edges((1, 2), (2, 3), (3, 4), (4, 1))) === 0L)
+    // two triangles sharing edge (1,2)
+    assert(triCount(edges((1, 2), (1, 3), (2, 3), (1, 4), (2, 4))) === 2L)
+    // star K1,4: wedges but never a closure
+    assert(triCount(edges((1, 2), (1, 3), (1, 4), (1, 5))) === 0L)
+  }
+
+  test("g01 equals brute-force triple enumeration on a messy graph") {
+    // deterministic pseudo-random graph with hubs (uneven degrees so the
+    // orientation logic actually reorders edges)
+    val pairs = (1 to 120).map { i =>
+      val a = (i * 7919L) % 23
+      val b = (i * 104729L) % 23
+      (a, b)
+    }.filter { case (a, b) => a != b }
+    val e = edges(pairs: _*)
+
+    val es = e.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val vs = es.flatMap { case (a, b) => Seq(a, b) }.toSeq.sorted
+    var brute = 0L
+    for {
+      i <- vs.indices; j <- (i + 1) until vs.length; k <- (j + 1) until vs.length
+      if es((vs(i), vs(j))) && es((vs(j), vs(k))) && es((vs(i), vs(k)))
+    } brute += 1
+    assert(triCount(e) === brute, "degree-oriented count must equal brute force")
+  }
+
+  test("g01 clustering coefficient: K4 is fully transitive (coeff = 1.0)") {
+    val r = Graph.triangleStats(edges((1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4))).collect()(0)
+    assert(r.getAs[Double]("clustering_coeff") === 1.0)
+    assert(r.getAs[Long]("n_wedges") === 12L) // 4 vertices × C(3,2)
+  }
+
+  test("g02: star graph — hub collects leaf mass, leaves split the hub's") {
+    // star 1-(2,3,4,5): deg(1)=4, deg(leaf)=1. rank(1) = 4 × RankScale;
+    // rank(leaf) = RankScale/4.
+    val got = Graph.pagerankStep(edges((1, 2), (1, 3), (1, 4), (1, 5)), 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.head === ((1L, 4L, 4L * Graph.RankScale)), "hub first")
+    assert(got.tail.forall(_._3 === Graph.RankScale / 4), "each leaf gets 1/deg(hub)")
+    assert(got.tail.map(_._1).toSeq === Seq(2L, 3L, 4L, 5L), "ties break by id")
+  }
+
+  test("g02: total rank mass is conserved up to per-vertex floor loss") {
+    val e = edges((1 to 60).map(i => ((i * 13L) % 17, (i * 29L) % 17))
+      .filter(p => p._1 != p._2): _*)
+    val deg = e.collect().flatMap(r => Seq(r.getLong(0), r.getLong(1)))
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val expected = deg.values.map(d => (Graph.RankScale / d) * d).sum
+    val got = Graph.pagerankStep(e, 1000).collect().map(_.getLong(2)).sum
+    assert(got === expected, "sum of received = sum of sent (exact integer mass)")
+  }
+}

@@ -33,4 +33,82 @@ class TemporalSpec extends SparkSpec {
     assert(got(6L)._1 === 1L, "same-second click fails the strict > ordering")
     assert(got(7L)._1 === 2L, "a purchase before the click must not complete the funnel")
   }
+
+  test("a08 gap fill: multi-hour gaps carry the hour's LAST reading; grid spans per user") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // user 1: readings in hour 0 (two — the later must win) and hour 3;
+    // hours 1-2 are gaps. user 2: a single hour — one observed row, no fill.
+    val e = Seq(
+      (1L, 10L, 100L, 1.0), (1L, 11L, 200L, 2.0), // hour 0, last = 2.0
+      (1L, 12L, 3 * 3600L + 5L, 9.0),             // hour 3
+      (2L, 20L, 86400L, 7.0)
+    ).toDF("user_id", "event_id", "sec", "value")
+      .withColumn("ts", timestamp_seconds(col("sec"))).drop("sec")
+
+    val rows = Temporal.gapFill(e).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getLong(3)))
+    val u1 = rows.filter(_._1 == 1L)
+    assert(u1.length === 4, "grid covers min..max hour inclusive")
+    assert(u1.map(_._3).toSeq === Seq(2.0, 2.0, 2.0, 9.0),
+      "gap hours inherit the LAST reading of the last observed hour")
+    assert(u1.map(_._4).toSeq === Seq(1L, 0L, 0L, 1L), "is_observed flags gaps")
+    val u2 = rows.filter(_._1 == 2L)
+    assert(u2.toSeq === Seq((2L, "1970-01-02 00:00:00", 7.0, 1L)),
+      "single-hour user: one observed row, no synthetic neighbors")
+  }
+
+  test("a09 sweep line: midnight carry-in, overlap counting, earliest-second tie-break") {
+    import spark.implicits._
+    // day 0: [100,200] and [150,300] overlap → peak 2 at sec=150.
+    // [85000,90000] opens in day 0 but closes in day 1, so day 1 starts
+    // with carry-in concurrency 1; [88000,89000]'s open at 88000 (day 1)
+    // stacks on that carry → day-1 peak 2. Concurrency is evaluated at
+    // delta points (it is piecewise-constant between them).
+    val sess = Seq(
+      (100L, 200L), (150L, 300L),       // day 0 overlap
+      (85000L, 90000L),                 // crosses into day 1 (86400)
+      (88000L, 89000L)                  // entirely in day 1
+    ).toDF("start_sec", "end_sec")
+    val got = Temporal.intervalConcurrency(sess).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+    assert(got.length === 2)
+    assert(got(0)._1 === "1970-01-01" && got(0)._2 === 2L,
+      "two overlapping sessions peak at 2")
+    assert(got(0)._3 === "1970-01-01 00:02:30", "tie at max picks the earliest second")
+    assert(got(1)._1 === "1970-01-02" && got(1)._2 === 2L,
+      "day-1 peak = midnight carry-in (1) + the day-1 open (1) — the " +
+        "cross-day prefix sum must thread through the per-day offsets")
+  }
+
+  test("a09 two-phase prefix sum equals the flat single-window formulation") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    // randomized-ish but deterministic intervals spanning several days
+    val sess = (1 to 300).map { i =>
+      val start = (i * 7919L) % (4 * 86400L)
+      (start, start + (i * 104729L) % 50000L)
+    }.toDF("start_sec", "end_sec")
+    val fast = Temporal.intervalConcurrency(sess).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSeq
+
+    // reference: one flat global running sum (the formulation that dies
+    // at scale but is trivially correct single-node)
+    val deltas = sess.select(col("start_sec").as("sec"), lit(1L).as("d"))
+      .unionAll(sess.select((col("end_sec") + 1).as("sec"), lit(-1L).as("d")))
+      .groupBy("sec").agg(sum("d").as("d"))
+    val wAll = Window.orderBy("sec").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wPick = Window.partitionBy("day").orderBy(col("conc").desc, col("sec").asc)
+    val slow = deltas.withColumn("conc", sum("d").over(wAll))
+      .withColumn("day", expr("sec div 86400"))
+      .withColumn("rn", row_number().over(wPick)).filter(col("rn") === 1)
+      .select(
+        date_format(timestamp_seconds(col("day") * 86400), "yyyy-MM-dd").as("day"),
+        col("conc"),
+        date_format(timestamp_seconds(col("sec")), "yyyy-MM-dd HH:mm:ss").as("at_ts"))
+      .orderBy("day").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSeq
+    assert(fast === slow, "day-partitioned prefix sum + carry ≡ flat running sum")
+  }
 }

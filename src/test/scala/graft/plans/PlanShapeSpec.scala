@@ -136,6 +136,32 @@ class PlanShapeSpec extends SparkSpec {
       "expected the band explode")
   }
 
+  test("q43: LATERAL subquery decorrelates to WindowGroupLimit, never a per-row loop") {
+    // the per-customer ORDER BY ... LIMIT 3 must lower to the rank-pushdown
+    // operator (map-side top-k before the shuffle) + a hash join; a
+    // CartesianProduct or BroadcastNestedLoop here would mean the lateral
+    // re-executes per outer row — the shape that dies at scale
+    val p = sparkPlan("q43_lateral_topk")
+    assert(collectAll(p) {
+      case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => j
+      case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c
+    }.isEmpty, "lateral failed to decorrelate")
+    assert(collectAll(p) {
+      case w: org.apache.spark.sql.execution.window.WindowGroupLimitExec => w
+    }.nonEmpty, "expected WindowGroupLimit rank pushdown")
+    assert(collectAll(p) { case j: BroadcastHashJoinExec => j }.nonEmpty ||
+      collectAll(p) { case j: SortMergeJoinExec => j }.nonEmpty, p.toString)
+  }
+
+  test("g01: wedge closure is equi-joins only (degree orientation keeps it bounded)") {
+    val p = sparkPlan("g01_triangle_count")
+    assert(collectAll(p) {
+      case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => j
+      case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c
+    }.size <= 2, // the two 1-row stat crossJoins at the top are fine
+      "unexpected quadratic join in the triangle core")
+  }
+
   test("e07: quantization is one explode pass, no join, two-phase final agg") {
     val p = sparkPlan("e07_vector_quantize")
     assert(collectAll(p) { case j: BroadcastHashJoinExec => j }.isEmpty &&
