@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{Curation, Dedup, Graph, Multimodal, Relational, Similarity, Skew, Temporal, TextAnalysis}
+import graft.operators.{Curation, Dedup, Graph, Layout, Multimodal, Relational, Similarity, Skew, Temporal, TextAnalysis}
 import graft.streaming.StreamingQueries
 
 /** Driver contract — see SURVEY.md §7 and the builder prompt.
@@ -24,12 +24,14 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ Dedup.queries ++ Similarity.queries ++
       TextAnalysis.queries ++ Multimodal.queries ++ Temporal.queries ++
-      Skew.queries ++ Curation.queries ++ Graph.queries ++ StreamingQueries.queries
+      Skew.queries ++ Curation.queries ++ Graph.queries ++ Layout.queries ++
+      StreamingQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     Relational.oracles ++ Dedup.oracles ++ Similarity.oracles ++
       TextAnalysis.oracles ++ Multimodal.oracles ++ Temporal.oracles ++
-      Skew.oracles ++ Curation.oracles ++ Graph.oracles ++ StreamingQueries.oracles
+      Skew.oracles ++ Curation.oracles ++ Graph.oracles ++ Layout.oracles ++
+      StreamingQueries.oracles
 }

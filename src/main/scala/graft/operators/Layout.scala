@@ -1,0 +1,101 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Storage-layout operators: multi-dimensional clustering keys. At 100 TB
+  * the dominant cost is the scan, and the lever on the scan is LAYOUT —
+  * min/max zone maps only prune files whose key ranges are tight. A linear
+  * sort gives tight ranges on ONE column; a Z-ORDER (Morton) key
+  * interleaves the bits of two columns so files are tight in BOTH, which
+  * is what lets `WHERE l_partkey BETWEEN … AND l_suppkey BETWEEN …` skip
+  * most of the table (the technique behind Delta/Iceberg Z-ordering).
+  *
+  * The interleave is pure 64-bit integer arithmetic (masks, ors, adds —
+  * the classic magic-number bit spread, written with *2ⁿ instead of
+  * shifts so the SAME formula text runs on Spark SQL and DuckDB), so the
+  * whole query is codegen'd scan + one hash agg and the oracle is exact.
+  */
+object Layout {
+
+  /** `1 << ZBucketShiftBits` = z-range per layout bucket (top 8 of 32
+    * interleaved bits ⇒ 256 buckets).
+    */
+  val ZBucketDiv = 16777216L // 2^24
+
+  /** 16-bit → 32-bit even-position bit spread (abcd… → 0a0b0c0d…),
+    * engine-portable: only `&`, `|`, `*` on BIGINT.
+    */
+  private def spread(x: String): String = {
+    val m1 = s"((($x) | (($x) * 256)) & 16711935)"   // 0x00FF00FF
+    val m2 = s"((($m1) | (($m1) * 16)) & 252645135)" // 0x0F0F0F0F
+    val m3 = s"((($m2) | (($m2) * 4)) & 858993459)"  // 0x33333333
+    s"((($m3) | (($m3) * 2)) & 1431655765)"          // 0x55555555
+  }
+
+  /** Morton key of two 16-bit-masked columns: x bits at odd positions,
+    * y bits at even. Same text compiles in Spark SQL (`expr`) and DuckDB.
+    */
+  def zExpr(xCol: String, yCol: String): String =
+    s"((${spread(s"($xCol) & 65535")}) * 2) | (${spread(s"($yCol) & 65535")})"
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Z-ORDER LAYOUT AUDIT: bucket lineitem by the top 8 bits of the
+    // Morton key of (l_partkey, l_suppkey) — each bucket is what one
+    // z-ordered output file would hold — and report both dimensions'
+    // min/max zone-map ranges per bucket. Keys are min-max scaled into
+    // the 16-bit domain first (integer arithmetic over a broadcast 1-row
+    // bounds frame — how production z-ordering bins arbitrary domains),
+    // so the tiling is real at every scale factor. Range tightness in
+    // BOTH columns at once is the whole point (a partkey-sorted layout
+    // makes range_sk ≈ the full domain); LayoutSpec asserts the
+    // tightness quantitatively, the oracle pins the exact arithmetic.
+    "z01_zorder_layout" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir).select("l_partkey", "l_suppkey")
+      val bounds = li.agg(
+        min("l_partkey").as("pk0"), max("l_partkey").as("pk1"),
+        min("l_suppkey").as("sk0"), max("l_suppkey").as("sk1"))
+      li.crossJoin(broadcast(bounds))
+        .withColumn("xb", expr("(l_partkey - pk0) * 65536 div (pk1 - pk0 + 1)"))
+        .withColumn("yb", expr("(l_suppkey - sk0) * 65536 div (sk1 - sk0 + 1)"))
+        .withColumn("zval", expr(zExpr("xb", "yb")))
+        .withColumn("bucket", expr(s"zval div $ZBucketDiv"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n"),
+          min("l_partkey").as("min_pk"), max("l_partkey").as("max_pk"),
+          min("l_suppkey").as("min_sk"), max("l_suppkey").as("max_sk"))
+        .select(col("bucket"), col("n"),
+          col("min_pk"), col("max_pk"), (col("max_pk") - col("min_pk")).as("range_pk"),
+          col("min_sk"), col("max_sk"), (col("max_sk") - col("min_sk")).as("range_sk"))
+        .orderBy("bucket")
+    })
+  )
+
+  def oracles: Map[String, String] = Map(
+    "z01_zorder_layout" -> {
+      val z = zExpr("xb", "yb")
+      s"""WITH bounds AS (
+         |  SELECT MIN(l_partkey) AS pk0, MAX(l_partkey) AS pk1,
+         |         MIN(l_suppkey) AS sk0, MAX(l_suppkey) AS sk1
+         |  FROM lineitem
+         |), scaled AS (
+         |  SELECT l_partkey, l_suppkey,
+         |    (l_partkey - pk0) * 65536 // (pk1 - pk0 + 1) AS xb,
+         |    (l_suppkey - sk0) * 65536 // (sk1 - sk0 + 1) AS yb
+         |  FROM lineitem CROSS JOIN bounds
+         |), z AS (
+         |  SELECT l_partkey, l_suppkey, ($z) AS zval FROM scaled
+         |), b AS (
+         |  SELECT l_partkey, l_suppkey, zval // $ZBucketDiv AS bucket FROM z
+         |)
+         |SELECT bucket, COUNT(*) AS n,
+         |  MIN(l_partkey) AS min_pk, MAX(l_partkey) AS max_pk,
+         |  MAX(l_partkey) - MIN(l_partkey) AS range_pk,
+         |  MIN(l_suppkey) AS min_sk, MAX(l_suppkey) AS max_sk,
+         |  MAX(l_suppkey) - MIN(l_suppkey) AS range_sk
+         |FROM b GROUP BY bucket
+         |ORDER BY bucket""".stripMargin
+    }
+  )
+}

@@ -306,6 +306,46 @@ object Similarity {
         .orderBy("vec_id")
     }),
 
+    // PRODUCT QUANTIZATION (PQ): the codebook compression behind
+    // billion-vector ANN indexes (IVF-PQ) — split every vector into M=4
+    // 16-dim subvectors, assign each to its nearest codeword in that
+    // subspace, store 4 small codes instead of 64 floats. Codebook =
+    // the first K=16 vectors (deterministic init, as e08 seeds from e05);
+    // training better codebooks = running e08 per subspace. Broadcast
+    // codebook × scan — rows scale as n·M·K with K constant, never a
+    // vector-vector join. Distances are order-pinned left folds over the
+    // subvector (the a07/e08 discipline), so the argmin codes AND the
+    // per-subspace distortions are oracle-exact.
+    "e09_product_quantize" -> ((s, dir) => {
+      val M = 4; val K = 16
+      val e = Tables.embeddings(s, dir)
+      val cb = e.filter(col("vec_id") < K)
+        .select(col("vec_id").as("code"), col("embedding").as("cemb"))
+      val subs = e.select(col("vec_id"), col("embedding"),
+        explode(sequence(lit(0), lit(M - 1))).as("sub"))
+      val dist = expr(
+        """aggregate(
+          |  zip_with(slice(embedding, sub*16+1, 16), slice(cemb, sub*16+1, 16),
+          |    (x, y) -> (cast(x as double) - cast(y as double)) * (cast(x as double) - cast(y as double))),
+          |  cast(0.0 as double), (acc, v) -> acc + v)""".stripMargin)
+      val wMin = Window.partitionBy("vec_id", "sub").orderBy(col("dist").asc, col("code").asc)
+      val best = subs.crossJoin(broadcast(cb))
+        .withColumn("dist", dist)
+        .withColumn("rn", row_number().over(wMin))
+        .filter(col("rn") === 1)
+      best.groupBy("vec_id")
+        .agg(
+          max(when(col("sub") === 0, col("code"))).as("code0"),
+          max(when(col("sub") === 1, col("code"))).as("code1"),
+          max(when(col("sub") === 2, col("code"))).as("code2"),
+          max(when(col("sub") === 3, col("code"))).as("code3"),
+          max(when(col("sub") === 0, col("dist"))).as("dist0"),
+          max(when(col("sub") === 1, col("dist"))).as("dist1"),
+          max(when(col("sub") === 2, col("dist"))).as("dist2"),
+          max(when(col("sub") === 3, col("dist"))).as("dist3"))
+        .orderBy("vec_id")
+    }),
+
     // LSH-bucketed ANN (the scale path): 48 tables × 6-bit hyperplane
     // signatures per vector, candidates = same (table, bucket), exact
     // cosine only on candidates, per-query top-5 after unioning tables.
@@ -369,6 +409,37 @@ object Similarity {
          |ORDER BY vid""".stripMargin,
     // e03_ann_lsh / e06_ivf_ann: approximate — recall asserted in
     // SimilaritySpec instead of a SQL oracle.
+
+    // 1-based DuckDB list indexing over the same 16-element slices; the
+    // squared-diff terms fold in identical order, so dist doubles match
+    // bit-for-bit and the argmin codes agree
+    "e09_product_quantize" ->
+      """WITH cb AS (
+        |  SELECT vec_id AS code, embedding AS cemb FROM embeddings WHERE vec_id < 16
+        |), subs AS (
+        |  SELECT vec_id, embedding, unnest([0, 1, 2, 3]) AS sub FROM embeddings
+        |), scored AS (
+        |  SELECT s.vec_id, s.sub, cb.code,
+        |    list_sum([ (s.embedding[s.sub*16 + i]::DOUBLE - cb.cemb[s.sub*16 + i]::DOUBLE)
+        |             * (s.embedding[s.sub*16 + i]::DOUBLE - cb.cemb[s.sub*16 + i]::DOUBLE)
+        |             for i in range(1, 17)]) AS dist
+        |  FROM subs s CROSS JOIN cb
+        |), best AS (
+        |  SELECT * FROM (
+        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, sub ORDER BY dist ASC, code ASC) AS rn
+        |    FROM scored) WHERE rn = 1
+        |)
+        |SELECT vec_id,
+        |  MAX(CASE WHEN sub = 0 THEN code END) AS code0,
+        |  MAX(CASE WHEN sub = 1 THEN code END) AS code1,
+        |  MAX(CASE WHEN sub = 2 THEN code END) AS code2,
+        |  MAX(CASE WHEN sub = 3 THEN code END) AS code3,
+        |  MAX(CASE WHEN sub = 0 THEN dist END) AS dist0,
+        |  MAX(CASE WHEN sub = 1 THEN dist END) AS dist1,
+        |  MAX(CASE WHEN sub = 2 THEN dist END) AS dist2,
+        |  MAX(CASE WHEN sub = 3 THEN dist END) AS dist3
+        |FROM best GROUP BY vec_id
+        |ORDER BY vec_id""".stripMargin,
 
     "e07_vector_quantize" ->
       """WITH m AS (

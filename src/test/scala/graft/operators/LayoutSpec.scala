@@ -1,0 +1,75 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** Pins the Morton-key arithmetic against a bit-by-bit reference
+  * implementation, and asserts the property the operator exists for:
+  * z-order buckets are tight in BOTH dimensions, a linear sort in one.
+  */
+class LayoutSpec extends SparkSpec {
+
+  /** Bit-by-bit reference interleave: x at odd positions, y at even. */
+  private def refInterleave(x: Int, y: Int): Long = {
+    var z = 0L
+    var i = 0
+    while (i < 16) {
+      z |= ((x >> i) & 1).toLong << (2 * i + 1)
+      z |= ((y >> i) & 1).toLong << (2 * i)
+      i += 1
+    }
+    z
+  }
+
+  test("zExpr equals the bit-by-bit reference on edge and scattered values") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val vals = Seq(0, 1, 2, 255, 256, 4095, 12345, 32768, 65534, 65535)
+    val pairs = for (x <- vals; y <- vals) yield (x.toLong, y.toLong)
+    val got = pairs.toDF("x", "y")
+      .withColumn("z", expr(Layout.zExpr("x", "y")))
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    pairs.foreach { case (x, y) =>
+      assert(got((x, y)) === refInterleave(x.toInt, y.toInt),
+        s"interleave mismatch at ($x, $y)")
+    }
+  }
+
+  test("zExpr masks inputs to 16 bits (no bleed into neighbor positions)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val r = Seq((65536L + 7L, 131072L + 9L)).toDF("x", "y")
+      .withColumn("z", expr(Layout.zExpr("x", "y"))).collect()(0).getLong(2)
+    assert(r === refInterleave(7, 9))
+  }
+
+  test("z buckets are tight in both dims; a linear sort is tight in only one") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // uniform deterministic grid over the full 16-bit domain
+    val pts = (0 until 4096).map { i =>
+      (((i * 40503) % 65536).toLong, ((i * 30223) % 65536).toLong)
+    }.toDF("x", "y")
+
+    val zRanges = pts
+      .withColumn("bucket", expr(s"(${Layout.zExpr("x", "y")}) div ${Layout.ZBucketDiv}"))
+      .groupBy("bucket")
+      .agg((max("x") - min("x")).as("rx"), (max("y") - min("y")).as("ry"))
+      .agg(avg("rx").as("arx"), avg("ry").as("ary")).collect()(0)
+
+    // same point set, 256 equal-width buckets on x alone
+    val linRanges = pts
+      .withColumn("bucket", expr("x div 256"))
+      .groupBy("bucket")
+      .agg((max("x") - min("x")).as("rx"), (max("y") - min("y")).as("ry"))
+      .agg(avg("rx").as("arx"), avg("ry").as("ary")).collect()(0)
+
+    // a z bucket is a 4096×4096 tile: both dims bounded by the tile edge
+    assert(zRanges.getDouble(0) <= 4096.0 && zRanges.getDouble(1) <= 4096.0,
+      s"z buckets must be tile-bounded in BOTH dims, got $zRanges")
+    // the linear layout keeps x tight but y spans ~the whole domain
+    assert(linRanges.getDouble(0) <= 4096.0, "linear layout should be tight in x")
+    assert(linRanges.getDouble(1) > 8 * zRanges.getDouble(1),
+      s"linear layout's y range (${linRanges.getDouble(1)}) should dwarf the " +
+        s"z layout's (${zRanges.getDouble(1)}) — that gap IS the data-skipping win")
+  }
+}

@@ -100,4 +100,22 @@ class SimilaritySpec extends SparkSpec {
     info(s"e01b top-100 overlap = $overlap")
     assert(overlap >= 0.9, s"top-100 overlap $overlap below 0.9")
   }
+
+  test("e09 PQ: codebook vectors quantize to themselves with zero distortion") {
+    val rows = Similarity.queries("e09_product_quantize")(spark, sfDir).collect()
+    val byId = rows.map(r => r.getLong(0) -> r).toMap
+    (0L until 16L).foreach { id =>
+      val r = byId(id)
+      assert(Seq(1, 2, 3, 4).forall(i => r.getLong(i) == id),
+        s"codeword $id must self-assign in every subspace, got " +
+          Seq(1, 2, 3, 4).map(r.getLong).mkString(","))
+      assert(Seq(5, 6, 7, 8).forall(i => r.getDouble(i) == 0.0),
+        s"codeword $id must have zero distortion")
+    }
+    // every vector is coded, codes stay in the codebook range
+    val n = graft.Tables.embeddings(spark, sfDir).count()
+    assert(rows.length.toLong === n)
+    assert(rows.forall(r => Seq(1, 2, 3, 4).forall(i =>
+      r.getLong(i) >= 0L && r.getLong(i) < 16L)))
+  }
 }
