@@ -69,6 +69,23 @@ object ScaleProbe {
     reps.reduce(_ unionByName _)
   }
 
+  /** lineitem ×F: replica r shifts order/part/supp keys into disjoint id
+    * spaces, so the part co-purchase graph becomes F disconnected copies —
+    * triangles, ranks, and z-order tiles scale exactly F× and the probe
+    * again measures pure data growth.
+    */
+  private def scaledLineitem(s: SparkSession, dir: String, factor: Int): DataFrame = {
+    val base = Tables.lineitem(s, dir)
+    val reps = (0 until factor).map { r =>
+      if (r == 0) base
+      else base
+        .withColumn("l_orderkey", col("l_orderkey") + lit(r * 100000000L))
+        .withColumn("l_partkey", col("l_partkey") + lit(r * 10000000L))
+        .withColumn("l_suppkey", col("l_suppkey") + lit(r * 10000000L))
+    }
+    reps.reduce(_ unionByName _)
+  }
+
   def main(args: Array[String]): Unit = {
     val srcDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
     val outDir = if (args.length > 1) args(1) else "/tmp/graft_scale"
@@ -92,6 +109,8 @@ object ScaleProbe {
       .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
     scaledEvents(spark, srcDir, factor).repartition(32)
       .write.mode("overwrite").parquet(s"$outDir/events.parquet")
+    scaledLineitem(spark, srcDir, factor).repartition(32)
+      .write.mode("overwrite").parquet(s"$outDir/lineitem.parquet")
     println(s"[probe] built ${factor}x corpus at $outDir")
 
     val probes = Seq(
@@ -100,7 +119,11 @@ object ScaleProbe {
       "t14_rare_token_ratio", "e03_ann_lsh", "e04b_embedding_nn_dedup_lsh",
       "e01b_cosine_pairs_topk_lsh", "e08_kmeans_step", "p01_curation_pipeline",
       "a01_asof_join", "a02_range_join", "a03_sessionize", "a05_funnel",
-      "a06_retention", "q17_event_tumbling")
+      "a06_retention", "q17_event_tumbling",
+      // round 4 additions
+      "t15_tfidf_topk", "a08_gap_fill", "a09_interval_concurrency",
+      "e09_product_quantize", "g01_triangle_count", "g02_pagerank_step",
+      "z01_zorder_layout")
     // warm pass (JIT + codegen + parquet footers), then the timed pass
     for (pass <- Seq("warm", "timed"); name <- probes) {
       val t0 = System.nanoTime()

@@ -289,6 +289,30 @@ object StreamingQueries {
         .orderBy("user_id", "session_start")
     }),
 
+    // CHAINED time-window aggregations — TWO stateful operators in ONE
+    // streaming query (the multi-stateful-operator support of Spark
+    // 3.5+): hourly counts per type, re-aggregated into daily rollups of
+    // those hourly counts. Stage 2's event-time column IS stage 1's
+    // window struct. Both stages watermark-finalize in append mode, so
+    // the emitted set is closed-form (s09's contract, one level up):
+    // exactly the days whose end the terminal watermark passed. A day
+    // finalizes only after all its hours did (hour end ≤ day end ≤ wm),
+    // so the chain introduces no new emission edge cases.
+    "s13_stream_chained_windows" -> ((s, dir) => {
+      val hourly = eventsStream(s, dir)
+        .withWatermark("ts", "30 minutes")
+        .groupBy(window(col("ts"), "1 hour").as("hw"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"))
+      val daily = hourly
+        .groupBy(window(col("hw"), "1 day").as("dw"), col("event_type"))
+        .agg(count(lit(1)).as("n_hours"), sum("n_events").as("n_day"),
+          max("n_events").as("max_hourly"))
+        .select(date_format(col("dw.start"), "yyyy-MM-dd").as("day"),
+          col("event_type"), col("n_hours"), col("n_day"), col("max_hourly"))
+      runToTable(daily, OutputMode.Append(), statePartitions = Some(8))
+        .orderBy("day", "event_type")
+    }),
+
     // S1 under the hard gate: the engine's OWN DSv2 source (the
     // shardedStream analog) driven through real micro-batch execution —
     // 32 shards, 4 admission-controlled batches of 25k — then the
@@ -443,6 +467,24 @@ object StreamingQueries {
         |FROM numbered
         |GROUP BY user_id, session_seq
         |ORDER BY user_id, session_start""".stripMargin,
+
+    // two-level closed form: daily rollups of hourly counts, emitted for
+    // days the terminal watermark (max ts − 30 min) closed
+    "s13_stream_chained_windows" ->
+      """WITH m AS (
+        |  SELECT max(ts) - INTERVAL 30 MINUTE AS wm FROM events
+        |), h AS (
+        |  SELECT date_trunc('hour', ts) AS hs, event_type, COUNT(*) AS n
+        |  FROM events GROUP BY 1, 2
+        |), d AS (
+        |  SELECT date_trunc('day', hs) AS ds, event_type,
+        |    COUNT(*) AS n_hours, CAST(SUM(n) AS BIGINT) AS n_day, MAX(n) AS max_hourly
+        |  FROM h GROUP BY 1, 2
+        |)
+        |SELECT strftime(ds, '%Y-%m-%d') AS day, event_type, n_hours, n_day, max_hourly
+        |FROM d, m
+        |WHERE ds + INTERVAL 1 DAY <= wm
+        |ORDER BY day, event_type""".stripMargin,
 
     // closed form: the source enumerates 1..R exactly once
     "s05_synth_source_count" ->
