@@ -26,5 +26,9 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 16g default: the 100+-query Bench/Verify mains run in ONE JVM, and at
+  // 8g the tail of the run measures GC pressure from earlier queries'
+  // broadcast/shuffle debris instead of the queries themselves (observed:
+  // 0.6 s queries timing at 12 s late in the run)
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
 )

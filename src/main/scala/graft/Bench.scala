@@ -32,6 +32,10 @@ object Bench {
     // count() would let Catalyst skip projection work entirely and
     // under-time the scan-heavy queries.
     val results = SparkEntry.queries.map { case (name, fn) =>
+      // GC fence (untimed): without it, a heavy predecessor's broadcast/
+      // shuffle debris gets collected INSIDE the next query's timing —
+      // observed inflating sub-second queries to 10+ s late in the run
+      System.gc()
       val t0 = System.nanoTime()
       val ok =
         try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }

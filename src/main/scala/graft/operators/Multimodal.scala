@@ -165,6 +165,29 @@ object Multimodal {
           col("n_channels"),
           concat_ws(",", col("frame_offsets")).as("frame_offsets_csv"))
         .orderBy("doc_id")
+    }),
+
+    // MODALITY COVERAGE AUDIT — the first question a multimodal training
+    // run asks of its manifest: which text rows have a paired embedding
+    // (and vice versa)? Full outer join on the shared id space, rolled up
+    // per source: pairing rate plus the byte/char mass of the UNPAIRED
+    // rows (what re-embedding would cost). One outer join + one agg;
+    // both sides join on their primary key, so at scale this is the
+    // bucketed-join shape StorageLayoutSpec pins.
+    "m06_modality_coverage" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"), col("n_chars"))
+      val vecs = Tables.embeddings(s, dir)
+        .select(col("vec_id"), col("label"))
+      docs.join(vecs, col("doc_id") === col("vec_id"), "full_outer")
+        .groupBy(coalesce(col("source"), lit("<no_doc>")).as("source"))
+        .agg(
+          count(col("doc_id")).as("n_docs"),
+          count(when(col("vec_id").isNotNull && col("doc_id").isNotNull, 1)).as("n_paired"),
+          count(when(col("vec_id").isNull, 1)).as("n_unembedded"),
+          count(when(col("doc_id").isNull, 1)).as("n_orphan_vecs"),
+          coalesce(sum(when(col("vec_id").isNull, col("n_chars"))), lit(0L)).as("unembedded_chars"))
+        .orderBy("source")
     })
   )
 
@@ -187,6 +210,17 @@ object Multimodal {
   }
 
   def oracles: Map[String, String] = Map(
+    "m06_modality_coverage" ->
+      """SELECT COALESCE(source, '<no_doc>') AS source,
+        |  COUNT(doc_id) AS n_docs,
+        |  COUNT(CASE WHEN vec_id IS NOT NULL AND doc_id IS NOT NULL THEN 1 END) AS n_paired,
+        |  COUNT(CASE WHEN vec_id IS NULL THEN 1 END) AS n_unembedded,
+        |  COUNT(CASE WHEN doc_id IS NULL THEN 1 END) AS n_orphan_vecs,
+        |  CAST(COALESCE(SUM(CASE WHEN vec_id IS NULL THEN n_chars END), 0) AS BIGINT) AS unembedded_chars
+        |FROM documents FULL OUTER JOIN embeddings ON doc_id = vec_id
+        |GROUP BY COALESCE(source, '<no_doc>')
+        |ORDER BY source""".stripMargin,
+
     // NOTE: this oracle iterates CHARACTERS (ascii(text[i]), strlen) while
     // the Spark side sums UTF-8 BYTES — identical only because the fixture
     // is pure ASCII, which MultimodalSpec asserts as a precondition.

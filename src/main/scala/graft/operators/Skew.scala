@@ -31,6 +31,23 @@ object Skew {
       .agg(sum(col("partial_sum")).cast("double").as("sum_value"),
         sum(col("partial_n")).as("n"))
 
+  /** Salted JOIN — the join-side counterpart of saltedSumCount, for when
+    * one probe-side key is hot enough that even AQE's partition splitting
+    * leaves a straggler (AQE splits skewed PARTITIONS; a single hot KEY
+    * inside one partition still lands on one reducer unless salted).
+    * Probe rows get a deterministic salt in [0, salts); the build side is
+    * replicated ×salts via explode, so (key, salt) is a plain equi-join
+    * with the hot key spread over `salts` reducers. Result == the
+    * unsalted join, which is what the oracle states.
+    */
+  def saltedJoin(probe: DataFrame, build: DataFrame, key: String,
+                 probeRowId: Column, salts: Int): DataFrame = {
+    val salted = probe.withColumn("salt", pmod(hash(probeRowId), lit(salts)))
+    val replicated = build.withColumn("salt",
+      explode(sequence(lit(0), lit(salts - 1))))
+    salted.join(replicated, Seq(key, "salt")).drop("salt")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // salted aggregation over the (deliberately low-cardinality, hence
     // "all keys hot") l_returnflag key. Result == plain groupBy, so the
@@ -44,6 +61,26 @@ object Skew {
         col("l_extendedprice"), salts = 16)
         .select(col("k").as("l_returnflag"), col("sum_value"), col("n"))
         .orderBy("l_returnflag")
+    }),
+
+    // salted join: every lineitem keyed by the (5-value, hence all-hot)
+    // l_returnflag joins a tiny per-flag dimension built from orders'
+    // priority universe — the "hot key × small build side" shape. The
+    // salt spreads each flag over 16 reducers; the aggregate proves the
+    // join result is exactly the unsalted join's.
+    "k02_salted_join" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+        .select(col("l_returnflag").as("flag"), col("l_orderkey"),
+          col("l_linenumber"), col("l_quantity"))
+      // deterministic 5-row "dimension": per-flag multiplier table
+      val dim = li.select(col("flag")).distinct()
+        .withColumn("mult", (length(col("flag")) + lit(1)).cast("long"))
+      saltedJoin(li, dim, "flag", hash(col("l_orderkey"), col("l_linenumber")), salts = 16)
+        .groupBy("flag")
+        .agg(count(lit(1)).as("n"),
+          sum((col("l_quantity").cast("decimal(38,6)") * col("mult")).cast("decimal(38,6)"))
+            .cast("double").as("weighted_qty"))
+        .orderBy("flag")
     })
   )
 
@@ -54,6 +91,19 @@ object Skew {
         |  COUNT(*) AS n
         |FROM lineitem
         |GROUP BY l_returnflag
-        |ORDER BY l_returnflag""".stripMargin
+        |ORDER BY l_returnflag""".stripMargin,
+
+    // the UNSALTED join — salting must be answer-invisible
+    "k02_salted_join" ->
+      """WITH dim AS (
+        |  SELECT DISTINCT l_returnflag AS flag,
+        |    CAST(LENGTH(l_returnflag) + 1 AS BIGINT) AS mult
+        |  FROM lineitem
+        |)
+        |SELECT li.l_returnflag AS flag, COUNT(*) AS n,
+        |  CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(38,6)) * mult AS DECIMAL(38,6))) AS DOUBLE) AS weighted_qty
+        |FROM lineitem li JOIN dim ON li.l_returnflag = dim.flag
+        |GROUP BY li.l_returnflag
+        |ORDER BY flag""".stripMargin
   )
 }
