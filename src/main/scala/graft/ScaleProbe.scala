@@ -126,6 +126,7 @@ object ScaleProbe {
       "z01_zorder_layout")
     // warm pass (JIT + codegen + parquet footers), then the timed pass
     for (pass <- Seq("warm", "timed"); name <- probes) {
+      System.gc() // Bench's GC fence: keep predecessors' debris out of the timing
       val t0 = System.nanoTime()
       val ok =
         try { SparkEntry.queries(name)(spark, outDir).write.format("noop").mode("overwrite").save(); true }
