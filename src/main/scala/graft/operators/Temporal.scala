@@ -270,6 +270,44 @@ object Temporal {
         .agg(min("ts_sec").as("start_sec"), max("ts_sec").as("end_sec")))
     }),
 
+    // ROLLING Z-SCORE ANOMALY FLAGGING: each reading scored against the
+    // mean/stddev of its user's trailing 20-event window — the streaming-
+    // monitor primitive (alert when |z| > 3). One shuffle on user_id;
+    // frames are ROWS-bounded so state is 20 rows regardless of history.
+    // Exactness discipline: windowed Σv and Σv² accumulate as decimals
+    // (exact, association-free), variance/z then happen in a FIXED
+    // double-expression order — so the flags AND the scores are
+    // bit-identical across engines and partitionings. stddev_samp()
+    // itself is deliberately avoided: engines disagree on its
+    // accumulation algorithm (Welford vs naive), decimals cannot.
+    "a10_rolling_zscore" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
+        .rowsBetween(-19, Window.currentRow)
+      val e = Tables.events(s, dir)
+        .select(col("user_id"), col("event_id"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts_s"),
+          col("ts"), col("value"),
+          // (18,6) not (38,6): the vd*vd product must stay inside both
+          // engines' 38-digit decimal ceiling
+          col("value").cast("decimal(18,6)").as("vd"))
+        .withColumn("n_w", count(lit(1)).over(w))
+        .withColumn("sum_w", sum(col("vd")).over(w))
+        .withColumn("sumsq_w", sum(col("vd") * col("vd")).over(w))
+        .filter(col("n_w") >= 20)
+      // var = (Σv² − (Σv)²/n) / (n−1), every operand exact until the one
+      // double conversion per term
+      val mean = col("sum_w").cast("double") / col("n_w").cast("double")
+      val variance = (col("sumsq_w").cast("double") -
+        col("sum_w").cast("double") * col("sum_w").cast("double") / col("n_w").cast("double")) /
+        (col("n_w").cast("double") - 1.0d)
+      e.select(col("user_id"), col("event_id"), col("ts_s").as("ts"), col("value"),
+          mean.as("mean_20"),
+          sqrt(greatest(variance, lit(0.0d))).as("sd_20"))
+        .withColumn("z", (col("value") - col("mean_20")) / col("sd_20"))
+        .withColumn("is_anomaly", (abs(col("z")) > 3.0d).cast("boolean"))
+        .orderBy("user_id", "event_id")
+    }),
+
     // GAP SESSIONIZATION: 30-minute-inactivity sessions per user — the
     // batch analog of streaming session windows. One shuffle on user_id,
     // two window passes (flag starts, running-sum session ids), one
@@ -348,6 +386,37 @@ object Temporal {
         |  CAST(CASE WHEN hv IS NULL THEN 0 ELSE 1 END AS BIGINT) AS is_observed
         |FROM grid g LEFT JOIN h USING (user_id, hsec)
         |ORDER BY user_id, hour""".stripMargin,
+
+    // decimal window sums → one double conversion per term, fixed
+    // expression order — mirrors the Spark side exactly
+    "a10_rolling_zscore" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, ts, "value",
+        |    CAST("value" AS DECIMAL(18,6)) AS vd
+        |  FROM events
+        |), win AS (
+        |  SELECT user_id, event_id, ts, "value",
+        |    COUNT(*) OVER w AS n_w,
+        |    SUM(vd) OVER w AS sum_w,
+        |    SUM(vd * vd) OVER w AS sumsq_w
+        |  FROM e
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+        |    ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+        |), m AS (
+        |  SELECT user_id, event_id, ts, "value",
+        |    sum_w::DOUBLE / n_w::DOUBLE AS mean_20,
+        |    sqrt(greatest(
+        |      (sumsq_w::DOUBLE - sum_w::DOUBLE * sum_w::DOUBLE / n_w::DOUBLE)
+        |        / (n_w::DOUBLE - 1.0), 0.0)) AS sd_20
+        |  FROM win WHERE n_w >= 20
+        |)
+        |SELECT user_id, event_id,
+        |  strftime(date_trunc('second', ts), '%Y-%m-%d %H:%M:%S') AS ts,
+        |  "value", mean_20, sd_20,
+        |  ("value" - mean_20) / sd_20 AS z,
+        |  abs(("value" - mean_20) / sd_20) > 3.0 AS is_anomaly
+        |FROM m
+        |ORDER BY user_id, event_id""".stripMargin,
 
     // single flat running sum (DuckDB is single-node — the oracle needs
     // no prefix-sum decomposition); sessions CTE = a03's exact semantics
