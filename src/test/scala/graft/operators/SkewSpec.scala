@@ -1,0 +1,61 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** The salting combinators on a deliberately pathological key
+  * distribution — the oracle gate proves fixture equality, this proves
+  * the semantics on the distribution salting exists for: one key owning
+  * ~all rows.
+  */
+class SkewSpec extends SparkSpec {
+
+  import org.apache.spark.sql.functions._
+
+  test("saltedJoin on a 95%-hot key equals the unsalted join") {
+    import spark.implicits._
+    // 9500 rows on key "hot", 500 spread over 5 cold keys
+    val probe = (1 to 10000).map { i =>
+      val k = if (i <= 9500) "hot" else s"cold${i % 5}"
+      (k, i.toLong, (i % 97).toLong)
+    }.toDF("k", "row_id", "v")
+    val build = Seq(("hot", 2L), ("cold0", 3L), ("cold1", 5L), ("cold2", 7L),
+      ("cold3", 11L), ("cold4", 13L), ("never", 99L)).toDF("k", "mult")
+
+    val salted = Skew.saltedJoin(probe, build, "k", col("row_id"), salts = 16)
+      .groupBy("k").agg(count(lit(1)).as("n"), sum(col("v") * col("mult")).as("s"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val plain = probe.join(build, "k")
+      .groupBy("k").agg(count(lit(1)).as("n"), sum(col("v") * col("mult")).as("s"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(salted === plain, "salting must be answer-invisible")
+    assert(plain.exists(_._1 == "hot") && !plain.exists(_._1 == "never"))
+  }
+
+  test("saltedJoin spreads the hot key across more than one shuffle partition") {
+    import spark.implicits._
+    val probe = (1 to 8000).map(i => ("hot", i.toLong, 1L)).toDF("k", "row_id", "v")
+    val build = Seq(("hot", 1L)).toDF("k", "mult")
+    // group the SALTED intermediate by its physical partition: >1 distinct
+    // partition must carry hot-key rows (the unsalted join puts them all
+    // in one)
+    val salted = probe.withColumn("salt", pmod(hash(col("row_id")), lit(16)))
+      .repartition(16, col("k"), col("salt"))
+    val partsUsed = salted
+      .select(spark_partition_id().as("pid"))
+      .distinct().count()
+    assert(partsUsed > 1, s"hot key still lands on one partition ($partsUsed)")
+  }
+
+  test("saltedSumCount on the hot distribution equals plain groupBy") {
+    import spark.implicits._
+    val df = (1 to 5000).map { i =>
+      (if (i % 100 == 0) "rare" else "hot", i.toLong, i.toDouble / 7.0)
+    }.toDF("k", "row_id", "v")
+    val salted = Skew.saltedSumCount(df, col("k"), col("row_id"), col("v"), salts = 8)
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2))).toSet
+    val plain = df.groupBy("k")
+      .agg(sum(col("v").cast("decimal(38,6)")).cast("double").as("s"), count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2))).toSet
+    assert(salted === plain)
+  }
+}

@@ -15,7 +15,12 @@ class PartitionInvarianceSpec extends SparkSpec {
 
   private val Probes = Seq(
     "q01_agg_pricing_summary", "e05_label_centroids", "e08_kmeans_step",
-    "d03_minhash_lsh", "p01_curation_pipeline", "t11_pack_sequences")
+    "d03_minhash_lsh", "p01_curation_pipeline", "t11_pack_sequences",
+    // round 4: the decimal-windowed z-scores (a10), the cross-partition
+    // carry of the two-phase prefix sum (a09), integer graph sums (g02),
+    // and tf-idf's broadcast corpus count (t15)
+    "a10_rolling_zscore", "a09_interval_concurrency", "g02_pagerank_step",
+    "t15_tfidf_topk")
 
   private def runAt(name: String, parts: Int): Seq[String] = {
     val old = spark.conf.get("spark.sql.shuffle.partitions")
