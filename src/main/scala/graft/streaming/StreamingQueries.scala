@@ -1,9 +1,9 @@
 package graft.streaming
 
 import java.util.concurrent.atomic.AtomicInteger
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, Trigger, ValueState}
 import org.apache.spark.sql.types._
 import graft.Tables
 
@@ -22,6 +22,33 @@ case class UserState(n: Long, minId: Long, maxTs: Long)
 case class SessEvent(user_id: Long, event_id: Long, ts_sec: Long, event_type: String)
 case class SessionRow(user_id: Long, start_sec: Long, end_sec: Long,
                       n_events: Long, n_types: Long)
+case class UserStateOut(user_id: Long, n_events: Long, min_event_id: Long, max_ts_sec: Long)
+
+/** s14: the s04 per-user fold re-expressed in Spark 4's arbitrary-state v2
+  * API (`transformWithState`) — typed ValueState on the RocksDB store,
+  * replacing mapGroupsWithState's single opaque blob with named, schema'd,
+  * independently-evolvable state variables. Order-free like s04's fold, so
+  * the emission is exact under the same oracle.
+  */
+class UserStateProcessor extends StatefulProcessor[Long, UserEvent, UserStateOut] {
+  @transient private var st: ValueState[UserState] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    st = getHandle.getValueState[UserState]("agg", Encoders.product[UserState], TTLConfig.NONE)
+
+  override def handleInputRows(key: Long, rows: Iterator[UserEvent],
+                               tv: TimerValues): Iterator[UserStateOut] = {
+    val prev = if (st.exists()) st.get() else UserState(0L, Long.MaxValue, Long.MinValue)
+    var n = prev.n; var minId = prev.minId; var maxTs = prev.maxTs
+    rows.foreach { r =>
+      n += 1
+      if (r.event_id < minId) minId = r.event_id
+      if (r.ts_sec > maxTs) maxTs = r.ts_sec
+    }
+    st.update(UserState(n, minId, maxTs))
+    Iterator.single(UserStateOut(key, n, minId, maxTs))
+  }
+}
 
 object StreamingQueries {
 
@@ -182,6 +209,36 @@ object StreamingQueries {
         .withColumn("max_ts", date_format(timestamp_seconds(col("max_ts_sec")), "yyyy-MM-dd HH:mm:ss"))
         .select("user_id", "n_events", "min_event_id", "max_ts")
         .orderBy("user_id")
+    }),
+
+    // the NEW stateful API (Spark 4 transformWithState / state v2): s04's
+    // exact semantics — same oracle — through a StatefulProcessor with a
+    // named typed ValueState on the RocksDB state-store provider (which
+    // the API requires; provider scoped to this query and restored).
+    // What the API buys at scale over mapGroupsWithState: named state
+    // variables with independent schemas (evolvable without rebuilding
+    // the checkpoint), TTL per variable, timers decoupled from output
+    // mode — this query pins the engine to the CURRENT state API, not
+    // just its deprecated-in-spirit predecessor.
+    "s14_stream_tws_state" -> ((s, dir) => {
+      import s.implicits._
+      val provKey = "spark.sql.streaming.stateStore.providerClass"
+      val oldProv = s.conf.get(provKey,
+        "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider")
+      s.conf.set(provKey,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      try {
+        val typed = eventsStream(s, dir)
+          .select(col("user_id"), col("event_id"), col("ts").cast("long").as("ts_sec"))
+          .as[UserEvent]
+        val out = typed.groupByKey(_.user_id)
+          .transformWithState(new UserStateProcessor, TimeMode.None(), OutputMode.Update())
+        runToTable(out.toDF(), OutputMode.Update(), statePartitions = Some(8))
+          .withColumn("max_ts",
+            date_format(timestamp_seconds(col("max_ts_sec")), "yyyy-MM-dd HH:mm:ss"))
+          .select("user_id", "n_events", "min_event_id", "max_ts")
+          .orderBy("user_id")
+      } finally s.conf.set(provKey, oldProv)
     }),
 
     // session windows as a STREAMING aggregation (state-store session
@@ -418,6 +475,14 @@ object StreamingQueries {
 
     // identical semantics to the batch a04 oracle (Temporal.oracles)
     "s08_stream_sessions" -> graft.operators.Temporal.oracles("a04_session_window"),
+
+    // s14 ≡ s04 by construction (same fold, new state API) — same oracle
+    "s14_stream_tws_state" ->
+      """SELECT user_id, COUNT(*) AS n_events, MIN(event_id) AS min_event_id,
+        |  strftime(date_trunc('second', MAX(ts)), '%Y-%m-%d %H:%M:%S') AS max_ts
+        |FROM events
+        |GROUP BY user_id
+        |ORDER BY user_id""".stripMargin,
 
     "s07_stream_stream_join" ->
       """SELECT a.user_id, a.event_id AS event_id_a, b.event_id AS event_id_b,
