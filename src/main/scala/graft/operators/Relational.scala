@@ -646,6 +646,46 @@ object Relational {
         .orderBy("l_returnflag")
     }),
 
+    // aggregate FILTER clause — per-aggregate predicates in ONE pass over
+    // the fact table (the alternative is either N scans or N CASE WHEN
+    // wrappers; FILTER is the declarative form Catalyst rewrites to the
+    // same single hash agg). count_if covers the function-form spelling.
+    // Every filtered sum runs in decimal and casts once at the end, the
+    // q01 discipline.
+    "q44_filter_agg" -> ((s, dir) => {
+      Tables.lineitem(s, dir).createOrReplaceTempView("lineitem_f")
+      s.sql("""
+        SELECT l_returnflag,
+               COUNT(*) AS n_all,
+               COUNT(*) FILTER (WHERE l_quantity > 25) AS n_heavy,
+               count_if(l_discount = 0.0) AS n_nodisc,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) FILTER (WHERE l_tax > 0.04) AS DOUBLE) AS taxed_price,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) FILTER (WHERE l_shipdate >= DATE '1997-01-01') AS DOUBLE) AS recent_qty
+        FROM lineitem_f
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag""")
+    }),
+
+    // ordered string aggregation (LISTAGG / string_agg semantics): collect
+    // a group's values, order them, concatenate. Spark spells it
+    // concat_ws ∘ sort_array ∘ collect_list — collect_list partial-
+    // aggregates map-side and the sort pins a deterministic element order
+    // (an unordered listagg is nondeterministic under parallelism and
+    // could never be oracle-checked). Group state is O(distinct values) —
+    // collect_set over the ~7 order years and 3 statuses here, so the
+    // shuffle carries a handful of elements per group per task, not rows;
+    // an unbounded-group listagg at 100 TB is a design error, not a
+    // missing feature.
+    "q45_string_agg" -> ((s, dir) => {
+      Tables.orders(s, dir)
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_orders"),
+          concat_ws(",", sort_array(collect_set(year(col("o_orderdate")).cast("long"))))
+            .as("years_csv"),
+          concat_ws("|", sort_array(collect_set(col("o_orderstatus")))).as("status_csv"))
+        .orderBy("o_orderpriority")
+    }),
+
     // ---- approximate / sketch (weaker rows-only driver check; no oracle) ------
     "q27_approx_distinct" -> ((s, dir) => {
       // Percentiles surfaced as three scalar columns (not an array) so the
@@ -1015,6 +1055,27 @@ object Relational {
         |FROM lineitem
         |GROUP BY l_returnflag
         |ORDER BY l_returnflag""".stripMargin,
+
+    "q44_filter_agg" ->
+      """SELECT l_returnflag,
+        |  COUNT(*) AS n_all,
+        |  COUNT(*) FILTER (WHERE l_quantity > 25) AS n_heavy,
+        |  COUNT(*) FILTER (WHERE l_discount = 0.0) AS n_nodisc,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) FILTER (WHERE l_tax > 0.04) AS DOUBLE) AS taxed_price,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) FILTER (WHERE l_shipdate >= DATE '1997-01-01') AS DOUBLE) AS recent_qty
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
+
+    "q45_string_agg" ->
+      """SELECT o_orderpriority,
+        |  COUNT(*) AS n_orders,
+        |  string_agg(DISTINCT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT), ','
+        |             ORDER BY CAST(EXTRACT(year FROM o_orderdate) AS BIGINT)) AS years_csv,
+        |  string_agg(DISTINCT o_orderstatus, '|' ORDER BY o_orderstatus) AS status_csv
+        |FROM orders
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
 
     "q39_explode_pos" ->
       """WITH t AS (
