@@ -305,6 +305,38 @@ object TextAnalysis {
         .filter(col("rn") <= 5)
         .select(col("doc_id"), col("tok"), col("tf"), col("df"), col("score"))
         .orderBy(col("doc_id"), col("score").desc, col("tok"))
+    }),
+
+    // VOCABULARY STATISTICS per source — the Heaps/Zipf health check a
+    // corpus audit runs before training: vocabulary size (exact distinct
+    // types), hapax count (types seen once — OCR noise and gibberish
+    // inflate it), type-token ratio, and the top token's frequency share
+    // (a degenerate corpus has one token dominating). Two hash aggs: the
+    // (source, token) term-frequency agg is the classic high-cardinality
+    // key whose map-side combine does the heavy lifting — raw text never
+    // shuffles, only distinct (source, type) rows do — and the per-source
+    // rollup is linear in vocabulary, not corpus. The argmax token is
+    // pinned (freq desc, token asc), so every column sits under the exact
+    // gate: counts are integers, ratios one IEEE division each.
+    "t16_vocab_stats" -> ((s, dir) => {
+      val tf = Tables.documents(s, dir)
+        .select(col("source"),
+          explode(expr("filter(split(lower(text), ' '), w -> length(w) > 0)")).as("tok"))
+        .groupBy("source", "tok").agg(count(lit(1)).as("cnt"))
+      val wTop = Window.partitionBy("source").orderBy(col("cnt").desc, col("tok").asc)
+      val top = tf.withColumn("rn", row_number().over(wTop)).filter(col("rn") === 1)
+        .select(col("source"), col("tok").as("top_token"), col("cnt").as("top_freq"))
+      tf.groupBy("source")
+        .agg(sum("cnt").as("n_tokens"),
+          count(lit(1)).as("n_types"),
+          count(when(col("cnt") === 1, 1)).as("n_hapax"))
+        .join(top, "source")
+        .select(col("source"), col("n_tokens"), col("n_types"), col("n_hapax"),
+          (col("n_types").cast("double") / col("n_tokens").cast("double")).as("type_token_ratio"),
+          (col("n_hapax").cast("double") / col("n_types").cast("double")).as("hapax_share"),
+          col("top_token"), col("top_freq"),
+          (col("top_freq").cast("double") / col("n_tokens").cast("double")).as("top_share"))
+        .orderBy("source")
     })
   )
 
@@ -387,6 +419,31 @@ object TextAnalysis {
         |)
         |SELECT doc_id, tok, tf, df, score FROM r WHERE rn <= 5
         |ORDER BY doc_id, score DESC, tok""".stripMargin,
+
+    "t16_vocab_stats" ->
+      """WITH toks AS (
+        |  SELECT source,
+        |    unnest(list_filter(string_split(lower(text), ' '), w -> len(w) > 0)) AS tok
+        |  FROM documents
+        |), tf AS (
+        |  SELECT source, tok, COUNT(*) AS cnt FROM toks GROUP BY source, tok
+        |), agg AS (
+        |  SELECT source, CAST(SUM(cnt) AS BIGINT) AS n_tokens, COUNT(*) AS n_types,
+        |    COUNT(CASE WHEN cnt = 1 THEN 1 END) AS n_hapax
+        |  FROM tf GROUP BY source
+        |), top AS (
+        |  SELECT source, tok AS top_token, cnt AS top_freq FROM (
+        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY source ORDER BY cnt DESC, tok ASC) AS rn
+        |    FROM tf
+        |  ) WHERE rn = 1
+        |)
+        |SELECT a.source, n_tokens, n_types, n_hapax,
+        |  n_types::DOUBLE / n_tokens::DOUBLE AS type_token_ratio,
+        |  n_hapax::DOUBLE / n_types::DOUBLE AS hapax_share,
+        |  top_token, top_freq,
+        |  top_freq::DOUBLE / n_tokens::DOUBLE AS top_share
+        |FROM agg a JOIN top t ON a.source = t.source
+        |ORDER BY a.source""".stripMargin,
 
     "t05_ngram_topk" ->
       """WITH t AS (
