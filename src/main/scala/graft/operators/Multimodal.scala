@@ -38,6 +38,14 @@ object Multimodal {
     */
   val FrameStride = 64
   val SampleEvery = 3
+
+  /** m07 audio grid: 16-bit little-endian samples, `AudioFrameSamples`
+    * samples per analysis frame.
+    */
+  val AudioFrameSamples = 256
+  case class AudioStats(
+      doc_id: Long, n_samples: Long, n_frames: Long,
+      total_energy: Long, peak_frame: Long, peak_energy: Long)
   case class Decoded(
       doc_id: Long, n_bytes: Long,
       width: Int, height: Int, n_channels: Int,
@@ -148,6 +156,48 @@ object Multimodal {
         .orderBy("doc_id")
     }),
 
+    // audio-style windowed energy — the PCM access pattern (the audio leg
+    // of the modality set: m01/m04 image-ish, m05 video-ish, m07 audio):
+    // the payload is read as 16-bit little-endian samples, framed at 256
+    // samples, and each frame's energy (Σ sample²) computed — the loudness
+    // / silence-trim primitive an audio curation pass runs. All integer
+    // math (an odd trailing byte is dropped; ASCII payloads make both
+    // bytes of every sample < 128, so unsigned decode is exact on both
+    // engines), so the whole windowing path is oracle-checked. Same
+    // batched narrow map as m01/m05 — no shuffle, scan-linear.
+    "m07_audio_energy" -> ((s, dir) => {
+      val blobs = Tables.documents(s, dir)
+        .filter(length(col("text")) >= 2)
+        .select(col("doc_id"), col("text").cast("binary").as("payload"))
+        .as(Encoders.product[Blob])
+      blobs.mapPartitions { it =>
+        it.grouped(DecodeBatchSize).flatMap { batch =>
+          batch.map { b =>
+            val ns = b.payload.length / 2
+            val nf = (ns + AudioFrameSamples - 1) / AudioFrameSamples
+            var total = 0L; var peak = -1L; var peakIdx = -1L
+            var f = 0
+            while (f < nf) {
+              var e = 0L
+              var i = f * AudioFrameSamples
+              val end = math.min(ns, i + AudioFrameSamples)
+              while (i < end) {
+                val smp = (b.payload(2 * i) & 0xFF) | ((b.payload(2 * i + 1) & 0xFF) << 8)
+                e += smp.toLong * smp
+                i += 1
+              }
+              total += e
+              if (e > peak) { peak = e; peakIdx = f }
+              f += 1
+            }
+            AudioStats(b.doc_id, ns.toLong, nf.toLong, total, peakIdx, peak)
+          }
+        }
+      }(Encoders.product[AudioStats])
+        .toDF()
+        .orderBy("doc_id")
+    }),
+
     // full stubbed decode: metadata struct + frame sampling offsets. The
     // decode values are fake (see fakeDecode) → no SQL oracle; schema,
     // batching, and determinism are asserted in MultimodalSpec.
@@ -247,6 +297,30 @@ object Multimodal {
          |FROM f
          |GROUP BY doc_id
          |ORDER BY doc_id""".stripMargin,
+
+    // same ASCII-fixture precondition as m01 (chars ⇔ bytes); sample si
+    // is bytes (2si, 2si+1) = text chars (2si+1, 2si+2) in 1-based DuckDB
+    "m07_audio_energy" ->
+      s"""WITH s AS (
+         |  SELECT doc_id, text, unnest(range(0, strlen(text) // 2)) AS si
+         |  FROM documents WHERE strlen(text) >= 2
+         |), v AS (
+         |  SELECT doc_id, si // $AudioFrameSamples AS f,
+         |    (ascii(text[(2*si+1)::INT]) + 256 * ascii(text[(2*si+2)::INT]))::BIGINT AS smp
+         |  FROM s
+         |), fr AS (
+         |  SELECT doc_id, f, SUM(smp * smp) AS e, COUNT(*) AS n
+         |  FROM v GROUP BY doc_id, f
+         |), agg AS (
+         |  SELECT doc_id, CAST(SUM(n) AS BIGINT) AS n_samples, COUNT(*) AS n_frames,
+         |    CAST(SUM(e) AS BIGINT) AS total_energy, CAST(MAX(e) AS BIGINT) AS peak_energy
+         |  FROM fr GROUP BY doc_id
+         |)
+         |SELECT a.doc_id, n_samples, n_frames, total_energy,
+         |  CAST(MIN(fr.f) AS BIGINT) AS peak_frame, peak_energy
+         |FROM agg a JOIN fr ON fr.doc_id = a.doc_id AND fr.e = a.peak_energy
+         |GROUP BY a.doc_id, n_samples, n_frames, total_energy, peak_energy
+         |ORDER BY a.doc_id""".stripMargin,
 
     // same ASCII-fixture precondition as m01 (chars ⇔ bytes)
     "m04_feature_extract" ->
