@@ -28,6 +28,13 @@ object Graph {
   /** g02: fixed-point scale for integer rank contributions. */
   val RankScale = 1000000000000L // 1e12
 
+  /** g03: BFS round cap — co-purchase graphs are small-world (diameter a
+    * handful); hitting the cap with a non-empty frontier THROWS rather
+    * than silently emitting truncated levels (the MaxCcRounds
+    * discipline).
+    */
+  val MaxBfsRounds = 30
+
   /** Undirected co-purchase edges (u < v), deduplicated. Per-order part
     * sets are small (TPC-H ~4 lineitems/order), so the self-join on
     * l_orderkey is bounded per key — never an n² blowup.
@@ -102,6 +109,63 @@ object Graph {
       .select(col("dst").as("part_id"), col("in_deg"), col("rank_num"))
   }
 
+  /** g03 core: single-source BFS by iterative frontier expansion — the
+    * third canonical Pregel shape after label propagation (d07) and one
+    * message round (g02). Root = the max-degree vertex (tie-break min
+    * id — deterministic). Each round: frontier ⋈ edges → dedup → anti-join
+    * visited; the shuffles carry only the frontier fan-out and the visited
+    * id set, never the whole graph per round, and only a 1-row emptiness
+    * probe reaches the driver per round. Rounds = eccentricity of the
+    * root (small-world graphs: a handful at any scale).
+    */
+  private[operators] def bfsLevels(e: DataFrame, maxRounds: Int = MaxBfsRounds): DataFrame = {
+    val spark = e.sparkSession
+    val nb = e.select(col("u").as("src"), col("v").as("dst"))
+      .unionAll(e.select(col("v").as("src"), col("u").as("dst")))
+      .persist()
+    try {
+      // 1 scalar to the driver: the root choice (same discipline as d07's
+      // convergence count)
+      val root = nb.groupBy("src").agg(count(lit(1)).as("deg"))
+        .orderBy(col("deg").desc, col("src").asc)
+        .limit(1).select("src").collect()(0).getLong(0)
+      var visited = spark.range(1)
+        .select(lit(root).as("v"), lit(0L).as("lvl")).persist()
+      var frontier = visited
+      var lvl = 0L
+      var exhausted = false
+      while (!exhausted && lvl < maxRounds) {
+        val next = nb.join(frontier.select(col("v").as("src")), "src")
+          .select(col("dst").as("v")).distinct()
+          .join(visited, Seq("v"), "left_anti")
+          .select(col("v"), lit(lvl + 1L).as("lvl"))
+          .persist()
+        if (next.isEmpty) { exhausted = true; next.unpersist() }
+        else {
+          val nv = visited.unionAll(next).persist()
+          nv.count() // materialize off the old caches before dropping them
+          if (frontier ne visited) frontier.unpersist()
+          visited.unpersist()
+          visited = nv
+          frontier = next
+          lvl += 1
+        }
+      }
+      if (!exhausted)
+        throw new IllegalStateException(
+          s"bfsLevels hit the $maxRounds-round cap with a non-empty frontier: " +
+            "root eccentricity exceeds the cap; emitting truncated levels would be wrong")
+      val out = visited.groupBy("lvl")
+        .agg(count(lit(1)).as("n_vertices"), min("v").as("min_part"), max("v").as("max_part"))
+        .select(col("lvl").as("level"), col("n_vertices"), col("min_part"), col("max_part"))
+        .orderBy("level")
+        .localCheckpoint(true)
+      if (frontier ne visited) frontier.unpersist()
+      visited.unpersist()
+      out
+    } finally nb.unpersist()
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // TRIANGLE COUNT + global clustering coefficient. Degree-ordered
     // orientation → every triangle has exactly one source vertex with
@@ -116,7 +180,14 @@ object Graph {
     // integer sum of incoming contributions. Two broadcast-or-shuffled
     // hash joins + one hash agg — the shape every BSP/Pregel round
     // lowers to on Spark. Top-25 hubs by rank.
-    "g02_pagerank_step" -> ((s, dir) => pagerankStep(partEdges(s, dir), 25))
+    "g02_pagerank_step" -> ((s, dir) => pagerankStep(partEdges(s, dir), 25)),
+
+    // Single-source BFS level histogram from the busiest part — reach/
+    // hop-distance profiling (how many hops cover the catalog from the
+    // hub). Iterative frontier expansion; per-level vertex counts and id
+    // ranges are all integers → exact oracle via a depth-capped
+    // recursive-CTE closure with MIN(level) per vertex.
+    "g03_bfs_levels" -> ((s, dir) => bfsLevels(partEdges(s, dir)))
   )
 
   def oracles: Map[String, String] = Map(
@@ -170,6 +241,34 @@ object Graph {
          |FROM msgs
          |GROUP BY dst
          |ORDER BY rank_num DESC, part_id ASC
-         |LIMIT 25""".stripMargin
+         |LIMIT 25""".stripMargin,
+
+    // the walk UNIONs distinct (v, lvl) pairs with a depth cap, so it
+    // terminates on cycles; MIN(lvl) per vertex = the BFS level whenever
+    // the true level < cap (the Spark side throws past the same cap)
+    "g03_bfs_levels" ->
+      s"""WITH RECURSIVE li AS (
+         |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+         |), e AS (
+         |  SELECT DISTINCT a.pk AS u, b.pk AS v
+         |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+         |), nb AS (
+         |  SELECT u AS src, v AS dst FROM e UNION ALL SELECT v, u FROM e
+         |), deg AS (
+         |  SELECT src, COUNT(*) AS deg FROM nb GROUP BY src
+         |), root AS (
+         |  SELECT src FROM deg ORDER BY deg DESC, src ASC LIMIT 1
+         |), walk AS (
+         |  SELECT src AS v, 0 AS lvl FROM root
+         |  UNION
+         |  SELECT nb.dst, w.lvl + 1 FROM walk w JOIN nb ON nb.src = w.v
+         |  WHERE w.lvl < $MaxBfsRounds
+         |), lv AS (
+         |  SELECT v, MIN(lvl) AS lvl FROM walk GROUP BY v
+         |)
+         |SELECT CAST(lvl AS BIGINT) AS level, COUNT(*) AS n_vertices,
+         |  MIN(v) AS min_part, MAX(v) AS max_part
+         |FROM lv GROUP BY lvl
+         |ORDER BY level""".stripMargin
   )
 }

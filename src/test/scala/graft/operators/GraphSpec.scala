@@ -66,6 +66,32 @@ class GraphSpec extends SparkSpec {
     assert(got.tail.map(_._1).toSeq === Seq(2L, 3L, 4L, 5L), "ties break by id")
   }
 
+  test("g03 closed forms: path levels from the max-degree root; star; disconnection") {
+    // path 1-2-3-4-5: degrees (1,2,2,2,1) → root = 2 (max deg, min id).
+    // levels: 0:{2}, 1:{1,3}, 2:{4}, 3:{5}
+    val path = Graph.bfsLevels(edges((1, 2), (2, 3), (3, 4), (4, 5))).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(path.toSeq === Seq((0L, 1L, 2L, 2L), (1L, 2L, 1L, 3L), (2L, 1L, 4L, 4L), (3L, 1L, 5L, 5L)))
+
+    // star: hub is root, all leaves level 1
+    val star = Graph.bfsLevels(edges((1, 2), (1, 3), (1, 4), (1, 5))).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(star.toSeq === Seq((0L, 1L), (1L, 4L)))
+
+    // disconnected component {8,9} is simply absent from the root's tree
+    val disc = Graph.bfsLevels(edges((1, 2), (1, 3), (8, 9))).collect()
+    assert(disc.map(_.getLong(1)).sum === 3L, "only the root's component is reached")
+  }
+
+  test("g03 throws past the round cap instead of truncating levels") {
+    // a 6-path needs 5 rounds from its end... root = max-degree so use a
+    // lollipop: triangle at one end forces the root into the triangle,
+    // leaving a 4-deep tail; cap 2 must throw, cap 10 must succeed
+    val lolli = edges((1, 2), (1, 3), (2, 3), (3, 4), (4, 5), (5, 6), (6, 7))
+    assertThrows[IllegalStateException](Graph.bfsLevels(lolli, maxRounds = 2))
+    assert(Graph.bfsLevels(lolli, maxRounds = 10).count() === 5)
+  }
+
   test("g02: total rank mass is conserved up to per-vertex floor loss") {
     val e = edges((1 to 60).map(i => ((i * 13L) % 17, (i * 29L) % 17))
       .filter(p => p._1 != p._2): _*)
