@@ -91,6 +91,56 @@ object Similarity {
       .select(col("vid"), col("nid"),
         cosine_similarity(col("emb_a"), col("emb_b")).as("cos_sim"))
 
+  /** PQ geometry shared by e09 (encoder) and e10 (ADC search): M=4
+    * subspaces × 16 dims, K=16 codewords (the first K vectors — the same
+    * deterministic init discipline as e08's e05-seeded centroids).
+    */
+  private val PqM = 4
+  private val PqK = 16
+
+  /** Order-pinned squared L2 between the `sub`-th 16-dim slices of
+    * columns `embedding` and `cemb` — the left fold keeps the distance
+    * bit-reproducible (the a07/e08 discipline).
+    */
+  private val pqSubDist = expr(
+    """aggregate(
+      |  zip_with(slice(embedding, sub*16+1, 16), slice(cemb, sub*16+1, 16),
+      |    (x, y) -> (cast(x as double) - cast(y as double)) * (cast(x as double) - cast(y as double))),
+      |  cast(0.0 as double), (acc, v) -> acc + v)""".stripMargin)
+
+  /** Order-pinned inner product between the `sub`-th slices of `embedding`
+    * and `cemb` — the ADC table entry for e10. Encoding quantizes by L2
+    * (standard PQ), but the SEARCH-time lookup is the inner-product form
+    * (the MIPS/ScaNN-style ADC): the ranking target is cosine, and
+    * Σ_sub ⟨q_sub, c_sub⟩ estimates ⟨q, x⟩ directly, where a summed L2
+    * would mix in the candidate-norm term the cosine ranking ignores.
+    */
+  private val pqSubIp = expr(
+    """aggregate(
+      |  zip_with(slice(embedding, sub*16+1, 16), slice(cemb, sub*16+1, 16),
+      |    (x, y) -> cast(x as double) * cast(y as double)),
+      |  cast(0.0 as double), (acc, v) -> acc + v)""".stripMargin)
+
+  /** The K-codeword PQ codebook: (code, cemb). */
+  private def pqCodebook(e: DataFrame): DataFrame =
+    e.filter(col("vec_id") < PqK)
+      .select(col("vec_id").as("code"), col("embedding").as("cemb"))
+
+  /** PQ-encode every vector: (vec_id, sub, code, dist) — argmin codeword
+    * per subspace, broadcast codebook × scan (n·M·K rows, K constant;
+    * never a vector-vector join).
+    */
+  private def pqEncoded(e: DataFrame): DataFrame = {
+    val wMin = Window.partitionBy("vec_id", "sub").orderBy(col("dist").asc, col("code").asc)
+    e.select(col("vec_id"), col("embedding"),
+        explode(sequence(lit(0), lit(PqM - 1))).as("sub"))
+      .crossJoin(broadcast(pqCodebook(e)))
+      .withColumn("dist", pqSubDist)
+      .withColumn("rn", row_number().over(wMin))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("sub"), col("code"), col("dist"))
+  }
+
   /** DuckDB fragment: exact sequential-double cosine between a.embedding
     * and b.embedding (embeddings are fixed 64-dim).
     */
@@ -317,23 +367,7 @@ object Similarity {
     // subvector (the a07/e08 discipline), so the argmin codes AND the
     // per-subspace distortions are oracle-exact.
     "e09_product_quantize" -> ((s, dir) => {
-      val M = 4; val K = 16
-      val e = Tables.embeddings(s, dir)
-      val cb = e.filter(col("vec_id") < K)
-        .select(col("vec_id").as("code"), col("embedding").as("cemb"))
-      val subs = e.select(col("vec_id"), col("embedding"),
-        explode(sequence(lit(0), lit(M - 1))).as("sub"))
-      val dist = expr(
-        """aggregate(
-          |  zip_with(slice(embedding, sub*16+1, 16), slice(cemb, sub*16+1, 16),
-          |    (x, y) -> (cast(x as double) - cast(y as double)) * (cast(x as double) - cast(y as double))),
-          |  cast(0.0 as double), (acc, v) -> acc + v)""".stripMargin)
-      val wMin = Window.partitionBy("vec_id", "sub").orderBy(col("dist").asc, col("code").asc)
-      val best = subs.crossJoin(broadcast(cb))
-        .withColumn("dist", dist)
-        .withColumn("rn", row_number().over(wMin))
-        .filter(col("rn") === 1)
-      best.groupBy("vec_id")
+      pqEncoded(Tables.embeddings(s, dir)).groupBy("vec_id")
         .agg(
           max(when(col("sub") === 0, col("code"))).as("code0"),
           max(when(col("sub") === 1, col("code"))).as("code1"),
@@ -344,6 +378,74 @@ object Similarity {
           max(when(col("sub") === 2, col("dist"))).as("dist2"),
           max(when(col("sub") === 3, col("dist"))).as("dist3"))
         .orderBy("vec_id")
+    }),
+
+    // IVF-PQ ADC SEARCH — the composition e06's cells and e09's codes
+    // exist for, and the memory layout behind billion-vector ANN serving
+    // (Jégou et al., "Product Quantization for Nearest Neighbor Search",
+    // TPAMI 2011): candidates come from the probed IVF cells, their
+    // scores from M=4 table lookups per candidate (asymmetric distance
+    // computation — query-to-codeword products precomputed per query,
+    // candidate vectors never touched), and only the ADC top-40 shortlist
+    // gets exact re-ranking against the full floats. At scale the flow
+    // reads: per query, ~nprobe/ncells of an index whose per-vector
+    // payload is 4 SMALL INTS (16× smaller than the floats) plus one
+    // 40-row exact re-rank — the corpus embeddings are only fetched for
+    // the shortlist, by key. Every stage is a broadcast or an equi-join.
+    // Approximate → recall vs e02 asserted in SimilaritySpec; rows-only
+    // driver check.
+    "e10_ivf_pq_ann" -> ((s, dir) => {
+      val nprobe = 4; val assign = 2; val rerank = 40
+      val e = Tables.embeddings(s, dir)
+      val cents = centroidComponents(e)
+        .groupBy("label")
+        .agg(transform(sort_array(collect_list(struct(col("dim"), col("c")))), s => s.getField("c"))
+          .cast("array<float>").as("centroid"))
+        .select(col("label").as("cell"), col("centroid"))
+      val scored = e.join(broadcast(cents))
+        .select(col("vec_id"), col("embedding"), col("cell"),
+          cosine_similarity(col("embedding"), col("centroid")).as("ccos"))
+      val wAssign = Window.partitionBy("vec_id").orderBy(col("ccos").desc, col("cell").asc)
+      // index side: top-`assign` cells per vector (e06's spill), but the
+      // index payload is the PQ CODES, not the embeddings
+      val assigned = scored.withColumn("rn", row_number().over(wAssign))
+        .filter(col("rn") <= assign)
+        .select(col("vec_id").as("nid"), col("cell"))
+      val codes = pqEncoded(e).select(col("vec_id").as("nid"), col("sub"), col("code"))
+      val qvecs = e.filter(col("vec_id") < 10)
+      // ADC tables: per-subspace inner products from each query to every
+      // codeword — Q × K × M tiny rows, built once per query batch
+      val adc = qvecs.select(col("vec_id").as("qid"), col("embedding"))
+        .crossJoin(broadcast(pqCodebook(e)))
+        .select(col("qid"), col("code"), col("embedding"), col("cemb"),
+          explode(sequence(lit(0), lit(PqM - 1))).as("sub"))
+        .withColumn("d", pqSubIp)
+        .select("qid", "sub", "code", "d")
+      val probes = scored.filter(col("vec_id") < 10)
+        .withColumn("rn", row_number().over(wAssign))
+        .filter(col("rn") <= nprobe)
+        .select(col("vec_id").as("qid"), col("cell"))
+      val cand = assigned.join(probes, "cell")
+        .filter(col("nid") =!= col("qid"))
+        .select("qid", "nid").distinct()
+      // ADC: approximate ⟨q, x⟩ = Σ_sub lookup(qid, sub, code(nid, sub))
+      val wAdc = Window.partitionBy("qid").orderBy(col("adc_ip").desc, col("nid").asc)
+      val shortlist = cand.join(codes, "nid")
+        .join(adc, Seq("qid", "sub", "code"))
+        .groupBy("qid", "nid").agg(sum("d").as("adc_ip"))
+        .withColumn("rn", row_number().over(wAdc))
+        .filter(col("rn") <= rerank)
+        .select("qid", "nid")
+      // exact re-rank of the shortlist only
+      val wTop = Window.partitionBy("qid").orderBy(col("cos_sim").desc, col("nid").asc)
+      shortlist
+        .join(e.select(col("vec_id").as("qid"), col("embedding").as("q_emb")), "qid")
+        .join(e.select(col("vec_id").as("nid"), col("embedding").as("n_emb")), "nid")
+        .select(col("qid"), col("nid"),
+          cosine_similarity(col("q_emb"), col("n_emb")).as("cos_sim"))
+        .withColumn("rn", row_number().over(wTop).cast("long"))
+        .filter(col("rn") <= 5)
+        .orderBy("qid", "rn")
     }),
 
     // LSH-bucketed ANN (the scale path): 48 tables × 6-bit hyperplane

@@ -47,6 +47,32 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.7, s"IVF recall $recall below 0.7")
   }
 
+  test("e10 IVF-PQ ADC: top-5 per query, recall vs brute force, exact re-rank scores") {
+    val brute = Similarity.queries("e02_ann_bruteforce")(spark, sfDir)
+      .filter("rn <= 5")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val rows = Similarity.queries("e10_ivf_pq_ann")(spark, sfDir).collect()
+    val pq = rows.map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pq.size <= 10 * 5)
+    val recall = (brute & pq).size.toDouble / brute.size
+    info(s"IVF-PQ recall@5 = $recall (nprobe=4, ADC shortlist=40, exact re-rank)")
+    // two stacked approximations (cell probing + 4-byte ADC ranking) on
+    // the near-uniform worst-case corpus: the mechanism — candidates from
+    // cells, ranking from code lookups, floats only for the shortlist —
+    // is what's pinned, with enough floor to fail on a wiring mistake.
+    assert(recall >= 0.5, s"IVF-PQ recall $recall below 0.5")
+    // the surfaced cos_sim is the EXACT re-ranked score: for pairs the
+    // brute-force baseline also scored, values must agree bit-for-bit
+    val bruteScores = Similarity.queries("e02_ann_bruteforce")(spark, sfDir)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val overlap = rows.filter(r => bruteScores.contains((r.getLong(0), r.getLong(1))))
+    assert(overlap.nonEmpty)
+    overlap.foreach { r =>
+      assert(r.getDouble(2) === bruteScores((r.getLong(0), r.getLong(1))),
+        s"re-ranked score must be the exact cosine for (${r.getLong(0)}, ${r.getLong(1)})")
+    }
+  }
+
   test("e01 top pairs are symmetric-consistent and sorted by similarity") {
     val rows = Similarity.queries("e01_cosine_pairs_topk")(spark, sfDir).collect()
     assert(rows.length > 0 && rows.length <= 100)
