@@ -35,18 +35,26 @@ object Graph {
     */
   val MaxBfsRounds = 30
 
-  /** Undirected co-purchase edges (u < v), deduplicated. Per-order part
-    * sets are small (TPC-H ~4 lineitems/order), so the self-join on
-    * l_orderkey is bounded per key — never an n² blowup.
+  /** Undirected co-purchase pairs (u < v), WITH multiplicity — one row
+    * per order that pairs the two parts. Per-order part sets are small
+    * (TPC-H ~4 lineitems/order), so the self-join on l_orderkey is
+    * bounded per key — never an n² blowup. Consumers that need the
+    * deduplicated edge SET take partEdges; a consumer whose next step is
+    * a per-vertex set aggregation (g03's adjacency build) takes this raw
+    * form and saves the full dedup shuffle.
     */
-  private[operators] def partEdges(s: SparkSession, dir: String): DataFrame = {
+  private[operators] def partPairs(s: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(s, dir)
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
     li.select(col("ok"), col("pk").as("u"))
       .join(li.select(col("ok"), col("pk").as("v")), "ok")
       .filter(col("u") < col("v"))
-      .select("u", "v").distinct()
+      .select("u", "v")
   }
+
+  /** Deduplicated undirected co-purchase edges (u < v). */
+  private[operators] def partEdges(s: SparkSession, dir: String): DataFrame =
+    partPairs(s, dir).distinct()
 
   private def degrees(e: DataFrame): DataFrame =
     e.select(col("u").as("x")).unionAll(e.select(col("v").as("x")))
@@ -120,33 +128,46 @@ object Graph {
     */
   private[operators] def bfsLevels(e: DataFrame, maxRounds: Int = MaxBfsRounds): DataFrame = {
     val spark = e.sparkSession
-    val nb = e.select(col("u").as("src"), col("v").as("dst"))
+    // adjacency lists, built ONCE: the per-round expansion joins the
+    // frontier against |V| adjacency rows instead of re-shuffling the
+    // full 2|E| edge list every round — the difference between per-round
+    // shuffle ∝ frontier fan-out and per-round shuffle ∝ |E| at cluster
+    // scale. collect_set also absorbs input multiplicity, so the input
+    // may be the RAW pair stream (partPairs) — no edge-dedup shuffle.
+    val adj = e.select(col("u").as("src"), col("v").as("dst"))
       .unionAll(e.select(col("v").as("src"), col("u").as("dst")))
+      .groupBy("src").agg(collect_set(col("dst")).as("nbrs"))
       .persist()
+    // each round persists ONLY its level frame; `visited` stays a lazy
+    // union over those caches (≤ |V| cached rows total, re-cached never)
+    var levels = List.empty[DataFrame]
     try {
       // 1 scalar to the driver: the root choice (same discipline as d07's
-      // convergence count)
-      val root = nb.groupBy("src").agg(count(lit(1)).as("deg"))
-        .orderBy(col("deg").desc, col("src").asc)
+      // convergence count); also materializes the persisted adjacency
+      val root = adj
+        .orderBy(size(col("nbrs")).desc, col("src").asc)
         .limit(1).select("src").collect()(0).getLong(0)
-      var visited = spark.range(1)
+      var frontier = spark.range(1)
         .select(lit(root).as("v"), lit(0L).as("lvl")).persist()
-      var frontier = visited
+      levels = frontier :: levels
+      var visited = frontier
       var lvl = 0L
       var exhausted = false
       while (!exhausted && lvl < maxRounds) {
-        val next = nb.join(frontier.select(col("v").as("src")), "src")
-          .select(col("dst").as("v")).distinct()
+        // no broadcast hint: a small-world frontier can be most of |V| by
+        // level 2, so the join must be allowed to stay a shuffle join —
+        // AQE broadcasts the early (tiny) frontiers on its own. distinct
+        // runs BEFORE the anti-join: its map-side partial dedup collapses
+        // the fan-out to ≤ |V| rows per task before anything shuffles.
+        val next = adj.join(frontier.select(col("v").as("src")), "src")
+          .select(explode(col("nbrs")).as("v")).distinct()
           .join(visited, Seq("v"), "left_anti")
           .select(col("v"), lit(lvl + 1L).as("lvl"))
           .persist()
         if (next.isEmpty) { exhausted = true; next.unpersist() }
         else {
-          val nv = visited.unionAll(next).persist()
-          nv.count() // materialize off the old caches before dropping them
-          if (frontier ne visited) frontier.unpersist()
-          visited.unpersist()
-          visited = nv
+          levels = next :: levels
+          visited = visited.unionAll(next)
           frontier = next
           lvl += 1
         }
@@ -155,15 +176,15 @@ object Graph {
         throw new IllegalStateException(
           s"bfsLevels hit the $maxRounds-round cap with a non-empty frontier: " +
             "root eccentricity exceeds the cap; emitting truncated levels would be wrong")
-      val out = visited.groupBy("lvl")
+      visited.groupBy("lvl")
         .agg(count(lit(1)).as("n_vertices"), min("v").as("min_part"), max("v").as("max_part"))
         .select(col("lvl").as("level"), col("n_vertices"), col("min_part"), col("max_part"))
         .orderBy("level")
         .localCheckpoint(true)
-      if (frontier ne visited) frontier.unpersist()
-      visited.unpersist()
-      out
-    } finally nb.unpersist()
+    } finally {
+      levels.foreach(_.unpersist())
+      adj.unpersist()
+    }
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -186,8 +207,10 @@ object Graph {
     // hop-distance profiling (how many hops cover the catalog from the
     // hub). Iterative frontier expansion; per-level vertex counts and id
     // ranges are all integers → exact oracle via a depth-capped
-    // recursive-CTE closure with MIN(level) per vertex.
-    "g03_bfs_levels" -> ((s, dir) => bfsLevels(partEdges(s, dir)))
+    // recursive-CTE closure with MIN(level) per vertex. Takes the raw
+    // pair stream: the adjacency collect_set dedups, so the edge-distinct
+    // shuffle g01/g02 need is skipped here.
+    "g03_bfs_levels" -> ((s, dir) => bfsLevels(partPairs(s, dir)))
   )
 
   def oracles: Map[String, String] = Map(
