@@ -123,7 +123,12 @@ object ScaleProbe {
       // round 4 additions
       "t15_tfidf_topk", "a08_gap_fill", "a09_interval_concurrency",
       "e09_product_quantize", "g01_triangle_count", "g02_pagerank_step",
-      "z01_zorder_layout")
+      "z01_zorder_layout",
+      // round 4, second batch. g03's scaled graph is F disconnected
+      // copies, so BFS reach stays one component: the probe separates
+      // build cost (corpus-linear) from traversal cost (component-bound).
+      "t16_vocab_stats", "m07_audio_energy", "g03_bfs_levels",
+      "e10_ivf_pq_ann")
     // warm pass (JIT + codegen + parquet footers), then the timed pass
     for (pass <- Seq("warm", "timed"); name <- probes) {
       System.gc() // Bench's GC fence: keep predecessors' debris out of the timing
