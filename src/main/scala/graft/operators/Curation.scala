@@ -86,6 +86,35 @@ object Curation {
         .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
           qualityScore(col("text")).as("quality_score"))
         .orderBy("doc_id")
+    }),
+
+    // The second flagship composition — the TRAINING-MIX MANIFEST a run
+    // builds after curation: quality gate → language gate → deterministic
+    // per-source mixture sampling (t08's stateless integer rule — no
+    // rand(), so retries/re-runs admit the identical set) → sequence
+    // packing accounting (t11's concat-and-chunk arithmetic), rolled up
+    // per source: admitted docs, token mass, 512-token sequence count,
+    // and fill ratio. Everything is scan-level maps plus ONE hash agg —
+    // no join in the whole pipeline — and every number is integer-exact
+    // (the fill ratio is one IEEE division of exact longs), so unlike
+    // p01's LSH stage this composition is END-TO-END oracle-checked with
+    // no approximate component.
+    "p02_training_mix" -> ((s, dir) => {
+      val digits = regexp_extract(col("source"), "[0-9]+", 0)
+      val rate = lit(30L) + when(digits =!= "", digits.cast("long")) % 10 * 7L
+      val mix = col("doc_id") % 1000003L * 2654435761L % 100L
+      val budget = TextAnalysis.SeqBudget
+      Tables.documents(s, dir)
+        .filter(qualityScore(col("text")) >= QualityMin && langId(col("text")) === "en")
+        .filter(mix < rate)
+        .select(col("source"), tokenCountWs(col("text")).as("n_tokens"))
+        .filter(col("n_tokens") > 0)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("n_tokens"))
+        .withColumn("n_seqs", expr(s"(n_tokens + ${budget - 1}) div $budget"))
+        .withColumn("fill_ratio",
+          col("n_tokens").cast("double") / (col("n_seqs") * budget).cast("double"))
+        .orderBy("source")
     })
   )
 
@@ -144,6 +173,44 @@ object Curation {
          |SELECT doc_id, lang, source, n_chars, q AS quality_score
          |FROM exact_kept
          |WHERE doc_id NOT IN (SELECT doc_id FROM losers)
-         |ORDER BY doc_id""".stripMargin
+         |ORDER BY doc_id""".stripMargin,
+
+    // the same quality/lang CTEs as p01, then t08's sampling rule and
+    // t11's packing arithmetic verbatim
+    "p02_training_mix" ->
+      s"""WITH t AS (
+         |  SELECT *, list_filter(string_split(lower(text), ' '), w -> len(w) > 0) AS toks
+         |  FROM documents
+         |), scored AS (
+         |  SELECT *,
+         |    $scoreExprs,
+         |    CASE WHEN len(toks) = 0 THEN 0.0 ELSE
+         |      len(list_filter(toks, w -> list_contains($stopList, w)))::DOUBLE / len(toks)::DOUBLE END AS stop_ratio,
+         |    CASE WHEN len(text) = 0 THEN 0.0 ELSE
+         |      len(regexp_extract_all(lower(text), '[^a-z0-9 ]'))::DOUBLE / len(text)::DOUBLE END AS p_ratio
+         |  FROM t
+         |), quality AS (
+         |  SELECT *,
+         |    least(len(text)::DOUBLE / 400.0, 1.0) * 0.4
+         |      + least(stop_ratio * 5.0, 1.0) * 0.3
+         |      + (1.0 - least(p_ratio * 10.0, 1.0)) * 0.3 AS q
+         |  FROM scored
+         |), sampled AS (
+         |  SELECT source, len(toks) AS n_tokens
+         |  FROM quality
+         |  WHERE q >= $QualityMin AND ($langCase) = 'en'
+         |    AND doc_id % 1000003 * 2654435761 % 100
+         |      < 30 + TRY_CAST(regexp_extract(source, '[0-9]+') AS BIGINT) % 10 * 7
+         |    AND len(toks) > 0
+         |), agg AS (
+         |  SELECT source, COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
+         |  FROM sampled GROUP BY source
+         |)
+         |SELECT source, n_docs, n_tokens,
+         |  (n_tokens + ${TextAnalysis.SeqBudget - 1}) // ${TextAnalysis.SeqBudget} AS n_seqs,
+         |  n_tokens::DOUBLE
+         |    / (((n_tokens + ${TextAnalysis.SeqBudget - 1}) // ${TextAnalysis.SeqBudget}) * ${TextAnalysis.SeqBudget})::DOUBLE AS fill_ratio
+         |FROM agg
+         |ORDER BY source""".stripMargin
   )
 }
