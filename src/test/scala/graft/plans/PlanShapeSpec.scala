@@ -172,4 +172,46 @@ class PlanShapeSpec extends SparkSpec {
     }
     assert(aggs.size >= 2, s"expected partial+final HashAggregate, got ${aggs.size}")
   }
+
+  test("q44: all FILTER-clause aggregates fuse into ONE two-phase hash agg") {
+    // the point of FILTER over N separate scans: however many predicated
+    // aggregates, the plan stays a single partial+final aggregation pair
+    // over a single scan
+    val p = sparkPlan("q44_filter_agg")
+    val aggs = collectAll(p) {
+      case h: org.apache.spark.sql.execution.aggregate.HashAggregateExec => h
+    }
+    assert(aggs.size == 2, s"expected exactly partial+final HashAggregate, got ${aggs.size}")
+    val scans = collectAll(p) { case f: FileSourceScanExec => f }
+    assert(scans.size == 1, s"expected one scan, got ${scans.size}")
+  }
+
+  test("t16: term-frequency agg partial-aggregates; no join ships raw text") {
+    // the (source, token) agg must combine map-side (the shuffle carries
+    // distinct types, not token occurrences), and the only join in the
+    // query is the per-source top-token join-back on the SOURCE key —
+    // raw text appears in no join
+    val p = sparkPlan("t16_vocab_stats")
+    val aggs = collectAll(p) {
+      case h: org.apache.spark.sql.execution.aggregate.HashAggregateExec => h
+    }
+    assert(aggs.size >= 4, s"expected partial+final pairs for tf and rollup aggs, got ${aggs.size}")
+    val joined = collectAll(p) {
+      case j: BroadcastHashJoinExec => j.output.map(_.name)
+      case j: SortMergeJoinExec => j.output.map(_.name)
+    }.flatten
+    assert(!joined.contains("text"), "raw text must not ride through any join")
+  }
+
+  test("p02: the training-mix manifest is scan + one two-phase agg — zero joins") {
+    val p = sparkPlan("p02_training_mix")
+    assert(collectAll(p) {
+      case j: BroadcastHashJoinExec => j
+      case j: SortMergeJoinExec => j
+      case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => j
+      case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c
+    }.isEmpty, "the mix manifest must not join")
+    val scans = collectAll(p) { case f: FileSourceScanExec => f }
+    assert(scans.size == 1, s"expected one documents scan, got ${scans.size}")
+  }
 }
