@@ -118,18 +118,18 @@ object Curation {
     })
   )
 
-  private val langCase: String = {
+  private[graft] val langCase: String = {
     val langs = TextFunctions.LangMarkers.map(_._1)
     val best = langs.map(l => s"score_$l").mkString("greatest(", ", ", ")")
     langs.map(l => s"WHEN score_$l = $best THEN '$l'").mkString("CASE ", " ", " ELSE 'und' END")
   }
 
-  private val scoreExprs: String = TextFunctions.LangMarkers.map { case (lang, ms) =>
+  private[graft] val scoreExprs: String = TextFunctions.LangMarkers.map { case (lang, ms) =>
     val markers = ms.map(w => s"'$w'").mkString("[", ", ", "]")
     s"len(list_filter(toks, w -> list_contains($markers, w))) AS score_$lang"
   }.mkString(",\n    ")
 
-  private val stopList = Stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
+  private[graft] val stopList = Stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
 
   def oracles: Map[String, String] = Map(
     "p01_curation_pipeline" ->

@@ -394,8 +394,47 @@ object StreamingQueries {
       val agg = synthStream(s).groupBy("shard_id")
         .agg(count(lit(1)).as("n"), max(col("sequence_number")).as("last_seq"))
       runToTable(agg, OutputMode.Complete(), statePartitions = Some(4)).orderBy("shard_id")
+    }),
+
+    // STREAMING CURATION GATES — p02's gate chain (quality → language →
+    // deterministic mixture sampling) run as a structured stream over the
+    // documents table: the stateless gates execute per micro-batch at
+    // scan speed (no state store, no watermark — the same narrow maps as
+    // batch), and only the per-source admission tally is stateful. This
+    // is the shape a continuous-ingest curation pipeline has in
+    // production: gates on the stream, manifest as a complete-mode agg.
+    // Because every gate is deterministic, the streamed answer equals the
+    // batch answer and the same oracle gates both.
+    "s15_stream_curation_gates" -> ((s, dir) => {
+      import graft.functions.TextFunctions._
+      val digits = regexp_extract(col("source"), "[0-9]+", 0)
+      val rate = lit(30L) + when(digits =!= "", digits.cast("long")) % 10 * 7L
+      val mix = col("doc_id") % 1000003L * 2654435761L % 100L
+      val agg = documentsStream(s, dir)
+        .filter(qualityScore(col("text")) >= graft.operators.Curation.QualityMin &&
+          langId(col("text")) === "en")
+        .filter(mix < rate)
+        .select(col("source"), tokenCountWs(col("text")).as("n_tokens"))
+        .filter(col("n_tokens") > 0)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("n_tokens"))
+      runToTable(agg, OutputMode.Complete(), statePartitions = Some(8)).orderBy("source")
     })
   )
+
+  private val documentsSchema = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("text", StringType),
+    StructField("lang", StringType),
+    StructField("source", StringType),
+    StructField("n_chars", LongType)))
+
+  /** documents as a bounded file stream. */
+  private def documentsStream(s: SparkSession, dir: String): DataFrame =
+    s.readStream
+      .schema(documentsSchema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(dir)
 
   /** Reference topology scale: 100k records over 32 shards. */
   val SynthRecords = 100000L
@@ -569,6 +608,38 @@ object StreamingQueries {
          |  ${rows.mkString(",\n  ")}
          |) AS t(shard_id, n, last_seq)
          |ORDER BY shard_id""".stripMargin
-    }
+    },
+
+    // p02's gate CTEs (same fragments), minus the packing arithmetic —
+    // the streamed manifest must equal the batch answer exactly
+    "s15_stream_curation_gates" ->
+      s"""WITH t AS (
+         |  SELECT *, list_filter(string_split(lower(text), ' '), w -> len(w) > 0) AS toks
+         |  FROM documents
+         |), scored AS (
+         |  SELECT *,
+         |    ${graft.operators.Curation.scoreExprs},
+         |    CASE WHEN len(toks) = 0 THEN 0.0 ELSE
+         |      len(list_filter(toks, w -> list_contains(${graft.operators.Curation.stopList}, w)))::DOUBLE / len(toks)::DOUBLE END AS stop_ratio,
+         |    CASE WHEN len(text) = 0 THEN 0.0 ELSE
+         |      len(regexp_extract_all(lower(text), '[^a-z0-9 ]'))::DOUBLE / len(text)::DOUBLE END AS p_ratio
+         |  FROM t
+         |), quality AS (
+         |  SELECT *,
+         |    least(len(text)::DOUBLE / 400.0, 1.0) * 0.4
+         |      + least(stop_ratio * 5.0, 1.0) * 0.3
+         |      + (1.0 - least(p_ratio * 10.0, 1.0)) * 0.3 AS q
+         |  FROM scored
+         |)
+         |SELECT source, COUNT(*) AS n_docs,
+         |  CAST(SUM(len(toks)) AS BIGINT) AS n_tokens
+         |FROM quality
+         |WHERE q >= ${graft.operators.Curation.QualityMin}
+         |  AND (${graft.operators.Curation.langCase}) = 'en'
+         |  AND doc_id % 1000003 * 2654435761 % 100
+         |    < 30 + TRY_CAST(regexp_extract(source, '[0-9]+') AS BIGINT) % 10 * 7
+         |  AND len(toks) > 0
+         |GROUP BY source
+         |ORDER BY source""".stripMargin
   )
 }
