@@ -20,7 +20,13 @@ class PartitionInvarianceSpec extends SparkSpec {
     // carry of the two-phase prefix sum (a09), integer graph sums (g02),
     // and tf-idf's broadcast corpus count (t15)
     "a10_rolling_zscore", "a09_interval_concurrency", "g02_pagerank_step",
-    "t15_tfidf_topk")
+    "t15_tfidf_topk",
+    // round 4 second batch: the pinned argmax + ratio columns (t16), the
+    // sorted collect_set CSVs (q45), the iterative frontier loop (g03),
+    // the two-flagship composition (p02), and the stacked
+    // IVF+PQ+re-rank approximation whose every tie-break is pinned (e10)
+    "t16_vocab_stats", "q45_string_agg", "g03_bfs_levels",
+    "p02_training_mix", "e10_ivf_pq_ann")
 
   private def runAt(name: String, parts: Int): Seq[String] = {
     val old = spark.conf.get("spark.sql.shuffle.partitions")
