@@ -686,6 +686,24 @@ object Relational {
         .orderBy("o_orderpriority")
     }),
 
+    // argmin/argmax aggregates (max_by / min_by): "the row that achieved
+    // the extreme" without a self-join or window — one hash agg carrying
+    // a (value, key) pair per group. The ordering key is a STRUCT with
+    // the id as tie-break, so the answer is deterministic under any
+    // partitioning (a bare max_by(key, price) is nondeterministic on
+    // price ties — the same trap as an unordered listagg). The oracle
+    // states the identical semantics as ranked windows.
+    "q47_argminmax" -> ((s, dir) => {
+      Tables.orders(s, dir)
+        .groupBy("o_orderpriority")
+        .agg(
+          max_by(col("o_orderkey"), struct(col("o_totalprice"), col("o_orderkey"))).as("top_order"),
+          min_by(col("o_orderkey"), struct(col("o_totalprice"), col("o_orderkey"))).as("bottom_order"),
+          max(col("o_totalprice")).as("top_price"),
+          min(col("o_totalprice")).as("bottom_price"))
+        .orderBy("o_orderpriority")
+    }),
+
     // ---- approximate / sketch (weaker rows-only driver check; no oracle) ------
     "q27_approx_distinct" -> ((s, dir) => {
       // Percentiles surfaced as three scalar columns (not an array) so the
@@ -1075,6 +1093,22 @@ object Relational {
         |  string_agg(DISTINCT o_orderstatus, '|' ORDER BY o_orderstatus) AS status_csv
         |FROM orders
         |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+
+    "q47_argminmax" ->
+      """WITH rmax AS (
+        |  SELECT o_orderpriority, o_orderkey AS top_order, o_totalprice AS top_price FROM (
+        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+        |      ORDER BY o_totalprice DESC, o_orderkey DESC) AS rn
+        |    FROM orders) WHERE rn = 1
+        |), rmin AS (
+        |  SELECT o_orderpriority, o_orderkey AS bottom_order, o_totalprice AS bottom_price FROM (
+        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+        |      ORDER BY o_totalprice ASC, o_orderkey ASC) AS rn
+        |    FROM orders) WHERE rn = 1
+        |)
+        |SELECT o_orderpriority, top_order, bottom_order, top_price, bottom_price
+        |FROM rmax JOIN rmin USING (o_orderpriority)
         |ORDER BY o_orderpriority""".stripMargin,
 
     "q39_explode_pos" ->

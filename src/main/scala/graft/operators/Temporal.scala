@@ -146,6 +146,25 @@ object Temporal {
         .orderBy("user_id", "view_id", "purchase_id")
     }),
 
+    // TIME-RANGE trailing window — the "per event, stats over the
+    // preceding hour" shape (rate limiting, rolling engagement, fraud
+    // velocity checks). RANGE frame over epoch seconds, so the frame is
+    // defined by TIME distance, not row count (a10's rolling z-score is
+    // the row-count cousin); tied timestamps are peers and enter the
+    // frame together in both engines. One user-keyed shuffle; frame
+    // width is bounded by events-per-user-per-hour, so per-row cost is
+    // bounded at any corpus size. Decimal window sums → exact parity.
+    "a11_trailing_window" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts_sec"))
+        .rangeBetween(-3599L, Window.currentRow)
+      Tables.events(s, dir)
+        .withColumn("ts_sec", col("ts").cast("long"))
+        .select(col("user_id"), col("event_id"), col("ts_sec"),
+          count(lit(1)).over(w).as("n_trailing_1h"),
+          sum(col("value").cast("decimal(38,6)")).over(w).cast("double").as("sum_trailing_1h"))
+        .orderBy("user_id", "event_id")
+    }),
+
     // Spark's native session_window operator — same gap semantics as a03
     // but via the built-in merging session assigner (the operator the
     // STREAMING path uses with a watermark; in batch it plans as a single
@@ -505,6 +524,18 @@ object Temporal {
         |FROM w JOIN c USING (user_id)
         |GROUP BY cohort_week, week
         |ORDER BY cohort_week, week""".stripMargin,
+
+    "a11_trailing_window" ->
+      """SELECT user_id, event_id,
+        |  CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS ts_sec,
+        |  COUNT(*) OVER w AS n_trailing_1h,
+        |  CAST(SUM(CAST("value" AS DECIMAL(38,6))) OVER w AS DOUBLE) AS sum_trailing_1h
+        |FROM events
+        |WINDOW w AS (
+        |  PARTITION BY user_id
+        |  ORDER BY CAST(epoch(date_trunc('second', ts)) AS BIGINT)
+        |  RANGE BETWEEN 3599 PRECEDING AND CURRENT ROW)
+        |ORDER BY user_id, event_id""".stripMargin,
 
     "a02_range_join" ->
       """SELECT v.user_id AS user_id, v.event_id AS view_id, p.event_id AS purchase_id,

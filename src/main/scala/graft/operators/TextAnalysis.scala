@@ -307,6 +307,30 @@ object TextAnalysis {
         .orderBy(col("doc_id"), col("score").desc, col("tok"))
     }),
 
+    // EDIT-DISTANCE near-dup pairs — the character-level complement to
+    // d03's token-level Jaccard (catches typo-level variants that shift
+    // every trigram). Distance runs on an 80-char document head (the
+    // title/lede region where near-dups diverge least), blocked by
+    // (lang, source) exactly like d04 — and with the same documented
+    // caveat: n² inside unbounded blocks makes this the DIDACTIC
+    // contrast; at corpus scale real work routes candidates through d03's
+    // banded join and uses edit distance only as a VERIFY step on
+    // candidate pairs. levenshtein() is the classic unit-cost DP in both
+    // engines — integer-exact parity.
+    "t17_edit_distance_pairs" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"), col("source"),
+          substring(col("text"), 1, 80).as("head"))
+      val a = d.select(col("lang"), col("source"), col("doc_id").as("id_a"), col("head").as("head_a"))
+      val b = d.select(col("lang"), col("source"), col("doc_id").as("id_b"), col("head").as("head_b"))
+      a.join(b, Seq("lang", "source"))
+        .filter(col("id_a") < col("id_b"))
+        .select(col("lang"), col("source"), col("id_a"), col("id_b"),
+          levenshtein(col("head_a"), col("head_b")).cast("long").as("edit_dist"))
+        .filter(col("edit_dist") <= 10)
+        .orderBy("lang", "source", "id_a", "id_b")
+    }),
+
     // VOCABULARY STATISTICS per source — the Heaps/Zipf health check a
     // corpus audit runs before training: vocabulary size (exact distinct
     // types), hapax count (types seen once — OCR noise and gibberish
@@ -419,6 +443,18 @@ object TextAnalysis {
         |)
         |SELECT doc_id, tok, tf, df, score FROM r WHERE rn <= 5
         |ORDER BY doc_id, score DESC, tok""".stripMargin,
+
+    "t17_edit_distance_pairs" ->
+      """WITH d AS (
+        |  SELECT doc_id, lang, source, substring(text, 1, 80) AS head
+        |  FROM documents
+        |)
+        |SELECT a.lang, a.source, a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(levenshtein(a.head, b.head) AS BIGINT) AS edit_dist
+        |FROM d a JOIN d b
+        |  ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+        |WHERE levenshtein(a.head, b.head) <= 10
+        |ORDER BY a.lang, a.source, id_a, id_b""".stripMargin,
 
     "t16_vocab_stats" ->
       """WITH toks AS (
