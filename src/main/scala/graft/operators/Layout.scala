@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 
@@ -40,7 +41,38 @@ object Layout {
   def zExpr(xCol: String, yCol: String): String =
     s"((${spread(s"($xCol) & 65535")}) * 2) | (${spread(s"($yCol) & 65535")})"
 
+  /** z02 bin capacity (rows per compacted output "file"). */
+  val CompactTargetRows = 500L
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // SMALL-FILE COMPACTION PLANNING — the other recurring layout job
+    // (z01 decides HOW to sort, z02 decides WHAT to coalesce): given a
+    // file inventory (here each (ship-month, returnflag) slice stands in
+    // for one small file with its row count), assign files to
+    // target-sized output bins WITHIN each partition. The assignment is
+    // the streaming first-fit plan every table service runs: order files
+    // deterministically (size desc, then key), prefix-sum the sizes, and
+    // bin = floor(running-sum-before / target) — pure window arithmetic,
+    // integer-exact. The crucial scale property: the plan runs over the
+    // FILE MANIFEST (metadata, ~10⁶ rows at 100 TB), never the data —
+    // one shuffle keyed by partition, one window pass, and the data
+    // itself moves exactly once when the plan executes.
+    "z02_compaction_plan" -> ((s, dir) => {
+      val files = Tables.lineitem(s, dir)
+        .groupBy(date_format(date_trunc("month", col("l_shipdate")), "yyyy-MM").as("ship_month"),
+          col("l_returnflag"))
+        .agg(count(lit(1)).as("size_rows"))
+      val ord = Window.partitionBy("ship_month")
+        .orderBy(col("size_rows").desc, col("l_returnflag").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      files
+        .withColumn("cum_before",
+          sum(col("size_rows")).over(ord) - col("size_rows"))
+        .withColumn("bin", (col("cum_before") / CompactTargetRows).cast("long"))
+        .select("ship_month", "l_returnflag", "size_rows", "bin")
+        .orderBy("ship_month", "l_returnflag")
+    }),
+
     // Z-ORDER LAYOUT AUDIT: bucket lineitem by the top 8 bits of the
     // Morton key of (l_partkey, l_suppkey) — each bucket is what one
     // z-ordered output file would hold — and report both dimensions'
@@ -73,6 +105,24 @@ object Layout {
   )
 
   def oracles: Map[String, String] = Map(
+    "z02_compaction_plan" ->
+      s"""WITH files AS (
+         |  SELECT strftime(date_trunc('month', l_shipdate), '%Y-%m') AS ship_month,
+         |    l_returnflag, COUNT(*) AS size_rows
+         |  FROM lineitem
+         |  GROUP BY 1, 2
+         |), planned AS (
+         |  SELECT ship_month, l_returnflag, size_rows,
+         |    SUM(size_rows) OVER (PARTITION BY ship_month
+         |      ORDER BY size_rows DESC, l_returnflag ASC
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - size_rows AS cum_before
+         |  FROM files
+         |)
+         |SELECT ship_month, l_returnflag, size_rows,
+         |  cum_before // $CompactTargetRows AS bin
+         |FROM planned
+         |ORDER BY ship_month, l_returnflag""".stripMargin,
+
     "z01_zorder_layout" -> {
       val z = zExpr("xb", "yb")
       s"""WITH bounds AS (

@@ -46,10 +46,49 @@ object Multimodal {
   case class AudioStats(
       doc_id: Long, n_samples: Long, n_frames: Long,
       total_energy: Long, peak_frame: Long, peak_energy: Long)
+
+  /** m08 scene-change grid: consecutive-frame signature delta above
+    * `CutThreshold` flags a cut (shot-boundary detection's integer
+    * skeleton). 256 ≈ 4 bytes' worth of full-range change on a
+    * `FrameStride`-byte frame.
+    */
+  val CutThreshold = 256L
+  case class SceneStats(
+      doc_id: Long, n_frames: Long, n_cuts: Long,
+      max_delta: Long, first_cut_frame: Long)
   case class Decoded(
       doc_id: Long, n_bytes: Long,
       width: Int, height: Int, n_channels: Int,
       frame_offsets: Array[Long])
+
+  /** m08 core: frame signatures (Σ bytes per `FrameStride`-byte frame) →
+    * consecutive deltas → cuts above `CutThreshold`. Extracted so
+    * MultimodalSpec can drive it with crafted payloads (the fixture has
+    * no guaranteed cut).
+    */
+  private[operators] def sceneStats(b: Blob): SceneStats = {
+    val nf = (b.payload.length + FrameStride - 1) / FrameStride
+    var prevSig = 0L; var nCuts = 0L; var maxDelta = 0L
+    var firstCut = -1L
+    var f = 0
+    while (f < nf) {
+      var sig = 0L
+      var i = f * FrameStride
+      val end = math.min(b.payload.length, i + FrameStride)
+      while (i < end) { sig += (b.payload(i) & 0xFF); i += 1 }
+      if (f > 0) {
+        val d = math.abs(sig - prevSig)
+        if (d > maxDelta) maxDelta = d
+        if (d > CutThreshold) {
+          nCuts += 1
+          if (firstCut < 0) firstCut = f
+        }
+      }
+      prevSig = sig
+      f += 1
+    }
+    SceneStats(b.doc_id, nf.toLong, nCuts, maxDelta, firstCut)
+  }
 
   /** STUB: deterministic fake media decode. A real implementation would
     * hand `batch` to an image/audio codec; we derive plausible, stable
@@ -198,6 +237,28 @@ object Multimodal {
         .orderBy("doc_id")
     }),
 
+    // SCENE-CHANGE DETECTION — the shot-boundary primitive of a video
+    // curation pass: per frame (m05's byte grid), an integer signature
+    // (Σ frame bytes — a real decoder would use a histogram; the
+    // ACCESS PATTERN is identical), then consecutive-frame deltas, a cut
+    // wherever the delta exceeds the threshold. One sequential pass per
+    // payload inside the same batched narrow map as m05/m07 — no
+    // shuffle, scan-linear, and all integer math so the entire
+    // frame-delta chain is oracle-checked exactly. At 100 TB: cuts
+    // partition each video into shots for per-shot frame sampling
+    // (m05) — the standard dedup/caption unit.
+    "m08_scene_change" -> ((s, dir) => {
+      val blobs = Tables.documents(s, dir)
+        .filter(length(col("text")) > 0)
+        .select(col("doc_id"), col("text").cast("binary").as("payload"))
+        .as(Encoders.product[Blob])
+      blobs.mapPartitions { it =>
+        it.grouped(DecodeBatchSize).flatMap(batch => batch.map(sceneStats))
+      }(Encoders.product[SceneStats])
+        .toDF()
+        .orderBy("doc_id")
+    }),
+
     // full stubbed decode: metadata struct + frame sampling offsets. The
     // decode values are fake (see fakeDecode) → no SQL oracle; schema,
     // batching, and determinism are asserted in MultimodalSpec.
@@ -321,6 +382,30 @@ object Multimodal {
          |FROM agg a JOIN fr ON fr.doc_id = a.doc_id AND fr.e = a.peak_energy
          |GROUP BY a.doc_id, n_samples, n_frames, total_energy, peak_energy
          |ORDER BY a.doc_id""".stripMargin,
+
+    // same ASCII-fixture precondition as m01 (chars ⇔ bytes); frame f
+    // covers chars f*stride+1 .. f*stride+stride (1-based, clamped)
+    "m08_scene_change" ->
+      s"""WITH c AS (
+         |  SELECT doc_id, unnest([ascii(text[i]) for i in range(1, len(text)+1)]) AS byte,
+         |    unnest(range(0, len(text))) AS pos
+         |  FROM documents WHERE strlen(text) > 0
+         |), fr AS (
+         |  SELECT doc_id, pos // $FrameStride AS f, SUM(byte) AS sig
+         |  FROM c GROUP BY doc_id, pos // $FrameStride
+         |), d AS (
+         |  SELECT doc_id, f, sig,
+         |    abs(sig - LAG(sig) OVER (PARTITION BY doc_id ORDER BY f)) AS delta
+         |  FROM fr
+         |)
+         |SELECT doc_id,
+         |  COUNT(*) AS n_frames,
+         |  CAST(COUNT(CASE WHEN delta > $CutThreshold THEN 1 END) AS BIGINT) AS n_cuts,
+         |  CAST(COALESCE(MAX(delta), 0) AS BIGINT) AS max_delta,
+         |  CAST(COALESCE(MIN(CASE WHEN delta > $CutThreshold THEN f END), -1) AS BIGINT) AS first_cut_frame
+         |FROM d
+         |GROUP BY doc_id
+         |ORDER BY doc_id""".stripMargin,
 
     // same ASCII-fixture precondition as m01 (chars ⇔ bytes)
     "m04_feature_extract" ->

@@ -704,6 +704,27 @@ object Relational {
         .orderBy("o_orderpriority")
     }),
 
+    // UNPIVOT (melt) — q28's pivot inverted: wide per-group measures to
+    // long (group, measure, value) rows, the shape feature stores and
+    // metric pipelines want. Spark's native unpivot plans as Expand (each
+    // input row fans out to one row per measure — a generate, never a
+    // shuffle); the only shuffle here is the tiny upstream agg. Measures
+    // are cast to one type (double) because unpivot requires a common
+    // value type; counts and decimal-summed prices are exact in double
+    // at any realistic magnitude (< 2^53).
+    "q46_unpivot" -> ((s, dir) => {
+      val wide = Tables.lineitem(s, dir)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).cast("double").as("n_items"),
+          sum(col("l_quantity").cast("decimal(38,6)")).cast("double").as("sum_qty"),
+          sum(col("l_extendedprice").cast("decimal(38,6)")).cast("double").as("sum_price"))
+      wide.unpivot(
+          Array(col("l_returnflag")),
+          Array(col("n_items"), col("sum_qty"), col("sum_price")),
+          "measure", "val")
+        .orderBy("l_returnflag", "measure")
+    }),
+
     // ---- approximate / sketch (weaker rows-only driver check; no oracle) ------
     "q27_approx_distinct" -> ((s, dir) => {
       // Percentiles surfaced as three scalar columns (not an array) so the
@@ -1110,6 +1131,26 @@ object Relational {
         |SELECT o_orderpriority, top_order, bottom_order, top_price, bottom_price
         |FROM rmax JOIN rmin USING (o_orderpriority)
         |ORDER BY o_orderpriority""".stripMargin,
+
+    // UNION ALL form (not DuckDB's UNPIVOT syntax) so the measure-naming
+    // and type rules are stated explicitly rather than inherited from a
+    // dialect-specific unpivot implementation
+    "q46_unpivot" ->
+      """WITH wide AS (
+        |  SELECT l_returnflag,
+        |    CAST(COUNT(*) AS DOUBLE) AS n_items,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_qty,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS sum_price
+        |  FROM lineitem GROUP BY l_returnflag
+        |)
+        |SELECT l_returnflag, measure, val FROM (
+        |  SELECT l_returnflag, 'n_items' AS measure, n_items AS val FROM wide
+        |  UNION ALL
+        |  SELECT l_returnflag, 'sum_qty' AS measure, sum_qty AS val FROM wide
+        |  UNION ALL
+        |  SELECT l_returnflag, 'sum_price' AS measure, sum_price AS val FROM wide
+        |)
+        |ORDER BY l_returnflag, measure""".stripMargin,
 
     "q39_explode_pos" ->
       """WITH t AS (

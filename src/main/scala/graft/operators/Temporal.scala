@@ -165,6 +165,33 @@ object Temporal {
         .orderBy("user_id", "event_id")
     }),
 
+    // OHLC DOWNSAMPLING — the time-series resample shape (candlestick
+    // bars, metric rollups): per (user, hour), the first/last value by
+    // event order plus the min/max. open/close are min_by/max_by over a
+    // (ts, event_id) STRUCT key — deterministic under any partitioning
+    // (q47's tie-break discipline) and ONE hash agg carrying a constant
+    // few values per group: no window sort, no self-join, map-side
+    // partial aggregation. The values pass through untouched (no
+    // arithmetic), so doubles compare exactly. At 100 TB this is the
+    // downsampling pass that turns a raw event stream into a
+    // bars/metrics table orders of magnitude smaller.
+    "a12_ohlc_bars" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+        .withColumn("ts_sec", col("ts").cast("long"))
+        .withColumn("hsec", (col("ts_sec") / 3600L).cast("long") * 3600L)
+      e.groupBy("user_id", "hsec")
+        .agg(
+          min_by(col("value"), struct(col("ts_sec"), col("event_id"))).as("open"),
+          max(col("value")).as("high"),
+          min(col("value")).as("low"),
+          max_by(col("value"), struct(col("ts_sec"), col("event_id"))).as("close"),
+          count(lit(1)).as("n_events"))
+        .select(col("user_id"),
+          date_format(timestamp_seconds(col("hsec")), "yyyy-MM-dd HH:mm:ss").as("hour"),
+          col("open"), col("high"), col("low"), col("close"), col("n_events"))
+        .orderBy("user_id", "hour")
+    }),
+
     // Spark's native session_window operator — same gap semantics as a03
     // but via the built-in merging session assigner (the operator the
     // STREAMING path uses with a watermark; in batch it plans as a single
@@ -536,6 +563,31 @@ object Temporal {
         |  ORDER BY CAST(epoch(date_trunc('second', ts)) AS BIGINT)
         |  RANGE BETWEEN 3599 PRECEDING AND CURRENT ROW)
         |ORDER BY user_id, event_id""".stripMargin,
+
+    // open/close stated as first_value over (sec, event_id) asc/desc —
+    // the window form of Spark's struct-keyed min_by/max_by tie-break;
+    // values pass through with no arithmetic so doubles compare exactly
+    "a12_ohlc_bars" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, "value",
+        |    CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS sec,
+        |    (CAST(epoch(date_trunc('second', ts)) AS BIGINT) // 3600) * 3600 AS hsec
+        |  FROM events
+        |), w AS (
+        |  SELECT user_id, hsec, "value",
+        |    FIRST_VALUE("value") OVER (PARTITION BY user_id, hsec
+        |      ORDER BY sec ASC, event_id ASC) AS open_v,
+        |    FIRST_VALUE("value") OVER (PARTITION BY user_id, hsec
+        |      ORDER BY sec DESC, event_id DESC) AS close_v
+        |  FROM e
+        |)
+        |SELECT user_id,
+        |  strftime(to_timestamp(hsec), '%Y-%m-%d %H:%M:%S') AS hour,
+        |  MIN(open_v) AS open, MAX("value") AS high, MIN("value") AS low,
+        |  MIN(close_v) AS close, COUNT(*) AS n_events
+        |FROM w
+        |GROUP BY user_id, hsec
+        |ORDER BY user_id, hour""".stripMargin,
 
     "a02_range_join" ->
       """SELECT v.user_id AS user_id, v.event_id AS view_id, p.event_id AS purchase_id,

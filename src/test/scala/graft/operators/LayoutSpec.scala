@@ -72,4 +72,30 @@ class LayoutSpec extends SparkSpec {
       s"linear layout's y range (${linRanges.getDouble(1)}) should dwarf the " +
         s"z layout's (${zRanges.getDouble(1)}) — that gap IS the data-skipping win")
   }
+
+  test("z02 compaction plan: first-fit invariants hold on the fixture inventory") {
+    val rows = Layout.queries("z02_compaction_plan")(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    val target = Layout.CompactTargetRows
+    rows.groupBy(_._1).foreach { case (month, files) =>
+      val bins = files.groupBy(_._4)
+      val maxFile = files.map(_._3).max
+      // bin ids are contiguous from 0 (a gap would mean a planned output
+      // file nothing maps to) — guaranteed whenever no single file
+      // overflows a whole bin by itself
+      if (maxFile <= target) {
+        val ids = bins.keySet
+        assert(ids === (0L until ids.size).toSet, s"$month: non-contiguous bins $ids")
+      }
+      // first-fit bound: a bin only opens once the running sum crosses its
+      // boundary, so no bin holds more than target + (largest single file)
+      bins.foreach { case (bin, members) =>
+        assert(members.map(_._3).sum <= target + maxFile,
+          s"$month bin $bin overflows the first-fit bound")
+      }
+      // total mass is conserved across bins
+      assert(bins.values.map(_.map(_._3).sum).sum === files.map(_._3).sum)
+    }
+  }
 }

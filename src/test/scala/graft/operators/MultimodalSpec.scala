@@ -63,6 +63,33 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("m08 scene stats: crafted payloads hit the closed-form cuts") {
+    import Multimodal.{Blob, FrameStride}
+    // two homogeneous 2-frame segments: 'a'×128 then 'z'×128 — exactly one
+    // cut at the segment boundary (frame 2), delta = 64 × ('z' − 'a')
+    val twoScene = Multimodal.sceneStats(
+      Blob(1L, Array.fill(2 * FrameStride)('a'.toByte) ++ Array.fill(2 * FrameStride)('z'.toByte)))
+    assert(twoScene.n_frames === 4)
+    assert(twoScene.n_cuts === 1L)
+    assert(twoScene.first_cut_frame === 2L)
+    assert(twoScene.max_delta === FrameStride.toLong * ('z' - 'a'))
+
+    // homogeneous payload: no cut ever, max_delta only from the ragged tail
+    val flat = Multimodal.sceneStats(Blob(2L, Array.fill(3 * FrameStride)('m'.toByte)))
+    assert(flat.n_cuts === 0L && flat.first_cut_frame === -1L && flat.max_delta === 0L)
+
+    // ragged tail below threshold: the short last frame's delta counts
+    // toward max_delta but (here) not a cut
+    val ragged = Multimodal.sceneStats(Blob(3L, Array.fill(FrameStride + 2)('m'.toByte)))
+    assert(ragged.n_frames === 2)
+    assert(ragged.max_delta === ('m'.toInt.toLong * (FrameStride - 2)))
+    assert(ragged.n_cuts === (if ('m'.toInt.toLong * (FrameStride - 2) > Multimodal.CutThreshold) 1L else 0L))
+
+    // sub-frame payload: one frame, no deltas at all
+    val tiny = Multimodal.sceneStats(Blob(4L, Array.fill(5)('x'.toByte)))
+    assert(tiny.n_frames === 1 && tiny.n_cuts === 0L && tiny.max_delta === 0L)
+  }
+
   test("m02 decode runs as a narrow map (no shuffle in the plan before the final sort)") {
     val plan = Multimodal.queries("m02_fake_decode")(spark, sfDir)
       .queryExecution.executedPlan.toString

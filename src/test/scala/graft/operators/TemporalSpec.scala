@@ -111,4 +111,43 @@ class TemporalSpec extends SparkSpec {
       .map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSeq
     assert(fast === slow, "day-partitioned prefix sum + carry ≡ flat running sum")
   }
+
+  test("a12 OHLC: struct-keyed min_by/max_by ≡ the window first/last form, incl. ties") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    // crafted rows INCLUDING a timestamp tie inside one hour — the
+    // event_id tie-break must decide open/close deterministically
+    val e = Seq(
+      (1L, 10L, 7200L, 5.0), (1L, 11L, 7300L, 9.0), (1L, 12L, 7300L, 2.0),
+      (1L, 13L, 9000L, 4.0), // second hour
+      (2L, 20L, 7200L, 1.0), (2L, 21L, 7200L, 8.0) // pure tie: ids decide
+    ).toDF("user_id", "event_id", "ts_sec", "value")
+      .withColumn("hsec", expr("ts_sec div 3600 * 3600"))
+
+    val agg = e.groupBy("user_id", "hsec")
+      .agg(min_by(col("value"), struct(col("ts_sec"), col("event_id"))).as("open"),
+        max(col("value")).as("high"), min(col("value")).as("low"),
+        max_by(col("value"), struct(col("ts_sec"), col("event_id"))).as("close"),
+        count(lit(1)).as("n"))
+      .orderBy("user_id", "hsec").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5), r.getLong(6))).toSeq
+
+    val w = Window.partitionBy("user_id", "hsec").orderBy(col("ts_sec").asc, col("event_id").asc)
+    val ref = e
+      .withColumn("open", first(col("value")).over(w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .withColumn("close", last(col("value")).over(w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .groupBy("user_id", "hsec")
+      .agg(min("open").as("open"), max("value").as("high"), min("value").as("low"),
+        min("close").as("close"), count(lit(1)).as("n"))
+      .orderBy("user_id", "hsec").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5), r.getLong(6))).toSeq
+
+    assert(agg === ref)
+    // the tie rows land per the id order: user 2's open is id 20's value
+    assert(agg.find(_._1 == 2L).get._3 === 1.0)
+    assert(agg.find(_._1 == 2L).get._6 === 8.0)
+  }
 }
