@@ -48,6 +48,16 @@ object Dedup {
     */
   val PrefixJaccard = 0.6
 
+  /** d10 containment parameters: document-frequency cap on join shingles
+    * (a shingle in more docs than this is background vocabulary, not
+    * evidence — and capping it bounds the self-join fan-out to ≤ DfCap²
+    * pairs per shingle at ANY corpus size), minimum rare-shingle count
+    * for a meaningful denominator, and the containment threshold.
+    */
+  val DfCap = 64
+  val MinRareShingles = 5
+  val ContainmentThreshold = 0.8
+
   /** Round cap for connectedComponents — label propagation needs rounds
     * equal to the component diameter, and near-dup clusters are shallow
     * (a chain this long means the corpus is pathological). Hitting the cap
@@ -161,22 +171,28 @@ object Dedup {
     val nParts = math.max(8, math.min(defaultParts, (edges.count() / 100000L).toInt))
     spark.conf.set("spark.sql.shuffle.partitions", nParts.toString)
     try {
+      def propagate(lbls: DataFrame): DataFrame =
+        edges.join(lbls, edges("dst") === lbls("doc_id"))
+          .groupBy(col("src"))
+          .agg(min(col("lbl")).as("lbl"))
+          .select(col("src").as("doc_id"), col("lbl"))
       var labels = edges.select(col("src").as("doc_id"), col("src").as("lbl")).distinct()
       var converged = false
       var rounds = 0
       while (!converged && rounds < maxRounds) {
-        val next = edges.join(labels, edges("dst") === labels("doc_id"))
-          .groupBy(col("src"))
-          .agg(min(col("lbl")).as("lbl"))
-          .select(col("src").as("doc_id"), col("lbl"))
-          .persist()
+        // TWO propagation steps per driver round-trip: labels only ever
+        // decrease (min-propagation is monotone), so "unchanged across two
+        // steps" ⟺ fixpoint — and the convergence count() is a full job,
+        // which at small per-round data is the dominant cost. Halving the
+        // count/persist cycles ≈ halves the loop's wall-clock.
+        val next = propagate(propagate(labels)).persist()
         val prev = labels
         val changed = next.join(prev.withColumnRenamed("lbl", "old"), "doc_id")
           .filter(col("lbl") =!= col("old")).count() // 1 row to the driver
         if (rounds > 0) prev.unpersist()
         labels = next
         converged = changed == 0
-        rounds += 1
+        rounds += 2
       }
       if (!converged) {
         labels.unpersist() // don't leak the final round's cache on the error path
@@ -359,6 +375,44 @@ object Dedup {
         .orderBy("id_a", "id_b")
     }),
 
+    // ASYMMETRIC CONTAINMENT — the quote/subset detector Jaccard misses:
+    // a short doc pasted into a long one has tiny Jaccard (union is the
+    // long doc) but containment |S(a)∩S(b)| / |S(a)| ≈ 1. The standard
+    // curation use: drop docs that are mostly quotes of another doc.
+    // Candidates come from an equi-join on RARE shingles only — a
+    // document-frequency cap (df ≤ DfCap, and df ≥ 2 since a singleton
+    // connects nothing) bounds the per-shingle fan-out to DfCap docs ⇒
+    // ≤ DfCap² pairs per shingle at ANY corpus size, the same bound
+    // d09's prefix filter relies on; ubiquitous shingles are background
+    // vocabulary, not containment evidence. Containment is computed over
+    // that same rare universe (stated identically in the oracle), so the
+    // division is integer/integer — exact. Directional output: (id_a
+    // contained-in id_b) and (b in a) are different claims; both sides
+    // emitted when both clear the threshold.
+    "d10_containment" -> ((s, dir) => {
+      val sk = sketched(s, dir)
+      val toks = sk.select(col("doc_id"), explode(col("hsh")).as("tok"))
+      val rare = toks.join(
+        toks.groupBy("tok").agg(count(lit(1)).as("df"))
+          .filter(col("df") >= 2 && col("df") <= DfCap)
+          .select("tok"),
+        "tok")
+      val rareSz = rare.groupBy("doc_id").agg(count(lit(1)).as("n_rare"))
+      val a = rare.select(col("tok"), col("doc_id").as("id_a"))
+      val b = rare.select(col("tok"), col("doc_id").as("id_b"))
+      a.join(b, "tok")
+        .filter(col("id_a") =!= col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(count(lit(1)).as("n_common"))
+        .join(rareSz.select(col("doc_id").as("id_a"), col("n_rare").as("n_rare_a")), "id_a")
+        .filter(col("n_rare_a") >= MinRareShingles)
+        .withColumn("containment",
+          col("n_common").cast("double") / col("n_rare_a").cast("double"))
+        .filter(col("containment") >= ContainmentThreshold)
+        .select("id_a", "id_b", "n_rare_a", "n_common", "containment")
+        .orderBy("id_a", "id_b")
+    }),
+
     // duplicate-CLUSTER resolution: pairwise near-dup output (d03) is not
     // actionable until pairs become clusters with one canonical doc each
     // (A~B, B~C must collapse to {A,B,C} keep-A, even when A~C was never
@@ -493,6 +547,33 @@ object Dedup {
         |WHERE len(a.sh) > 0 AND len(b.sh) > 0
         |  AND len(list_intersect(a.sh, b.sh))::DOUBLE / len(list_distinct(list_concat(a.sh, b.sh)))::DOUBLE >= $PrefixJaccard
         |ORDER BY id_a, id_b""".stripMargin,
+
+    // rare universe = shingles with 2 ≤ df ≤ DfCap, identical on both
+    // engines; containment = integer/integer division → exact double
+    "d10_containment" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, list_filter(string_split(lower(text), ' '), w -> len(w) > 0) AS w
+         |  FROM documents
+         |), s AS (
+         |  SELECT doc_id,
+         |    unnest(list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w) - 1)])) AS tok
+         |  FROM t WHERE len(w) >= 3
+         |), rare AS (
+         |  SELECT doc_id, tok FROM s
+         |  WHERE tok IN (SELECT tok FROM s GROUP BY tok
+         |                HAVING COUNT(*) >= 2 AND COUNT(*) <= $DfCap)
+         |), sz AS (
+         |  SELECT doc_id, COUNT(*) AS n_rare FROM rare GROUP BY doc_id
+         |)
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |  sz.n_rare AS n_rare_a, COUNT(*) AS n_common,
+         |  COUNT(*)::DOUBLE / sz.n_rare::DOUBLE AS containment
+         |FROM rare a JOIN rare b ON a.tok = b.tok AND a.doc_id <> b.doc_id
+         |JOIN sz ON sz.doc_id = a.doc_id
+         |WHERE sz.n_rare >= $MinRareShingles
+         |GROUP BY a.doc_id, b.doc_id, sz.n_rare
+         |HAVING COUNT(*)::DOUBLE / sz.n_rare::DOUBLE >= $ContainmentThreshold
+         |ORDER BY id_a, id_b""".stripMargin,
 
     "d04_ngram_jaccard_blocked" ->
       """WITH t AS (

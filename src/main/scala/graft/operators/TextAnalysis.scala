@@ -270,6 +270,41 @@ object TextAnalysis {
         .orderBy("doc_id")
     }),
 
+    // BOILERPLATE-SPAN FILTERING — the C4-style "discard spans seen
+    // across many pages" pass (headers, nav bars, license blurbs), on
+    // this fixture's delimiter-free text via fixed 2-word spans (real
+    // corpora segment on lines/sentences; the mechanics — span hash,
+    // corpus document-frequency, per-doc flag rollup — are identical).
+    // A span is boilerplate when it appears in > 5% of docs, stated as
+    // the integer comparison df·20 > n_docs so both engines decide
+    // identically. Shuffles: one (doc, span)-distinct agg for df, one
+    // span-keyed join back, one per-doc rollup — raw text never
+    // shuffles twice; at 100 TB the df table is vocabulary-sized and
+    // the join key is the span hash.
+    "t18_boilerplate_spans" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+        .select(col("doc_id"),
+          expr("filter(split(lower(text), ' '), x -> length(x) > 0)").as("w"))
+        .filter(size(col("w")) >= 2)
+      val sp = d.select(col("doc_id"),
+        explode(expr(
+          "transform(sequence(0, int(size(w) / 2) - 1)," +
+            " j -> concat(element_at(w, 2*j+1), ' ', element_at(w, 2*j+2)))")).as("span"))
+      val nDocs = d.select(count(lit(1)).as("n_docs"))
+      val dfreq = sp.select("doc_id", "span").distinct()
+        .groupBy("span").agg(count(lit(1)).as("df"))
+      sp.join(dfreq, "span")
+        .crossJoin(broadcast(nDocs))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_spans"),
+          sum(when(col("df") * 20 > col("n_docs"), 1L).otherwise(0L)).as("n_boiler"))
+        .withColumn("boiler_ratio",
+          col("n_boiler").cast("double") / col("n_spans").cast("double"))
+        .withColumn("keep", col("n_boiler") * 2 <= col("n_spans"))
+        .select("doc_id", "n_spans", "n_boiler", "boiler_ratio", "keep")
+        .orderBy("doc_id")
+    }),
+
     // corpus-level n-gram frequency: top-50 word bigrams.
     "t05_ngram_topk" -> ((s, dir) => {
       Tables.documents(s, dir)
@@ -494,6 +529,35 @@ object TextAnalysis {
         |GROUP BY ngram
         |ORDER BY n DESC, ngram ASC
         |LIMIT 50""".stripMargin,
+
+    // fixed 2-word spans over the 1-based word list: span j (0-based)
+    // covers w[2j+1], w[2j+2]; the ragged odd tail word spans nothing.
+    // boilerplate test stated as integers (df·20 > n_docs) on both sides
+    "t18_boilerplate_spans" ->
+      """WITH t AS (
+        |  SELECT doc_id, list_filter(string_split(lower(text), ' '), w -> len(w) > 0) AS w
+        |  FROM documents
+        |), d AS (
+        |  SELECT doc_id, w FROM t WHERE len(w) >= 2
+        |), sp AS (
+        |  SELECT doc_id,
+        |    unnest([w[2*j+1] || ' ' || w[2*j+2] for j in range(0, len(w) // 2)]) AS span
+        |  FROM d
+        |), n AS (
+        |  SELECT COUNT(*) AS n_docs FROM d
+        |), dfreq AS (
+        |  SELECT span, COUNT(*) AS df FROM (SELECT DISTINCT doc_id, span FROM sp)
+        |  GROUP BY span
+        |)
+        |SELECT sp.doc_id AS doc_id,
+        |  COUNT(*) AS n_spans,
+        |  CAST(SUM(CASE WHEN df * 20 > n_docs THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler,
+        |  CAST(SUM(CASE WHEN df * 20 > n_docs THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / COUNT(*)::DOUBLE AS boiler_ratio,
+        |  CAST(SUM(CASE WHEN df * 20 > n_docs THEN 1 ELSE 0 END) AS BIGINT) * 2 <= COUNT(*) AS keep
+        |FROM sp JOIN dfreq USING (span) CROSS JOIN n
+        |GROUP BY sp.doc_id
+        |ORDER BY doc_id""".stripMargin,
 
     "t10_chunk_docs" ->
       s"""WITH t AS (

@@ -26,7 +26,12 @@ class PartitionInvarianceSpec extends SparkSpec {
     // the two-flagship composition (p02), and the stacked
     // IVF+PQ+re-rank approximation whose every tie-break is pinned (e10)
     "t16_vocab_stats", "q45_string_agg", "g03_bfs_levels",
-    "p02_training_mix", "e10_ivf_pq_ann")
+    "p02_training_mix", "e10_ivf_pq_ann",
+    // round 4 third batch: struct-keyed min_by/max_by tie-breaks under
+    // reshuffling (a12), the df-capped containment join (d10), and the
+    // span-df boilerplate rollup whose flag threshold is a broadcast
+    // corpus count (t18)
+    "a12_ohlc_bars", "d10_containment", "t18_boilerplate_spans")
 
   private def runAt(name: String, parts: Int): Seq[String] = {
     val old = spark.conf.get("spark.sql.shuffle.partitions")
