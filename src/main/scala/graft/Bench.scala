@@ -10,6 +10,12 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // local iteration only (driver never sets it): comma-separated name
+    // prefixes to time just a subset, and an optional repeat count to
+    // separate real cost from run-to-run variance
+    val only: Option[Seq[String]] = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSeq)
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "1").toInt
+    def selected(name: String): Boolean = only.forall(_.exists(name.startsWith))
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -23,7 +29,7 @@ object Bench {
     // steady-state query cost (what a long-lived cluster actually pays)
     // instead of charging ~6-10 s of JVM warmup to whichever query runs
     // first.
-    SparkEntry.queries.foreach { case (_, fn) =>
+    SparkEntry.queries.filter(kv => selected(kv._1)).foreach { case (_, fn) =>
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => () }
     }
@@ -31,7 +37,10 @@ object Bench {
     // noop write forces evaluation of EVERY output column — a bare
     // count() would let Catalyst skip projection work entirely and
     // under-time the scan-heavy queries.
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val results = (1 to reps).flatMap(r =>
+      SparkEntry.queries.filter(kv => selected(kv._1)).map {
+        case (name, fn) => (if (reps > 1) s"$name#$r" else name) -> fn
+      }).map { case (name, fn) =>
       // GC fence (untimed): without it, a heavy predecessor's broadcast/
       // shuffle debris gets collected INSIDE the next query's timing —
       // observed inflating sub-second queries to 10+ s late in the run
@@ -53,11 +62,11 @@ object Bench {
     // appears. 3-decimal timings for the same reason.
     def fmt(v: Double): String = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
     def code(name: String): String = name.takeWhile(_ != '_')
-    val codesUnique = results.keys.map(code).toSet.size == results.size
+    val codesUnique = results.map(kv => code(kv._1)).toSet.size == results.size
     val qs = results.map { case (k, v) =>
       s"\"" + (if (codesUnique) code(k) else k) + "\":" + fmt(v)
     }.mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.filter(_ >= 0).sum else 0.0
+    val total = if (results.nonEmpty) results.map(_._2).filter(_ >= 0).sum else 0.0
     println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     Console.out.flush()
     spark.stop()

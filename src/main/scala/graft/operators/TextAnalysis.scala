@@ -353,13 +353,30 @@ object TextAnalysis {
     // candidate pairs. levenshtein() is the classic unit-cost DP in both
     // engines — integer-exact parity.
     "t17_edit_distance_pairs" -> ((s, dir) => {
+      // bag-of-characters pigeonhole: one edit op changes a string's char
+      // multiset by at most 2 units of L1 distance (substitution = one
+      // char out + one in), so ed(a,b) ≥ ⌈L1(bag_a, bag_b)/2⌉ — a pair
+      // whose 16-bin char histograms differ by more than 2·threshold can
+      // NEVER pass, and the O(chars) histogram (computed once per doc,
+      // not per pair) + 16-term L1 replaces the O(80²) DP for ~90% of
+      // the pair space (measured at sf0.1: 8.5% survive). The bound is a
+      // true lower bound, so the output is unchanged — the oracle stays
+      // the unfiltered reference.
       val d = Tables.documents(s, dir)
         .select(col("doc_id"), col("lang"), col("source"),
           substring(col("text"), 1, 80).as("head"))
-      val a = d.select(col("lang"), col("source"), col("doc_id").as("id_a"), col("head").as("head_a"))
-      val b = d.select(col("lang"), col("source"), col("doc_id").as("id_b"), col("head").as("head_b"))
+        .withColumn("hist", expr(
+          "transform(sequence(0, 15)," +
+            " b -> size(filter(split(head, ''), c -> length(c) > 0 AND ascii(c) % 16 = b)))"))
+      val a = d.select(col("lang"), col("source"), col("doc_id").as("id_a"),
+        col("head").as("head_a"), col("hist").as("hist_a"))
+      val b = d.select(col("lang"), col("source"), col("doc_id").as("id_b"),
+        col("head").as("head_b"), col("hist").as("hist_b"))
       a.join(b, Seq("lang", "source"))
         .filter(col("id_a") < col("id_b"))
+        .withColumn("bag_l1", expr(
+          "aggregate(zip_with(hist_a, hist_b, (x, y) -> abs(x - y)), 0, (acc, v) -> acc + v)"))
+        .filter(col("bag_l1") <= 20)
         .select(col("lang"), col("source"), col("id_a"), col("id_b"),
           levenshtein(col("head_a"), col("head_b")).cast("long").as("edit_dist"))
         .filter(col("edit_dist") <= 10)

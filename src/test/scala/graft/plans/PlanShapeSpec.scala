@@ -203,6 +203,55 @@ class PlanShapeSpec extends SparkSpec {
     assert(!joined.contains("text"), "raw text must not ride through any join")
   }
 
+  test("q46: unpivot plans as Expand — a generate, not a shuffle or join") {
+    val p = sparkPlan("q46_unpivot")
+    assert(collectAll(p) { case e: org.apache.spark.sql.execution.ExpandExec => e }.nonEmpty,
+      "native unpivot should plan as ExpandExec")
+    assert(collectAll(p) {
+      case j: BroadcastHashJoinExec => j
+      case j: SortMergeJoinExec => j
+    }.isEmpty, "unpivot must not introduce a join")
+  }
+
+  test("q48: variant parse + typed extraction stays inside whole-stage codegen") {
+    // the engine-level point of VariantType: parse once, extract at
+    // column speed — the parse/extract projection must fuse into a
+    // codegen stage (starred Project), not fall back to interpreted
+    // row-at-a-time evaluation. Asserted on the scan+project core (the
+    // full query's AQE wrapper hides codegen marks until execution).
+    import org.apache.spark.sql.functions.{col, parse_json, variant_get}
+    val exec = graft.Tables.events(spark, sfDir)
+      .select(variant_get(parse_json(col("props")), "$.k", "int").as("k"))
+      .queryExecution.executedPlan.toString
+    assert(!exec.contains("CodegenFallback"), s"codegen fallback leaked into:\n$exec")
+    assert(exec.linesIterator.exists(l => l.contains("*(") && l.contains("Project")),
+      s"variant projection not fused into codegen:\n$exec")
+  }
+
+  test("d10: containment joins are all equi-joins — no quadratic operator") {
+    val p = sparkPlan("d10_containment")
+    assert(collectAll(p) {
+      case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => j
+      case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c
+    }.isEmpty, "containment must never plan a quadratic join")
+  }
+
+  test("m08: scene detection is a narrow map (no shuffle before the output sort)") {
+    val exchanges = collectAll(sparkPlan("m08_scene_change")) {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    // only the deterministic final ORDER BY may shuffle
+    assert(exchanges.size <= 1, s"scene detection should not shuffle: $exchanges")
+  }
+
+  test("t18: span df joins on the span key only; raw text rides no join") {
+    val joined = collectAll(sparkPlan("t18_boilerplate_spans")) {
+      case j: BroadcastHashJoinExec => j.output.map(_.name)
+      case j: SortMergeJoinExec => j.output.map(_.name)
+    }.flatten
+    assert(!joined.contains("text"), "raw text must not ride through any join")
+  }
+
   test("p02: the training-mix manifest is scan + one two-phase agg — zero joins") {
     val p = sparkPlan("p02_training_mix")
     assert(collectAll(p) {
