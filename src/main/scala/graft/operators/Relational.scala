@@ -745,6 +745,44 @@ object Relational {
         .orderBy("event_type")
     }),
 
+    // RECURSIVE CTE — Spark 4's WITH RECURSIVE (the last major ANSI SQL
+    // surface Spark lacked): a per-customer successor-chain walk — seed
+    // at each customer's first order, step to the next order by date —
+    // the linked-list/lineage-trace recursion shape (session stitching,
+    // provenance chains). UNION ALL recursion is safe here because the
+    // chain is acyclic and strictly advancing: the frontier is one row
+    // per customer per step, and depth = max orders per customer
+    // (bounded by the domain, far under the 100-level default cap). The
+    // oracle states the same answer through the non-recursive window
+    // formulation — two independent formulations, one hash-exact result.
+    "q49_recursive_cte" -> ((s, dir) => {
+      Tables.orders(s, dir).createOrReplaceTempView("orders_rec")
+      s.sql("""
+        WITH RECURSIVE nxt AS (
+          SELECT o_custkey, o_orderkey,
+                 LEAD(o_orderkey) OVER (PARTITION BY o_custkey
+                   ORDER BY o_orderdate, o_orderkey) AS nxt_key
+          FROM orders_rec
+        ), seed AS (
+          SELECT o_custkey, o_orderkey, 1 AS seq FROM (
+            SELECT o_custkey, o_orderkey,
+                   ROW_NUMBER() OVER (PARTITION BY o_custkey
+                     ORDER BY o_orderdate, o_orderkey) AS rn
+            FROM orders_rec) WHERE rn = 1
+        ), walk AS (
+          SELECT o_custkey, o_orderkey, seq FROM seed
+          UNION ALL
+          SELECT n.o_custkey, n.nxt_key, w.seq + 1
+          FROM walk w JOIN nxt n
+            ON n.o_custkey = w.o_custkey AND n.o_orderkey = w.o_orderkey
+          WHERE n.nxt_key IS NOT NULL
+        )
+        SELECT o_custkey AS custkey, COUNT(*) AS n_orders,
+               CAST(MAX(seq) AS BIGINT) AS chain_len,
+               max_by(o_orderkey, seq) AS last_order
+        FROM walk GROUP BY o_custkey ORDER BY custkey""")
+    }),
+
     // ---- approximate / sketch (weaker rows-only driver check; no oracle) ------
     "q27_approx_distinct" -> ((s, dir) => {
       // Percentiles surfaced as three scalar columns (not an array) so the
@@ -968,6 +1006,22 @@ object Relational {
         |FROM events
         |GROUP BY event_type
         |ORDER BY event_type""".stripMargin,
+
+    // the non-recursive window formulation of the same walk: chain_len
+    // necessarily equals the order count when the walk visits every
+    // order exactly once — which is exactly what the gate proves
+    "q49_recursive_cte" ->
+      """WITH r AS (
+        |  SELECT o_custkey, o_orderkey,
+        |    ROW_NUMBER() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_orderdate DESC, o_orderkey DESC) AS rnd
+        |  FROM orders
+        |)
+        |SELECT o_custkey AS custkey, COUNT(*) AS n_orders,
+        |  COUNT(*) AS chain_len,
+        |  MAX(CASE WHEN rnd = 1 THEN o_orderkey END) AS last_order
+        |FROM r GROUP BY o_custkey
+        |ORDER BY custkey""".stripMargin,
 
     "q48_variant_json" ->
       """SELECT event_type,

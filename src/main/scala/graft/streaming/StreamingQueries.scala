@@ -241,6 +241,31 @@ object StreamingQueries {
       } finally s.conf.set(provKey, oldProv)
     }),
 
+    // STREAMING OHLC — a12's downsampling as a stateful streaming agg:
+    // bars built incrementally from the live event stream (the tick→bar
+    // pipeline every metrics/market system runs). min_by/max_by carry
+    // their (value, struct-key) pairs through the state store exactly
+    // like any other agg state — constant state per open (user, hour)
+    // bar; complete mode emits the final bar set, which must equal the
+    // batch a12 answer — same oracle.
+    "s16_stream_ohlc" -> ((s, dir) => {
+      val agg = eventsStream(s, dir)
+        .withColumn("ts_sec", col("ts").cast("long"))
+        .withColumn("hsec", (col("ts_sec") / 3600L).cast("long") * 3600L)
+        .groupBy("user_id", "hsec")
+        .agg(
+          min_by(col("value"), struct(col("ts_sec"), col("event_id"))).as("open"),
+          max(col("value")).as("high"),
+          min(col("value")).as("low"),
+          max_by(col("value"), struct(col("ts_sec"), col("event_id"))).as("close"),
+          count(lit(1)).as("n_events"))
+        .select(col("user_id"),
+          date_format(timestamp_seconds(col("hsec")), "yyyy-MM-dd HH:mm:ss").as("hour"),
+          col("open"), col("high"), col("low"), col("close"), col("n_events"))
+      runToTable(agg, OutputMode.Complete(), statePartitions = Some(8))
+        .orderBy("user_id", "hour")
+    }),
+
     // session windows as a STREAMING aggregation (state-store session
     // merging, the dynamic-gap machinery a04 runs in batch): complete
     // mode emits the final merged session set, which must equal the batch
@@ -514,6 +539,9 @@ object StreamingQueries {
 
     // identical semantics to the batch a04 oracle (Temporal.oracles)
     "s08_stream_sessions" -> graft.operators.Temporal.oracles("a04_session_window"),
+
+    // streamed bars ≡ batch bars (deterministic order-free agg state)
+    "s16_stream_ohlc" -> graft.operators.Temporal.oracles("a12_ohlc_bars"),
 
     // s14 ≡ s04 by construction (same fold, new state API) — same oracle
     "s14_stream_tws_state" ->
