@@ -137,6 +137,31 @@ object Dedup {
       .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
       .distinct()
 
+  /** d10 core over distinct (doc_id, tok) rows — exposed so DedupSpec can
+    * drive it with crafted token sets (directional semantics, df-cap
+    * exclusion) independent of the fixture.
+    */
+  private[operators] def containmentPairs(toks: DataFrame): DataFrame = {
+    val rare = toks.join(
+      toks.groupBy("tok").agg(count(lit(1)).as("df"))
+        .filter(col("df") >= 2 && col("df") <= DfCap)
+        .select("tok"),
+      "tok")
+    val rareSz = rare.groupBy("doc_id").agg(count(lit(1)).as("n_rare"))
+    val a = rare.select(col("tok"), col("doc_id").as("id_a"))
+    val b = rare.select(col("tok"), col("doc_id").as("id_b"))
+    a.join(b, "tok")
+      .filter(col("id_a") =!= col("id_b"))
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as("n_common"))
+      .join(rareSz.select(col("doc_id").as("id_a"), col("n_rare").as("n_rare_a")), "id_a")
+      .filter(col("n_rare_a") >= MinRareShingles)
+      .withColumn("containment",
+        col("n_common").cast("double") / col("n_rare_a").cast("double"))
+      .filter(col("containment") >= ContainmentThreshold)
+      .select("id_a", "id_b", "n_rare_a", "n_common", "containment")
+  }
+
   /** Connected components over undirected near-dup pairs (id_a, id_b) by
     * iterative min-label propagation: every endpoint starts labeled with
     * itself; each round a node takes the min label in its closed
@@ -391,25 +416,7 @@ object Dedup {
     // emitted when both clear the threshold.
     "d10_containment" -> ((s, dir) => {
       val sk = sketched(s, dir)
-      val toks = sk.select(col("doc_id"), explode(col("hsh")).as("tok"))
-      val rare = toks.join(
-        toks.groupBy("tok").agg(count(lit(1)).as("df"))
-          .filter(col("df") >= 2 && col("df") <= DfCap)
-          .select("tok"),
-        "tok")
-      val rareSz = rare.groupBy("doc_id").agg(count(lit(1)).as("n_rare"))
-      val a = rare.select(col("tok"), col("doc_id").as("id_a"))
-      val b = rare.select(col("tok"), col("doc_id").as("id_b"))
-      a.join(b, "tok")
-        .filter(col("id_a") =!= col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(count(lit(1)).as("n_common"))
-        .join(rareSz.select(col("doc_id").as("id_a"), col("n_rare").as("n_rare_a")), "id_a")
-        .filter(col("n_rare_a") >= MinRareShingles)
-        .withColumn("containment",
-          col("n_common").cast("double") / col("n_rare_a").cast("double"))
-        .filter(col("containment") >= ContainmentThreshold)
-        .select("id_a", "id_b", "n_rare_a", "n_common", "containment")
+      containmentPairs(sk.select(col("doc_id"), explode(col("hsh")).as("tok")))
         .orderBy("id_a", "id_b")
     }),
 

@@ -43,6 +43,30 @@ object TextAnalysis {
   def redactPii(c: Column): Column =
     PiiPatterns.foldLeft(c) { case (acc, (_, pat, tag)) => regexp_replace(acc, pat, tag) }
 
+  /** t18 core over (doc_id, w: array<string>) rows — exposed so TextSpec
+    * can drive the flag threshold with a crafted corpus (the fixture's
+    * span frequencies are emergent, not controlled).
+    */
+  private[operators] def boilerplateSpans(docs: DataFrame): DataFrame = {
+    val d = docs.filter(size(col("w")) >= 2)
+    val sp = d.select(col("doc_id"),
+      explode(expr(
+        "transform(sequence(0, int(size(w) / 2) - 1)," +
+          " j -> concat(element_at(w, 2*j+1), ' ', element_at(w, 2*j+2)))")).as("span"))
+    val nDocs = d.select(count(lit(1)).as("n_docs"))
+    val dfreq = sp.select("doc_id", "span").distinct()
+      .groupBy("span").agg(count(lit(1)).as("df"))
+    sp.join(dfreq, "span")
+      .crossJoin(broadcast(nDocs))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_spans"),
+        sum(when(col("df") * 20 > col("n_docs"), 1L).otherwise(0L)).as("n_boiler"))
+      .withColumn("boiler_ratio",
+        col("n_boiler").cast("double") / col("n_spans").cast("double"))
+      .withColumn("keep", col("n_boiler") * 2 <= col("n_spans"))
+      .select("doc_id", "n_spans", "n_boiler", "boiler_ratio", "keep")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // token accounting: whitespace tokens + BPE-ish subword units.
     "t01_token_stats" -> ((s, dir) => {
@@ -282,26 +306,9 @@ object TextAnalysis {
     // shuffles twice; at 100 TB the df table is vocabulary-sized and
     // the join key is the span hash.
     "t18_boilerplate_spans" -> ((s, dir) => {
-      val d = Tables.documents(s, dir)
+      boilerplateSpans(Tables.documents(s, dir)
         .select(col("doc_id"),
-          expr("filter(split(lower(text), ' '), x -> length(x) > 0)").as("w"))
-        .filter(size(col("w")) >= 2)
-      val sp = d.select(col("doc_id"),
-        explode(expr(
-          "transform(sequence(0, int(size(w) / 2) - 1)," +
-            " j -> concat(element_at(w, 2*j+1), ' ', element_at(w, 2*j+2)))")).as("span"))
-      val nDocs = d.select(count(lit(1)).as("n_docs"))
-      val dfreq = sp.select("doc_id", "span").distinct()
-        .groupBy("span").agg(count(lit(1)).as("df"))
-      sp.join(dfreq, "span")
-        .crossJoin(broadcast(nDocs))
-        .groupBy("doc_id")
-        .agg(count(lit(1)).as("n_spans"),
-          sum(when(col("df") * 20 > col("n_docs"), 1L).otherwise(0L)).as("n_boiler"))
-        .withColumn("boiler_ratio",
-          col("n_boiler").cast("double") / col("n_spans").cast("double"))
-        .withColumn("keep", col("n_boiler") * 2 <= col("n_spans"))
-        .select("doc_id", "n_spans", "n_boiler", "boiler_ratio", "keep")
+          expr("filter(split(lower(text), ' '), x -> length(x) > 0)").as("w")))
         .orderBy("doc_id")
     }),
 

@@ -198,4 +198,32 @@ class DedupSpec extends SparkSpec {
     assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
       10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L))
   }
+
+  test("d10 containment: directional semantics, df-cap exclusion, denominator floor") {
+    import spark.implicits._
+    // doc 1 = {t1..t10} (the quote), doc 2 = doc 1 ∪ {u1..u90} (the
+    // container), doc 3 = {u1..u90} (so the u-tokens are not singletons).
+    // One token 'w' is shared by everything incl. 70 filler docs — its
+    // df (73) exceeds DfCap, so it must contribute to NO pair.
+    val toks =
+      ((1L to 10L).map(i => (1L, s"t$i")) ++
+        ((1L to 10L).map(i => (2L, s"t$i")) ++ (1L to 90L).map(i => (2L, s"u$i"))) ++
+        (1L to 90L).map(i => (3L, s"u$i")) ++
+        Seq((1L, "w"), (2L, "w"), (3L, "w")) ++
+        (100L until 170L).flatMap(d => Seq((d, "w"), (d, s"only$d")))
+      ).toDF("doc_id", "tok")
+    val got = Dedup.containmentPairs(toks).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), (r.getLong(2), r.getLong(3), r.getDouble(4))))
+      .toMap
+    // 1 ⊂ 2 exactly: containment 1.0 over n_rare = 10 (w excluded by cap)
+    assert(got((1L, 2L)) === ((10L, 10L, 1.0)))
+    // the reverse direction fails the threshold: 10/100 — directionality
+    assert(!got.contains((2L, 1L)))
+    // 3 ⊂ 2 (90/90) and 2 mostly-in-3 (90/100 = 0.9 ≥ 0.8): both emitted
+    assert(got((3L, 2L)) === ((90L, 90L, 1.0)))
+    assert(got((2L, 3L)) === ((100L, 90L, 0.9)))
+    // filler docs: their only rare-eligible token is the capped 'w' and a
+    // singleton — below MinRareShingles, so they appear in no pair
+    assert(got.keys.forall { case (a, b) => a < 100L && b < 100L })
+  }
 }

@@ -163,4 +163,30 @@ class TextSpec extends SparkSpec {
         s"${r.getString(0)}: achieved $achieved vs target $target (n=${r.getLong(1)})")
     }
   }
+
+  test("t18 boilerplate spans: crafted corpus hits the 5% flag threshold exactly") {
+    import spark.implicits._
+    // 40-doc corpus. Docs 1..3 share the span "legal boiler" (df 3:
+    // 3·20 = 60 > 40 → flagged); docs 1..2 also share "rare pair"
+    // (df 2: 40 > 40 is FALSE → at exactly 5% the span must NOT flag —
+    // the strict inequality is the contract). Every doc adds unique
+    // spans. Doc 50 has one word — no spans, excluded entirely.
+    val docs = (
+      Seq(
+        (1L, "legal boiler rare pair u1a u1b"),
+        (2L, "legal boiler rare pair u2a u2b"),
+        (3L, "legal boiler u3a u3b u3c u3d")) ++
+        (4L to 40L).map(d => (d, s"w${d}a w${d}b w${d}c w${d}d w${d}e w${d}f")) ++
+        Seq((50L, "loner"))
+      ).toDF("doc_id", "text")
+      .select(col("doc_id"),
+        expr("filter(split(lower(text), ' '), x -> length(x) > 0)").as("w"))
+    val got = TextAnalysis.boilerplateSpans(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getBoolean(4)))).toMap
+    assert(!got.contains(50L), "a spanless doc must be absent")
+    assert(got(1L) === ((3L, 1L, true)), s"doc 1: ${got(1L)}")  // only 'legal boiler' flags
+    assert(got(2L) === ((3L, 1L, true)))
+    assert(got(3L) === ((3L, 1L, true)))
+    (4L to 40L).foreach(d => assert(got(d) === ((3L, 0L, true)), s"doc $d"))
+  }
 }
