@@ -128,7 +128,15 @@ object ScaleProbe {
       // copies, so BFS reach stays one component: the probe separates
       // build cost (corpus-linear) from traversal cost (component-bound).
       "t16_vocab_stats", "m07_audio_energy", "g03_bfs_levels",
-      "e10_ivf_pq_ann")
+      "e10_ivf_pq_ann",
+      // round 4, third batch: the df-capped containment join, the
+      // span-df rollup, the bag-filtered edit-distance blocks, and the
+      // OHLC downsampling agg
+      "d10_containment", "t18_boilerplate_spans", "t17_edit_distance_pairs",
+      "a12_ohlc_bars")
+      // local iteration only: probe just a subset by name prefix
+      .filter(n => sys.env.get("SPARK_GRAFT_ONLY")
+        .forall(_.split(",").exists(n.startsWith)))
     // warm pass (JIT + codegen + parquet footers), then the timed pass
     for (pass <- Seq("warm", "timed"); name <- probes) {
       System.gc() // Bench's GC fence: keep predecessors' debris out of the timing
