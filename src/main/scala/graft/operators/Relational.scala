@@ -783,6 +783,25 @@ object Relational {
         FROM walk GROUP BY o_custkey ORDER BY custkey""")
     }),
 
+    // ERROR-SAFE ARITHMETIC — Spark 4 runs ANSI mode by default, where
+    // division by zero THROWS; try_divide is the row-survives spelling
+    // (the ELT pipeline contract: one bad row must not kill a 100 TB
+    // job). Null-counts and min/max of the safe ratio are order-free, so
+    // the whole query sits under the exact gate (sums of float ratios
+    // would not be — accumulation order). Oracle states the same
+    // semantics with NULLIF, the engine-portable form.
+    "q50_try_arithmetic" -> ((s, dir) => {
+      Tables.lineitem(s, dir)
+        .withColumn("ratio", expr(
+          "try_divide(cast(l_extendedprice as double), cast(l_quantity as double) - 25.0)"))
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n_rows"),
+          count(when(col("ratio").isNull, 1)).as("n_div0"),
+          max(col("ratio")).as("max_ratio"),
+          min(col("ratio")).as("min_ratio"))
+        .orderBy("l_returnflag")
+    }),
+
     // ---- approximate / sketch (weaker rows-only driver check; no oracle) ------
     "q27_approx_distinct" -> ((s, dir) => {
       // Percentiles surfaced as three scalar columns (not an array) so the
@@ -1022,6 +1041,17 @@ object Relational {
         |  MAX(CASE WHEN rnd = 1 THEN o_orderkey END) AS last_order
         |FROM r GROUP BY o_custkey
         |ORDER BY custkey""".stripMargin,
+
+    "q50_try_arithmetic" ->
+      """SELECT l_returnflag,
+        |  COUNT(*) AS n_rows,
+        |  COUNT(CASE WHEN l_extendedprice::DOUBLE / NULLIF(l_quantity::DOUBLE - 25.0, 0.0)
+        |             IS NULL THEN 1 END) AS n_div0,
+        |  MAX(l_extendedprice::DOUBLE / NULLIF(l_quantity::DOUBLE - 25.0, 0.0)) AS max_ratio,
+        |  MIN(l_extendedprice::DOUBLE / NULLIF(l_quantity::DOUBLE - 25.0, 0.0)) AS min_ratio
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
 
     "q48_variant_json" ->
       """SELECT event_type,

@@ -289,6 +289,51 @@ object Temporal {
       gapFill(Tables.events(s, dir)
         .select(col("user_id"), col("event_id"), col("ts"), col("value")))),
 
+    // LINEAR INTERPOLATION resampling — a08's forward-fill upgraded to
+    // the estimate a metrics/feature pipeline actually wants between
+    // observations: on the same per-user hourly grid, each missing hour
+    // gets prev + (next − prev) · elapsed-fraction from its bracketing
+    // observations (edges clamp to the nearest one). Two ignore-nulls
+    // window passes per direction over the user-partitioned grid — same
+    // single user-keyed shuffle as a08. The arithmetic is stated in ONE
+    // fixed double-expression order mirrored verbatim in the oracle, so
+    // the interpolated values gate hash-exactly.
+    "a13_interpolate" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+        .select(col("user_id"), col("event_id"), col("ts"),
+          expr("(cast(ts as long) div 3600) * 3600").as("hsec"), col("value"))
+      val wLast = Window.partitionBy("user_id", "hsec")
+        .orderBy(col("ts").desc, col("event_id").desc)
+      val hourly = e.withColumn("rn", row_number().over(wLast))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("hsec"), col("value").as("hv"))
+      val grid = e.groupBy("user_id").agg(min("hsec").as("h0"), max("hsec").as("h1"))
+        .select(col("user_id"), explode(expr("sequence(h0, h1, 3600)")).as("hsec"))
+      val wBack = Window.partitionBy("user_id").orderBy("hsec")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wFwd = Window.partitionBy("user_id").orderBy("hsec")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      grid.join(hourly, Seq("user_id", "hsec"), "left")
+        .withColumn("prev_val", last(col("hv"), ignoreNulls = true).over(wBack))
+        .withColumn("prev_t",
+          last(when(col("hv").isNotNull, col("hsec")), ignoreNulls = true).over(wBack))
+        .withColumn("next_val", first(col("hv"), ignoreNulls = true).over(wFwd))
+        .withColumn("next_t",
+          first(when(col("hv").isNotNull, col("hsec")), ignoreNulls = true).over(wFwd))
+        .withColumn("value_interp",
+          when(col("hv").isNotNull, col("hv"))
+            .when(col("prev_t").isNull, col("next_val"))
+            .when(col("next_t").isNull, col("prev_val"))
+            .otherwise(col("prev_val") + (col("next_val") - col("prev_val")) *
+              ((col("hsec") - col("prev_t")).cast("double") /
+                (col("next_t") - col("prev_t")).cast("double"))))
+        .select(col("user_id"),
+          date_format(timestamp_seconds(col("hsec")), "yyyy-MM-dd HH:mm:ss").as("hour"),
+          col("value_interp"),
+          when(col("hv").isNotNull, 1L).otherwise(0L).as("is_observed"))
+        .orderBy("user_id", "hour")
+    }),
+
     // INTERVAL CONCURRENCY (sweep line): peak number of simultaneously
     // open sessions per day. The classic formulation is a GLOBAL ordered
     // running sum — a single-partition window that dies at scale — so
@@ -431,6 +476,45 @@ object Temporal {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_filled,
         |  CAST(CASE WHEN hv IS NULL THEN 0 ELSE 1 END AS BIGINT) AS is_observed
         |FROM grid g LEFT JOIN h USING (user_id, hsec)
+        |ORDER BY user_id, hour""".stripMargin,
+
+    // the interpolation arithmetic is the same fixed double-expression
+    // order as the Spark side: prev + (next − prev) · (Δt / span)
+    "a13_interpolate" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, ts,
+        |    (CAST(epoch(date_trunc('second', ts)) AS BIGINT) // 3600) * 3600 AS hsec, "value"
+        |  FROM events
+        |), h AS (
+        |  SELECT user_id, hsec, "value" AS hv FROM (
+        |    SELECT user_id, hsec, "value",
+        |      ROW_NUMBER() OVER (PARTITION BY user_id, hsec ORDER BY ts DESC, event_id DESC) AS rn
+        |    FROM e) WHERE rn = 1
+        |), b AS (
+        |  SELECT user_id, MIN(hsec) AS h0, MAX(hsec) AS h1 FROM e GROUP BY user_id
+        |), grid AS (
+        |  SELECT user_id, unnest(range(h0, h1 + 3600, 3600)) AS hsec FROM b
+        |), w AS (
+        |  SELECT g.user_id AS user_id, g.hsec AS hsec, hv,
+        |    LAST_VALUE(hv IGNORE NULLS) OVER wb AS prev_val,
+        |    LAST_VALUE(CASE WHEN hv IS NOT NULL THEN g.hsec END IGNORE NULLS) OVER wb AS prev_t,
+        |    FIRST_VALUE(hv IGNORE NULLS) OVER wf AS next_val,
+        |    FIRST_VALUE(CASE WHEN hv IS NOT NULL THEN g.hsec END IGNORE NULLS) OVER wf AS next_t
+        |  FROM grid g LEFT JOIN h USING (user_id, hsec)
+        |  WINDOW wb AS (PARTITION BY g.user_id ORDER BY g.hsec
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |  wf AS (PARTITION BY g.user_id ORDER BY g.hsec
+        |    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+        |)
+        |SELECT user_id,
+        |  strftime(to_timestamp(hsec), '%Y-%m-%d %H:%M:%S') AS hour,
+        |  CASE WHEN hv IS NOT NULL THEN hv
+        |       WHEN prev_t IS NULL THEN next_val
+        |       WHEN next_t IS NULL THEN prev_val
+        |       ELSE prev_val + (next_val - prev_val) *
+        |         ((hsec - prev_t)::DOUBLE / (next_t - prev_t)::DOUBLE) END AS value_interp,
+        |  CAST(CASE WHEN hv IS NULL THEN 0 ELSE 1 END AS BIGINT) AS is_observed
+        |FROM w
         |ORDER BY user_id, hour""".stripMargin,
 
     // decimal window sums → one double conversion per term, fixed
