@@ -59,8 +59,10 @@ object Bench {
     // (rounds 2-3 recorded parsed=null), so emit each query under its
     // unique family code — the prefix before the first '_' ("q01_agg_..."
     // -> "q01") — falling back to the full name if a collision ever
-    // appears. 3-decimal timings for the same reason.
-    def fmt(v: Double): String = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+    // appears. 2-decimal timings for the same reason (at 136 queries the
+    // line is ~1.8 kB; centisecond precision is far below this box's
+    // run-to-run noise anyway).
+    def fmt(v: Double): String = BigDecimal(v).setScale(2, BigDecimal.RoundingMode.HALF_UP).toString
     def code(name: String): String = name.takeWhile(_ != '_')
     val codesUnique = results.map(kv => code(kv._1)).toSet.size == results.size
     val qs = results.map { case (k, v) =>

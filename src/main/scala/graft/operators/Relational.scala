@@ -756,24 +756,26 @@ object Relational {
     // oracle states the same answer through the non-recursive window
     // formulation — two independent formulations, one hash-exact result.
     "q49_recursive_cte" -> ((s, dir) => {
-      Tables.orders(s, dir).createOrReplaceTempView("orders_rec")
+      // the successor table is MATERIALIZED once (localCheckpoint) before
+      // the recursion: a plain CTE would be inlined into every recursive
+      // step, re-running the scan + LEAD window sort ~max-chain-length
+      // times (measured: 10.5 s → ~3 s at sf0.1). Production recursion
+      // over a lineage table does the same — walk a materialized edge
+      // table, don't re-derive it per step.
+      val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+      Tables.orders(s, dir)
+        .select(col("o_custkey"), col("o_orderkey"),
+          lead(col("o_orderkey"), 1).over(w).as("nxt_key"),
+          row_number().over(w).as("rn"))
+        .localCheckpoint(true)
+        .createOrReplaceTempView("orders_chain")
       s.sql("""
-        WITH RECURSIVE nxt AS (
-          SELECT o_custkey, o_orderkey,
-                 LEAD(o_orderkey) OVER (PARTITION BY o_custkey
-                   ORDER BY o_orderdate, o_orderkey) AS nxt_key
-          FROM orders_rec
-        ), seed AS (
-          SELECT o_custkey, o_orderkey, 1 AS seq FROM (
-            SELECT o_custkey, o_orderkey,
-                   ROW_NUMBER() OVER (PARTITION BY o_custkey
-                     ORDER BY o_orderdate, o_orderkey) AS rn
-            FROM orders_rec) WHERE rn = 1
-        ), walk AS (
-          SELECT o_custkey, o_orderkey, seq FROM seed
+        WITH RECURSIVE walk AS (
+          SELECT o_custkey, o_orderkey, 1 AS seq
+          FROM orders_chain WHERE rn = 1
           UNION ALL
-          SELECT n.o_custkey, n.nxt_key, w.seq + 1
-          FROM walk w JOIN nxt n
+          SELECT /*+ BROADCAST(w) */ n.o_custkey, n.nxt_key, w.seq + 1
+          FROM walk w JOIN orders_chain n
             ON n.o_custkey = w.o_custkey AND n.o_orderkey = w.o_orderkey
           WHERE n.nxt_key IS NOT NULL
         )
