@@ -1,7 +1,9 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.aggregate
 import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+import org.apache.spark.util.sketch.CountMinSketch
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, ExpectsInputTypes, Expression, Literal, UnaryExpression, XXH64}
 import org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
@@ -57,6 +59,61 @@ object HashingFunctions {
   def might_contain(bloom: Column, key: Column): Column =
     ExpressionUtils.column(BloomFilterMightContain(
       ExpressionUtils.expression(bloom), ExpressionUtils.expression(key)))
+
+  /** Spark's own Count-Min-Sketch aggregate (`CountMinSketchAgg`), surfaced
+    * as a library function: aggregates LONG keys into a serialized CMS
+    * binary (width ⌈2/eps⌉ × depth ⌈ln(1/(1−confidence))/ln 2⌉ counters).
+    * The frequency sibling of [[bloom_filter_agg]]: membership there,
+    * multiplicity here.
+    */
+  def cms_sketch_agg(key: Column, eps: Double, confidence: Double, seed: Int): Column =
+    ExpressionUtils.column(new aggregate.CountMinSketchAgg(
+      ExpressionUtils.expression(key),
+      Literal(eps), Literal(confidence), Literal(seed)).toAggregateExpression())
+
+  /** Point-estimate probe against a `cms_sketch_agg` binary: the CMS
+    * frequency estimate for `key`. NEVER an underestimate (each counter
+    * only ever adds), overestimates by ≤ eps·N with the configured
+    * confidence — so `cms_min_count(...) >= T` keeps every truly-heavy key
+    * and callers follow with an exact count when exactness matters (the
+    * heavy-hitter analog of [[might_contain]]'s verify-join contract).
+    * The sketch deserializes once per task, not per row.
+    */
+  def cms_min_count(sketch: Array[Byte], key: Column): Column =
+    ExpressionUtils.column(CmsMinCount(sketch, ExpressionUtils.expression(key)))
+}
+
+/** CMS frequency-estimate probe over a LONG key (see
+  * [[HashingFunctions.cms_min_count]]). Keys must be hashed to longs the
+  * same way on the build (`cms_sketch_agg`) and probe side — both route
+  * through `CountMinSketch`'s long path, so estimates are consistent.
+  * Codegen'd: the deserialized sketch rides the plan's reference array and
+  * the generated code is one `estimateCount` call per row.
+  */
+case class CmsMinCount(sketchBytes: Array[Byte], child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes = Seq(LongType)
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "cms_min_count"
+
+  @transient private lazy val sketch: CountMinSketch =
+    CountMinSketch.readFrom(new java.io.ByteArrayInputStream(sketchBytes))
+
+  /** Public for generated code. */
+  def estimate(h: Long): Long = sketch.estimateCount(java.lang.Long.valueOf(h))
+
+  override protected def nullSafeEval(input: Any): Any =
+    estimate(input.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("cmsProbe", this, classOf[CmsMinCount].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $self.estimate($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): CmsMinCount =
+    copy(child = newChild)
 }
 
 case class MinHashSignature(child: Expression, numHashes: Int, seed: Long)

@@ -56,6 +56,22 @@ object Multimodal {
   case class SceneStats(
       doc_id: Long, n_frames: Long, n_cuts: Long,
       max_delta: Long, first_cut_frame: Long)
+
+  /** m09 perceptual-hash grid: 64 gradient bits (dHash — sample i vs
+    * sample i+1, samples every `PhashStride` bytes), packed into
+    * `PhashBands`×16-bit band values. Near-dup iff Hamming distance over
+    * all 64 bits ≤ `PhashHamMax`; distance ≤ 3 < 4 bands pigeonholes at
+    * least one band to equality, so the banded equi-join loses nothing.
+    */
+  val PhashStride = 4
+  val PhashBits = 64
+  val PhashBands = 4
+  val PhashHamMax = 3
+
+  /** Bytes needed for the full 65-sample gradient grid (sample 64 sits at
+    * 0-based offset 64·stride).
+    */
+  val PhashMinLen: Int = PhashBits * PhashStride + 1
   case class Decoded(
       doc_id: Long, n_bytes: Long,
       width: Int, height: Int, n_channels: Int,
@@ -88,6 +104,55 @@ object Multimodal {
       f += 1
     }
     SceneStats(b.doc_id, nf.toLong, nCuts, maxDelta, firstCut)
+  }
+
+  /** m09 core over (doc_id, text) rows — exposed so MultimodalSpec can
+    * drive crafted payloads with controlled bit flips (the fixture's only
+    * sub-threshold pairs are exact duplicates, distance 0).
+    *
+    * The dHash construction: 65 probe bytes at fixed stride, bit i = 1
+    * iff probe i > probe i+1 — the gradient signature a real perceptual
+    * hash computes over downscaled pixel rows. Equal payloads ⇒ equal
+    * hashes; a local edit flips only the bits whose probes it touches.
+    * Each band is built as a 16-term codegen'd sum (no HOF lambdas, no
+    * per-row allocation), so hashing stays inside whole-stage codegen at
+    * scan speed. Candidate pairs come from the (band_idx, band_val)
+    * equi-join — the d03/d05 pigeonhole shape, never all-pairs — and the
+    * 32-byte band arrays ride the join so the exact Hamming check needs
+    * no second join. At 100 TB: ~2^16 buckets per band keep buckets tiny
+    * on natural corpora; a degenerate corpus (one dominant signature)
+    * needs d03's bucket cap, which the precondition spec would flag.
+    */
+  private[operators] def phashPairs(docs: DataFrame): DataFrame = {
+    def bandCol(b: Int) = (0 until 16).map { j =>
+      val i = 16 * b + j
+      val p1 = i * PhashStride + 1
+      val p2 = (i + 1) * PhashStride + 1
+      when(ascii(substring(col("text"), p1, 1)) > ascii(substring(col("text"), p2, 1)),
+        lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+    val hashed = docs
+      .filter(length(col("text")) >= PhashMinLen)
+      .select(col("doc_id"), array((0 until PhashBands).map(bandCol): _*).as("bands"))
+    val bands = hashed.select(col("doc_id"), col("bands"),
+      posexplode(col("bands")).as(Seq("band_idx", "band_val")))
+    val dist = (0 until PhashBands)
+      .map(i => bit_count(col("ba").getItem(i).bitwiseXOR(col("bb").getItem(i))))
+      .reduce(_ + _)
+      .cast("long")
+    bands.as("x").join(bands.as("y"),
+        col("x.band_idx") === col("y.band_idx") &&
+          col("x.band_val") === col("y.band_val") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        col("x.bands").as("ba"), col("y.bands").as("bb"))
+      .withColumn("dist", dist)
+      .filter(col("dist") <= PhashHamMax)
+      // a pair ≤ HamMax can band-match in up to PhashBands bands; dist is
+      // identical across those duplicate candidate rows
+      .dropDuplicates("doc_a", "doc_b")
+      .select("doc_a", "doc_b", "dist")
   }
 
   /** STUB: deterministic fake media decode. A real implementation would
@@ -259,6 +324,20 @@ object Multimodal {
         .orderBy("doc_id")
     }),
 
+    // PERCEPTUAL-HASH NEAR-DUP IMAGES — the pixel-space analog of d03's
+    // MinHash (which never sees pixels, only tokens): a 64-bit gradient
+    // dHash per payload, Hamming-band pigeonhole join for candidates,
+    // exact Hamming ≤ 3 as the verdict. This is how image corpora dedup
+    // at scale (resize-invariant hash ⇒ re-encoded / near-identical
+    // images collide) without an O(n²) pixel compare. All integer byte math ⇒
+    // the full hash→band→join→distance chain is oracle-checked exactly
+    // (the oracle ranks ALL pairs brute-force; pigeonhole guarantees the
+    // banded join finds the same ≤3 set).
+    "m09_phash_neardup" -> ((s, dir) => {
+      phashPairs(Tables.documents(s, dir).select(col("doc_id"), col("text")))
+        .orderBy("doc_a", "doc_b")
+    }),
+
     // full stubbed decode: metadata struct + frame sampling offsets. The
     // decode values are fake (see fakeDecode) → no SQL oracle; schema,
     // batching, and determinism are asserted in MultimodalSpec.
@@ -406,6 +485,36 @@ object Multimodal {
          |FROM d
          |GROUP BY doc_id
          |ORDER BY doc_id""".stripMargin,
+
+    // same ASCII-fixture precondition as m01 (chars ⇔ bytes); probe i is
+    // the 0-based byte i·stride = 1-based char i·stride+1. The oracle
+    // scores ALL eligible pairs brute-force and keeps Hamming ≤ HamMax —
+    // the banded join is answer-invisible by the pigeonhole bound.
+    "m09_phash_neardup" ->
+      s"""WITH elig AS (
+         |  SELECT doc_id, text FROM documents WHERE strlen(text) >= $PhashMinLen
+         |), bits AS (
+         |  SELECT doc_id, i,
+         |    CASE WHEN ascii(text[($PhashStride*i+1)::INT])
+         |           > ascii(text[($PhashStride*i+${PhashStride + 1})::INT])
+         |         THEN 1 ELSE 0 END AS bit
+         |  FROM elig, unnest(range(0, $PhashBits)) AS t(i)
+         |), bands AS (
+         |  SELECT doc_id, (i // 16)::INT AS b,
+         |    SUM(bit * (1::BIGINT << (i % 16)::INT))::BIGINT AS v
+         |  FROM bits GROUP BY doc_id, (i // 16)::INT
+         |), h AS (
+         |  SELECT doc_id, list(v ORDER BY b) AS vs FROM bands GROUP BY doc_id
+         |), pairs AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |    CAST(bit_count(xor(a.vs[1], b.vs[1])) + bit_count(xor(a.vs[2], b.vs[2]))
+         |       + bit_count(xor(a.vs[3], b.vs[3])) + bit_count(xor(a.vs[4], b.vs[4]))
+         |      AS BIGINT) AS dist
+         |  FROM h a JOIN h b ON a.doc_id < b.doc_id
+         |)
+         |SELECT doc_a, doc_b, dist FROM pairs
+         |WHERE dist <= $PhashHamMax
+         |ORDER BY doc_a, doc_b""".stripMargin,
 
     // same ASCII-fixture precondition as m01 (chars ⇔ bytes)
     "m04_feature_extract" ->

@@ -27,6 +27,14 @@ object TextAnalysis {
   /** t14: corpus-frequency threshold below which a token counts as rare. */
   val RareBelow = 20L
 
+  /** t19: a bigram is "heavy" at ≥ 1/`HeavyDenom` of all bigram
+    * occurrences (ceil). CMS error eps·N must sit well under the
+    * threshold N/HeavyDenom, so eps ≪ 1/HeavyDenom.
+    */
+  val HeavyDenom = 1000L
+  val CmsEps = 2e-4
+  val CmsConfidence = 0.99
+
   /** t12: PII classes, applied in order (earlier classes consume their
     * matches before later, broader ones run). Patterns stay inside the
     * regex subset Java and RE2 share, so the DuckDB oracle runs them
@@ -420,6 +428,37 @@ object TextAnalysis {
           col("top_token"), col("top_freq"),
           (col("top_freq").cast("double") / col("n_tokens").cast("double")).as("top_share"))
         .orderBy("source")
+    }),
+
+    // HEAVY-HITTER SPANS VIA COUNT-MIN SKETCH — the frequency sibling of
+    // t13's bloom pattern: find every bigram making up ≥ 1/1000 of all
+    // bigram occurrences. The naive form shuffles EVERY occurrence into a
+    // vocabulary-sized hash agg (at 100 TB: billions of types, almost all
+    // of them light). Here one scan builds a fixed-size CMS (a few hundred
+    // KB, mergeable ⇒ map-side combined) plus the total; the second scan
+    // keeps only rows whose CMS estimate clears the threshold — a narrow
+    // per-row probe, no shuffle — and only the surviving occurrences (the
+    // Zipf head) enter the exact count. CMS never underestimates, so no
+    // true heavy hitter is dropped; overestimates (light grams sneaking
+    // past at eps·N ≈ 5 vs T ≈ 27 at sf0.01) are removed by the exact
+    // HAVING — output ≡ the oracle's plain GROUP BY / HAVING. On this
+    // near-uniform synthetic fixture the prefilter is weakly selective
+    // (~half the types clear it); on a Zipfian corpus it drops ~99% of
+    // occurrences before the shuffle.
+    "t19_heavy_hitters" -> ((s, dir) => {
+      val grams = Tables.documents(s, dir)
+        .select(explode(wordNgrams(col("text"), 2)).as("g"))
+        .select(col("g"), xxhash64(col("g")).as("h"))
+      val row = grams.agg(
+        cms_sketch_agg(col("h"), CmsEps, CmsConfidence, 42).as("cms"),
+        count(lit(1)).as("n")).head()
+      val cms = row.getAs[Array[Byte]](0)
+      val total = row.getLong(1)
+      val t = (total + HeavyDenom - 1) / HeavyDenom
+      grams.filter(cms_min_count(cms, col("h")) >= t)
+        .groupBy("g").agg(count(lit(1)).as("cnt"))
+        .filter(col("cnt") >= t)
+        .orderBy(col("cnt").desc, col("g").asc)
     })
   )
 
@@ -539,6 +578,23 @@ object TextAnalysis {
         |  top_freq::DOUBLE / n_tokens::DOUBLE AS top_share
         |FROM agg a JOIN top t ON a.source = t.source
         |ORDER BY a.source""".stripMargin,
+
+    // the CMS prefilter is answer-invisible (no-underestimate + exact
+    // verify), so the oracle is the plain threshold count over t05's
+    // bigram formulation; ceil(n/1000) stated in integers on both sides
+    "t19_heavy_hitters" ->
+      s"""WITH t AS (
+         |  SELECT list_filter(string_split(lower(text), ' '), w -> len(w) > 0) AS w
+         |  FROM documents
+         |), g AS (
+         |  SELECT unnest([w[i] || ' ' || w[i+1] for i in range(1, len(w))]) AS g
+         |  FROM t WHERE len(w) >= 2
+         |), tot AS (SELECT COUNT(*) AS n FROM g)
+         |SELECT g, COUNT(*) AS cnt
+         |FROM g, tot
+         |GROUP BY g, n
+         |HAVING COUNT(*) >= (n + ${HeavyDenom - 1}) // $HeavyDenom
+         |ORDER BY cnt DESC, g ASC""".stripMargin,
 
     "t05_ngram_topk" ->
       """WITH t AS (

@@ -90,6 +90,34 @@ class MultimodalSpec extends SparkSpec {
     assert(tiny.n_frames === 1 && tiny.n_cuts === 0L && tiny.max_delta === 0L)
   }
 
+  test("m09 phash: crafted probe flips give exact distances; >HamMax rejected; short docs excluded") {
+    import spark.implicits._
+    import Multimodal.{PhashMinLen, PhashStride}
+    // probe i sits at 0-based byte i·stride; every non-probe byte is 'm'.
+    // Base gradient: probes alternate b,a,b,a,… ⇒ bit i = 1 iff i even.
+    // Changing probe 0 touches only bit 0 (there is no bit −1).
+    def mk(probe: Int => Char): String = {
+      val arr = Array.fill(PhashMinLen)('m')
+      var p = 0
+      while (p < arr.length) { arr(p) = probe(p / PhashStride); p += PhashStride }
+      new String(arr)
+    }
+    val base: Int => Char = i => if (i % 2 == 0) 'b' else 'a'
+    val d1 = mk(base)
+    val d2 = mk(i => if (i == 0) 'a' else base(i))        // flips bit 0 only
+    // probes 0..9 flattened to 'a' zeroes bits 0,2,4,6,8 — five flips, all
+    // inside band 0, so bands 1–3 still collide: a CANDIDATE pair that the
+    // exact Hamming check must reject (dist 5 > 3)
+    val d3 = mk(i => if (i <= 9) 'a' else base(i))
+    val docs = Seq((1L, d1), (2L, d2), (3L, d3), (4L, d1), (5L, "x" * 100))
+      .toDF("doc_id", "text")
+    val got = Multimodal.phashPairs(docs).orderBy("doc_a", "doc_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    // (1,4) exact dup at dist 0; (1,2) and (2,4) one-bit flips; (·,3)
+    // rejected by distance, (·,5) excluded by length
+    assert(got === Seq((1L, 2L, 1L), (1L, 4L, 0L), (2L, 4L, 1L)))
+  }
+
   test("m02 decode runs as a narrow map (no shuffle in the plan before the final sort)") {
     val plan = Multimodal.queries("m02_fake_decode")(spark, sfDir)
       .queryExecution.executedPlan.toString

@@ -189,4 +189,20 @@ class TextSpec extends SparkSpec {
     assert(got(3L) === ((3L, 1L, true)))
     (4L to 40L).foreach(d => assert(got(d) === ((3L, 0L, true)), s"doc $d"))
   }
+
+  test("t19 cms estimates never underestimate — the prefilter loses no heavy hitter") {
+    // The contract that makes t19's exact oracle valid: a CMS counter only
+    // ever adds, so estimate ≥ true count for EVERY key. Checked over the
+    // full fixture vocabulary (exact counts vs probe on the same hashes).
+    val grams = Tables.documents(spark, sfDir)
+      .select(explode(wordNgrams(col("text"), 2)).as("g"))
+      .select(xxhash64(col("g")).as("h"))
+    val cms = grams
+      .agg(cms_sketch_agg(col("h"), TextAnalysis.CmsEps, TextAnalysis.CmsConfidence, 42).as("cms"))
+      .head().getAs[Array[Byte]](0)
+    val under = grams.groupBy("h").agg(count(lit(1)).as("cnt"))
+      .filter(cms_min_count(cms, col("h")) < col("cnt"))
+      .count()
+    assert(under === 0L, "CMS must never report less than the true count")
+  }
 }
