@@ -311,15 +311,22 @@ object Temporal {
         .select(col("user_id"), explode(expr("sequence(h0, h1, 3600)")).as("hsec"))
       val wBack = Window.partitionBy("user_id").orderBy("hsec")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val wFwd = Window.partitionBy("user_id").orderBy("hsec")
-        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      // the bracketing NEXT observation stated as a REVERSED running
+      // frame, not [currentRow, unboundedFollowing]: Spark evaluates a
+      // following-unbounded frame by re-aggregating the whole remaining
+      // partition for EVERY row — O(rows²) per user (measured 26 s at
+      // sf0.1) — while a running frame over the descending sort is the
+      // incremental O(rows) form of the same answer (1.5 s). Costs one
+      // extra in-partition sort, no extra shuffle.
+      val wFwdRev = Window.partitionBy("user_id").orderBy(col("hsec").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       grid.join(hourly, Seq("user_id", "hsec"), "left")
+        .withColumn("next_val", last(col("hv"), ignoreNulls = true).over(wFwdRev))
+        .withColumn("next_t",
+          last(when(col("hv").isNotNull, col("hsec")), ignoreNulls = true).over(wFwdRev))
         .withColumn("prev_val", last(col("hv"), ignoreNulls = true).over(wBack))
         .withColumn("prev_t",
           last(when(col("hv").isNotNull, col("hsec")), ignoreNulls = true).over(wBack))
-        .withColumn("next_val", first(col("hv"), ignoreNulls = true).over(wFwd))
-        .withColumn("next_t",
-          first(when(col("hv").isNotNull, col("hsec")), ignoreNulls = true).over(wFwd))
         .withColumn("value_interp",
           when(col("hv").isNotNull, col("hv"))
             .when(col("prev_t").isNull, col("next_val"))
