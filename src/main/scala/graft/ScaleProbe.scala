@@ -86,6 +86,21 @@ object ScaleProbe {
     reps.reduce(_ unionByName _)
   }
 
+  /** Orders scaled as disjoint customer populations (q49 walks per-customer
+    * order chains, so each replica contributes chains identical in shape to
+    * the original — recursion DEPTH stays fixed while breadth grows ×F).
+    */
+  private def scaledOrders(s: SparkSession, dir: String, factor: Int): DataFrame = {
+    val base = Tables.orders(s, dir)
+    val reps = (0 until factor).map { r =>
+      if (r == 0) base
+      else base
+        .withColumn("o_orderkey", col("o_orderkey") + lit(r * 100000000L))
+        .withColumn("o_custkey", col("o_custkey") + lit(r * 10000000L))
+    }
+    reps.reduce(_ unionByName _)
+  }
+
   def main(args: Array[String]): Unit = {
     val srcDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
     val outDir = if (args.length > 1) args(1) else "/tmp/graft_scale"
@@ -111,6 +126,8 @@ object ScaleProbe {
       .write.mode("overwrite").parquet(s"$outDir/events.parquet")
     scaledLineitem(spark, srcDir, factor).repartition(32)
       .write.mode("overwrite").parquet(s"$outDir/lineitem.parquet")
+    scaledOrders(spark, srcDir, factor).repartition(32)
+      .write.mode("overwrite").parquet(s"$outDir/orders.parquet")
     println(s"[probe] built ${factor}x corpus at $outDir")
 
     val probes = Seq(
@@ -133,7 +150,14 @@ object ScaleProbe {
       // span-df rollup, the bag-filtered edit-distance blocks, and the
       // OHLC downsampling agg
       "d10_containment", "t18_boilerplate_spans", "t17_edit_distance_pairs",
-      "a12_ohlc_bars")
+      "a12_ohlc_bars",
+      // round 4, fourth batch: the CMS heavy-hitter prefilter, the
+      // banded perceptual-hash join (suffix-perturbed replicas change
+      // the probe grid, so replica pairs don't collide — candidate mass
+      // stays ~10× the original), the interpolation grid, and the
+      // recursive chain walk over 10× customers
+      "t19_heavy_hitters", "m09_phash_neardup", "a13_interpolate",
+      "q49_recursive_cte")
       // local iteration only: probe just a subset by name prefix
       .filter(n => sys.env.get("SPARK_GRAFT_ONLY")
         .forall(_.split(",").exists(n.startsWith)))

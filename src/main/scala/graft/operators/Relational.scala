@@ -756,6 +756,14 @@ object Relational {
     // oracle states the same answer through the non-recursive window
     // formulation — two independent formulations, one hash-exact result.
     "q49_recursive_cte" -> ((s, dir) => {
+      // Spark guards runaway recursion with a cumulative row cap
+      // (spark.sql.cteRecursionRowLimit, default 1M) — the 10× probe
+      // trips it with a perfectly healthy walk (rows ∝ |orders|, depth
+      // unchanged). This recursion is provably finite (the frontier
+      // strictly advances along rn), so raise the cap; like
+      // StreamingQueries.runToTable this assumes the single-threaded
+      // driver/bench runner (documented there).
+      s.conf.set("spark.sql.cteRecursionRowLimit", "1000000000")
       // the successor table is MATERIALIZED once (localCheckpoint) before
       // the recursion: a plain CTE would be inlined into every recursive
       // step, re-running the scan + LEAD window sort ~max-chain-length

@@ -31,7 +31,12 @@ class PartitionInvarianceSpec extends SparkSpec {
     // reshuffling (a12), the df-capped containment join (d10), and the
     // span-df boilerplate rollup whose flag threshold is a broadcast
     // corpus count (t18)
-    "a12_ohlc_bars", "d10_containment", "t18_boilerplate_spans")
+    "a12_ohlc_bars", "d10_containment", "t18_boilerplate_spans",
+    // round 4 fourth batch: the CMS sketch merge + threshold prefilter
+    // (t19 — sketch merge order must not change any estimate the
+    // threshold reads), the banded Hamming join + dropDuplicates (m09),
+    // and the forward/backward ignore-nulls window fills (a13)
+    "t19_heavy_hitters", "m09_phash_neardup", "a13_interpolate")
 
   private def runAt(name: String, parts: Int): Seq[String] = {
     val old = spark.conf.get("spark.sql.shuffle.partitions")

@@ -252,6 +252,29 @@ class PlanShapeSpec extends SparkSpec {
     assert(!joined.contains("text"), "raw text must not ride through any join")
   }
 
+  test("t19: the CMS probe filters BEFORE the exact count's shuffle") {
+    // the whole point of the sketch prefilter: the Filter carrying
+    // cms_min_count must sit under the Exchange that feeds the exact
+    // per-gram count, so only surviving occurrences are shuffled
+    val p = sparkPlan("t19_heavy_hitters")
+    val lines = p.toString.linesIterator.toSeq
+    val filterIdx = lines.indexWhere(l => l.contains("Filter") && l.contains("cms_min_count"))
+    assert(filterIdx >= 0, s"no cms_min_count filter in plan:\n${lines.mkString("\n")}")
+    // printed plans are root-first: everything after the filter line is
+    // UPSTREAM of it, and must contain no exchange — the probe reads the
+    // scan narrowly, so only post-filter survivors ever shuffle
+    assert(!lines.drop(filterIdx + 1).exists(_.contains("Exchange")),
+      s"cms prefilter must filter at scan level, before any shuffle:\n${lines.mkString("\n")}")
+  }
+
+  test("m09: candidates come from equi-joins only — no quadratic operator") {
+    val p = sparkPlan("m09_phash_neardup")
+    assert(collectAll(p) {
+      case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => j
+      case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c
+    }.isEmpty, "phash near-dup must never plan a quadratic join")
+  }
+
   test("p02: the training-mix manifest is scan + one two-phase agg — zero joins") {
     val p = sparkPlan("p02_training_mix")
     assert(collectAll(p) {
