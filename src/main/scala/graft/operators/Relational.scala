@@ -812,6 +812,34 @@ object Relational {
         .orderBy("l_returnflag")
     }),
 
+    // CDC APPLY — the lakehouse MERGE kernel: collapse a change stream to
+    // its final state (latest change wins per key; a delete marker as the
+    // latest change removes the row). Events stand in as the change
+    // stream keyed by user_id, ordered by (ts, event_id) (unique ⇒
+    // deterministic), with 'error' as the tombstone class. The argmax is
+    // ONE hash agg via max_by over a struct ordering key — constant state
+    // per key and map-side combinable, vs the window formulation's full
+    // per-key sort. That difference is the whole game at 100 TB: a CDC
+    // compaction over billions of keys is a combine-then-shuffle of one
+    // row per key, never a sort of every change. Doubles pass through
+    // untouched (no arithmetic), so the query gates exactly against the
+    // ranked-window oracle.
+    "q51_cdc_apply" -> ((s, dir) => {
+      val ord = struct(col("ts_sec"), col("event_id"))
+      Tables.events(s, dir)
+        .withColumn("ts_sec", col("ts").cast("long"))
+        .groupBy("user_id")
+        .agg(
+          max_by(col("event_type"), ord).as("last_type"),
+          max_by(col("value"), ord).as("last_value"),
+          max_by(col("ts_sec"), ord).as("last_ts_sec"),
+          count(lit(1)).as("n_changes"))
+        .filter(col("last_type") =!= "error")
+        .select(col("user_id"), col("last_type"), col("last_value"),
+          col("last_ts_sec"), col("n_changes"))
+        .orderBy("user_id")
+    }),
+
     // ---- approximate / sketch (weaker rows-only driver check; no oracle) ------
     "q27_approx_distinct" -> ((s, dir) => {
       // Percentiles surfaced as three scalar columns (not an array) so the
@@ -1062,6 +1090,22 @@ object Relational {
         |FROM lineitem
         |GROUP BY l_returnflag
         |ORDER BY l_returnflag""".stripMargin,
+
+    // the max_by hash agg is answer-equal to the ranked window; ties are
+    // impossible (event_id unique within a user's (ts_sec, event_id) key)
+    "q51_cdc_apply" ->
+      """WITH c AS (
+        |  SELECT user_id, event_type, "value", event_id,
+        |    CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS ts_sec,
+        |    COUNT(*) OVER (PARTITION BY user_id) AS n_changes,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id
+        |      ORDER BY CAST(epoch(date_trunc('second', ts)) AS BIGINT) DESC,
+        |               event_id DESC) AS rn
+        |  FROM events)
+        |SELECT user_id, event_type AS last_type, "value" AS last_value,
+        |  ts_sec AS last_ts_sec, n_changes
+        |FROM c WHERE rn = 1 AND event_type <> 'error'
+        |ORDER BY user_id""".stripMargin,
 
     "q48_variant_json" ->
       """SELECT event_type,

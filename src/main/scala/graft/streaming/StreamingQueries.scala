@@ -109,6 +109,42 @@ object StreamingQueries {
     }
   }
 
+  /** s17 core: run `stream` (any frame with a double `value` column) to
+    * completion under AvailableNow, observing per-micro-batch quality
+    * metrics, and fold them across batches — longs add, the value mass
+    * folds as exact decimals. Returns (1-row folded frame, n_batches) so
+    * the spec can assert the fold really crossed batch boundaries.
+    */
+  private[streaming] def observeQuality(stream: DataFrame): (DataFrame, Int) = {
+    import scala.jdk.CollectionConverters._
+    val s = stream.sparkSession
+    val name = s"graft_stream_obs_${runIds.incrementAndGet()}"
+    val q = stream
+      .observe("quality",
+        count(lit(1)).as("n_rows"),
+        count(when(col("value") >= 100.0, 1)).as("n_hi"),
+        sum(col("value").cast("decimal(38,6)")).as("sum_value"))
+      .writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    // recentProgress is the synchronous per-batch record on the query
+    // handle (no listener race); fold the per-batch metric rows
+    val metrics = q.recentProgress.toSeq
+      .flatMap(p => p.observedMetrics.asScala.get("quality"))
+    val nRows = metrics.map(_.getAs[Long]("n_rows")).sum
+    val nHi = metrics.map(_.getAs[Long]("n_hi")).sum
+    val sumV = metrics
+      .flatMap(r => Option(r.getAs[java.math.BigDecimal]("sum_value")))
+      .map(BigDecimal(_)).sum
+    import s.implicits._
+    (Seq((nRows, nHi, sumV.toDouble)).toDF("n_rows", "n_hi", "sum_value"),
+      metrics.size)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // A1 — the reference's one analytic (global count conservation,
     // FlattenChunksTest.scala:59) as a complete-mode streaming aggregate.
@@ -265,6 +301,20 @@ object StreamingQueries {
       runToTable(agg, OutputMode.Complete(), statePartitions = Some(8))
         .orderBy("user_id", "hour")
     }),
+
+    // STREAMING OBSERVABILITY — `Dataset.observe()`: named aggregate
+    // metrics computed ON the stream as it flows (no second pass, no
+    // separate query), surfaced per micro-batch in the query progress.
+    // Production uses exactly this for data-quality circuit breakers:
+    // row counts, domain-violation counts, value mass per batch, alerted
+    // on from the listener bus while the pipeline runs. Deterministic
+    // under AvailableNow, so observability itself sits under the hard
+    // gate: the per-batch metrics folded across all batches (longs add;
+    // the value sum folds as exact decimals) must equal the batch
+    // answer over the same input. At scale observe() costs one
+    // accumulator update per row inside the existing pass — nothing
+    // shuffles, nothing is collected but the per-batch scalar row.
+    "s17_stream_observe" -> ((s, dir) => observeQuality(eventsStream(s, dir))._1),
 
     // session windows as a STREAMING aggregation (state-store session
     // merging, the dynamic-gap machinery a04 runs in batch): complete
@@ -542,6 +592,14 @@ object StreamingQueries {
 
     // streamed bars ≡ batch bars (deterministic order-free agg state)
     "s16_stream_ohlc" -> graft.operators.Temporal.oracles("a12_ohlc_bars"),
+
+    // the observed metrics folded across micro-batches must equal the
+    // plain batch aggregate over the same input
+    "s17_stream_observe" ->
+      """SELECT COUNT(*) AS n_rows,
+        |  COUNT(CASE WHEN value >= 100.0 THEN 1 END) AS n_hi,
+        |  CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value
+        |FROM events""".stripMargin,
 
     // s14 ≡ s04 by construction (same fold, new state API) — same oracle
     "s14_stream_tws_state" ->

@@ -35,6 +35,32 @@ class StreamingPipelineSpec extends SparkSpec {
     assert(spark.table("conservation").head().getLong(0) === n)
   }
 
+  test("s17 observe: metrics fold across real micro-batch boundaries to the batch answer") {
+    import org.apache.spark.sql.functions._
+    // the sf fixture is one parquet file (one batch); here 6 files +
+    // maxFilesPerTrigger(1) force a genuinely multi-batch run, so the
+    // cross-batch fold (longs add, decimal value mass) is what's tested
+    val dir = tmp("graft-observe")
+    val df = spark.range(600).select(
+      col("id").as("event_id"),
+      (col("id") % 7 * 30.5 + 1.0).as("value"))
+    df.repartition(6).write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream
+      .schema(df.schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(dir)
+    val (folded, nBatches) = StreamingQueries.observeQuality(stream)
+    val got = folded.head()
+    val exact = spark.read.parquet(dir).agg(
+      count(lit(1)),
+      count(when(col("value") >= 100.0, 1)),
+      sum(col("value").cast("decimal(38,6)")).cast("double")).head()
+    assert(nBatches >= 2, s"expected multiple micro-batches, got $nBatches")
+    assert(got.getLong(0) === exact.getLong(0))
+    assert(got.getLong(1) === exact.getLong(1))
+    assert(got.getDouble(2) === exact.getDouble(2))
+  }
+
   test("per-shard counts and last-seq match the producer's deterministic routing") {
     val dir = tmp("graft-shards")
     val n = 2000L
