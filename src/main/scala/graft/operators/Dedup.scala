@@ -93,6 +93,21 @@ object Dedup {
         transform(col("sh"), g => xxhash64(g)).as("hsh"))
       .localCheckpoint(true)
 
+  /** d07/d11 shared core: LSH candidates → exact-Jaccard edges →
+    * connected components. Returns (doc_id, cluster_id) for every
+    * clustered document.
+    */
+  private def nearDupClusters(s: SparkSession, dir: String): DataFrame = {
+    val sk = sketched(s, dir)
+    val a = sk.select(col("doc_id").as("id_a"), col("hsh").as("sh_a"))
+    val b = sk.select(col("doc_id").as("id_b"), col("hsh").as("sh_b"))
+    val pairs = minhashBandCandidates(sk.select(col("doc_id"), col("sig")))
+      .join(a, "id_a").join(b, "id_b")
+      .filter(jaccard(col("sh_a"), col("sh_b")) >= JaccardThreshold)
+      .select(col("id_a"), col("id_b"))
+    connectedComponents(pairs)
+  }
+
   /** All unordered candidate pairs from an array of bucket members. */
   private def pairsOf(ids: Column): Column =
     flatten(transform(ids, (x, i) =>
@@ -430,15 +445,27 @@ object Dedup {
     // a handful of shuffles at any corpus size), each round one equi-join
     // + one agg, nothing but a 1-row convergence count ever reaches the
     // driver. Output: (doc_id, cluster_id = min reachable doc_id).
-    "d07_dup_clusters" -> ((s, dir) => {
-      val sk = sketched(s, dir)
-      val a = sk.select(col("doc_id").as("id_a"), col("hsh").as("sh_a"))
-      val b = sk.select(col("doc_id").as("id_b"), col("hsh").as("sh_b"))
-      val pairs = minhashBandCandidates(sk.select(col("doc_id"), col("sig")))
-        .join(a, "id_a").join(b, "id_b")
-        .filter(jaccard(col("sh_a"), col("sh_b")) >= JaccardThreshold)
-        .select(col("id_a"), col("id_b"))
-      connectedComponents(pairs).orderBy("doc_id")
+    "d07_dup_clusters" -> ((s, dir) => nearDupClusters(s, dir).orderBy("doc_id")),
+
+    // SURVIVORSHIP — the decision a dedup pass actually ships: for every
+    // near-dup cluster (d07's components), keep ONE canonical document
+    // and mark the rest dropped. Policy here is the common web-corpus
+    // rule "longest version wins, earliest id breaks ties" — stated as a
+    // single max_by over a struct ordering key, so electing survivors is
+    // one hash agg (constant state per cluster, map-side combinable)
+    // plus a winners join-back that is broadcast-sized: clusters are
+    // tiny relative to the corpus at any scale. Composes d07 ∘ metadata;
+    // all integers ⇒ exact under the closure-window oracle.
+    "d11_survivorship" -> ((s, dir) => {
+      val c = nearDupClusters(s, dir)
+        .join(Tables.documents(s, dir).select(col("doc_id"), col("n_chars")), "doc_id")
+      val winners = c.groupBy("cluster_id").agg(
+        max_by(col("doc_id"), struct(col("n_chars"), -col("doc_id"))).as("keep_id"),
+        count(lit(1)).as("n_members"))
+      c.join(broadcast(winners), "cluster_id")
+        .select(col("doc_id"), col("cluster_id"), col("n_chars"),
+          (col("doc_id") === col("keep_id")).as("keep"), col("n_members"))
+        .orderBy("doc_id")
     }),
 
     // corpus-level set similarity: exact Jaccard between the distinct-
@@ -643,6 +670,41 @@ object Dedup {
         |SELECT doc_id, MIN(reach_id) AS cluster_id
         |FROM reach GROUP BY doc_id
         |ORDER BY doc_id""".stripMargin,
+
+    // d07's closure + documents metadata + the survivor window: keep =
+    // first by (n_chars DESC, doc_id ASC) within the cluster
+    "d11_survivorship" ->
+      """WITH RECURSIVE t AS (
+        |  SELECT doc_id, list_filter(string_split(lower(text), ' '), w -> len(w) > 0) AS w
+        |  FROM documents
+        |), s AS (
+        |  SELECT doc_id,
+        |    list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w) - 1)]) AS sh
+        |  FROM t WHERE len(w) >= 3
+        |), pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM s a JOIN s b ON a.doc_id < b.doc_id
+        |  WHERE len(a.sh) > 0 AND len(b.sh) > 0
+        |    AND len(list_intersect(a.sh, b.sh))::DOUBLE / len(list_distinct(list_concat(a.sh, b.sh)))::DOUBLE >= 0.8
+        |), edges AS (
+        |  SELECT id_a AS src, id_b AS dst FROM pairs
+        |  UNION SELECT id_b, id_a FROM pairs
+        |  UNION SELECT id_a, id_a FROM pairs
+        |  UNION SELECT id_b, id_b FROM pairs
+        |), reach AS (
+        |  SELECT src AS doc_id, dst AS reach_id FROM edges
+        |  UNION
+        |  SELECT r.doc_id, e.dst FROM reach r JOIN edges e ON r.reach_id = e.src
+        |), clusters AS (
+        |  SELECT doc_id, MIN(reach_id) AS cluster_id
+        |  FROM reach GROUP BY doc_id
+        |)
+        |SELECT c.doc_id, c.cluster_id, d.n_chars,
+        |  (ROW_NUMBER() OVER (PARTITION BY c.cluster_id
+        |     ORDER BY d.n_chars DESC, c.doc_id ASC) = 1) AS keep,
+        |  COUNT(*) OVER (PARTITION BY c.cluster_id) AS n_members
+        |FROM clusters c JOIN documents d ON d.doc_id = c.doc_id
+        |ORDER BY c.doc_id""".stripMargin,
 
     "d06_source_shingle_jaccard" ->
       """WITH t AS (
