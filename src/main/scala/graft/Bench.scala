@@ -43,7 +43,13 @@ object Bench {
       }).map { case (name, fn) =>
       // GC fence (untimed): without it, a heavy predecessor's broadcast/
       // shuffle debris gets collected INSIDE the next query's timing —
-      // observed inflating sub-second queries to 10+ s late in the run
+      // observed inflating sub-second queries to 10+ s late in the run.
+      // Also drop predecessors' localCheckpoint RDDs (partEdges, sketched,
+      // q49's successor table): ContextCleaner reclaims them lazily, and
+      // 141 queries' worth of pinned blocks squeeze storage memory enough
+      // to triple late-run timings (g01 measured 5.3 s isolated vs 23.5 s
+      // late in a full pass before this).
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
       System.gc()
       val t0 = System.nanoTime()
       val ok =

@@ -93,20 +93,26 @@ object Dedup {
         transform(col("sh"), g => xxhash64(g)).as("hsh"))
       .localCheckpoint(true)
 
+  /** d03's verified near-dup pairs — LSH band candidates, exact-Jaccard
+    * gated. Shared by d03 itself, d07/d11 (as edges), and t20 (as the
+    * candidate set the edit-distance verify runs on).
+    */
+  private[operators] def nearDupPairs(s: SparkSession, dir: String): DataFrame = {
+    val sk = sketched(s, dir)
+    val a = sk.select(col("doc_id").as("id_a"), col("hsh").as("sh_a"))
+    val b = sk.select(col("doc_id").as("id_b"), col("hsh").as("sh_b"))
+    minhashBandCandidates(sk.select(col("doc_id"), col("sig")))
+      .join(a, "id_a").join(b, "id_b")
+      .select(col("id_a"), col("id_b"), jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
+      .filter(col("jaccard") >= JaccardThreshold)
+  }
+
   /** d07/d11 shared core: LSH candidates → exact-Jaccard edges →
     * connected components. Returns (doc_id, cluster_id) for every
     * clustered document.
     */
-  private def nearDupClusters(s: SparkSession, dir: String): DataFrame = {
-    val sk = sketched(s, dir)
-    val a = sk.select(col("doc_id").as("id_a"), col("hsh").as("sh_a"))
-    val b = sk.select(col("doc_id").as("id_b"), col("hsh").as("sh_b"))
-    val pairs = minhashBandCandidates(sk.select(col("doc_id"), col("sig")))
-      .join(a, "id_a").join(b, "id_b")
-      .filter(jaccard(col("sh_a"), col("sh_b")) >= JaccardThreshold)
-      .select(col("id_a"), col("id_b"))
-    connectedComponents(pairs)
-  }
+  private def nearDupClusters(s: SparkSession, dir: String): DataFrame =
+    connectedComponents(nearDupPairs(s, dir).select(col("id_a"), col("id_b")))
 
   /** All unordered candidate pairs from an array of bucket members. */
   private def pairsOf(ids: Column): Column =
@@ -283,16 +289,8 @@ object Dedup {
     //   candidate pairs → join hashed shingles back → exact Jaccard
     //   filter. The sketch table is materialized once and feeds all three
     //   uses (banding + both verify sides).
-    "d03_minhash_lsh" -> ((s, dir) => {
-      val sk = sketched(s, dir)
-      val cand = minhashBandCandidates(sk.select(col("doc_id"), col("sig")))
-      val a = sk.select(col("doc_id").as("id_a"), col("hsh").as("sh_a"))
-      val b = sk.select(col("doc_id").as("id_b"), col("hsh").as("sh_b"))
-      cand.join(a, "id_a").join(b, "id_b")
-        .select(col("id_a"), col("id_b"), jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
-        .filter(col("jaccard") >= JaccardThreshold)
-        .orderBy("id_a", "id_b")
-    }),
+    "d03_minhash_lsh" -> ((s, dir) =>
+      nearDupPairs(s, dir).orderBy("id_a", "id_b")),
 
     // blocking on metadata (lang, source) instead of LSH: the classic
     // "cheap key first" candidate strategy. Exact Jaccard inside blocks,

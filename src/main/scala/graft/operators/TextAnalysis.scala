@@ -430,6 +430,26 @@ object TextAnalysis {
         .orderBy("source")
     }),
 
+    // EDIT-DISTANCE VERIFY ON LSH CANDIDATES — the at-scale form t17's
+    // scaladoc promises: instead of an n²-within-block pair space, the
+    // character-level DP runs ONLY on d03's verified near-dup pairs
+    // (banded candidates, exact-Jaccard gated — candidate-linear at any
+    // corpus size), reporting the head edit distance for each. This is
+    // how a production pass grades its near-dups char-level: O(|pairs|)
+    // DPs, with |pairs| ∝ true duplicate structure, never ∝ corpus². The
+    // oracle recomputes the same pairs brute-force and DuckDB's own
+    // levenshtein — both engines' classic DP on identical inputs.
+    "t20_edit_verify_lsh" -> ((s, dir) => {
+      val heads = Tables.documents(s, dir)
+        .select(col("doc_id"), substring(col("text"), 1, 80).as("head"))
+      Dedup.nearDupPairs(s, dir).select("id_a", "id_b")
+        .join(heads.select(col("doc_id").as("id_a"), col("head").as("head_a")), "id_a")
+        .join(heads.select(col("doc_id").as("id_b"), col("head").as("head_b")), "id_b")
+        .select(col("id_a"), col("id_b"),
+          levenshtein(col("head_a"), col("head_b")).cast("long").as("edit_dist"))
+        .orderBy("id_a", "id_b")
+    }),
+
     // HEAVY-HITTER SPANS VIA COUNT-MIN SKETCH — the frequency sibling of
     // t13's bloom pattern: find every bigram making up ≥ 1/1000 of all
     // bigram occurrences. The naive form shuffles EVERY occurrence into a
@@ -578,6 +598,31 @@ object TextAnalysis {
         |  top_freq::DOUBLE / n_tokens::DOUBLE AS top_share
         |FROM agg a JOIN top t ON a.source = t.source
         |ORDER BY a.source""".stripMargin,
+
+    // d03's brute-force pair oracle + DuckDB's levenshtein on the same
+    // 80-char heads (both engines implement the classic DP exactly)
+    "t20_edit_verify_lsh" ->
+      """WITH t AS (
+        |  SELECT doc_id, list_filter(string_split(lower(text), ' '), w -> len(w) > 0) AS w
+        |  FROM documents
+        |), s AS (
+        |  SELECT doc_id,
+        |    list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w) - 1)]) AS sh
+        |  FROM t WHERE len(w) >= 3
+        |), pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM s a JOIN s b ON a.doc_id < b.doc_id
+        |  WHERE len(a.sh) > 0 AND len(b.sh) > 0
+        |    AND len(list_intersect(a.sh, b.sh))::DOUBLE / len(list_distinct(list_concat(a.sh, b.sh)))::DOUBLE >= 0.8
+        |), heads AS (
+        |  SELECT doc_id, substr(text, 1, 80) AS h FROM documents
+        |)
+        |SELECT p.id_a, p.id_b,
+        |  CAST(levenshtein(ha.h, hb.h) AS BIGINT) AS edit_dist
+        |FROM pairs p
+        |JOIN heads ha ON ha.doc_id = p.id_a
+        |JOIN heads hb ON hb.doc_id = p.id_b
+        |ORDER BY p.id_a, p.id_b""".stripMargin,
 
     // the CMS prefilter is answer-invisible (no-underestimate + exact
     // verify), so the oracle is the plain threshold count over t05's

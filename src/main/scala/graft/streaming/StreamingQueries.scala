@@ -316,6 +316,30 @@ object StreamingQueries {
     // shuffles, nothing is collected but the per-batch scalar row.
     "s17_stream_observe" -> ((s, dir) => observeQuality(eventsStream(s, dir))._1),
 
+    // STREAMING CDC APPLY — q51 run as a stream: the latest-wins merge
+    // folds per micro-batch in the state store (max_by keeps ONE
+    // (ordering-key, value) pair per user — constant state per key, the
+    // reason CDC compaction streams at any key cardinality), complete
+    // mode emits the final state, tombstones filter on the way out. The
+    // streamed answer must equal batch q51 under the same oracle — the
+    // batch↔stream parity pattern of a12/s16.
+    "s18_stream_cdc" -> ((s, dir) => {
+      val ord = struct(col("ts_sec"), col("event_id"))
+      val agg = eventsStream(s, dir)
+        .withColumn("ts_sec", col("ts").cast("long"))
+        .groupBy("user_id")
+        .agg(
+          max_by(col("event_type"), ord).as("last_type"),
+          max_by(col("value"), ord).as("last_value"),
+          max_by(col("ts_sec"), ord).as("last_ts_sec"),
+          count(lit(1)).as("n_changes"))
+      runToTable(agg, OutputMode.Complete(), statePartitions = Some(8))
+        .filter(col("last_type") =!= "error")
+        .select(col("user_id"), col("last_type"), col("last_value"),
+          col("last_ts_sec"), col("n_changes"))
+        .orderBy("user_id")
+    }),
+
     // session windows as a STREAMING aggregation (state-store session
     // merging, the dynamic-gap machinery a04 runs in batch): complete
     // mode emits the final merged session set, which must equal the batch
@@ -592,6 +616,9 @@ object StreamingQueries {
 
     // streamed bars ≡ batch bars (deterministic order-free agg state)
     "s16_stream_ohlc" -> graft.operators.Temporal.oracles("a12_ohlc_bars"),
+
+    // the streamed CDC state must equal the batch q51 answer
+    "s18_stream_cdc" -> graft.operators.Relational.oracles("q51_cdc_apply"),
 
     // the observed metrics folded across micro-batches must equal the
     // plain batch aggregate over the same input
