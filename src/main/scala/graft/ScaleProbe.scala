@@ -157,7 +157,11 @@ object ScaleProbe {
       // stays ~10× the original), the interpolation grid, and the
       // recursive chain walk over 10× customers
       "t19_heavy_hitters", "m09_phash_neardup", "a13_interpolate",
-      "q49_recursive_cte")
+      "q49_recursive_cte",
+      // round 4, fifth batch: survivorship over 10× clusters, the CDC
+      // latest-wins agg over 10× users, and the DP verify over 10× the
+      // candidate pair set
+      "d11_survivorship", "q51_cdc_apply", "t20_edit_verify_lsh")
       // local iteration only: probe just a subset by name prefix
       .filter(n => sys.env.get("SPARK_GRAFT_ONLY")
         .forall(_.split(",").exists(n.startsWith)))

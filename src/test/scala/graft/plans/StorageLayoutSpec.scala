@@ -64,6 +64,37 @@ class StorageLayoutSpec extends SparkSpec {
     }
   }
 
+  test("dynamic partition pruning: a runtime dimension filter prunes fact partitions") {
+    // the 100 TB star-join lever static pruning can't reach: the fact
+    // filter is only known after filtering the DIMENSION, so Catalyst
+    // injects a DynamicPruningSubquery into the fact scan's partition
+    // filters (reusing the broadcast) and untouched year directories are
+    // never read
+    import spark.implicits._
+    val dir = tmp("graft-dpp")
+    Tables.orders(spark, sfDir)
+      .withColumn("order_year", year(col("o_orderdate")))
+      .write.partitionBy("order_year").mode("overwrite").parquet(dir)
+    val fact = spark.read.parquet(dir)
+    // the dim must be a real scan with a real Filter node — a local Seq
+    // constant-folds away (ConvertToLocalRelation), leaving no selective
+    // predicate for the PartitionPruning rule to key on
+    val dimDir = tmp("graft-dpp-dim")
+    Seq((1996, "keep"), (1997, "drop"), (1998, "drop")).toDF("yr", "tag")
+      .write.mode("overwrite").parquet(dimDir)
+    val dim = spark.read.parquet(dimDir)
+    val joined = fact.join(dim.filter(col("tag") === "keep"), col("order_year") === col("yr"))
+    val scan = joined.queryExecution.sparkPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.head
+    assert(scan.partitionFilters.exists(f =>
+      f.exists(_.isInstanceOf[org.apache.spark.sql.catalyst.expressions.DynamicPruningSubquery])),
+      s"expected a dynamic pruning subquery in partition filters: ${scan.partitionFilters}")
+    val expected = Tables.orders(spark, sfDir)
+      .filter(year(col("o_orderdate")) === 1996).count()
+    assert(joined.count() === expected)
+  }
+
   test("partition pruning: a date-bounded scan reads only matching partitions") {
     val dir = tmp("graft-part")
     Tables.orders(spark, sfDir)
