@@ -83,26 +83,80 @@ object Layout {
     // BOTH columns at once is the whole point (a partkey-sorted layout
     // makes range_sk ≈ the full domain); LayoutSpec asserts the
     // tightness quantitatively, the oracle pins the exact arithmetic.
-    "z01_zorder_layout" -> ((s, dir) => {
+    "z01_zorder_layout" -> ((s, dir) =>
+      zoneMaps(s, dir)
+        .select(col("bucket"), col("n"),
+          col("min_pk"), col("max_pk"), (col("max_pk") - col("min_pk")).as("range_pk"),
+          col("min_sk"), col("max_sk"), (col("max_sk") - col("min_sk")).as("range_sk"))
+        .orderBy("bucket")),
+
+    // ZONE-MAP SKIPPING AUDIT — the read side of z01 (z01 decides the
+    // sort, z02 the compaction, z03 measures what the layout BUYS): for
+    // four deterministic 2-D probe boxes (the diagonal quartile cells of
+    // the (partkey, suppkey) grid), evaluate each box against the
+    // per-bucket min/max zone maps — a bucket is read iff its ranges
+    // overlap the box — and compare rows-scanned against the exact
+    // matching rows. This is the data-skipping arithmetic every
+    // Delta/Iceberg scan runs from manifest stats before touching a
+    // file: metadata-sized (256 zone rows × 4 boxes), one exact
+    // conditional-count pass for ground truth, all integers plus one
+    // IEEE division ⇒ hash-exact.
+    "z03_zone_skipping" -> ((s, dir) => {
       val li = Tables.lineitem(s, dir).select("l_partkey", "l_suppkey")
       val bounds = li.agg(
         min("l_partkey").as("pk0"), max("l_partkey").as("pk1"),
         min("l_suppkey").as("sk0"), max("l_suppkey").as("sk1"))
-      li.crossJoin(broadcast(bounds))
-        .withColumn("xb", expr("(l_partkey - pk0) * 65536 div (pk1 - pk0 + 1)"))
-        .withColumn("yb", expr("(l_suppkey - sk0) * 65536 div (sk1 - sk0 + 1)"))
-        .withColumn("zval", expr(zExpr("xb", "yb")))
-        .withColumn("bucket", expr(s"zval div $ZBucketDiv"))
-        .groupBy("bucket")
-        .agg(count(lit(1)).as("n"),
-          min("l_partkey").as("min_pk"), max("l_partkey").as("max_pk"),
-          min("l_suppkey").as("min_sk"), max("l_suppkey").as("max_sk"))
-        .select(col("bucket"), col("n"),
-          col("min_pk"), col("max_pk"), (col("max_pk") - col("min_pk")).as("range_pk"),
-          col("min_sk"), col("max_sk"), (col("max_sk") - col("min_sk")).as("range_sk"))
-        .orderBy("bucket")
+      // diagonal quartile boxes, stated in integer grid arithmetic
+      val probes = bounds
+        .select(explode(expr("sequence(0L, 3L)")).as("q"),
+          col("pk0"), col("pk1"), col("sk0"), col("sk1"))
+        .select(col("q"),
+          expr("pk0 + (pk1 - pk0 + 1) * q div 4").as("lo_pk"),
+          expr("pk0 + (pk1 - pk0 + 1) * (q + 1) div 4 - 1").as("hi_pk"),
+          expr("sk0 + (sk1 - sk0 + 1) * q div 4").as("lo_sk"),
+          expr("sk0 + (sk1 - sk0 + 1) * (q + 1) div 4 - 1").as("hi_sk"))
+      val touched = zoneMaps(s, dir).crossJoin(broadcast(probes))
+        .groupBy("q")
+        .agg(count(lit(1)).as("n_buckets"),
+          sum(when(col("min_pk") <= col("hi_pk") && col("max_pk") >= col("lo_pk") &&
+                   col("min_sk") <= col("hi_sk") && col("max_sk") >= col("lo_sk"), 1L)
+            .otherwise(0L)).as("n_touched"),
+          sum(when(col("min_pk") <= col("hi_pk") && col("max_pk") >= col("lo_pk") &&
+                   col("min_sk") <= col("hi_sk") && col("max_sk") >= col("lo_sk"), col("n"))
+            .otherwise(0L)).as("rows_scanned"))
+      val exact = li.crossJoin(broadcast(probes))
+        .groupBy("q")
+        .agg(count(when(col("l_partkey").between(col("lo_pk"), col("hi_pk")) &&
+                        col("l_suppkey").between(col("lo_sk"), col("hi_sk")), 1))
+          .as("rows_matching"),
+          count(lit(1)).as("rows_total"))
+      touched.join(exact, "q")
+        .select(col("q"), col("n_buckets"), col("n_touched"),
+          col("rows_scanned"), col("rows_matching"),
+          (col("rows_scanned").cast("double") / col("rows_total").cast("double"))
+            .as("scan_fraction"))
+        .orderBy("q")
     })
   )
+
+  /** z01/z03 shared core: per-z-bucket zone maps (row count + min/max of
+    * both clustering keys) over the Morton-bucketed lineitem keys.
+    */
+  private def zoneMaps(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir).select("l_partkey", "l_suppkey")
+    val bounds = li.agg(
+      min("l_partkey").as("pk0"), max("l_partkey").as("pk1"),
+      min("l_suppkey").as("sk0"), max("l_suppkey").as("sk1"))
+    li.crossJoin(broadcast(bounds))
+      .withColumn("xb", expr("(l_partkey - pk0) * 65536 div (pk1 - pk0 + 1)"))
+      .withColumn("yb", expr("(l_suppkey - sk0) * 65536 div (sk1 - sk0 + 1)"))
+      .withColumn("zval", expr(zExpr("xb", "yb")))
+      .withColumn("bucket", expr(s"zval div $ZBucketDiv"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"),
+        min("l_partkey").as("min_pk"), max("l_partkey").as("max_pk"),
+        min("l_suppkey").as("min_sk"), max("l_suppkey").as("max_sk"))
+  }
 
   def oracles: Map[String, String] = Map(
     "z02_compaction_plan" ->
@@ -146,6 +200,53 @@ object Layout {
          |  MAX(l_suppkey) - MIN(l_suppkey) AS range_sk
          |FROM b GROUP BY bucket
          |ORDER BY bucket""".stripMargin
+    },
+
+    "z03_zone_skipping" -> {
+      val z = zExpr("xb", "yb")
+      s"""WITH bounds AS (
+         |  SELECT MIN(l_partkey) AS pk0, MAX(l_partkey) AS pk1,
+         |         MIN(l_suppkey) AS sk0, MAX(l_suppkey) AS sk1
+         |  FROM lineitem
+         |), scaled AS (
+         |  SELECT l_partkey, l_suppkey,
+         |    (l_partkey - pk0) * 65536 // (pk1 - pk0 + 1) AS xb,
+         |    (l_suppkey - sk0) * 65536 // (sk1 - sk0 + 1) AS yb
+         |  FROM lineitem CROSS JOIN bounds
+         |), b AS (
+         |  SELECT l_partkey, l_suppkey, ($z) // $ZBucketDiv AS bucket FROM scaled
+         |), zones AS (
+         |  SELECT bucket, COUNT(*) AS n,
+         |    MIN(l_partkey) AS min_pk, MAX(l_partkey) AS max_pk,
+         |    MIN(l_suppkey) AS min_sk, MAX(l_suppkey) AS max_sk
+         |  FROM b GROUP BY bucket
+         |), probes AS (
+         |  SELECT q,
+         |    pk0 + (pk1 - pk0 + 1) * q // 4 AS lo_pk,
+         |    pk0 + (pk1 - pk0 + 1) * (q + 1) // 4 - 1 AS hi_pk,
+         |    sk0 + (sk1 - sk0 + 1) * q // 4 AS lo_sk,
+         |    sk0 + (sk1 - sk0 + 1) * (q + 1) // 4 - 1 AS hi_sk
+         |  FROM bounds, unnest(range(0, 4)) AS t(q)
+         |), touched AS (
+         |  SELECT q, COUNT(*) AS n_buckets,
+         |    CAST(SUM(CASE WHEN min_pk <= hi_pk AND max_pk >= lo_pk
+         |               AND min_sk <= hi_sk AND max_sk >= lo_sk THEN 1 ELSE 0 END) AS BIGINT) AS n_touched,
+         |    CAST(SUM(CASE WHEN min_pk <= hi_pk AND max_pk >= lo_pk
+         |               AND min_sk <= hi_sk AND max_sk >= lo_sk THEN n ELSE 0 END) AS BIGINT) AS rows_scanned
+         |  FROM zones CROSS JOIN probes
+         |  GROUP BY q
+         |), exact AS (
+         |  SELECT q,
+         |    COUNT(CASE WHEN l_partkey BETWEEN lo_pk AND hi_pk
+         |               AND l_suppkey BETWEEN lo_sk AND hi_sk THEN 1 END) AS rows_matching,
+         |    COUNT(*) AS rows_total
+         |  FROM lineitem CROSS JOIN probes
+         |  GROUP BY q
+         |)
+         |SELECT t.q, n_buckets, n_touched, rows_scanned, rows_matching,
+         |  rows_scanned::DOUBLE / rows_total::DOUBLE AS scan_fraction
+         |FROM touched t JOIN exact e ON e.q = t.q
+         |ORDER BY t.q""".stripMargin
     }
   )
 }

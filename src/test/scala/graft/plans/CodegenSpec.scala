@@ -56,4 +56,28 @@ class CodegenSpec extends SparkSpec {
       spark.conf.unset("spark.sql.codegen.factoryMode")
     }
   }
+
+  test("cms probe is codegen'd and its codegen/eval paths agree") {
+    val d = Tables.documents(spark, sfDir)
+      .select(xxhash64(col("text")).as("h"))
+    val cms = d.agg(cms_sketch_agg(col("h"), 0.001, 0.99, 7).as("c"))
+      .head().getAs[Array[Byte]](0)
+    val probed = d.select(col("h"), cms_min_count(cms, col("h")).as("est"))
+    val plan = codegenPlan(probed)
+    assert(!plan.contains("CodegenFallback"), s"cms probe fell back:\n$plan")
+    assert(plan.linesIterator.exists(l => l.contains("*(") && l.contains("Project")),
+      s"cms probe not fused into codegen:\n$plan")
+    val viaCodegen = probed.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    try {
+      val viaEval = probed.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(viaCodegen === viaEval, "cms estimate must not depend on the eval path")
+      // and the estimates are usable: every present key estimates >= 1
+      assert(viaEval.forall(_._2 >= 1L))
+    } finally {
+      spark.conf.unset("spark.sql.codegen.wholeStage")
+      spark.conf.unset("spark.sql.codegen.factoryMode")
+    }
+  }
 }
