@@ -4,6 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.types.BinaryType
 
 /** SQL-text surface for the engine's custom expressions: a user of the
   * library should be able to write `spark.sql("SELECT simhash64(...)")`,
@@ -71,6 +72,13 @@ object GraftFunctions {
         intArg("hyperplane_lsh_multi", dim), 7L)
       case args => throw new IllegalArgumentException(
         s"hyperplane_lsh_multi(emb, bits, tables, dim) got ${args.length} args")
+    },
+    "cms_min_count" -> {
+      // the sketch must be a foldable binary (a literal collected from
+      // cms_sketch_agg) — it deserializes once at plan time
+      case Seq(Literal(bytes: Array[Byte], BinaryType), key) => CmsMinCount(bytes, key)
+      case args => throw new IllegalArgumentException(
+        s"cms_min_count(sketch_literal, key) needs a BINARY literal sketch, got: $args")
     })
 
   /** Register every function on an already-built session. */

@@ -58,6 +58,21 @@ class GraftFunctionsSpec extends SparkSpec {
     assert(sql.nonEmpty && sql.toSeq === dsl.toSeq)
   }
 
+  test("SQL cms_min_count probes a hex-literal sketch consistently with the DSL") {
+    GraftFunctions.register(spark)
+    val d = Tables.documents(spark, sfDir)
+      .select(xxhash64(col("text")).as("h")).limit(100)
+    val bytes = d.agg(cms_sketch_agg(col("h"), 0.1, 0.9, 3).as("c"))
+      .head().getAs[Array[Byte]](0)
+    d.createOrReplaceTempView("cms_probe_in")
+    val hex = bytes.map("%02X".format(_)).mkString
+    val viaSql = spark.sql(s"SELECT h, cms_min_count(X'$hex', h) AS est FROM cms_probe_in")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val viaDsl = d.select(col("h"), cms_min_count(bytes, col("h")).as("est"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(viaSql.nonEmpty && viaSql === viaDsl)
+  }
+
   test("non-literal tuning parameters fail fast with the function name") {
     GraftFunctions.register(spark)
     Tables.documents(spark, sfDir).createOrReplaceTempView("docs_sqlfn2")
