@@ -853,6 +853,31 @@ object Relational {
                 col("price_pcts").getItem(1).as("price_p95"),
                 col("price_pcts").getItem(2).as("price_p99"))
         .orderBy("l_returnflag")
+    }),
+
+    // q52: MERGEABLE cardinality sketches (DataSketches HLL). q27's
+    // approx_count_distinct answers one question on one scan; at 100 TB the
+    // idiom is different: each source/day/partition builds a fixed-size
+    // binary sketch ONCE (hll_sketch_agg — map-side combinable, a few KB of
+    // state per group regardless of row count), the sketches are stored, and
+    // every later cardinality question — union across days, across sources,
+    // year-to-date — is answered by merging stored sketches (hll_union_agg)
+    // with NO rescan of the data. Register-max merge is lossless: the union
+    // of per-group sketches is bit-identical to a single-pass sketch of the
+    // whole, pinned in SketchSpec. Here: distinct users per event_type plus
+    // the cross-type union (users overlap across types, so the union is
+    // strictly less than the sum — the dedup the sketch carries).
+    "q52_sketch_union" -> ((s, dir) => {
+      val perType = Tables.events(s, dir)
+        .groupBy("event_type")
+        .agg(expr("hll_sketch_agg(user_id, 12)").as("sk"))
+      val byType = perType.select(
+        col("event_type"),
+        expr("hll_sketch_estimate(sk)").as("approx_users"))
+      val allTypes = perType
+        .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("approx_users"))
+        .select(lit("ALL").as("event_type"), col("approx_users"))
+      byType.unionByName(allTypes).orderBy("event_type")
     })
   )
 
@@ -1377,7 +1402,9 @@ object Relational {
         |FROM orders
         |GROUP BY o_orderpriority
         |ORDER BY o_orderpriority""".stripMargin
-    // q27_approx_distinct: approximate sketches — intentionally no oracle
-    // (driver records the weaker rows-only check).
+    // q27_approx_distinct, q52_sketch_union: approximate sketches —
+    // intentionally no oracle (HLL/KLL internals are engine-specific; the
+    // driver records the weaker rows-only check; SketchSpec pins accuracy
+    // and, for q52, lossless sketch mergeability).
   )
 }

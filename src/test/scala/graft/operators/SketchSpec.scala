@@ -40,4 +40,36 @@ class SketchSpec extends SparkSpec {
       assert(math.abs(p99 - ex(2)) / ex(2) <= 0.01, s"$flag p99 $p99 vs ${ex(2)}")
     }
   }
+
+  test("q52: HLL union is lossless (parts == whole) and estimates track exact counts") {
+    val ev = Tables.events(spark, sfDir)
+    val got = Relational.queries("q52_sketch_union")(spark, sfDir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got.contains("ALL") && got.size > 2)
+
+    // Mergeability — the at-scale claim: the union of per-group sketches
+    // must equal a single-pass sketch over the whole column. HLL merge is
+    // a register-wise max, so this is exact equality, not a tolerance.
+    val onePass = ev
+      .agg(expr("hll_sketch_estimate(hll_sketch_agg(user_id, 12))"))
+      .head().getLong(0)
+    assert(got("ALL") === onePass,
+      s"union-of-parts ${got("ALL")} != one-pass sketch $onePass")
+
+    // Accuracy: lgConfigK=12 → RSE ≈ 1.04/sqrt(4096) ≈ 1.6%; allow 5 sigma.
+    val exactByType = ev.groupBy("event_type")
+      .agg(countDistinct(col("user_id")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exactAll = ev.select(countDistinct(col("user_id"))).head().getLong(0)
+    (exactByType + ("ALL" -> exactAll)).foreach { case (k, exact) =>
+      assert(math.abs(got(k) - exact).toDouble / exact <= 0.08,
+        s"$k: hll estimate ${got(k)} vs exact $exact")
+    }
+
+    // The union must actually dedup: users appear under several event
+    // types, so ALL is strictly below the sum of the per-type estimates.
+    val sumParts = (got - "ALL").values.sum
+    assert(got("ALL") < sumParts,
+      s"union ${got("ALL")} should be < sum of per-type estimates $sumParts")
+  }
 }
