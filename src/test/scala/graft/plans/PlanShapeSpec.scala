@@ -286,4 +286,20 @@ class PlanShapeSpec extends SparkSpec {
     val scans = collectAll(p) { case f: FileSourceScanExec => f }
     assert(scans.size == 1, s"expected one documents scan, got ${scans.size}")
   }
+
+  test("q52: sketch build partial-aggregates map-side (fixed-size state crosses the shuffle)") {
+    // The 100 TB claim: what shuffles is a few-KB HLL binary per
+    // (event_type, map partition), never user_id rows. DataSketches aggs
+    // plan as ObjectHashAggregate; a partial mode before the exchange is
+    // the map-side combine.
+    val p = sparkPlan("q52_sketch_union")
+    val objAggs = collectAll(p) {
+      case o: org.apache.spark.sql.execution.aggregate.ObjectHashAggregateExec => o
+    }
+    assert(objAggs.size >= 2, s"expected partial+final ObjectHashAggregate, got ${objAggs.size}")
+    val partialSketch = objAggs.exists(_.aggregateExpressions.exists(ae =>
+      ae.mode == org.apache.spark.sql.catalyst.expressions.aggregate.Partial &&
+        ae.aggregateFunction.prettyName.contains("hll_sketch_agg")))
+    assert(partialSketch, s"hll_sketch_agg must have a Partial (map-side) phase:\n$p")
+  }
 }
