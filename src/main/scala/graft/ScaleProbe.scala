@@ -161,7 +161,10 @@ object ScaleProbe {
       // round 4, fifth batch: survivorship over 10× clusters, the CDC
       // latest-wins agg over 10× users, and the DP verify over 10× the
       // candidate pair set
-      "d11_survivorship", "q51_cdc_apply", "t20_edit_verify_lsh")
+      "d11_survivorship", "q51_cdc_apply", "t20_edit_verify_lsh",
+      // round 4, sixth batch: mergeable HLL sketches over 10× users —
+      // expected ~linear scan, constant shuffle (one sketch per group)
+      "q52_sketch_union")
       // local iteration only: probe just a subset by name prefix
       .filter(n => sys.env.get("SPARK_GRAFT_ONLY")
         .forall(_.split(",").exists(n.startsWith)))
