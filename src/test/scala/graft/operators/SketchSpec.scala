@@ -71,5 +71,22 @@ class SketchSpec extends SparkSpec {
     val sumParts = (got - "ALL").values.sum
     assert(got("ALL") < sumParts,
       s"union ${got("ALL")} should be < sum of per-type estimates $sumParts")
+
+    // Storability — the half of the idiom the query can't show: sketches
+    // written to parquet and unioned from the STORED table must answer
+    // identically to the inline union (binary round-trip is lossless).
+    val dir = java.nio.file.Files.createTempDirectory("graft-hll").toString
+    try {
+      ev.groupBy("event_type")
+        .agg(expr("hll_sketch_agg(user_id, 12)").as("sk"))
+        .write.mode("overwrite").parquet(s"$dir/sketches.parquet")
+      val fromStore = spark.read.parquet(s"$dir/sketches.parquet")
+        .agg(expr("hll_sketch_estimate(hll_union_agg(sk))"))
+        .head().getLong(0)
+      assert(fromStore === got("ALL"),
+        s"stored-sketch union $fromStore != inline union ${got("ALL")}")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
   }
 }
