@@ -32,13 +32,13 @@ object Curation {
       // exact-dedup semi join, the final anti-join), and the gate
       // expressions (regex-heavy quality/lang scoring) are the most
       // expensive per-row work in the pipeline — materialize the gated
-      // corpus once (localCheckpoint; a disk-backed intermediate table in
-      // production) so the corpus is scanned and scored exactly once.
+      // corpus once (Materialize: DISK_ONLY persist, lineage kept; a
+      // disk-backed intermediate table in production) so the corpus is
+      // scanned and scored exactly once.
       val norm = regexp_replace(lower(col("text")), "[^a-z0-9 ]", "")
-      val gated = Tables.documents(s, dir)
+      val gated = graft.Materialize(Tables.documents(s, dir)
         .filter(qualityScore(col("text")) >= QualityMin && langId(col("text")) === "en")
-        .withColumn("fp", xxhash64(norm))
-        .localCheckpoint(true)
+        .withColumn("fp", xxhash64(norm)))
 
       // stage 3: exact dedup on normalized text — keep the smallest doc_id.
       // Hash-first two-pass (d02's shape): group an 8-byte fingerprint of
@@ -64,16 +64,15 @@ object Curation {
       // than raw trigram strings — that join-back is the heavy shuffle at
       // scale). Hashing preserves intersect/union cardinalities, hence
       // jaccard, up to ~1e-14 collision odds.
-      // materialized once (localCheckpoint): banding and BOTH verify-join
+      // materialized once (Materialize): banding and BOTH verify-join
       // sides consume it — without this the survivor scan+shingle+sketch
       // lineage runs three times. Production: a disk-backed sketch table.
-      val sh = exactKept
+      val sh = graft.Materialize(exactKept
         .select(col("doc_id"), wordShingles(col("text"), 3).as("raw"))
         .filter(size(col("raw")) > 0)
         .select(col("doc_id"),
           minhash_signature(col("raw"), Dedup.MinHashK).as("sig"),
-          transform(col("raw"), g => xxhash64(g)).as("hsh"))
-        .localCheckpoint(true)
+          transform(col("raw"), g => xxhash64(g)).as("hsh")))
       val cand = Dedup.minhashBandCandidates(sh.select(col("doc_id"), col("sig")))
       val a = sh.select(col("doc_id").as("id_a"), col("hsh").as("sh_a"))
       val b = sh.select(col("doc_id").as("id_b"), col("hsh").as("sh_b"))

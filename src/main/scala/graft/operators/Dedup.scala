@@ -74,7 +74,8 @@ object Dedup {
 
   /** One shingling pass per doc yielding BOTH the MinHash signature (for
     * banding) and the int64-hashed shingle array (for exact verify),
-    * materialized once (localCheckpoint, MEMORY_AND_DISK) because every
+    * materialized once (Materialize: DISK_ONLY persist, lineage kept)
+    * because every
     * consumer — band explode, and the two verify-join sides — would
     * otherwise re-run the scan+shingle+sketch lineage from parquet.
     * Hashing the shingles preserves intersect/union cardinalities (hence
@@ -87,11 +88,10 @@ object Dedup {
     * doc, no raw text).
     */
   private def sketched(s: SparkSession, dir: String): DataFrame =
-    shingled(s, dir)
+    graft.Materialize(shingled(s, dir)
       .select(col("doc_id"),
         minhash_signature(col("sh"), MinHashK).as("sig"),
-        transform(col("sh"), g => xxhash64(g)).as("hsh"))
-      .localCheckpoint(true)
+        transform(col("sh"), g => xxhash64(g)).as("hsh")))
 
   /** d03's verified near-dup pairs — LSH band candidates, exact-Jaccard
     * gated. Shared by d03 itself, d07/d11 (as edges), and t20 (as the
@@ -246,11 +246,13 @@ object Dedup {
           s"connectedComponents hit the $maxRounds-round cap without converging: " +
             "component diameter exceeds the cap; emitting partial labels would be wrong")
       }
-      // materialize the result off the cached lineage (localCheckpoint) so
-      // the final round's persisted frame can be released HERE — otherwise
-      // every invocation leaks one cached dataset for the session lifetime
-      val out = labels.select(col("doc_id"), col("lbl").as("cluster_id"))
-        .localCheckpoint(true)
+      // materialize the result (DISK_ONLY, lineage kept) so the final
+      // round's persisted frame can be released HERE — otherwise every
+      // invocation leaks one cached dataset for the session lifetime. A
+      // lost result block recomputes through the propagation lineage
+      // (deterministic), unlike localCheckpoint's unrecoverable truncation.
+      val out = graft.Materialize(
+        labels.select(col("doc_id"), col("lbl").as("cluster_id")))
       labels.unpersist()
       out
     } finally {

@@ -53,14 +53,15 @@ object Graph {
   }
 
   /** Deduplicated undirected co-purchase edges (u < v). */
-  // MATERIALIZED once (localCheckpoint): g01/g02 reference the edge set
-  // 3-5 times (degree union, both endpoint joins, edge/wedge stats), and
-  // an un-materialized plan re-runs the lineitem self-join + distinct for
-  // every reference (measured 3× g01 wall-clock at sf0.1). Production
-  // graph analytics does the same — derive the edge table once, then run
-  // rounds against the materialization, never the derivation.
+  // MATERIALIZED once (Materialize: DISK_ONLY persist, lineage kept):
+  // g01/g02 reference the edge set 3-5 times (degree union, both endpoint
+  // joins, edge/wedge stats), and an un-materialized plan re-runs the
+  // lineitem self-join + distinct for every reference (measured 3× g01
+  // wall-clock at sf0.1). Production graph analytics does the same —
+  // derive the edge table once, then run rounds against the
+  // materialization, never the derivation.
   private[operators] def partEdges(s: SparkSession, dir: String): DataFrame =
-    partPairs(s, dir).distinct().localCheckpoint(true)
+    graft.Materialize(partPairs(s, dir).distinct())
 
   private def degrees(e: DataFrame): DataFrame =
     e.select(col("u").as("x")).unionAll(e.select(col("v").as("x")))
@@ -182,11 +183,14 @@ object Graph {
         throw new IllegalStateException(
           s"bfsLevels hit the $maxRounds-round cap with a non-empty frontier: " +
             "root eccentricity exceeds the cap; emitting truncated levels would be wrong")
-      visited.groupBy("lvl")
+      // materialize (lineage kept) before the finally-block unpersists the
+      // level caches: the result is served from its own persisted blocks,
+      // and a lost block recomputes through the full BFS lineage — slow
+      // but correct, unlike localCheckpoint's unrecoverable truncation
+      graft.Materialize(visited.groupBy("lvl")
         .agg(count(lit(1)).as("n_vertices"), min("v").as("min_part"), max("v").as("max_part"))
         .select(col("lvl").as("level"), col("n_vertices"), col("min_part"), col("max_part"))
-        .orderBy("level")
-        .localCheckpoint(true)
+        .orderBy("level"))
     } finally {
       levels.foreach(_.unpersist())
       adj.unpersist()

@@ -760,37 +760,46 @@ object Relational {
       // (spark.sql.cteRecursionRowLimit, default 1M) — the 10× probe
       // trips it with a perfectly healthy walk (rows ∝ |orders|, depth
       // unchanged). This recursion is provably finite (the frontier
-      // strictly advances along rn), so raise the cap; like
+      // strictly advances along rn), so raise the cap FOR THIS QUERY
+      // ONLY: the recursion is executed eagerly (Materialize) inside
+      // try so the finally can restore the session default without
+      // un-raising the cap under the actual execution — the returned
+      // frame is served from its persisted blocks. Like
       // StreamingQueries.runToTable this assumes the single-threaded
       // driver/bench runner (documented there).
+      val oldLimit = s.conf.get("spark.sql.cteRecursionRowLimit")
       s.conf.set("spark.sql.cteRecursionRowLimit", "1000000000")
-      // the successor table is MATERIALIZED once (localCheckpoint) before
-      // the recursion: a plain CTE would be inlined into every recursive
-      // step, re-running the scan + LEAD window sort ~max-chain-length
-      // times (measured: 10.5 s → ~3 s at sf0.1). Production recursion
-      // over a lineage table does the same — walk a materialized edge
-      // table, don't re-derive it per step.
-      val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
-      Tables.orders(s, dir)
-        .select(col("o_custkey"), col("o_orderkey"),
-          lead(col("o_orderkey"), 1).over(w).as("nxt_key"),
-          row_number().over(w).as("rn"))
-        .localCheckpoint(true)
-        .createOrReplaceTempView("orders_chain")
-      s.sql("""
-        WITH RECURSIVE walk AS (
-          SELECT o_custkey, o_orderkey, 1 AS seq
-          FROM orders_chain WHERE rn = 1
-          UNION ALL
-          SELECT /*+ BROADCAST(w) */ n.o_custkey, n.nxt_key, w.seq + 1
-          FROM walk w JOIN orders_chain n
-            ON n.o_custkey = w.o_custkey AND n.o_orderkey = w.o_orderkey
-          WHERE n.nxt_key IS NOT NULL
-        )
-        SELECT o_custkey AS custkey, COUNT(*) AS n_orders,
-               CAST(MAX(seq) AS BIGINT) AS chain_len,
-               max_by(o_orderkey, seq) AS last_order
-        FROM walk GROUP BY o_custkey ORDER BY custkey""")
+      try {
+        // the successor table is MATERIALIZED once (Materialize:
+        // DISK_ONLY persist, lineage kept) before the recursion: a plain
+        // CTE would be inlined into every recursive step, re-running the
+        // scan + LEAD window sort ~max-chain-length times (measured:
+        // 10.5 s → ~3 s at sf0.1). Production recursion over a lineage
+        // table does the same — walk a materialized edge table, don't
+        // re-derive it per step.
+        val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+        graft.Materialize(Tables.orders(s, dir)
+          .select(col("o_custkey"), col("o_orderkey"),
+            lead(col("o_orderkey"), 1).over(w).as("nxt_key"),
+            row_number().over(w).as("rn")))
+          .createOrReplaceTempView("orders_chain")
+        graft.Materialize(s.sql("""
+          WITH RECURSIVE walk AS (
+            SELECT o_custkey, o_orderkey, 1 AS seq
+            FROM orders_chain WHERE rn = 1
+            UNION ALL
+            SELECT /*+ BROADCAST(w) */ n.o_custkey, n.nxt_key, w.seq + 1
+            FROM walk w JOIN orders_chain n
+              ON n.o_custkey = w.o_custkey AND n.o_orderkey = w.o_orderkey
+            WHERE n.nxt_key IS NOT NULL
+          )
+          SELECT o_custkey AS custkey, COUNT(*) AS n_orders,
+                 CAST(MAX(seq) AS BIGINT) AS chain_len,
+                 max_by(o_orderkey, seq) AS last_order
+          FROM walk GROUP BY o_custkey ORDER BY custkey"""))
+      } finally {
+        s.conf.set("spark.sql.cteRecursionRowLimit", oldLimit)
+      }
     }),
 
     // ERROR-SAFE ARITHMETIC — Spark 4 runs ANSI mode by default, where
