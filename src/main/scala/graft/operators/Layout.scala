@@ -68,7 +68,7 @@ object Layout {
       files
         .withColumn("cum_before",
           sum(col("size_rows")).over(ord) - col("size_rows"))
-        .withColumn("bin", (col("cum_before") / CompactTargetRows).cast("long"))
+        .withColumn("bin", expr(s"cum_before div $CompactTargetRows"))
         .select("ship_month", "l_returnflag", "size_rows", "bin")
         .orderBy("ship_month", "l_returnflag")
     }),
@@ -172,8 +172,10 @@ object Layout {
          |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - size_rows AS cum_before
          |  FROM files
          |)
+         |-- CAST: DuckDB's windowed SUM(BIGINT) is HUGEINT, so // stays HUGEINT
+         |-- (DECIMAL(38,0) in the comparison); Spark's div is int64.
          |SELECT ship_month, l_returnflag, size_rows,
-         |  cum_before // $CompactTargetRows AS bin
+         |  CAST(cum_before // $CompactTargetRows AS BIGINT) AS bin
          |FROM planned
          |ORDER BY ship_month, l_returnflag""".stripMargin,
 

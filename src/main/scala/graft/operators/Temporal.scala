@@ -178,7 +178,7 @@ object Temporal {
     "a12_ohlc_bars" -> ((s, dir) => {
       val e = Tables.events(s, dir)
         .withColumn("ts_sec", col("ts").cast("long"))
-        .withColumn("hsec", (col("ts_sec") / 3600L).cast("long") * 3600L)
+        .withColumn("hsec", expr("(ts_sec div 3600) * 3600"))
       e.groupBy("user_id", "hsec")
         .agg(
           min_by(col("value"), struct(col("ts_sec"), col("event_id"))).as("open"),
