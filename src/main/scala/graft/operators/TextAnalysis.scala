@@ -112,8 +112,12 @@ object TextAnalysis {
     }),
 
     // content fingerprinting: rolling hash of normalized text + dup-group
-    // size. Hash value is engine-specific → no SQL oracle; equality
-    // semantics (fp equal ⟺ normalized text equal) asserted in TextSpec.
+    // size. The hash is a polynomial fold over the normalized (ASCII-only)
+    // bytes mod 2^64 — plain integer arithmetic, so the oracle restates it
+    // in DuckDB as a HUGEINT list_reduce over codepoints (bytes ==
+    // codepoints post-norm) and the driver checks hashes, not rows-only.
+    // Equality semantics (fp equal ⟺ normalized text equal) also
+    // asserted in TextSpec.
     "t04_fingerprint" -> ((s, dir) => {
       val norm = regexp_replace(lower(col("text")), "[^a-z0-9 ]", "")
       val d = Tables.documents(s, dir)
@@ -128,8 +132,12 @@ object TextAnalysis {
     // STABLE key, never rand() — identical assignment on every run, every
     // cluster size, every retry (the property that keeps a 100 TB corpus
     // split consistent across reprocessing). 80/10/10 by hash bucket.
-    // Hash values are engine-specific → rows-only driver check; split
-    // determinism/disjointness/proportions asserted in TextSpec.
+    // Spark's xxhash64 over one BIGINT is ~12 fixed 64-bit wrapping
+    // multiply/rotate/xor steps, which the oracle restates exactly in
+    // DuckDB HUGEINT mod-2^64 arithmetic (see DuckHash) — so even the
+    // hash-dependent split sits under the driver's hash gate. Split
+    // determinism/disjointness/proportions additionally asserted in
+    // TextSpec.
     "t06_hash_split" -> ((s, dir) => {
       val bucket = pmod(xxhash64(col("doc_id")), lit(100))
       Tables.documents(s, dir)
@@ -814,7 +822,116 @@ object TextAnalysis {
         |    < 30 + TRY_CAST(regexp_extract(source, '[0-9]+') AS BIGINT) % 10 * 7 THEN 1 END) AS n_sampled
         |FROM documents
         |GROUP BY source
-        |ORDER BY source""".stripMargin
-    // t04_fingerprint: engine-specific hash — invariants in TextSpec.
+        |ORDER BY source""".stripMargin,
+
+    // the same polynomial fold the Spark-side RollingFingerprint expression
+    // runs (f = f*1315423911 + byte, mod 2^64), restated over codepoints —
+    // identical to bytes because the norm regex leaves only ASCII. HUGEINT
+    // keeps the accumulator exact: acc < 2^64, multiplier < 2^31, so every
+    // intermediate < 2^95 < HUGEINT max. string_split('','') yields ['']
+    // (unicode('') = -1), hence the len(c) filter; an empty norm folds to
+    // 0 exactly like the Spark expression's empty-byte loop.
+    "t04_fingerprint" ->
+      s"""WITH f0 AS (
+         |  SELECT doc_id,
+         |    list_reduce(list_prepend(CAST(0 AS HUGEINT),
+         |      list_transform(
+         |        list_filter(string_split(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ''),
+         |                    c -> len(c) > 0),
+         |        c -> CAST(unicode(c) AS HUGEINT))),
+         |      (a, b) -> (a * 1315423911 + b) % ${DuckHash.T}) AS f
+         |  FROM documents
+         |), fp AS (
+         |  SELECT doc_id, ${DuckHash.toSigned("f")} AS fp FROM f0
+         |), g AS (
+         |  SELECT fp, COUNT(*) AS group_size FROM fp GROUP BY fp
+         |)
+         |SELECT d.doc_id, d.fp, g.group_size
+         |FROM fp d JOIN g USING (fp)
+         |ORDER BY d.doc_id""".stripMargin,
+
+    // Spark pmod(xxhash64(doc_id), 100) restated step-for-step in DuckDB
+    // (DuckHash.xxhash64LongCtes emits one CTE per mul/rotate/xor step);
+    // pmod over the SIGNED hash exactly as Spark computes it.
+    "t06_hash_split" ->
+      s"""WITH ids AS (
+         |  SELECT doc_id, doc_id AS x FROM documents
+         |), ${DuckHash.xxhash64LongCtes("doc_id")}, b AS (
+         |  SELECT doc_id, ((hv % 100) + 100) % 100 AS bucket FROM hashed
+         |), sp AS (
+         |  SELECT doc_id,
+         |    CASE WHEN bucket < 80 THEN 'train'
+         |         WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split
+         |  FROM b
+         |)
+         |SELECT split, COUNT(*) AS n, MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+         |FROM sp GROUP BY split ORDER BY split""".stripMargin
   )
+}
+
+/** DuckDB spellings of the engine's 64-bit wrapping hash arithmetic, so
+  * hash-dependent queries (t04/t06) sit under the driver's exact gate
+  * instead of a rows-only check. Everything runs in HUGEINT (int128) with
+  * explicit mod-2^64 reduction; xor routes through UBIGINT (DuckDB's xor
+  * doesn't take HUGEINT). mul64 splits each operand at 2^32 so no
+  * intermediate exceeds 2^65 — wrapping 64×64 multiply without overflow.
+  */
+private[operators] object DuckHash {
+  /** 2^64 as a DuckDB HUGEINT literal. */
+  val T = "18446744073709551616"
+
+  /** unsigned→signed reinterpretation: the BIGINT Spark emits. */
+  def toSigned(u: String): String =
+    s"CAST(CASE WHEN $u < 9223372036854775808 THEN $u ELSE $u - $T END AS BIGINT)"
+
+  private def mul64(a: String, b: String): String =
+    s"(((($a) % 4294967296) * (($b) % 4294967296) + ((((($a) // 4294967296) * (($b) % 4294967296))" +
+      s" + ((($a) % 4294967296) * (($b) // 4294967296))) % 4294967296) * 4294967296) % $T)"
+
+  private def xor64(a: String, b: String): String =
+    s"CAST(xor(CAST(($a) AS UBIGINT), CAST(($b) AS UBIGINT)) AS HUGEINT)"
+
+  private def rotl(a: String, r: Int): String =
+    s"(${mul64(a, (1L << r).toString)} + (($a) // ${java.lang.Long.toUnsignedString(1L << (64 - r))}))"
+
+  // xxhash64 primes (unsigned decimal spellings of the XXH64 constants)
+  private val P1 = "11400714785074694791"
+  private val P2 = "14029467366897019727"
+  private val P3 = "1609587929392839161"
+  private val P4 = "9650029242287828579"
+  private val P5 = 2870177450012600261L
+
+  /** CTE chain computing Spark's `xxhash64(<bigint col>)` (seed 42, the
+    * single-long fast path: h = seed+P5+8; h ^= rotl31(x*P2)*P1;
+    * h = rotl27(h)*P1+P4; avalanche). Expects a CTE `ids(<keep>, x)` in
+    * scope; emits CTEs ending in `hashed(<keep>, hv BIGINT)`. One CTE per
+    * step keeps each mul64 expansion referencing a plain column alias —
+    * nesting them textually would blow up ~4× per step.
+    */
+  def xxhash64LongCtes(keep: String): String = {
+    val h0 = java.lang.Long.toUnsignedString(42L + P5 + 8L)
+    s"""s0 AS (
+       |  SELECT $keep, ((CAST(x AS HUGEINT) % $T) + $T) % $T AS u FROM ids
+       |), s1 AS (
+       |  SELECT $keep, ${mul64("u", P2)} AS a FROM s0
+       |), s2 AS (
+       |  SELECT $keep, ${rotl("a", 31)} AS b FROM s1
+       |), s3 AS (
+       |  SELECT $keep, ${xor64(h0, mul64("b", P1))} AS h1 FROM s2
+       |), s4 AS (
+       |  SELECT $keep, (${mul64(rotl("h1", 27), P1)} + $P4) % $T AS h3 FROM s3
+       |), s5 AS (
+       |  SELECT $keep, ${xor64("h3", "h3 // 8589934592")} AS f1 FROM s4
+       |), s6 AS (
+       |  SELECT $keep, ${mul64("f1", P2)} AS f2 FROM s5
+       |), s7 AS (
+       |  SELECT $keep, ${xor64("f2", "f2 // 536870912")} AS f3 FROM s6
+       |), s8 AS (
+       |  SELECT $keep, ${mul64("f3", P3)} AS f4 FROM s7
+       |), s9 AS (
+       |  SELECT $keep, ${xor64("f4", "f4 // 4294967296")} AS f5 FROM s8
+       |), hashed AS (
+       |  SELECT $keep, ${toSigned("f5")} AS hv FROM s9
+       |)""".stripMargin
+  }
 }
