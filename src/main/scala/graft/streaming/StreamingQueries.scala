@@ -3,7 +3,7 @@ package graft.streaming
 import java.util.concurrent.atomic.AtomicInteger
 import org.apache.spark.sql.{DataFrame, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, Trigger, ValueState}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, StreamingQueryListener, TTLConfig, TimeMode, TimerValues, Trigger, ValueState}
 import org.apache.spark.sql.types._
 import graft.Tables
 
@@ -109,6 +109,35 @@ object StreamingQueries {
     }
   }
 
+  /** K3/C4-shaped sink runner: micro-batches land in a parquet directory
+    * through `foreachBatch` guarded by [[SinkRetry]] — the
+    * producer-with-retry topology of the reference's Kinesis sink (emit
+    * batch, retry transient errors on the composed schedule, fail loud on
+    * anything else). Used by s09 so the retry wrapper sits on a
+    * hard-gated query, not just in specs; with no injected faults the
+    * result is identical to the memory-sink runner.
+    */
+  private def runViaRetryingSink(df: DataFrame, mode: OutputMode,
+                                 statePartitions: Option[Int] = None): DataFrame = {
+    val spark = df.sparkSession
+    val old = spark.conf.get("spark.sql.shuffle.partitions")
+    statePartitions.foreach(n => spark.conf.set("spark.sql.shuffle.partitions", n.toString))
+    try {
+      val out = java.nio.file.Files.createTempDirectory("graft_retry_sink_").toString
+      val q = df.writeStream
+        .foreachBatch(SinkRetry.foreachBatchWithRetry() { (batch, _) =>
+          batch.write.mode("append").parquet(out)
+        })
+        .outputMode(mode)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      spark.read.schema(df.schema).parquet(out)
+    } finally {
+      statePartitions.foreach(_ => spark.conf.set("spark.sql.shuffle.partitions", old))
+    }
+  }
+
   /** s17 core: run `stream` (any frame with a double `value` column) to
     * completion under AvailableNow, observing per-micro-batch quality
     * metrics, and fold them across batches — longs add, the value mass
@@ -119,22 +148,53 @@ object StreamingQueries {
     import scala.jdk.CollectionConverters._
     val s = stream.sparkSession
     val name = s"graft_stream_obs_${runIds.incrementAndGet()}"
-    val q = stream
-      .observe("quality",
-        count(lit(1)).as("n_rows"),
-        count(when(col("value") >= 100.0, 1)).as("n_hi"),
-        sum(col("value").cast("decimal(38,6)")).as("sum_value"))
-      .writeStream
-      .format("memory")
-      .queryName(name)
-      .outputMode(OutputMode.Append())
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    // recentProgress is the synchronous per-batch record on the query
-    // handle (no listener race); fold the per-batch metric rows
-    val metrics = q.recentProgress.toSeq
-      .flatMap(p => p.observedMetrics.asScala.get("quality"))
+    // Per-batch metrics come from a StreamingQueryListener registered for
+    // THIS run, not from q.recentProgress: recentProgress is a ring buffer
+    // capped at spark.sql.streaming.numRecentProgressUpdates (default
+    // 100), so an AvailableNow run that splits into >100 micro-batches
+    // would silently drop the early batches' metrics and undercount the
+    // fold. The listener sees every progress event; the terminated event
+    // (delivered in order, after all progress events) is the flush
+    // barrier that makes the async bus safe to read.
+    val metricsBuf = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.Row]
+    val done = new java.util.concurrent.CountDownLatch(1)
+    val listener = new StreamingQueryListener {
+      // started is delivered synchronously inside start(), so runId is
+      // set before any progress/terminated event (which carry no name)
+      // can race the comparison below
+      @volatile private var runId: java.util.UUID = null
+      override def onQueryStarted(e: StreamingQueryListener.QueryStartedEvent): Unit =
+        if (e.name == name) runId = e.runId
+      override def onQueryProgress(e: StreamingQueryListener.QueryProgressEvent): Unit =
+        if (e.progress.runId == runId)
+          e.progress.observedMetrics.asScala.get("quality")
+            .foreach(r => metricsBuf.synchronized { metricsBuf += r })
+      override def onQueryTerminated(e: StreamingQueryListener.QueryTerminatedEvent): Unit =
+        if (e.runId == runId) done.countDown()
+      override def onQueryIdle(e: StreamingQueryListener.QueryIdleEvent): Unit = ()
+    }
+    s.streams.addListener(listener)
+    val metrics = try {
+      val q = stream
+        .observe("quality",
+          count(lit(1)).as("n_rows"),
+          count(when(col("value") >= 100.0, 1)).as("n_hi"),
+          sum(col("value").cast("decimal(38,6)")).as("sum_value"))
+        .writeStream
+        .format("memory")
+        .queryName(name)
+        .outputMode(OutputMode.Append())
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      if (!done.await(60, java.util.concurrent.TimeUnit.SECONDS))
+        throw new IllegalStateException(
+          "observeQuality: listener bus did not deliver the terminated event " +
+            "within 60 s; folding without the barrier could drop batches")
+      metricsBuf.synchronized { metricsBuf.toSeq }
+    } finally {
+      s.streams.removeListener(listener)
+    }
     val nRows = metrics.map(_.getAs[Long]("n_rows")).sum
     val nHi = metrics.map(_.getAs[Long]("n_hi")).sum
     val sumV = metrics
@@ -200,7 +260,7 @@ object StreamingQueries {
         .agg(count(lit(1)).as("n"))
         .select(date_format(col("win.start"), "yyyy-MM-dd HH:mm:ss").as("win_start"),
           col("event_type"), col("n"))
-      runToTable(agg, OutputMode.Append(), statePartitions = Some(8))
+      runViaRetryingSink(agg, OutputMode.Append(), statePartitions = Some(8))
         .orderBy("win_start", "event_type")
     }),
 
@@ -287,7 +347,7 @@ object StreamingQueries {
     "s16_stream_ohlc" -> ((s, dir) => {
       val agg = eventsStream(s, dir)
         .withColumn("ts_sec", col("ts").cast("long"))
-        .withColumn("hsec", (col("ts_sec") / 3600L).cast("long") * 3600L)
+        .withColumn("hsec", expr("(ts_sec div 3600) * 3600"))
         .groupBy("user_id", "hsec")
         .agg(
           min_by(col("value"), struct(col("ts_sec"), col("event_id"))).as("open"),
