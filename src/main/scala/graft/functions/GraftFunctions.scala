@@ -76,7 +76,7 @@ object GraftFunctions {
     "cms_min_count" -> {
       // the sketch must be a foldable binary (a literal collected from
       // cms_sketch_agg) — it deserializes once at plan time
-      case Seq(Literal(bytes: Array[Byte], BinaryType), key) => CmsMinCount(bytes, key)
+      case Seq(Literal(bytes: Array[Byte], BinaryType), key) => CmsMinCount(new SketchBytes(bytes), key)
       case args => throw new IllegalArgumentException(
         s"cms_min_count(sketch_literal, key) needs a BINARY literal sketch, got: $args")
     })

@@ -80,7 +80,21 @@ object HashingFunctions {
     * The sketch deserializes once per task, not per row.
     */
   def cms_min_count(sketch: Array[Byte], key: Column): Column =
-    ExpressionUtils.column(CmsMinCount(sketch, ExpressionUtils.expression(key)))
+    ExpressionUtils.column(CmsMinCount(new SketchBytes(sketch), ExpressionUtils.expression(key)))
+}
+
+/** Content-equal wrapper for sketch payload bytes. A bare `Array[Byte]`
+  * parameter gives the case class REFERENCE equality, so two semantically
+  * identical probes never compare equal — defeating Catalyst
+  * canonicalization and common-subexpression elimination (two probes of
+  * the same sketch would each ship and deserialize their own copy).
+  */
+final class SketchBytes(val bytes: Array[Byte]) extends Serializable {
+  override def equals(o: Any): Boolean = o match {
+    case s: SketchBytes => java.util.Arrays.equals(bytes, s.bytes)
+    case _ => false
+  }
+  override def hashCode: Int = java.util.Arrays.hashCode(bytes)
 }
 
 /** CMS frequency-estimate probe over a LONG key (see
@@ -90,7 +104,7 @@ object HashingFunctions {
   * Codegen'd: the deserialized sketch rides the plan's reference array and
   * the generated code is one `estimateCount` call per row.
   */
-case class CmsMinCount(sketchBytes: Array[Byte], child: Expression)
+case class CmsMinCount(sketchBytes: SketchBytes, child: Expression)
     extends UnaryExpression with ExpectsInputTypes {
 
   override def inputTypes = Seq(LongType)
@@ -99,7 +113,7 @@ case class CmsMinCount(sketchBytes: Array[Byte], child: Expression)
   override def prettyName: String = "cms_min_count"
 
   @transient private lazy val sketch: CountMinSketch =
-    CountMinSketch.readFrom(new java.io.ByteArrayInputStream(sketchBytes))
+    CountMinSketch.readFrom(new java.io.ByteArrayInputStream(sketchBytes.bytes))
 
   /** Public for generated code. */
   def estimate(h: Long): Long = sketch.estimateCount(java.lang.Long.valueOf(h))
