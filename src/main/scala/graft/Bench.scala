@@ -44,11 +44,14 @@ object Bench {
       // GC fence (untimed): without it, a heavy predecessor's broadcast/
       // shuffle debris gets collected INSIDE the next query's timing —
       // observed inflating sub-second queries to 10+ s late in the run.
-      // Also drop predecessors' localCheckpoint RDDs (partEdges, sketched,
+      // Also drop predecessors' persisted RDDs (partEdges, sketched,
       // q49's successor table): ContextCleaner reclaims them lazily, and
       // 141 queries' worth of pinned blocks squeeze storage memory enough
       // to triple late-run timings (g01 measured 5.3 s isolated vs 23.5 s
-      // late in a full pass before this).
+      // late in a full pass before this). The sweep is SAFE because every
+      // materialized frame keeps its lineage (graft.Materialize persists,
+      // never localCheckpoints): a swept block recomputes on next use. No
+      // operator may memoize a lineage-truncated frame across invocations.
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
       System.gc()
       val t0 = System.nanoTime()
@@ -60,22 +63,27 @@ object Bench {
       name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
     // The driver captures only the LAST ~2000 chars of the run log, so the
-    // whole JSON line must fit in that window (minus sbt's ~90-char
-    // [success] trailer). Full query names blew past it at 96 queries
-    // (rounds 2-3 recorded parsed=null), so emit each query under its
-    // unique family code — the prefix before the first '_' ("q01_agg_..."
-    // -> "q01") — falling back to the full name if a collision ever
-    // appears. 2-decimal timings for the same reason (at 136 queries the
-    // line is ~1.8 kB; centisecond precision is far below this box's
-    // run-to-run noise anyway).
-    def fmt(v: Double): String = BigDecimal(v).setScale(2, BigDecimal.RoundingMode.HALF_UP).toString
+    // whole printed JSON line must fit in that window (minus sbt's
+    // ~90-char [success] trailer). At 145 queries even family codes at
+    // 2-decimal precision outgrew it (rounds 2-4 recorded parsed=null, the
+    // line front-truncated past its own total), so the printed line now
+    // carries family codes ("q01_agg_..." -> "q01", unique today; full
+    // name on a collision) at 1-DECIMAL precision (~1.7 kB at 145
+    // queries — this box's run-to-run noise is 3×, so nothing is lost),
+    // and the FULL detail (full names, millisecond precision) is written
+    // to bench_detail.json in the working directory.
+    def fmt(v: Double, dp: Int): String =
+      BigDecimal(v).setScale(dp, BigDecimal.RoundingMode.HALF_UP).toString
     def code(name: String): String = name.takeWhile(_ != '_')
     val codesUnique = results.map(kv => code(kv._1)).toSet.size == results.size
     val qs = results.map { case (k, v) =>
-      s"\"" + (if (codesUnique) code(k) else k) + "\":" + fmt(v)
+      s"\"" + (if (codesUnique) code(k) else k) + "\":" + fmt(v, 1)
     }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).filter(_ >= 0).sum else 0.0
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val fullQs = results.map { case (k, v) => s"\"$k\":" + fmt(v, 3) }.mkString("{", ",", "}")
+    java.nio.file.Files.write(java.nio.file.Paths.get("bench_detail.json"),
+      s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec","queries":$fullQs,"sf":"$sfDir"}""".getBytes("UTF-8"))
+    println(s"""{"metric":"total","value":${fmt(total, 1)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     Console.out.flush()
     spark.stop()
   }
