@@ -118,6 +118,27 @@ object ScaleProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    /** The streaming readers pick their table out of a shared directory by
+      * FLAT FILE NAME (`pathGlobFilter=events.parquet`), matching the
+      * driver's testdata layout — a directory-shaped `events.parquet/` of
+      * part files is invisible to them. Write the streaming inputs a
+      * second time as single flat files under `$outDir/stream/` (batch
+      * probes keep the 32-file directories for scan parallelism) and
+      * probe `s*` queries against that dir.
+      */
+    def writeFlat(df: DataFrame, table: String): Unit = {
+      val tmp = s"$outDir/stream/_tmp_$table"
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+        .getOrElse(sys.error(s"no part file written for $table"))
+      val dest = new java.io.File(s"$outDir/stream/$table.parquet")
+      dest.delete()
+      if (!part.renameTo(dest)) sys.error(s"rename failed for $table")
+      new java.io.File(tmp).listFiles().foreach(_.delete())
+      new java.io.File(tmp).delete()
+    }
+
     scaledDocs(spark, srcDir, factor).repartition(32)
       .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
     scaledEmbeddings(spark, srcDir, factor).repartition(32)
@@ -128,6 +149,8 @@ object ScaleProbe {
       .write.mode("overwrite").parquet(s"$outDir/lineitem.parquet")
     scaledOrders(spark, srcDir, factor).repartition(32)
       .write.mode("overwrite").parquet(s"$outDir/orders.parquet")
+    writeFlat(scaledEvents(spark, srcDir, factor), "events")
+    writeFlat(scaledDocs(spark, srcDir, factor), "documents")
     println(s"[probe] built ${factor}x corpus at $outDir")
 
     val probes = Seq(
@@ -164,16 +187,27 @@ object ScaleProbe {
       "d11_survivorship", "q51_cdc_apply", "t20_edit_verify_lsh",
       // round 4, sixth batch: mergeable HLL sketches over 10× users —
       // expected ~linear scan, constant shuffle (one sketch per group)
-      "q52_sketch_union")
+      "q52_sketch_union",
+      // round 5: the remaining un-probed families — the streaming
+      // curation gates / OHLC / observe / CDC paths over a 10× event
+      // (resp. document) stream in one AvailableNow run, and the
+      // zone-map audit over 10× lineitem. Streaming state claims:
+      // s15 O(sources), s16 O(user,hour groups), s17 O(1) observed
+      // metrics, s18 O(users) — all watermark/group-bounded, so 10×
+      // rows should cost ~scan, not ~state.
+      "s15_stream_curation_gates", "s16_stream_ohlc", "s17_stream_observe",
+      "s18_stream_cdc", "z03_zone_skipping")
       // local iteration only: probe just a subset by name prefix
       .filter(n => sys.env.get("SPARK_GRAFT_ONLY")
         .forall(_.split(",").exists(n.startsWith)))
     // warm pass (JIT + codegen + parquet footers), then the timed pass
     for (pass <- Seq("warm", "timed"); name <- probes) {
       System.gc() // Bench's GC fence: keep predecessors' debris out of the timing
+      // streaming probes read the flat-file layout (see writeFlat)
+      val qDir = if (name.startsWith("s")) s"$outDir/stream" else outDir
       val t0 = System.nanoTime()
       val ok =
-        try { SparkEntry.queries(name)(spark, outDir).write.format("noop").mode("overwrite").save(); true }
+        try { SparkEntry.queries(name)(spark, qDir).write.format("noop").mode("overwrite").save(); true }
         catch { case e: Throwable => println(s"[probe] $name FAILED: ${e.getMessage}"); false }
       if (pass == "timed" && ok)
         println(f"[probe] $name: ${(System.nanoTime() - t0) / 1e9}%.2f s at ${factor}x")
