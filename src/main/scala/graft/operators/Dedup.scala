@@ -246,13 +246,13 @@ object Dedup {
           s"connectedComponents hit the $maxRounds-round cap without converging: " +
             "component diameter exceeds the cap; emitting partial labels would be wrong")
       }
-      // materialize the result (DISK_ONLY, lineage kept) so the final
-      // round's persisted frame can be released HERE — otherwise every
-      // invocation leaks one cached dataset for the session lifetime. A
-      // lost result block recomputes through the propagation lineage
-      // (deterministic), unlike localCheckpoint's unrecoverable truncation.
-      val out = graft.Materialize(
-        labels.select(col("doc_id"), col("lbl").as("cluster_id")))
+      // store the result (scratch parquet) so the final round's persisted
+      // frame can be released HERE without invalidating the result —
+      // otherwise every invocation either leaks one cached dataset for the
+      // session lifetime, or (cache-materialized + unpersist) re-runs the
+      // whole propagation on every later read. See Materialize.toStorage.
+      val out = graft.Materialize.toStorage(
+        labels.select(col("doc_id"), col("lbl").as("cluster_id")), "cc_labels")
       labels.unpersist()
       out
     } finally {

@@ -183,14 +183,15 @@ object Graph {
         throw new IllegalStateException(
           s"bfsLevels hit the $maxRounds-round cap with a non-empty frontier: " +
             "root eccentricity exceeds the cap; emitting truncated levels would be wrong")
-      // materialize (lineage kept) before the finally-block unpersists the
-      // level caches: the result is served from its own persisted blocks,
-      // and a lost block recomputes through the full BFS lineage — slow
-      // but correct, unlike localCheckpoint's unrecoverable truncation
-      graft.Materialize(visited.groupBy("lvl")
+      // store the result (scratch parquet) before the finally-block
+      // unpersists the level caches: a cache-materialized result is
+      // invalidated by those unpersists (every later read re-runs the full
+      // BFS), while the stored table is a plain file scan forever. See
+      // Materialize.toStorage.
+      graft.Materialize.toStorage(visited.groupBy("lvl")
         .agg(count(lit(1)).as("n_vertices"), min("v").as("min_part"), max("v").as("max_part"))
         .select(col("lvl").as("level"), col("n_vertices"), col("min_part"), col("max_part"))
-        .orderBy("level"))
+        .orderBy("level"), "bfs_levels")
     } finally {
       levels.foreach(_.unpersist())
       adj.unpersist()
