@@ -525,7 +525,76 @@ object Multimodal {
         |SELECT doc_id, CAST(bin AS INT) AS bin, COUNT(*) AS n
         |FROM c
         |GROUP BY doc_id, bin
-        |ORDER BY doc_id, bin""".stripMargin
-    // m02_fake_decode: stubbed decode — MultimodalSpec asserts instead.
+        |ORDER BY doc_id, bin""".stripMargin,
+
+    // The "decode" is a STUB, but a deterministic one: geometry is pure
+    // integer arithmetic (rolling fold + splitmix64) over the payload
+    // bytes, so DuckDB can restate it exactly (DuckHash HUGEINT chains)
+    // and the driver checks hashes, not rows-only. Same ASCII-fixture
+    // precondition as m01 (chars ⇔ bytes in the fold). slot 0 → width,
+    // slot 1 → height, slots 2-5 → the four frame offsets.
+    "m02_fake_decode" ->
+      s"""WITH f0 AS (
+         |  SELECT doc_id, CAST(strlen(text) AS HUGEINT) AS nb,
+         |    list_reduce(list_prepend(CAST(0 AS HUGEINT),
+         |      list_transform(list_filter(string_split(text, ''), c -> len(c) > 0),
+         |        c -> CAST(unicode(c) AS HUGEINT))),
+         |      (a, b) -> (a * 1315423911 + b) % ${DuckHash.T}) AS f
+         |  FROM documents
+         |), ids AS (
+         |  SELECT doc_id, nb, t.slot AS slot, (f + t.slot) % ${DuckHash.T} AS x
+         |  FROM f0 CROSS JOIN range(0, 6) t(slot)
+         |), ${DuckHash.splitmix64Ctes("doc_id, nb, slot")},
+         |wh AS (
+         |  SELECT doc_id,
+         |    CAST(64 + MAX(CASE WHEN slot = 0 THEN sv % 1024 END) AS INTEGER) AS width,
+         |    CAST(64 + MAX(CASE WHEN slot = 1 THEN sv % 1024 END) AS INTEGER) AS height
+         |  FROM smixed GROUP BY doc_id
+         |), fr AS (
+         |  SELECT doc_id,
+         |    array_to_string(list_sort(list(CAST((sv // 2) % GREATEST(nb, 1) AS BIGINT))), ',')
+         |      AS frame_offsets_csv
+         |  FROM smixed WHERE slot >= 2 GROUP BY doc_id
+         |)
+         |SELECT f0.doc_id, CAST(f0.nb AS BIGINT) AS n_bytes, wh.width, wh.height,
+         |  CAST(3 AS INTEGER) AS n_channels, fr.frame_offsets_csv
+         |FROM f0 JOIN wh USING (doc_id) JOIN fr USING (doc_id)
+         |ORDER BY f0.doc_id""".stripMargin,
+
+    // m02's geometry chain + the resize plan. The double arithmetic is
+    // IEEE-identical across engines (256.0/longest, width*scale), and
+    // FLOOR(x + 0.5) is Scala's math.round for these positive magnitudes
+    // — so scale (a DOUBLE output column) and the rounded dims hash-match.
+    "m03_resize_plan" ->
+      s"""WITH f0 AS (
+         |  SELECT doc_id,
+         |    list_reduce(list_prepend(CAST(0 AS HUGEINT),
+         |      list_transform(list_filter(string_split(text, ''), c -> len(c) > 0),
+         |        c -> CAST(unicode(c) AS HUGEINT))),
+         |      (a, b) -> (a * 1315423911 + b) % ${DuckHash.T}) AS f
+         |  FROM documents
+         |), ids AS (
+         |  SELECT doc_id, t.slot AS slot, (f + t.slot) % ${DuckHash.T} AS x
+         |  FROM f0 CROSS JOIN range(0, 2) t(slot)
+         |), ${DuckHash.splitmix64Ctes("doc_id, slot")},
+         |wh AS (
+         |  SELECT doc_id,
+         |    CAST(64 + MAX(CASE WHEN slot = 0 THEN sv % 1024 END) AS INTEGER) AS width,
+         |    CAST(64 + MAX(CASE WHEN slot = 1 THEN sv % 1024 END) AS INTEGER) AS height
+         |  FROM smixed GROUP BY doc_id
+         |), rs AS (
+         |  SELECT doc_id, width, height,
+         |    CASE WHEN GREATEST(width, height) <= 256 THEN CAST(1 AS DOUBLE)
+         |         ELSE CAST(256 AS DOUBLE) / GREATEST(width, height) END AS scale
+         |  FROM wh
+         |), rz AS (
+         |  SELECT doc_id, width, height, scale,
+         |    CAST(GREATEST(1, CAST(FLOOR(width * scale + 0.5) AS BIGINT)) AS INTEGER) AS dst_w,
+         |    CAST(GREATEST(1, CAST(FLOOR(height * scale + 0.5) AS BIGINT)) AS INTEGER) AS dst_h
+         |  FROM rs
+         |)
+         |SELECT doc_id, width AS src_w, height AS src_h, dst_w, dst_h, scale,
+         |  CAST(dst_w AS BIGINT) * dst_h * 3 AS est_bytes
+         |FROM rz ORDER BY doc_id""".stripMargin
   )
 }

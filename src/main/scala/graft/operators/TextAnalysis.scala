@@ -934,4 +934,32 @@ private[operators] object DuckHash {
        |  SELECT $keep, ${toSigned("f5")} AS hv FROM s9
        |)""".stripMargin
   }
+
+  // splitmix64 constants (unsigned decimal: 0x9E3779B97F4A7C15,
+  // 0xBF58476D1CE4E5B9, 0x94D049BB133111EB)
+  private val SM1 = "11400714819323198485"
+  private val SM2 = "13787848793156543929"
+  private val SM3 = "10723151780598845931"
+
+  /** CTE chain computing `VectorFunctions.splitmix64(x)` — the stub-decode
+    * geometry generator (m02/m03): z = x + SM1; z = (z ^ z>>>30) * SM2;
+    * z = (z ^ z>>>27) * SM3; z ^ z>>>31, all mod 2^64. Expects a CTE
+    * `ids(<keep>, x)` (x unsigned HUGEINT, already reduced mod 2^64);
+    * emits CTEs ending in `smixed(<keep>, sv)` with sv the unsigned
+    * HUGEINT result. `keep` may be a comma-separated column list.
+    */
+  def splitmix64Ctes(keep: String): String =
+    s"""p0 AS (
+       |  SELECT $keep, (x + $SM1) % $T AS z0 FROM ids
+       |), p1 AS (
+       |  SELECT $keep, ${xor64("z0", "z0 // 1073741824")} AS a1 FROM p0
+       |), p2 AS (
+       |  SELECT $keep, ${mul64("a1", SM2)} AS z1 FROM p1
+       |), p3 AS (
+       |  SELECT $keep, ${xor64("z1", "z1 // 134217728")} AS a2 FROM p2
+       |), p4 AS (
+       |  SELECT $keep, ${mul64("a2", SM3)} AS z2 FROM p3
+       |), smixed AS (
+       |  SELECT $keep, ${xor64("z2", "z2 // 2147483648")} AS sv FROM p4
+       |)""".stripMargin
 }
