@@ -32,7 +32,7 @@ object Curation {
       // exact-dedup semi join, the final anti-join), and the gate
       // expressions (regex-heavy quality/lang scoring) are the most
       // expensive per-row work in the pipeline — materialize the gated
-      // corpus once (Materialize: DISK_ONLY persist, lineage kept; a
+      // corpus once (Materialize: lineage-keeping persist; a
       // disk-backed intermediate table in production) so the corpus is
       // scanned and scored exactly once.
       val norm = regexp_replace(lower(col("text")), "[^a-z0-9 ]", "")

@@ -74,7 +74,7 @@ object Dedup {
 
   /** One shingling pass per doc yielding BOTH the MinHash signature (for
     * banding) and the int64-hashed shingle array (for exact verify),
-    * materialized once (Materialize: DISK_ONLY persist, lineage kept)
+    * materialized once (Materialize: lineage-keeping persist)
     * because every
     * consumer — band explode, and the two verify-join sides — would
     * otherwise re-run the scan+shingle+sketch lineage from parquet.

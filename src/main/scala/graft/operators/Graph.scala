@@ -53,7 +53,7 @@ object Graph {
   }
 
   /** Deduplicated undirected co-purchase edges (u < v). */
-  // MATERIALIZED once (Materialize: DISK_ONLY persist, lineage kept):
+  // MATERIALIZED once (Materialize: lineage-keeping persist):
   // g01/g02 reference the edge set 3-5 times (degree union, both endpoint
   // joins, edge/wedge stats), and an un-materialized plan re-runs the
   // lineitem self-join + distinct for every reference (measured 3× g01

@@ -771,7 +771,7 @@ object Relational {
       s.conf.set("spark.sql.cteRecursionRowLimit", "1000000000")
       try {
         // the successor table is MATERIALIZED once (Materialize:
-        // DISK_ONLY persist, lineage kept) before the recursion: a plain
+        // lineage-keeping persist) before the recursion: a plain
         // CTE would be inlined into every recursive step, re-running the
         // scan + LEAD window sort ~max-chain-length times (measured:
         // 10.5 s → ~3 s at sf0.1). Production recursion over a lineage
