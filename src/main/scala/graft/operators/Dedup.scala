@@ -498,8 +498,10 @@ object Dedup {
 
     // SimHash near-dup: 64-bit sketch per doc; pairs within Hamming
     // distance ≤ 3 found by splitting the hash into 4×16-bit bands
-    // (pigeonhole: ≤3 differing bits ⇒ ≥1 band identical). Approximate
-    // sketch → no SQL oracle; invariants in DedupSpec.
+    // (pigeonhole: ≤3 differing bits ⇒ ≥1 band identical). Deterministic
+    // integer arithmetic end-to-end, so the oracle restates ALL of it —
+    // XXH64, majority vote, banding, cap — in DuckDB SQL (hash-exact);
+    // DedupSpec keeps the structural invariants.
     "d05_simhash_pairs" -> ((s, dir) => {
       val sh = shingled(s, dir)
         .select(col("doc_id"), simhash64(col("sh")).as("simhash"))
@@ -727,7 +729,56 @@ object Dedup {
         |FROM inter
         |JOIN sizes sa ON sa.source = src_a
         |JOIN sizes sb ON sb.source = src_b
-        |ORDER BY src_a, src_b""".stripMargin
-    // d05_simhash_pairs: hash-sketch based — invariants asserted in DedupSpec.
+        |ORDER BY src_a, src_b""".stripMargin,
+
+    // d05: full restatement — DuckDB recomputes the per-shingle XXH64
+    // (DuckHash.xxh64StrCtes, the complete stripe/tail/avalanche
+    // algorithm), the 64-bit majority vote, the 4×16-bit banding with the
+    // MaxBucket cap, and the Hamming filter. Votes are 64 columnar SUMs
+    // over the (doc, shingle)-hash join (one aggregation pass, no 64×
+    // row explosion); the sketch reassembles as Σ 2^b over winning bits.
+    "d05_simhash_pairs" -> {
+      val vcols = (0 until 64).map(b =>
+        s"SUM(CASE WHEN (h.hv // CAST('${BigInt(1) << b}' AS HUGEINT)) % 2 = 1" +
+          s" THEN 1 ELSE -1 END) AS v$b").mkString(",\n    ")
+      val hexpr = (0 until 64).map(b =>
+        s"CASE WHEN v$b > 0 THEN CAST('${BigInt(1) << b}' AS HUGEINT)" +
+          s" ELSE CAST(0 AS HUGEINT) END").mkString(" + ")
+      val bdivs = (0 until 4).map(b =>
+        s"($b, CAST('${BigInt(1) << (16 * b)}' AS HUGEINT))").mkString(",")
+      s"""WITH tok AS (
+         |  SELECT doc_id, list_filter(string_split(lower(text), ' '), w -> len(w) > 0) AS w
+         |  FROM documents
+         |), docsh AS MATERIALIZED (
+         |  SELECT DISTINCT doc_id,
+         |    unnest(list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w) - 1)])) AS g
+         |  FROM tok WHERE len(w) >= 3
+         |), gr AS (
+         |  SELECT g AS gid, g FROM (SELECT DISTINCT g FROM docsh)
+         |), ${DuckHash.xxh64StrCtes()}, votes AS (
+         |  SELECT d.doc_id,
+         |    $vcols
+         |  FROM docsh d JOIN gh h ON h.gid = d.g
+         |  GROUP BY 1
+         |), sh AS (
+         |  SELECT doc_id, $hexpr AS hu FROM votes
+         |), bands AS (
+         |  SELECT doc_id, hu, band, (hu // bdiv) % 65536 AS bkey
+         |  FROM sh CROSS JOIN (VALUES $bdivs) AS t(band, bdiv)
+         |), admitted AS (
+         |  SELECT band, bkey FROM bands GROUP BY band, bkey
+         |  HAVING COUNT(*) > 1 AND COUNT(*) <= $MaxBucket
+         |), cand AS (
+         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.hu AS ha, b.hu AS hb
+         |  FROM bands a
+         |  JOIN admitted ad ON ad.band = a.band AND ad.bkey = a.bkey
+         |  JOIN bands b ON b.band = a.band AND b.bkey = a.bkey AND a.doc_id < b.doc_id
+         |)
+         |SELECT id_a, id_b,
+         |  CAST(bit_count(xor(CAST(ha AS UBIGINT), CAST(hb AS UBIGINT))) AS BIGINT) AS hamming
+         |FROM cand
+         |WHERE bit_count(xor(CAST(ha AS UBIGINT), CAST(hb AS UBIGINT))) <= 3
+         |ORDER BY id_a, id_b""".stripMargin
+    }
   )
 }

@@ -935,6 +935,91 @@ private[operators] object DuckHash {
        |)""".stripMargin
   }
 
+  /** CTE chain computing Spark's `xxhash64(<string col>)` (seed 42) — the
+    * FULL algorithm over UTF-8 bytes: 32-byte stripes (4 lanes folded via
+    * `list_reduce`), lane merge, 8/4/1-byte tails, avalanche. Mirrors
+    * `org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes`,
+    * validated byte-for-byte against Spark on path-covering lengths
+    * (0..100: every stripe count × 8-byte × 4-byte × 1-byte tail
+    * combination). Expects a CTE `gr(gid, g VARCHAR)` in scope; emits
+    * CTEs ending in `gh(gid, hv)` with hv the UNSIGNED HUGEINT hash
+    * (callers band/bit-test it; `toSigned` gives Spark's BIGINT).
+    *
+    * PRECONDITION: `g` is pure ASCII — the byte list is built from
+    * codepoints (`unicode(c)`), which equals the UTF-8 byte only below
+    * 0x80. The documents fixture satisfies this (asserted in DedupSpec);
+    * non-ASCII corpora would need a blob-level byte extraction instead.
+    */
+  def xxh64StrCtes(): String = {
+    val u64mod = BigInt(1) << 64
+    def u64(x: BigInt): String = x.mod(u64mod).toString
+    val p1 = BigInt(P1); val p2 = BigInt(P2); val p5 = BigInt(P5)
+    val h0Small = u64(p5 + 42)                       // seed+P5 (len<32 init)
+    val vInit = Seq(u64(p1 + p2 + 42), u64(p2 + 42), "42", u64(BigInt(42) - p1))
+    // UTF-8 byte list from ASCII codepoints, 1-indexed
+    val by = "list_transform(list_filter(string_split(g, ''), c -> len(c) > 0)," +
+      " c -> CAST(unicode(c) AS HUGEINT))"
+    // little-endian 8-byte words
+    val w8 = (1 to 8).map(k => s"b[8*j + $k]" +
+        (if (k == 1) "" else s" * ${BigInt(1) << (8 * (k - 1))}"))
+      .mkString("[", " + ", " for j in range(0, CAST(ln // 8 AS BIGINT))]")
+    // one stripe lane: acc -> rotl31(acc + w*P2) * P1 over every 4th word
+    def vfold(i: Int): String = {
+      val step = mul64(rotl(s"(acc + ${mul64("w", P2)}) % $T", 31), P1)
+      s"list_reduce(list_prepend(CAST(${vInit(i)} AS HUGEINT)," +
+        s" [w[4*t + ${i + 1}] for t in range(0, CAST(ns AS BIGINT))]), (acc, w) -> $step)"
+    }
+    def merge(h: String, v: String): String = {
+      val k = mul64(rotl(mul64(v, P2), 31), P1)
+      s"(${mul64(xor64(h, k), P1)} + $P4) % $T"
+    }
+    val tail8Step =
+      s"(${mul64(rotl(xor64("acc", mul64(rotl(mul64("w", P2), 31), P1)), 27), P1)} + $P4) % $T"
+    val tail1Step = mul64(rotl(xor64("acc", mul64("w", p5.toString)), 11), P1)
+    val mg = merge(merge(merge(merge("hacc", "v1"), "v2"), "v3"), "v4")
+    val w4 = "b[off2 + 1] + b[off2 + 2] * 256 + b[off2 + 3] * 65536 + b[off2 + 4] * 16777216"
+    s"""g0 AS MATERIALIZED (
+       |  SELECT gid, CAST(strlen(g) AS BIGINT) AS ln, $by AS b FROM gr
+       |), g1 AS (
+       |  SELECT gid, ln, ln // 32 AS ns, $w8 AS w FROM g0
+       |), g2 AS (
+       |  SELECT gid, ln, ns, w,
+       |    ${vfold(0)} AS v1, ${vfold(1)} AS v2, ${vfold(2)} AS v3, ${vfold(3)} AS v4
+       |  FROM g1
+       |), g3 AS (
+       |  SELECT gid, ln, ns, w,
+       |    CASE WHEN ln >= 32 THEN
+       |      (${rotl("v1", 1)} + ${rotl("v2", 7)} + ${rotl("v3", 12)} + ${rotl("v4", 18)}) % $T
+       |    ELSE CAST($h0Small AS HUGEINT) END AS hacc, v1, v2, v3, v4
+       |  FROM g2
+       |), g4 AS (
+       |  SELECT gid, ln, ns, w,
+       |    (CASE WHEN ln >= 32 THEN $mg ELSE hacc END + ln) % $T AS hacc
+       |  FROM g3
+       |), g5 AS (
+       |  SELECT gid, g4.ln AS ln, 8 * (g4.ln // 8) AS off2,
+       |    list_reduce(list_prepend(hacc, w[4*ns + 1 :]), (acc, w) -> $tail8Step) AS hacc, b
+       |  FROM g4 JOIN g0 USING (gid)
+       |), g6 AS (
+       |  SELECT gid, ln,
+       |    CASE WHEN off2 + 4 <= ln THEN off2 + 4 ELSE off2 END AS off3,
+       |    CASE WHEN off2 + 4 <= ln THEN
+       |      (${mul64(rotl(xor64("hacc", mul64(w4, P1)), 23), P2)} + $P3) % $T
+       |    ELSE hacc END AS hacc, b
+       |  FROM g5
+       |), g7 AS (
+       |  SELECT gid,
+       |    list_reduce(list_prepend(hacc, b[off3 + 1 :]), (acc, w) -> $tail1Step) AS hacc
+       |  FROM g6
+       |), g8 AS (
+       |  SELECT gid, ${mul64(xor64("hacc", "hacc // 8589934592"), P2)} AS f1 FROM g7
+       |), g9 AS (
+       |  SELECT gid, ${mul64(xor64("f1", "f1 // 536870912"), P3)} AS f2 FROM g8
+       |), gh AS (
+       |  SELECT gid, ${xor64("f2", "f2 // 4294967296")} AS hv FROM g9
+       |)""".stripMargin
+  }
+
   // splitmix64 constants (unsigned decimal: 0x9E3779B97F4A7C15,
   // 0xBF58476D1CE4E5B9, 0x94D049BB133111EB)
   private val SM1 = "11400714819323198485"

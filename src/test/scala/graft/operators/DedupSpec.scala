@@ -186,6 +186,21 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("fixture precondition: documents text is pure ASCII at gate SFs") {
+    // d05's DuckDB oracle rebuilds XXH64 input bytes from CODEPOINTS
+    // (DuckHash.xxh64StrCtes) — codepoint == UTF-8 byte only below 0x80.
+    // Assert the fixture honors that so a corpus change fails here, not
+    // as an inscrutable hash divergence in the oracle diff.
+    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1")) {
+      val nonAscii = Tables.documents(spark, dir)
+        .filter(length(col("text")) =!= octet_length(col("text")))
+        .count()
+      assert(nonAscii === 0L,
+        s"$dir: $nonAscii documents contain non-ASCII text — d05's oracle " +
+          "byte reconstruction (codepoint == byte) would diverge")
+    }
+  }
+
   test("connected components: chains collapse transitively, min id wins, loners absent") {
     import spark.implicits._
     // 1-2-3-4 is a path (1~4 never directly paired), {10,11} a pair,
