@@ -207,8 +207,8 @@ object Similarity {
     // cosine on candidates only, per-vid top-1. Approximate: a vid whose
     // true NN shares no bucket gets its best candidate instead (and a vid
     // with no candidates is absent — by construction not a near-dup).
-    // Recall vs the exact e04 is asserted in SimilaritySpec; rows-only
-    // driver check.
+    // Recall vs the exact e04 is asserted in SimilaritySpec; the full
+    // candidate pipeline is restated in the DuckDB oracle (hash-exact).
     "e04b_embedding_nn_dedup_lsh" -> ((s, dir) => {
       val e = Tables.embeddings(s, dir)
       // top-1 as a lexicographic struct-max, NOT a row_number window: a
@@ -230,7 +230,8 @@ object Similarity {
     // LSH candidates only (vid < nid halves the directed pair space).
     // The top of the ranking is exactly where LSH recall is highest —
     // near-identical vectors collide in some table with probability ~1.
-    // Approximate → overlap vs e01 asserted in SimilaritySpec; rows-only.
+    // Overlap vs e01 asserted in SimilaritySpec; oracle-gated (the
+    // candidate pipeline is deterministic and fully restated).
     "e01b_cosine_pairs_topk_lsh" -> ((s, dir) => {
       val e = Tables.embeddings(s, dir)
       scoreCandidates(e, lshCandidatePairs(e).filter(col("vid") < col("nid")))
@@ -259,8 +260,8 @@ object Similarity {
     // that roughly squares the miss probability per probe while costing 2×
     // index rows, NOT more query-time cells. At scale the centroid table
     // is tiny and broadcast; the corpus partitions by cell, so a query
-    // touches ~nprobe/ncells of the (2×) index. Approximate → recall vs
-    // e02 asserted in SimilaritySpec, rows-only driver check.
+    // touches ~nprobe/ncells of the (2×) index. Approximate vs e02
+    // (recall in SimilaritySpec) but deterministic → oracle-gated.
     "e06_ivf_ann" -> ((s, dir) => {
       val nprobe = 4
       val assign = 2
@@ -392,8 +393,8 @@ object Similarity {
     // payload is 4 SMALL INTS (16× smaller than the floats) plus one
     // 40-row exact re-rank — the corpus embeddings are only fetched for
     // the shortlist, by key. Every stage is a broadcast or an equi-join.
-    // Approximate → recall vs e02 asserted in SimilaritySpec; rows-only
-    // driver check.
+    // Approximate vs e02 (recall in SimilaritySpec) but deterministic
+    // end to end → oracle-gated, ADC fold included.
     "e10_ivf_pq_ann" -> ((s, dir) => {
       val nprobe = 4; val assign = 2; val rerank = 40
       val e = Tables.embeddings(s, dir)
@@ -430,9 +431,14 @@ object Similarity {
         .select("qid", "nid").distinct()
       // ADC: approximate ⟨q, x⟩ = Σ_sub lookup(qid, sub, code(nid, sub))
       val wAdc = Window.partitionBy("qid").orderBy(col("adc_ip").desc, col("nid").asc)
+      // the 4 subspace products fold in sub order (a07/e08 discipline) —
+      // a plain sum() of doubles adds in partial-agg arrival order, which
+      // can flip near-tied shortlist boundaries run to run
       val shortlist = cand.join(codes, "nid")
         .join(adc, Seq("qid", "sub", "code"))
-        .groupBy("qid", "nid").agg(sum("d").as("adc_ip"))
+        .groupBy("qid", "nid")
+        .agg(aggregate(sort_array(collect_list(struct(col("sub"), col("d")))), lit(0.0),
+          (acc, x) => acc + x.getField("d")).as("adc_ip"))
         .withColumn("rn", row_number().over(wAdc))
         .filter(col("rn") <= rerank)
         .select("qid", "nid")
@@ -455,8 +461,8 @@ object Similarity {
     // buckets are kept coarse (64 per table) and recall comes from table
     // count (48 tables ⇒ ~0.93 predicted recall even at the 5th
     // neighbor's cos ≈ 0.35); corpora with real cluster structure can
-    // afford more bits and fewer tables. Approximate → no SQL oracle;
-    // recall vs e02 is asserted in tests.
+    // afford more bits and fewer tables. Approximate vs e02 (recall in
+    // tests) but deterministic → oracle-gated via the plane restatement.
     "e03_ann_lsh" -> ((s, dir) => {
       val bits = 6; val tables = 48; val dim = 64
       val e = Tables.embeddings(s, dir)
@@ -482,6 +488,72 @@ object Similarity {
         .orderBy("qid", "rn")
     })
   )
+
+  /** DuckDB restatement of `hyperplane_lsh_multi` (seed 7, `bits` ×
+    * `tables`): planes are splitmix64-derived dyadic rationals —
+    * `(z >>> 11) / 2^52 - 1.0` is exact in DOUBLE — and each signature
+    * bit is the sign of a sequential-double dot fold (the list_sum
+    * parity e01's green oracle already proves). Emits CTEs ending in
+    * `sigs(vec_id, tbl, bucket)`, mirroring the exploded bucket stream
+    * the Spark queries join on. Constants: 11400714819323198485 =
+    * splitmix64's golden gamma (also the per-table stride),
+    * 14029467366897019727 = the per-dim stride (XXH64 P2).
+    */
+  private def duckLshCtes(bits: Int = 6, tables: Int = 48): String = {
+    val pw = (0 until bits).map(j => s"($j, ${1L << j})").mkString(",")
+    s"""grid AS (
+       |  SELECT tj.tj, d.d FROM (SELECT unnest(range(0, ${tables * bits})) AS tj) tj,
+       |       (SELECT unnest(range(0, 64)) AS d) d
+       |), ids AS (
+       |  SELECT tj, d,
+       |    (CAST(7 AS HUGEINT) + tj * CAST('11400714819323198485' AS HUGEINT)
+       |     + d * CAST('14029467366897019727' AS HUGEINT)) % ${DuckHash.T} AS x
+       |  FROM grid
+       |), ${DuckHash.splitmix64Ctes("tj, d")}, planes AS (
+       |  SELECT tj, list((sv // 2048)::DOUBLE / 4503599627370496.0 - 1.0 ORDER BY d) AS pl
+       |  FROM smixed GROUP BY tj
+       |), sigbits AS (
+       |  SELECT e.vec_id, p.tj // $bits AS tbl,
+       |    CASE WHEN list_sum([e.embedding[i]::DOUBLE * p.pl[i] for i in range(1, len(e.embedding)+1)]) >= 0.0
+       |         THEN pw.p ELSE 0 END AS bit
+       |  FROM embeddings e CROSS JOIN planes p
+       |  JOIN (VALUES $pw) AS pw(j, p) ON pw.j = p.tj % $bits
+       |), sigs AS (
+       |  SELECT vec_id, tbl, CAST(SUM(bit) AS BIGINT) AS bucket FROM sigbits GROUP BY vec_id, tbl
+       |)""".stripMargin
+  }
+
+  /** Shared IVF coarse-quantizer fragment (e06/e10): e05's order-pinned
+    * centroids, the float32 cast Spark's array<float> applies, cosine
+    * assignment, top-2 index cells / top-4 query probes — e08's oracle
+    * arithmetic, reshaped. Emits CTEs ending in `assigned(nid, cell)`
+    * and `probes(qid, cell)`.
+    */
+  private val duckIvfCtes: String =
+    """x AS (
+      |  SELECT label, vec_id,
+      |    unnest([{'d': i - 1, 'v': embedding[i]::DOUBLE} for i in range(1, len(embedding) + 1)]) AS u
+      |  FROM embeddings
+      |), cd AS (
+      |  SELECT label, u.d AS dim, list_sum(list(u.v ORDER BY vec_id)) / COUNT(*) AS c
+      |  FROM x GROUP BY label, u.d
+      |), cent AS (
+      |  SELECT label AS cell, list_transform(list(c ORDER BY dim), v -> v::FLOAT) AS ce
+      |  FROM cd GROUP BY label
+      |), cscored AS (
+      |  SELECT e.vec_id, c.cell,
+      |    list_sum([e.embedding[i]::DOUBLE * c.ce[i]::DOUBLE for i in range(1, len(e.embedding) + 1)])
+      |    / sqrt(list_sum([e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE for i in range(1, len(e.embedding) + 1)]))
+      |    / sqrt(list_sum([c.ce[i]::DOUBLE * c.ce[i]::DOUBLE for i in range(1, len(c.ce) + 1)])) AS ccos
+      |  FROM embeddings e, cent c
+      |), cranked AS (
+      |  SELECT vec_id, cell, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cell ASC) AS rn
+      |  FROM cscored
+      |), assigned AS (
+      |  SELECT vec_id AS nid, cell FROM cranked WHERE rn <= 2
+      |), probes AS (
+      |  SELECT vec_id AS qid, cell FROM cranked WHERE rn <= 4 AND vec_id < 10
+      |)""".stripMargin
 
   def oracles: Map[String, String] = Map(
     "e01_cosine_pairs_topk" ->
@@ -509,8 +581,109 @@ object Similarity {
          |  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
          |) WHERE rn = 1
          |ORDER BY vid""".stripMargin,
-    // e03_ann_lsh / e06_ivf_ann: approximate — recall asserted in
-    // SimilaritySpec instead of a SQL oracle.
+
+    // The LSH/IVF variants are approximate vs their exact twins but
+    // DETERMINISTIC in themselves (splitmix64 planes, pinned folds,
+    // integer bucketing), so each oracle restates the whole candidate
+    // pipeline and the driver checks them hash-exactly; SimilaritySpec
+    // keeps the recall assertions against e01/e02/e04.
+    "e01b_cosine_pairs_topk_lsh" ->
+      s"""WITH ${duckLshCtes()}, bok AS (
+         |  SELECT tbl, bucket FROM sigs GROUP BY tbl, bucket HAVING COUNT(*) <= 10000
+         |), bounded AS (
+         |  SELECT s.vec_id, s.tbl, s.bucket FROM sigs s JOIN bok USING (tbl, bucket)
+         |), pairs AS (
+         |  SELECT DISTINCT a.vec_id AS vid, b.vec_id AS nid
+         |  FROM bounded a JOIN bounded b ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+         |)
+         |SELECT p.vid AS id_a, p.nid AS id_b, ${duckCos("a", "b")} AS cos_sim
+         |FROM pairs p JOIN embeddings a ON a.vec_id = p.vid JOIN embeddings b ON b.vec_id = p.nid
+         |ORDER BY cos_sim DESC, id_a ASC, id_b ASC
+         |LIMIT 100""".stripMargin,
+
+    "e03_ann_lsh" ->
+      s"""WITH ${duckLshCtes()}, cand AS (
+         |  SELECT DISTINCT q.vec_id AS qid, s.vec_id AS nid
+         |  FROM sigs q JOIN sigs s ON s.tbl = q.tbl AND s.bucket = q.bucket AND s.vec_id <> q.vec_id
+         |  WHERE q.vec_id < 10
+         |), scored AS (
+         |  SELECT c.qid, c.nid, ${duckCos("a", "b")} AS cos_sim,
+         |    ROW_NUMBER() OVER (PARTITION BY c.qid ORDER BY ${duckCos("a", "b")} DESC, c.nid ASC) AS rn
+         |  FROM cand c JOIN embeddings a ON a.vec_id = c.qid JOIN embeddings b ON b.vec_id = c.nid
+         |)
+         |SELECT qid, nid, cos_sim, rn FROM scored WHERE rn <= 5 ORDER BY qid, rn""".stripMargin,
+
+    "e04b_embedding_nn_dedup_lsh" ->
+      s"""WITH ${duckLshCtes()}, bok AS (
+         |  SELECT tbl, bucket FROM sigs GROUP BY tbl, bucket HAVING COUNT(*) <= 10000
+         |), bounded AS (
+         |  SELECT s.vec_id, s.tbl, s.bucket FROM sigs s JOIN bok USING (tbl, bucket)
+         |), pairs AS (
+         |  SELECT DISTINCT a.vec_id AS vid, b.vec_id AS nid
+         |  FROM bounded a JOIN bounded b ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id <> b.vec_id
+         |), scored AS (
+         |  SELECT p.vid, p.nid, ${duckCos("a", "b")} AS cos_sim,
+         |    ROW_NUMBER() OVER (PARTITION BY p.vid ORDER BY ${duckCos("a", "b")} DESC, p.nid ASC) AS rn
+         |  FROM pairs p JOIN embeddings a ON a.vec_id = p.vid JOIN embeddings b ON b.vec_id = p.nid
+         |)
+         |SELECT vid, nid AS nn_id, cos_sim AS nn_cos, cos_sim > 0.45 AS is_near_dup
+         |FROM scored WHERE rn = 1 ORDER BY vid""".stripMargin,
+
+    "e06_ivf_ann" ->
+      s"""WITH $duckIvfCtes, cand AS (
+         |  SELECT DISTINCT p.qid, a.nid
+         |  FROM assigned a JOIN probes p USING (cell)
+         |  WHERE a.nid <> p.qid
+         |), scored AS (
+         |  SELECT c.qid, c.nid, ${duckCos("a", "b")} AS cos_sim,
+         |    ROW_NUMBER() OVER (PARTITION BY c.qid ORDER BY ${duckCos("a", "b")} DESC, c.nid ASC) AS rn
+         |  FROM cand c JOIN embeddings a ON a.vec_id = c.qid JOIN embeddings b ON b.vec_id = c.nid
+         |)
+         |SELECT qid, nid, cos_sim, rn FROM scored WHERE rn <= 5 ORDER BY qid, rn""".stripMargin,
+
+    "e10_ivf_pq_ann" ->
+      s"""WITH $duckIvfCtes, cb AS (
+         |  SELECT vec_id AS code, embedding AS cemb FROM embeddings WHERE vec_id < $PqK
+         |), subs AS (
+         |  SELECT vec_id, embedding, unnest([0, 1, 2, 3]) AS sub FROM embeddings
+         |), pqscored AS (
+         |  SELECT s.vec_id, s.sub, cb.code,
+         |    list_sum([ (s.embedding[s.sub*16 + i]::DOUBLE - cb.cemb[s.sub*16 + i]::DOUBLE)
+         |             * (s.embedding[s.sub*16 + i]::DOUBLE - cb.cemb[s.sub*16 + i]::DOUBLE)
+         |             for i in range(1, 17)]) AS dist
+         |  FROM subs s CROSS JOIN cb
+         |), codes AS (
+         |  SELECT vec_id AS nid, sub, code FROM (
+         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, sub ORDER BY dist ASC, code ASC) AS rn
+         |    FROM pqscored) WHERE rn = 1
+         |), adc AS (
+         |  SELECT q.vec_id AS qid, s.sub, cb.code,
+         |    list_sum([q.embedding[s.sub*16 + i]::DOUBLE * cb.cemb[s.sub*16 + i]::DOUBLE
+         |              for i in range(1, 17)]) AS d
+         |  FROM embeddings q CROSS JOIN cb CROSS JOIN (SELECT unnest([0,1,2,3]) AS sub) s
+         |  WHERE q.vec_id < 10
+         |), cand AS (
+         |  SELECT DISTINCT p.qid, a.nid
+         |  FROM assigned a JOIN probes p USING (cell)
+         |  WHERE a.nid <> p.qid
+         |), shortlist AS (
+         |  SELECT qid, nid FROM (
+         |    SELECT ai.qid, ai.nid,
+         |      ROW_NUMBER() OVER (PARTITION BY ai.qid ORDER BY ai.adc_ip DESC, ai.nid ASC) AS rn
+         |    FROM (
+         |      SELECT c.qid, c.nid, list_sum(list(a.d ORDER BY a.sub)) AS adc_ip
+         |      FROM cand c
+         |      JOIN codes k ON k.nid = c.nid
+         |      JOIN adc a ON a.qid = c.qid AND a.sub = k.sub AND a.code = k.code
+         |      GROUP BY c.qid, c.nid
+         |    ) ai
+         |  ) WHERE rn <= 40
+         |), rerank AS (
+         |  SELECT s.qid, s.nid, ${duckCos("a", "b")} AS cos_sim,
+         |    ROW_NUMBER() OVER (PARTITION BY s.qid ORDER BY ${duckCos("a", "b")} DESC, s.nid ASC) AS rn
+         |  FROM shortlist s JOIN embeddings a ON a.vec_id = s.qid JOIN embeddings b ON b.vec_id = s.nid
+         |)
+         |SELECT qid, nid, cos_sim, rn FROM rerank WHERE rn <= 5 ORDER BY qid, rn""".stripMargin,
 
     // 1-based DuckDB list indexing over the same 16-element slices; the
     // squared-diff terms fold in identical order, so dist doubles match
