@@ -22,7 +22,10 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // ERROR, not WARN: the driver's log window is ~2000 chars shared by
+    // whatever prints near the metric line; benign WindowExec/AQE WARNs
+    // were crowding the JSON line out of the captured tail (rounds 2-4).
+    spark.sparkContext.setLogLevel("ERROR")
 
     // one untimed pass first: JIT + whole-stage-codegen compilation +
     // parquet footer caches land here, so the timed pass measures
