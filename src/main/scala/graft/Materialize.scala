@@ -50,16 +50,39 @@ object Materialize {
     * cluster (scratchDir on HDFS/S3) it survives executor loss, which is
     * what production graph/dedup pipelines do with iteration outputs.
     *
-    * Scratch files are label-table-sized (O(|V|) rows, few columns) and
-    * accumulate until the scratch dir is cleaned; set
-    * `spark.graft.scratchDir` to the job's scratch space on a cluster.
+    * Scratch files are label-table-sized (O(|V|) rows, few columns). Two
+    * cleanup guarantees bound disk use: (1) writing a new scratch for a
+    * tag deletes that tag's PREVIOUS scratch, so a long-lived session
+    * holds at most one live dir per tag — safe because the runners
+    * (Verify/Bench/specs) consume each result fully before re-invoking
+    * the producing query, same sequential-consumption contract
+    * `StreamingQueries.runToTable` documents; (2) a JVM shutdown hook
+    * removes whatever remains, so repeated sessions don't accrete. Set
+    * `spark.graft.scratchDir` to the job's scratch space on a cluster
+    * (cleanup there is the scheduler's job — the hook only handles
+    * local paths it created).
     */
+  private val livePerTag = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def deleteRecursively(p: java.io.File): Unit = {
+    if (p.isDirectory) Option(p.listFiles()).foreach(_.foreach(deleteRecursively))
+    p.delete()
+  }
+
+  locally {
+    sys.addShutdownHook {
+      livePerTag.values.forEach(p => deleteRecursively(new java.io.File(p)))
+    }
+  }
+
   def toStorage(df: DataFrame, tag: String): DataFrame = {
     val spark = df.sparkSession
     val base = spark.conf.getOption("spark.graft.scratchDir")
       .getOrElse(sys.props("java.io.tmpdir") + "/graft-scratch")
     val path = s"$base/${tag}_${java.util.UUID.randomUUID()}"
     df.write.parquet(path)
+    val prev = livePerTag.put(tag, path)
+    if (prev != null) deleteRecursively(new java.io.File(prev))
     spark.read.parquet(path)
   }
 }

@@ -42,8 +42,9 @@ object ScaleProbe {
     * in the SAME time window — per-user temporal structure (sessions,
     * funnels, as-of pairs) is preserved per replica, so the expected
     * output is exactly F× the original and the probe measures pure data
-    * growth. `ts` is re-emitted as the raw long nanos the canonical
-    * reader (`Tables.events`) expects.
+    * growth. `ts` passes through in whatever physical encoding the source
+    * testdata carries — the canonical reader (`Tables.events`) adapts to
+    * the encoding it finds (`Tables.adaptiveTs`).
     */
   private def scaledEvents(s: SparkSession, dir: String, factor: Int): DataFrame = {
     Tables.withNanosAsLong(s)

@@ -14,8 +14,11 @@ import graft.Tables
   * oracle. This is the §2 capability-parity surface executed the way the
   * reference executes: as a stream.
   *
-  * events.ts is INT64 TIMESTAMP(NANOS) parquet; like `Tables.events` we
-  * read it as long (`nanosAsLong`) and rebuild microsecond timestamps.
+  * events.ts has shipped as both INT64 TIMESTAMP(NANOS) and `timestamp[us]`
+  * parquet across testdata generations; the stream schema is derived from a
+  * batch footer probe at plan time and the ts rebuild adapts
+  * (`Tables.adaptiveTs`) — a declared-schema stream can't infer, so probing
+  * is the only drift-proof option.
   */
 case class UserEvent(user_id: Long, event_id: Long, ts_sec: Long)
 case class UserState(n: Long, minId: Long, maxTs: Long)
@@ -54,22 +57,24 @@ object StreamingQueries {
 
   private val runIds = new AtomicInteger(0)
 
-  private val eventsSchema = StructType(Seq(
-    StructField("event_id", LongType),
-    StructField("ts", LongType), // nanos-as-long
-    StructField("user_id", LongType),
-    StructField("event_type", StringType),
-    StructField("value", DoubleType),
-    StructField("props", StringType)))
-
-  /** events as a bounded file stream (ts: µs timestamp). */
+  /** events as a bounded file stream (ts: µs timestamp).
+    *
+    * File streams require a declared schema, so we probe the batch footer
+    * once at plan time (cheap: footer read only, no data scan) and declare
+    * whatever physical encoding the current testdata carries; the ts
+    * rebuild then branches the same way the batch loader does. Hard-coding
+    * the schema is what silently corrupted 11 streaming queries when the
+    * testdata's ts encoding changed under us (nanos-as-long read as raw µs
+    * compressed every timestamp 1000×).
+    */
   private def eventsStream(s: SparkSession, dir: String): DataFrame = {
     Tables.withNanosAsLong(s)
-    s.readStream
-      .schema(eventsSchema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val probed = s.read.parquet(s"$dir/events.parquet").schema
+    Tables.adaptiveTs(
+      s.readStream
+        .schema(probed)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(dir))
   }
 
   /** Run `df` (a streaming frame) to completion into a memory sink and

@@ -36,7 +36,19 @@ class PartitionInvarianceSpec extends SparkSpec {
     // (t19 — sketch merge order must not change any estimate the
     // threshold reads), the banded Hamming join + dropDuplicates (m09),
     // and the forward/backward ignore-nulls window fills (a13)
-    "t19_heavy_hitters", "m09_phash_neardup", "a13_interpolate")
+    "t19_heavy_hitters", "m09_phash_neardup", "a13_interpolate",
+    // round 6: the rest of the recovered Temporal family (round 5's
+    // events-encoding breakage took out a01–a13 + q51/q52; a09/a10/a12/a13
+    // were already pinned above) — as-of backward join tie-breaks (a01),
+    // banded range-join bucket assignment (a02), session gap numbering
+    // (a03/a04), ordered funnel steps (a05), cohort retention (a06),
+    // interval-weighted averages (a07), calendar spine fill (a08),
+    // trailing-window folds (a11), and the variant-typed extraction +
+    // sketch unions whose merge order must not leak (q48, q51, q52)
+    "a01_asof_join", "a02_range_join", "a03_sessionize", "a04_session_window",
+    "a05_funnel", "a06_retention", "a07_time_weighted_avg", "a08_gap_fill",
+    "a11_trailing_window", "q48_variant_json", "q51_cdc_apply",
+    "q52_sketch_union")
 
   private def runAt(name: String, parts: Int): Seq[String] = {
     val old = spark.conf.get("spark.sql.shuffle.partitions")

@@ -80,6 +80,45 @@ class KinesisSurfaceSpec extends SparkSpec {
       ("shardId-000000000000", 2L, 3L, "100"),   // numeric order: 100 > 99
       ("shardId-000000000001", 2L, 7L, "1005"))) // and 1005 > 7
   }
+
+  test("seqOrderKey orders real-world 56-digit sequence numbers numerically through the fold") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // The shape live Kinesis emits: ~56-digit decimal strings. Chosen so
+    // plain STRING order disagrees with numeric order twice over — the
+    // 55-digit value starting with '9' string-sorts above every 56-digit
+    // value, and among equal lengths '1999…' vs '2000…' exercises the
+    // digit comparison — so the (length, digits) key is what's proven,
+    // not an accident of the data.
+    val seqs = Seq(
+      "9" + "8" * 54,                                  // 55 digits, string-max
+      "1" + "9" * 55,                                  // 56 digits: 1999…9
+      "2" + "0" * 55,                                  // 56 digits: 2000…0 = numeric max
+      "49590338271490256608559692538361571095921575989136588898")
+    assert(seqs.forall(s => s.length >= 55 || s == seqs(3)) && seqs(3).length == 56)
+    val mem = MemoryStream[KinesisWireRecord]
+    mem.addData(seqs.zipWithIndex.map { case (sq, i) => wireRow("shardId-000000000007", sq, i) }: _*)
+
+    val last = KinesisEnvelopeSource.envelope(mem.toDF())
+      .groupBy("shard_id")
+      .agg(max_by(col("sequence_number"),
+        KinesisEnvelopeSource.seqOrderKey(col("sequence_number"))).as("last_seq"),
+        min_by(col("sequence_number"),
+          KinesisEnvelopeSource.seqOrderKey(col("sequence_number"))).as("first_seq"))
+    val q = last.writeStream
+      .format("memory").queryName("kinesis_seq56")
+      .outputMode(OutputMode.Complete())
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+
+    val Array(row) = spark.table("kinesis_seq56").collect()
+    val numericMax = seqs.maxBy(BigInt(_))
+    val numericMin = seqs.minBy(BigInt(_))
+    assert(row.getString(1) === numericMax, "high-water mark must be the numeric max")
+    assert(row.getString(2) === numericMin, "low mark must be the numeric min")
+    assert(seqs.max !== numericMax, "data must make string order disagree, or the test proves nothing")
+  }
 }
 
 case class KinesisWireRecord(
