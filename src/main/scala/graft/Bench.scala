@@ -86,8 +86,12 @@ object Bench {
     val fullQs = results.map { case (k, v) => s"\"$k\":" + fmt(v, 3) }.mkString("{", ",", "}")
     java.nio.file.Files.write(java.nio.file.Paths.get("bench_detail.json"),
       s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec","queries":$fullQs,"sf":"$sfDir"}""".getBytes("UTF-8"))
+    // stop() BEFORE the metric println: spark shutdown (and log4j's exit
+    // flush of anything it buffered) must not print after the one JSON
+    // line the driver scrapes from the captured tail. Rounds 2–5 recorded
+    // parsed=null because flushed startup logs landed after the metric.
+    spark.stop()
     println(s"""{"metric":"total","value":${fmt(total, 1)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     Console.out.flush()
-    spark.stop()
   }
 }

@@ -197,7 +197,15 @@ object ScaleProbe {
       // metrics, s18 O(users) — all watermark/group-bounded, so 10×
       // rows should cost ~scan, not ~state.
       "s15_stream_curation_gates", "s16_stream_ohlc", "s17_stream_observe",
-      "s18_stream_cdc", "z03_zone_skipping")
+      "s18_stream_cdc", "z03_zone_skipping",
+      // round 6: the state-HEAVY streaming paths invalidated by round 5's
+      // events-encoding breakage — tumbling windows (s02: state O(open
+      // windows), watermark-bounded), session merge (s08: O(open
+      // sessions)), and the append-mode finalized prefix (s09: state
+      // drains as the watermark passes each window). 10× users in the
+      // same time span grows per-batch state ×10 but the watermark still
+      // bounds its lifetime — expected ~linear.
+      "s02_stream_tumbling", "s08_stream_sessions", "s09_stream_append_finalized")
       // local iteration only: probe just a subset by name prefix
       .filter(n => sys.env.get("SPARK_GRAFT_ONLY")
         .forall(_.split(",").exists(n.startsWith)))
