@@ -205,7 +205,15 @@ object ScaleProbe {
       // drains as the watermark passes each window). 10× users in the
       // same time span grows per-batch state ×10 but the watermark still
       // bounds its lifetime — expected ~linear.
-      "s02_stream_tumbling", "s08_stream_sessions", "s09_stream_append_finalized")
+      "s02_stream_tumbling", "s08_stream_sessions", "s09_stream_append_finalized",
+      // round 6 additions: substring dup mass (claim: corpus-token-linear —
+      // windows leave the scan as 64-bit hashes, map-side-combined freq
+      // agg), semantic dedup (claim: within-cell quadratic — the probe
+      // holds k fixed while cells grow ×10, so pair work grows ~×100 per
+      // cell; the documented at-scale knob is growing k with N, same as
+      // IVF — the probe makes that trade-off measurable, not hidden),
+      // and the streaming near-dup gate (dedup state O(distinct sketches))
+      "d12_substring_dup_mass", "e11_semdedup", "s19_stream_neardup_gate")
       // local iteration only: probe just a subset by name prefix
       .filter(n => sys.env.get("SPARK_GRAFT_ONLY")
         .forall(_.split(",").exists(n.startsWith)))

@@ -58,6 +58,45 @@ object Dedup {
   val MinRareShingles = 5
   val ContainmentThreshold = 0.8
 
+  /** Window width (in words) for substring-level duplicate mass (d12).
+    * Long enough that a shared window is evidence of copying, short
+    * enough that the synthetic corpus's near-dup spans still overlap it.
+    */
+  val SubstringW = 5
+
+  /** DuckDB CTE chain (WITH-body fragment) ending in `sh(doc_id, hu)` —
+    * the per-doc 64-bit SimHash as an unsigned HUGEINT, recomputed from
+    * scratch: 3-word shingles, Spark-exact XXH64 per shingle
+    * (DuckHash.xxh64StrCtes), 64-bit majority vote, Σ 2^b reassembly.
+    * Shared by the d05 oracle (banding + Hamming on top) and the s19
+    * streaming near-dup oracle (per-source distinct-sketch counts).
+    */
+  private[graft] lazy val duckSimhashCtes: String = {
+    val vcols = (0 until 64).map(b =>
+      s"SUM(CASE WHEN (h.hv // CAST('${BigInt(1) << b}' AS HUGEINT)) % 2 = 1" +
+        s" THEN 1 ELSE -1 END) AS v$b").mkString(",\n    ")
+    val hexpr = (0 until 64).map(b =>
+      s"CASE WHEN v$b > 0 THEN CAST('${BigInt(1) << b}' AS HUGEINT)" +
+        s" ELSE CAST(0 AS HUGEINT) END").mkString(" + ")
+    s"""tok AS (
+       |  SELECT doc_id, list_filter(string_split(lower(text), ' '), w -> len(w) > 0) AS w
+       |  FROM documents
+       |), docsh AS MATERIALIZED (
+       |  SELECT DISTINCT doc_id,
+       |    unnest(list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w) - 1)])) AS g
+       |  FROM tok WHERE len(w) >= 3
+       |), gr AS (
+       |  SELECT g AS gid, g FROM (SELECT DISTINCT g FROM docsh)
+       |), ${DuckHash.xxh64StrCtes()}, votes AS (
+       |  SELECT d.doc_id,
+       |    $vcols
+       |  FROM docsh d JOIN gh h ON h.gid = d.g
+       |  GROUP BY 1
+       |), sh AS (
+       |  SELECT doc_id, $hexpr AS hu FROM votes
+       |)""".stripMargin
+  }
+
   /** Round cap for connectedComponents — label propagation needs rounds
     * equal to the component diameter, and near-dup clusters are shallow
     * (a chain this long means the corpus is pathological). Hitting the cap
@@ -534,8 +573,49 @@ object Dedup {
           bit_count(col("h_a").bitwiseXOR(col("h_b"))).cast("long").as("hamming"))
         .filter(col("hamming") <= 3)
         .orderBy("id_a", "id_b")
-    })
+    }),
+
+    // SUBSTRING-level duplicate mass — the span-granular sibling of the
+    // doc-pair dedups above (the "dedup at the substring level" technique
+    // from the training-data dedup literature: a document is penalized for
+    // every W-token window that occurs anywhere else in the corpus,
+    // including elsewhere in itself — repeated boilerplate, quoted spans,
+    // templated intros). Per doc: window positions, positions whose window
+    // text occurs ≥2× corpus-wide, and the duplicated fraction — the
+    // memorization-risk score a curation pipeline thresholds on.
+    //
+    // Scale shape: raw text never shuffles. Windows leave the scan as
+    // 64-bit xxhash64 values (~16 B/row vs ~50 B of text), the global
+    // frequency agg is map-side combinable on those hashes, and the
+    // join back is a hash equi-join — corpus-token-linear end to end. The
+    // oracle counts the window STRINGS; equality-under-hash is the same
+    // ~1e-14 collision argument `sketched` documents, and a collision
+    // would surface as a hash_match failure, not silent corruption.
+    "d12_substring_dup_mass" -> ((s, dir) =>
+      substringDupMass(Tables.documents(s, dir)).orderBy("doc_id"))
   )
+
+  /** d12 core over any (doc_id, text) frame — see the catalog entry for
+    * semantics and the scale argument.
+    */
+  private[operators] def substringDupMass(docs: DataFrame): DataFrame = {
+    val wins = docs
+      .select(col("doc_id"),
+        filter(split(lower(col("text")), " "), w => length(w) > 0).as("w"))
+      .filter(size(col("w")) >= SubstringW)
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(0), size(col("w")) - SubstringW),
+          i => concat_ws(" ", slice(col("w"), i + lit(1), lit(SubstringW))))).as("win"))
+      .select(col("doc_id"), xxhash64(col("win")).as("h"))
+    val freq = wins.groupBy("h").agg(count(lit(1)).as("cnt"))
+    wins.join(freq, "h")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_windows"),
+        sum(when(col("cnt") >= 2, 1L).otherwise(0L)).as("n_dup_windows"))
+      .select(col("doc_id"), col("n_windows"), col("n_dup_windows"),
+        (col("n_dup_windows").cast("double") / col("n_windows").cast("double"))
+          .as("dup_frac"))
+  }
 
   def oracles: Map[String, String] = Map(
     "d01_dedup_exact" ->
@@ -738,31 +818,9 @@ object Dedup {
     // over the (doc, shingle)-hash join (one aggregation pass, no 64×
     // row explosion); the sketch reassembles as Σ 2^b over winning bits.
     "d05_simhash_pairs" -> {
-      val vcols = (0 until 64).map(b =>
-        s"SUM(CASE WHEN (h.hv // CAST('${BigInt(1) << b}' AS HUGEINT)) % 2 = 1" +
-          s" THEN 1 ELSE -1 END) AS v$b").mkString(",\n    ")
-      val hexpr = (0 until 64).map(b =>
-        s"CASE WHEN v$b > 0 THEN CAST('${BigInt(1) << b}' AS HUGEINT)" +
-          s" ELSE CAST(0 AS HUGEINT) END").mkString(" + ")
       val bdivs = (0 until 4).map(b =>
         s"($b, CAST('${BigInt(1) << (16 * b)}' AS HUGEINT))").mkString(",")
-      s"""WITH tok AS (
-         |  SELECT doc_id, list_filter(string_split(lower(text), ' '), w -> len(w) > 0) AS w
-         |  FROM documents
-         |), docsh AS MATERIALIZED (
-         |  SELECT DISTINCT doc_id,
-         |    unnest(list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w) - 1)])) AS g
-         |  FROM tok WHERE len(w) >= 3
-         |), gr AS (
-         |  SELECT g AS gid, g FROM (SELECT DISTINCT g FROM docsh)
-         |), ${DuckHash.xxh64StrCtes()}, votes AS (
-         |  SELECT d.doc_id,
-         |    $vcols
-         |  FROM docsh d JOIN gh h ON h.gid = d.g
-         |  GROUP BY 1
-         |), sh AS (
-         |  SELECT doc_id, $hexpr AS hu FROM votes
-         |), bands AS (
+      s"""WITH $duckSimhashCtes, bands AS (
          |  SELECT doc_id, hu, band, (hu // bdiv) % 65536 AS bkey
          |  FROM sh CROSS JOIN (VALUES $bdivs) AS t(band, bdiv)
          |), admitted AS (
@@ -779,6 +837,28 @@ object Dedup {
          |FROM cand
          |WHERE bit_count(xor(CAST(ha AS UBIGINT), CAST(hb AS UBIGINT))) <= 3
          |ORDER BY id_a, id_b""".stripMargin
-    }
+    },
+
+    // windows counted as strings (Spark side hashes them first — the same
+    // collision argument as d03's hashed-shingle jaccard); slice w[i:i+W-1]
+    // is 1-based inclusive = Spark's slice(w, i+1, W)
+    "d12_substring_dup_mass" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, list_filter(string_split(lower(text), ' '), w -> len(w) > 0) AS w
+         |  FROM documents
+         |), wins AS (
+         |  SELECT doc_id,
+         |    unnest([array_to_string(w[i:i+${SubstringW - 1}], ' ')
+         |            for i in range(1, len(w) - ${SubstringW - 2})]) AS win
+         |  FROM t WHERE len(w) >= $SubstringW
+         |), freq AS (
+         |  SELECT win, COUNT(*) AS cnt FROM wins GROUP BY win
+         |)
+         |SELECT doc_id, COUNT(*) AS n_windows,
+         |  CAST(SUM(CASE WHEN cnt >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_windows,
+         |  SUM(CASE WHEN cnt >= 2 THEN 1 ELSE 0 END)::DOUBLE / COUNT(*)::DOUBLE AS dup_frac
+         |FROM wins JOIN freq USING (win)
+         |GROUP BY doc_id
+         |ORDER BY doc_id""".stripMargin
   )
 }

@@ -23,6 +23,13 @@ import graft.functions.VectorFunctions._
   */
 object Similarity {
 
+  /** Cosine threshold for semantic dedup (e11) — looser than e04's
+    * near-dup 0.45 cut on purpose: SemDeDup-style curation removes
+    * "semantically redundant" vectors, not just near-copies, and the
+    * k-means-cell blocking keeps the loose threshold affordable.
+    */
+  val SemDedupTheta = 0.30
+
   /** Per-label centroid components in long format (label, dim, c):
     * order-pinned sequential summation so the result is bit-reproducible
     * across engines and partitionings. Shared by e05 (surfaced directly)
@@ -332,6 +339,52 @@ object Similarity {
             .as("centroid_new"),
           col("n").as("n_members"))
         .orderBy("cluster", "dim")
+    }),
+
+    // SEMANTIC DEDUP (SemDeDup-shaped): k-means cells as the blocking
+    // structure for embedding near-dup removal — assign every vector to
+    // its nearest centroid (e08's assignment), then compare ONLY within a
+    // cell and drop any vector θ-similar to a lower-id cellmate (greedy
+    // keep-lowest-id; declarative — one join, no iteration — so the whole
+    // operator sits under the exact oracle). Complements e04b: there the
+    // blocking is LSH buckets tuned for high-θ pairs; here it's the
+    // SAME clustering a curation pipeline already maintains for topic
+    // balancing, and the θ can be far looser because cells bound the
+    // pair space. Scale shape: centroids broadcast (tiny), corpus
+    // shuffles ONCE keyed by cell, within-cell pairing is quadratic only
+    // in |cell| — bounded by the quantizer's balance; at 100 TB you grow
+    // k with N to hold |cell| ~ constant (the same knob IVF uses), which
+    // keeps per-task work flat while the cell join stays a plain
+    // equi-join.
+    "e11_semdedup" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val cents = centroidComponents(e)
+        .groupBy("label")
+        .agg(transform(sort_array(collect_list(struct(col("dim"), col("c")))), s => s.getField("c"))
+          .cast("array<float>").as("centroid"))
+        .select(col("label").as("cell"), col("centroid"))
+      val wAssign = Window.partitionBy("vec_id").orderBy(col("ccos").desc, col("cell").asc)
+      val assigned = e.join(broadcast(cents))
+        .select(col("vec_id"), col("embedding"), col("cell"),
+          cosine_similarity(col("embedding"), col("centroid")).as("ccos"))
+        .withColumn("rn", row_number().over(wAssign))
+        .filter(col("rn") === 1)
+        .select(col("vec_id"), col("embedding"), col("cell"))
+      val a = assigned.select(col("cell"), col("vec_id").as("vid"), col("embedding").as("emb_a"))
+      val b = assigned.select(col("cell"), col("vec_id").as("nid"), col("embedding").as("emb_b"))
+      val dupsLower = a.join(b, "cell")
+        .filter(col("nid") < col("vid"))
+        .select(col("vid"),
+          cosine_similarity(col("emb_a"), col("emb_b")).as("cos_sim"))
+        .filter(col("cos_sim") >= SemDedupTheta)
+        .groupBy("vid")
+        .agg(count(lit(1)).as("n_dups_lower"))
+      assigned
+        .join(dupsLower, col("vec_id") === col("vid"), "left")
+        .select(col("vec_id"), col("cell").cast("long").as("cell"),
+          coalesce(col("n_dups_lower"), lit(0L)).as("n_dups_lower"),
+          (coalesce(col("n_dups_lower"), lit(0L)) === 0L).as("kept"))
+        .orderBy("vec_id")
     }),
 
     // int8 vector quantization — the embedding-compression step an ANN
@@ -777,6 +830,42 @@ object Similarity {
         |  list_sum(list(u.v ORDER BY vec_id)) / COUNT(*) AS centroid
         |FROM x
         |GROUP BY label, u.d
-        |ORDER BY label, dim""".stripMargin
+        |ORDER BY label, dim""".stripMargin,
+
+    // e08's assignment CTEs verbatim, then within-cell lower-id pairing
+    "e11_semdedup" ->
+      s"""WITH x AS (
+         |  SELECT label, vec_id,
+         |    unnest([{'d': i - 1, 'v': embedding[i]::DOUBLE} for i in range(1, len(embedding) + 1)]) AS u
+         |  FROM embeddings
+         |), cd AS (
+         |  SELECT label, u.d AS dim, list_sum(list(u.v ORDER BY vec_id)) / COUNT(*) AS c
+         |  FROM x GROUP BY label, u.d
+         |), cent AS (
+         |  SELECT label AS cell, list_transform(list(c ORDER BY dim), v -> v::FLOAT) AS ce
+         |  FROM cd GROUP BY label
+         |), scored AS (
+         |  SELECT e.vec_id, e.embedding, c.cell,
+         |    list_sum([e.embedding[i]::DOUBLE * c.ce[i]::DOUBLE for i in range(1, len(e.embedding) + 1)])
+         |    / sqrt(list_sum([e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE for i in range(1, len(e.embedding) + 1)]))
+         |    / sqrt(list_sum([c.ce[i]::DOUBLE * c.ce[i]::DOUBLE for i in range(1, len(c.ce) + 1)])) AS ccos
+         |  FROM embeddings e, cent c
+         |), assigned AS (
+         |  SELECT vec_id, embedding, cell FROM (
+         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cell ASC) AS rn
+         |    FROM scored
+         |  ) WHERE rn = 1
+         |), dups AS (
+         |  SELECT a.vec_id AS vid, COUNT(*) AS n_dups_lower
+         |  FROM assigned a JOIN assigned b
+         |    ON a.cell = b.cell AND b.vec_id < a.vec_id
+         |  WHERE ${duckCos("a", "b")} >= $SemDedupTheta
+         |  GROUP BY a.vec_id
+         |)
+         |SELECT a.vec_id, CAST(a.cell AS BIGINT) AS cell,
+         |  COALESCE(d.n_dups_lower, 0) AS n_dups_lower,
+         |  COALESCE(d.n_dups_lower, 0) = 0 AS kept
+         |FROM assigned a LEFT JOIN dups d ON d.vid = a.vec_id
+         |ORDER BY a.vec_id""".stripMargin
   )
 }

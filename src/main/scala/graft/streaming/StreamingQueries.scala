@@ -591,6 +591,35 @@ object StreamingQueries {
         .groupBy("source")
         .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("n_tokens"))
       runToTable(agg, OutputMode.Complete(), statePartitions = Some(8)).orderBy("source")
+    }),
+
+    // STREAMING NEAR-DUP GATE — d05's SimHash sketch applied as a
+    // continuous-ingest dedup filter: sketch each arriving document
+    // (scalar codegen'd expressions, no state), drop any doc whose sketch
+    // was already admitted (dropDuplicates state store — the streaming
+    // form of "have I seen this content before"), census the admitted
+    // sketches. Everything downstream of the dedup keys on the SKETCH
+    // (shard = pmod(sketch, 8)), never on the surviving row's other
+    // columns — which row of a duplicate pair survives depends on arrival
+    // order, but its sketch doesn't, so the streamed answer is
+    // deterministic and the batch oracle (distinct sketches per shard;
+    // HUGEINT-vs-signed mod agrees because 8 divides 2^64) gates it
+    // exactly. State is O(distinct sketches); on an unbounded production
+    // stream this key set grows with the corpus, so the real-time form
+    // bounds it with dropDuplicatesWithinWatermark (C5's events-side
+    // dedup shows that pattern) — the bounded-ingest gate here is the
+    // backfill/catch-up shape.
+    "s19_stream_neardup_gate" -> ((s, dir) => {
+      import graft.functions.TextFunctions.wordShingles
+      import graft.functions.HashingFunctions.simhash64
+      val agg = documentsStream(s, dir)
+        .select(wordShingles(col("text"), 3).as("sh"))
+        .filter(size(col("sh")) > 0)
+        .select(simhash64(col("sh")).as("simhash"))
+        .dropDuplicates("simhash")
+        .groupBy(pmod(col("simhash"), lit(8L)).as("sketch_shard"))
+        .agg(count(lit(1)).as("n_unique"))
+      runToTable(agg, OutputMode.Complete(), statePartitions = Some(8)).orderBy("sketch_shard")
     })
   )
 
@@ -826,6 +855,19 @@ object StreamingQueries {
          |    < 30 + TRY_CAST(regexp_extract(source, '[0-9]+') AS BIGINT) % 10 * 7
          |  AND len(toks) > 0
          |GROUP BY source
-         |ORDER BY source""".stripMargin
+         |ORDER BY source""".stripMargin,
+
+    // d05's simhash CTE chain (Spark-exact XXH64 + majority vote), then
+    // distinct-sketch counts per sketch shard — dropDuplicates(sketch)
+    // keeps exactly one row per distinct sketch, so the admitted tally IS
+    // COUNT(DISTINCT sketch); hu is the unsigned HUGEINT, and hu % 8 =
+    // pmod(signed, 8) because 2^64 ≡ 0 (mod 8)
+    "s19_stream_neardup_gate" ->
+      s"""WITH ${graft.operators.Dedup.duckSimhashCtes}
+         |SELECT CAST(hu % 8 AS BIGINT) AS sketch_shard,
+         |  COUNT(DISTINCT hu) AS n_unique
+         |FROM sh
+         |GROUP BY 1
+         |ORDER BY 1""".stripMargin
   )
 }

@@ -241,4 +241,33 @@ class DedupSpec extends SparkSpec {
     // singleton — below MinRareShingles, so they appear in no pair
     assert(got.keys.forall { case (a, b) => a < 100L && b < 100L })
   }
+
+  test("d12 substring dup mass: window counts, cross-doc and within-doc duplication, short-doc drop") {
+    val s = spark
+    import s.implicits._
+    val W = Dedup.SubstringW
+    // doc 1 and 2 share their full 6-word text (cross-doc dup: every
+    // window duplicated); doc 3 repeats one W-window of itself twice
+    // (within-doc dup) inside otherwise-unique words; doc 4 is unique;
+    // doc 5 is one word short of a single window
+    val repeated = (1 to W).map(i => s"r$i").mkString(" ")
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon zeta"),
+      (3L, s"$repeated u1 u2 u3 $repeated"),
+      (4L, "one two three four five six seven"),
+      (5L, (1 until W).map(i => s"w$i").mkString(" "))).toDF("doc_id", "text")
+
+    val out = Dedup.substringDupMass(docs)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+
+    // 6 words -> 2 windows at W=5, all duplicated across docs 1/2
+    assert(out(1L) === ((2L, 2L)) && out(2L) === ((2L, 2L)))
+    // doc 3: 2W+3 words -> W+4 windows; exactly the two copies of the
+    // repeated W-window collide (the bridging windows each cross into
+    // unique filler words, so no other window repeats)
+    assert(out(3L) === (((W + 4).toLong, 2L)))
+    assert(out(4L) === ((3L, 0L)), "unique doc carries zero dup mass")
+    assert(!out.contains(5L), "docs shorter than W contribute no windows")
+  }
 }

@@ -144,4 +144,42 @@ class SimilaritySpec extends SparkSpec {
     assert(rows.forall(r => Seq(1, 2, 3, 4).forall(i =>
       r.getLong(i) >= 0L && r.getLong(i) < 16L)))
   }
+
+  test("e11 semdedup: kept flag is exactly n_dups_lower == 0, total rows preserved, drops non-trivial") {
+    val rows = Similarity.queries("e11_semdedup")(spark, sfDir).collect()
+    val n = graft.Tables.embeddings(spark, sfDir).count()
+    assert(rows.length.toLong === n, "semdedup scores every vector, drops none from the report")
+    assert(rows.forall(r => r.getBoolean(3) == (r.getLong(2) == 0L)),
+      "kept must be exactly the zero-lower-dups predicate")
+    assert(rows.exists(r => !r.getBoolean(3)), "corpus must exercise the drop path")
+    assert(rows.exists(r => r.getBoolean(3)), "corpus must exercise the keep path")
+    // the lowest vec_id of every cell is always kept (nothing below it)
+    val minPerCell = rows.groupBy(_.getLong(1)).map { case (_, rs) => rs.minBy(_.getLong(0)) }
+    assert(minPerCell.forall(_.getBoolean(3)), "cell-minimum ids have no lower cellmate to lose to")
+  }
+
+  test("e11 semdedup: cell blocking loses no within-cell pair vs an unblocked check on a cell sample") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.VectorFunctions.cosine_similarity
+    // reconstruct one cell's membership from the operator's own output,
+    // then brute-force that cell's pair count at the same threshold —
+    // the blocked count must match exactly (blocking bounds WHERE pairs
+    // are generated, never drops one inside a cell)
+    val out = Similarity.queries("e11_semdedup")(spark, sfDir)
+    val cell = out.groupBy("cell").agg(count(lit(1)).as("m"), sum("n_dups_lower").as("d"))
+      .filter(col("d") > 0).orderBy(col("m").asc).select("cell").first().getLong(0)
+    val members = out.filter(col("cell") === cell).select("vec_id")
+    val e = graft.Tables.embeddings(spark, sfDir)
+      .join(members, "vec_id").select(col("vec_id"), col("embedding"))
+    val a = e.select(col("vec_id").as("vid"), col("embedding").as("ea"))
+    val b = e.select(col("vec_id").as("nid"), col("embedding").as("eb"))
+    val brute = a.join(b, col("nid") < col("vid"))
+      .select(col("vid"), cosine_similarity(col("ea"), col("eb")).as("c"))
+      .filter(col("c") >= Similarity.SemDedupTheta)
+      .groupBy("vid").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val blocked = out.filter(col("cell") === cell && col("n_dups_lower") > 0)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(blocked === brute, "within-cell dup counts must equal the unblocked pair count")
+  }
 }

@@ -177,4 +177,24 @@ class StreamingPipelineSpec extends SparkSpec {
     assert(lim.totalSeen >= limit && lim.totalSeen < n,
       s"stopped after ${lim.totalSeen} records (limit $limit, produced $n)")
   }
+
+  test("s19 near-dup gate: streamed dedup census equals the batch answer and drops real duplicates") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.TextFunctions.wordShingles
+    import graft.functions.HashingFunctions.simhash64
+    val streamed = StreamingQueries.queries("s19_stream_neardup_gate")(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val batchSketches = graft.Tables.documents(spark, sfDir)
+      .select(wordShingles(col("text"), 3).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .select(simhash64(col("sh")).as("simhash"))
+    val batch = batchSketches.dropDuplicates("simhash")
+      .groupBy(pmod(col("simhash"), lit(8L)).as("shard"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(streamed === batch, "streamed census must equal the batch dedup census")
+    val nDocs: Long = batchSketches.count()
+    val nUnique: Long = streamed.values.sum
+    assert(nUnique <= nDocs)
+  }
 }
