@@ -302,4 +302,38 @@ class PlanShapeSpec extends SparkSpec {
         ae.aggregateFunction.prettyName.contains("hll_sketch_agg")))
     assert(partialSketch, s"hll_sketch_agg must have a Partial (map-side) phase:\n$p")
   }
+
+  test("d12: no join ships raw window text — only 64-bit hashes cross the frequency join") {
+    val p = sparkPlan("d12_substring_dup_mass")
+    val joined = collectAll(p) {
+      case j: BroadcastHashJoinExec => j.output.map(_.name)
+      case j: SortMergeJoinExec => j.output.map(_.name)
+      case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec => j.output.map(_.name)
+    }.flatten
+    assert(joined.nonEmpty, "expected the window-frequency join in the plan")
+    assert(!joined.exists(n => n == "win" || n == "text" || n == "w"),
+      s"raw window text must not ride the join, got columns: ${joined.distinct.mkString(",")}")
+    assert(collectAll(p) {
+      case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c
+      case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => j
+    }.isEmpty, "substring dup mass must never plan a quadratic join")
+  }
+
+  test("e11: centroids broadcast; the only non-broadcast join keys on the cell — no cartesian") {
+    val p = sparkPlan("e11_semdedup")
+    assert(collectAll(p) {
+      case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c
+    }.isEmpty, "semdedup must never plan a cartesian product")
+    // the centroid table must reach the assignment as a broadcast
+    // (BroadcastNestedLoop is acceptable THERE: it's a 10-row dimension
+    // cross — the corpus side streams); the pair generation must be a
+    // cell-keyed equi-join, not a broadcast of the corpus
+    val equiJoins = collectAll(p) {
+      case j: SortMergeJoinExec => j.leftKeys.map(_.sql)
+      case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec => j.leftKeys.map(_.sql)
+      case j: BroadcastHashJoinExec => j.leftKeys.map(_.sql)
+    }
+    assert(equiJoins.exists(_.exists(_.contains("cell"))),
+      s"within-cell pairing must be a cell-keyed equi-join, got keys: $equiJoins")
+  }
 }
