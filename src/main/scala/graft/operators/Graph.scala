@@ -90,15 +90,21 @@ object Graph {
     val oriented = withDeg.select(
       when(lower, col("u")).otherwise(col("v")).as("a"),
       when(lower, col("v")).otherwise(col("u")).as("b"))
+    // sort_array: pins the partition-dependent collect_list order AND
+    // establishes the sorted-input contract of sorted_intersect_count
     val adj = oriented.groupBy(col("a").as("x"))
-      .agg(collect_list(col("b")).as("nbrs"))
+      .agg(sort_array(collect_list(col("b"))).as("nbrs"))
     // a triangle a<b<c (degree order) is found exactly once: on edge
-    // (a, b), as c ∈ N⁺(a) ∩ N⁺(b)
+    // (a, b), as c ∈ N⁺(a) ∩ N⁺(b). The intersection SIZE comes from a
+    // codegen'd two-pointer merge (sorted_intersect_count) — per-row
+    // zero-allocation, vs array_intersect's per-row hash set + result
+    // array that exist only to be counted.
     val tri = oriented
       .join(adj.select(col("x").as("a"), col("nbrs").as("na")), "a")
       .join(adj.select(col("x").as("b"), col("nbrs").as("nb")), Seq("b"), "left")
-      .select(coalesce(size(array_intersect(col("na"), col("nb"))), lit(0))
-        .cast("long").as("t"))
+      .select(coalesce(
+        graft.functions.ArrayFunctions.sorted_intersect_count(col("na"), col("nb")),
+        lit(0L)).as("t"))
       .agg(sum("t").as("n_triangles"))
     val stats = e.agg(count(lit(1)).as("n_edges"))
       .crossJoin(deg.agg(count(lit(1)).as("n_vertices"),

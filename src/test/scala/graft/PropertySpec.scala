@@ -142,4 +142,32 @@ class PropertySpec extends SparkSpec {
       assert(r.getDouble(2) >= 0.0 && r.getDouble(2) <= 1.0)
     }
   }
+
+  test("sorted_intersect_count equals size(array_intersect) on random sorted unique arrays") {
+    import graft.functions.ArrayFunctions.sorted_intersect_count
+    val s = spark
+    import s.implicits._
+    val gen = Gen.listOf(Gen.chooseNum(0L, 60L)).map(_.distinct.sorted)
+    val rows = (0 until 200).flatMap { i =>
+      val seed = Seed(i.toLong)
+      for {
+        a <- gen.apply(Gen.Parameters.default, seed)
+        b <- gen.apply(Gen.Parameters.default, seed.next)
+      } yield (a, b)
+    }
+    assert(rows.size >= 150, "generator must produce cases")
+    val df = rows.toDF("a", "b")
+      .select(
+        sorted_intersect_count(col("a"), col("b")).as("merged"),
+        size(array_intersect(col("a"), col("b"))).cast("long").as("hashed"))
+    assert(df.filter(col("merged") =!= col("hashed")).count() === 0L)
+    // edge shapes: empty × any, identical, disjoint
+    val edge = Seq(
+      (Seq.empty[Long], Seq(1L, 2L)),
+      (Seq(1L, 2L, 3L), Seq(1L, 2L, 3L)),
+      (Seq(1L, 3L, 5L), Seq(2L, 4L, 6L))).toDF("a", "b")
+      .select(sorted_intersect_count(col("a"), col("b")).as("c"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(edge === Seq(0L, 3L, 0L))
+  }
 }
