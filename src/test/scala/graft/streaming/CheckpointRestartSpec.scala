@@ -46,6 +46,70 @@ class CheckpointRestartSpec extends SparkSpec {
     assert(ids.getInt(0) === 1 && ids.getInt(1) === 2500)
   }
 
+  test("s19 dedup-state restart: a sketch admitted before the crash still blocks its duplicate after") {
+    import graft.functions.TextFunctions.wordShingles
+    import graft.functions.HashingFunctions.simhash64
+    val s = spark
+    import s.implicits._
+    val src = tmp("graft-dedup-src")
+    val ckpt = tmp("graft-dedup-ckpt")
+
+    def doc(id: Long, text: String) = (id, text)
+    // tranche 1: three distinct docs
+    val t1 = Seq(
+      doc(1L, "alpha beta gamma delta epsilon zeta"),
+      doc(2L, "one two three four five six seven"),
+      doc(3L, "red orange yellow green blue indigo"))
+    // tranche 2 (arrives AFTER the restart): one exact duplicate of doc 1
+    // — only the restored dedup state can know to drop it — plus one new
+    val t2 = Seq(
+      doc(4L, "alpha beta gamma delta epsilon zeta"),
+      doc(5L, "north south east west up down around"))
+
+    val census = scala.collection.concurrent.TrieMap.empty[Long, Long]
+    def runOnce(): Unit = {
+      val stream = s.readStream
+        .schema(org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType))))
+        .parquet(src)
+      val q = stream
+        .select(wordShingles(col("text"), 3).as("sh"))
+        .filter(size(col("sh")) > 0)
+        .select(simhash64(col("sh")).as("simhash"))
+        .dropDuplicates("simhash")
+        .groupBy(pmod(col("simhash"), lit(8L)).as("shard"))
+        .agg(count(lit(1)).as("n"))
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          census.clear()
+          batch.collect().foreach(r => census.put(r.getLong(0), r.getLong(1)))
+        }
+        .outputMode(OutputMode.Complete())
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+
+    t1.toDF("doc_id", "text").write.mode("append").parquet(src)
+    runOnce() // admit tranche 1, commit dedup state, stop
+    t2.toDF("doc_id", "text").write.mode("append").parquet(src)
+    runOnce() // restart: doc 4's sketch must hit the RESTORED state
+
+    val expected = (t1 ++ t2).map(_._2).toDF("text")
+      .select(wordShingles(col("text"), 3).as("sh"))
+      .select(simhash64(col("sh")).as("simhash"))
+      .dropDuplicates("simhash")
+      .groupBy(pmod(col("simhash"), lit(8L)).as("shard"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(census.toMap === expected,
+      "post-restart census must equal batch dedup over BOTH tranches")
+    assert(census.values.sum === 4L,
+      "doc 4 (exact duplicate of pre-crash doc 1) must be dropped by the restored state")
+  }
+
   test("stateful restart: mapGroupsWithState per-shard counts survive a restart") {
     val src = tmp("graft-state-src")
     val ckpt = tmp("graft-state-ckpt")
