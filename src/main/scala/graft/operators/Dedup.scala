@@ -261,22 +261,35 @@ object Dedup {
           .groupBy(col("src"))
           .agg(min(col("lbl")).as("lbl"))
           .select(col("src").as("doc_id"), col("lbl"))
+      // convergence via the label-sum invariant: min-propagation only
+      // ever DECREASES a vertex's label, so Σ labels strictly decreases
+      // iff any label changed — "sum unchanged across two steps" ⟺
+      // fixpoint. One map-side-combined agg per probe (|V| rows reduced
+      // in place) replaces the previous next⋈prev join + count, which
+      // shuffled both label frames just to find zero differences. Sum in
+      // DECIMAL(38,0): exact up to ~1e38, far above |V|·max(doc_id) at
+      // any real corpus.
+      def labelSum(lbls: DataFrame): java.math.BigDecimal = {
+        val s = lbls.agg(sum(col("lbl").cast("decimal(38,0)"))).head().getDecimal(0)
+        if (s == null) java.math.BigDecimal.ZERO else s // empty graph: fixpoint at once
+      }
       var labels = edges.select(col("src").as("doc_id"), col("src").as("lbl")).distinct()
+      var prevSum = labelSum(labels)
       var converged = false
       var rounds = 0
       while (!converged && rounds < maxRounds) {
         // TWO propagation steps per driver round-trip: labels only ever
         // decrease (min-propagation is monotone), so "unchanged across two
-        // steps" ⟺ fixpoint — and the convergence count() is a full job,
+        // steps" ⟺ fixpoint — and the convergence probe is a full job,
         // which at small per-round data is the dominant cost. Halving the
-        // count/persist cycles ≈ halves the loop's wall-clock.
+        // probe/persist cycles ≈ halves the loop's wall-clock.
         val next = propagate(propagate(labels)).persist()
         val prev = labels
-        val changed = next.join(prev.withColumnRenamed("lbl", "old"), "doc_id")
-          .filter(col("lbl") =!= col("old")).count() // 1 row to the driver
+        val nextSum = labelSum(next) // 1 row to the driver
         if (rounds > 0) prev.unpersist()
         labels = next
-        converged = changed == 0
+        converged = nextSum.compareTo(prevSum) == 0
+        prevSum = nextSum
         rounds += 2
       }
       if (!converged) {
