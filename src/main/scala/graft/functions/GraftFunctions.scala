@@ -79,6 +79,11 @@ object GraftFunctions {
       case Seq(Literal(bytes: Array[Byte], BinaryType), key) => CmsMinCount(new SketchBytes(bytes), key)
       case args => throw new IllegalArgumentException(
         s"cms_min_count(sketch_literal, key) needs a BINARY literal sketch, got: $args")
+    },
+    "sorted_intersect_count" -> {
+      case Seq(a, b) => SortedIntersectCount(a, b)
+      case args => throw new IllegalArgumentException(
+        s"sorted_intersect_count(a, b) got ${args.length} args")
     })
 
   /** Register every function on an already-built session. */

@@ -82,4 +82,11 @@ class GraftFunctionsSpec extends SparkSpec {
     }
     assert(ex.getMessage.contains("minhash_signature"))
   }
+
+  test("SQL sorted_intersect_count matches the DSL") {
+    GraftFunctions.register(spark)
+    val viaSql = spark.sql(
+      "SELECT sorted_intersect_count(array(1L, 3L, 5L, 9L), array(3L, 4L, 9L))").head().getLong(0)
+    assert(viaSql === 2L)
+  }
 }
