@@ -65,6 +65,9 @@ object Bench {
     // is cached between passes (the fence unpersists everything), so the
     // min is a real end-to-end time, not a warm-cache artifact. A query
     // that failed in either pass reports -1.
+    // raw per-pass times ride along into bench_detail.json so the min is
+    // auditable (which pass won, how far apart they were)
+    var passDetail: Map[String, (Double, Double)] = Map.empty
     val results: Seq[(String, Double)] =
       if (reps > 1) {
         // local iteration mode: per-rep times, no min-folding — the
@@ -77,6 +80,7 @@ object Bench {
       } else {
         val p1 = timedPass(1)
         val p2 = timedPass(2)
+        passDetail = p1.keys.map(n => n -> ((p1(n), p2(n)))).toMap
         SparkEntry.queries.keys.filter(selected).toSeq.sorted.map { n =>
           val (a, b) = (p1(n), p2(n))
           n -> (if (a < 0 || b < 0) -1.0 else math.min(a, b))
@@ -101,8 +105,13 @@ object Bench {
     }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).filter(_ >= 0).sum else 0.0
     val fullQs = results.map { case (k, v) => s"\"$k\":" + fmt(v, 3) }.mkString("{", ",", "}")
+    val passes =
+      if (passDetail.isEmpty) ""
+      else passDetail.toSeq.sortBy(_._1).map { case (k, (a, b)) =>
+        s"\"$k\":[${fmt(a, 3)},${fmt(b, 3)}]"
+      }.mkString(""","passes":{""", ",", "}")
     java.nio.file.Files.write(java.nio.file.Paths.get("bench_detail.json"),
-      s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec","queries":$fullQs,"sf":"$sfDir"}""".getBytes("UTF-8"))
+      s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec","queries":$fullQs$passes,"sf":"$sfDir"}""".getBytes("UTF-8"))
     // stop() BEFORE the metric println: spark shutdown (and log4j's exit
     // flush of anything it buffered) must not print after the one JSON
     // line the driver scrapes from the captured tail. Rounds 2–5 recorded
