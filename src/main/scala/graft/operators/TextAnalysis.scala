@@ -35,6 +35,9 @@ object TextAnalysis {
   val CmsEps = 2e-4
   val CmsConfidence = 0.99
 
+  /** t21: docs kept per source (exact-count quota sampling). */
+  val SampleK = 10
+
   /** t12: PII classes, applied in order (earlier classes consume their
     * matches before later, broader ones run). Patterns stay inside the
     * regex subset Java and RE2 share, so the DuckDB oracle runs them
@@ -458,6 +461,32 @@ object TextAnalysis {
         .orderBy("id_a", "id_b")
     }),
 
+    // DETERMINISTIC EXACTLY-k-PER-STRATUM SAMPLE — the reproducible
+    // downsampling a training pipeline applies to overrepresented
+    // sources: rank each doc by a multiplicative hash of its id (a
+    // deterministic stand-in for a uniform draw — no rand(), so reruns,
+    // task retries, and different partitionings all pick the SAME
+    // sample), keep the k smallest per source. Complements t08: rate-
+    // based admission there (keeps p% as the stream grows), exact-count
+    // quota here. At scale this is the TopKAggregator's shape, not a
+    // row_number window: the k-bounded buffer partial-aggregates
+    // map-side, so the shuffle carries k rows per source per task
+    // instead of the corpus (q38's argument, applied to sampling).
+    "t21_stratified_sample" -> ((s, dir) => {
+      import graft.functions.TopKAggregator.top_k
+      val h = col("doc_id") * lit(2654435761L) % lit(999999937L)
+      Tables.documents(s, dir)
+        .select(col("source"), col("doc_id"), h.as("h"))
+        // negated: the aggregator keeps score-DESC, we want smallest-h;
+        // hash < 1e9 ⇒ the double carries it exactly
+        .groupBy("source")
+        .agg(top_k((-col("h")).cast("double"), col("doc_id"), SampleK).as("top"))
+        .select(col("source"), posexplode(col("top")).as(Seq("i", "t")))
+        .select(col("source"), (col("i") + 1).cast("long").as("rank"),
+          col("t.id").as("doc_id"), (-col("t.score")).cast("long").as("h"))
+        .orderBy("source", "rank")
+    }),
+
     // HEAVY-HITTER SPANS VIA COUNT-MIN SKETCH — the frequency sibling of
     // t13's bloom pattern: find every bigram making up ≥ 1/1000 of all
     // bigram occurrences. The naive form shuffles EVERY occurrence into a
@@ -606,6 +635,19 @@ object TextAnalysis {
         |  top_freq::DOUBLE / n_tokens::DOUBLE AS top_share
         |FROM agg a JOIN top t ON a.source = t.source
         |ORDER BY a.source""".stripMargin,
+
+    // the aggregator's bounded-buffer plan must equal the window
+    // semantics — the oracle states the window form (q38's proof shape)
+    "t21_stratified_sample" ->
+      s"""SELECT source, rank, doc_id, h FROM (
+         |  SELECT source, doc_id,
+         |    doc_id * 2654435761 % 999999937 AS h,
+         |    ROW_NUMBER() OVER (PARTITION BY source
+         |      ORDER BY doc_id * 2654435761 % 999999937 ASC, doc_id ASC) AS rank
+         |  FROM documents
+         |)
+         |WHERE rank <= $SampleK
+         |ORDER BY source, rank""".stripMargin,
 
     // d03's brute-force pair oracle + DuckDB's levenshtein on the same
     // 80-char heads (both engines implement the classic DP exactly)

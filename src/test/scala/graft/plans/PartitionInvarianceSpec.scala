@@ -49,9 +49,10 @@ class PartitionInvarianceSpec extends SparkSpec {
     "a05_funnel", "a06_retention", "a07_time_weighted_avg", "a08_gap_fill",
     "a11_trailing_window", "q48_variant_json", "q51_cdc_apply",
     "q52_sketch_union",
-    // round 6 operators: window-hash frequency counts (d12) and the
-    // cell-blocked pair counts (e11) must not depend on partitioning
-    "d12_substring_dup_mass", "e11_semdedup")
+    // round 6 operators: window-hash frequency counts (d12), the
+    // cell-blocked pair counts (e11), and the bounded-buffer quota
+    // sample whose merge order must not change the picked docs (t21)
+    "d12_substring_dup_mass", "e11_semdedup", "t21_stratified_sample")
 
   private def runAt(name: String, parts: Int): Seq[String] = {
     val old = spark.conf.get("spark.sql.shuffle.partitions")
