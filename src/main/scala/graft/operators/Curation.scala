@@ -114,6 +114,37 @@ object Curation {
         .withColumn("fill_ratio",
           col("n_tokens").cast("double") / (col("n_seqs") * budget).cast("double"))
         .orderBy("source")
+    }),
+
+    // THE MULTIMODAL CURATION CAPSTONE — both dedup families in one
+    // declarative plan over the shared id space (doc_id ≡ vec_id, the
+    // pairing m06 audits): text gates (quality + language, scan-level) →
+    // substring duplicate-mass gate (d12's span-granular score,
+    // dup_frac ≤ 1/2 — drops boilerplate-heavy docs even when no WHOLE
+    // doc duplicates) → semantic dedup (e11's kept flag — drops docs
+    // whose EMBEDDING is θ-redundant within its k-means cell even when
+    // the text differs). The three gates catch three different
+    // redundancy modes; what survives is the per-source admission
+    // manifest. Scale shape: every join is keyed on the 8-byte id
+    // (d12's mass and e11's verdict computed in their own documented
+    // at-scale forms), raw text crosses no join, one final hash agg.
+    "p03_multimodal_curation" -> ((s, dir) => {
+      val mass = Dedup.substringDupMass(Tables.documents(s, dir))
+        .select(col("doc_id"), col("dup_frac"))
+      val sem = Similarity.queries("e11_semdedup")(s, dir)
+        .select(col("vec_id").as("doc_id"), col("kept"))
+      Tables.documents(s, dir)
+        .filter(qualityScore(col("text")) >= QualityMin && langId(col("text")) === "en")
+        .select(col("doc_id"), col("source"), tokenCountWs(col("text")).as("n_tokens"))
+        // docs too short to have a single W-word window carry no dup
+        // mass by construction — they pass the gate, hence the left join
+        .join(mass, Seq("doc_id"), "left")
+        .filter(coalesce(col("dup_frac"), lit(0.0)) <= 0.5)
+        .join(sem, "doc_id")
+        .filter(col("kept"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("n_tokens"))
+        .orderBy("source")
     })
   )
 
@@ -210,6 +241,78 @@ object Curation {
          |  n_tokens::DOUBLE
          |    / (((n_tokens + ${TextAnalysis.SeqBudget - 1}) // ${TextAnalysis.SeqBudget}) * ${TextAnalysis.SeqBudget})::DOUBLE AS fill_ratio
          |FROM agg
-         |ORDER BY source""".stripMargin
+         |ORDER BY source""".stripMargin,
+
+    // the three gate fragments verbatim from their own oracles (p02's
+    // quality/lang CTEs, d12's window-mass CTEs, e11's cell/verdict
+    // CTEs — renamed where names collide), joined on the shared id
+    "p03_multimodal_curation" ->
+      s"""WITH t AS (
+         |  SELECT *, list_filter(string_split(lower(text), ' '), w -> len(w) > 0) AS toks
+         |  FROM documents
+         |), scored AS (
+         |  SELECT *,
+         |    $scoreExprs,
+         |    CASE WHEN len(toks) = 0 THEN 0.0 ELSE
+         |      len(list_filter(toks, w -> list_contains($stopList, w)))::DOUBLE / len(toks)::DOUBLE END AS stop_ratio,
+         |    CASE WHEN len(text) = 0 THEN 0.0 ELSE
+         |      len(regexp_extract_all(lower(text), '[^a-z0-9 ]'))::DOUBLE / len(text)::DOUBLE END AS p_ratio
+         |  FROM t
+         |), quality AS (
+         |  SELECT *,
+         |    least(len(text)::DOUBLE / 400.0, 1.0) * 0.4
+         |      + least(stop_ratio * 5.0, 1.0) * 0.3
+         |      + (1.0 - least(p_ratio * 10.0, 1.0)) * 0.3 AS q
+         |  FROM scored
+         |), wins AS (
+         |  SELECT doc_id,
+         |    unnest([array_to_string(w[i:i+${Dedup.SubstringW - 1}], ' ')
+         |            for i in range(1, len(w) - ${Dedup.SubstringW - 2})]) AS win
+         |  FROM (SELECT doc_id, toks AS w FROM t) WHERE len(w) >= ${Dedup.SubstringW}
+         |), freq AS (
+         |  SELECT win, COUNT(*) AS cnt FROM wins GROUP BY win
+         |), mass AS (
+         |  SELECT doc_id,
+         |    SUM(CASE WHEN cnt >= 2 THEN 1 ELSE 0 END)::DOUBLE / COUNT(*)::DOUBLE AS dup_frac
+         |  FROM wins JOIN freq USING (win) GROUP BY doc_id
+         |), x AS (
+         |  SELECT label, vec_id,
+         |    unnest([{'d': i - 1, 'v': embedding[i]::DOUBLE} for i in range(1, len(embedding) + 1)]) AS u
+         |  FROM embeddings
+         |), cd AS (
+         |  SELECT label, u.d AS dim, list_sum(list(u.v ORDER BY vec_id)) / COUNT(*) AS c
+         |  FROM x GROUP BY label, u.d
+         |), cent AS (
+         |  SELECT label AS cell, list_transform(list(c ORDER BY dim), v -> v::FLOAT) AS ce
+         |  FROM cd GROUP BY label
+         |), scoredc AS (
+         |  SELECT e.vec_id, e.embedding, c.cell,
+         |    list_sum([e.embedding[i]::DOUBLE * c.ce[i]::DOUBLE for i in range(1, len(e.embedding) + 1)])
+         |    / sqrt(list_sum([e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE for i in range(1, len(e.embedding) + 1)]))
+         |    / sqrt(list_sum([c.ce[i]::DOUBLE * c.ce[i]::DOUBLE for i in range(1, len(c.ce) + 1)])) AS ccos
+         |  FROM embeddings e, cent c
+         |), assigned AS (
+         |  SELECT vec_id, embedding, cell FROM (
+         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cell ASC) AS rn
+         |    FROM scoredc
+         |  ) WHERE rn = 1
+         |), dups AS (
+         |  SELECT a.vec_id AS vid, COUNT(*) AS n_dups_lower
+         |  FROM assigned a JOIN assigned b
+         |    ON a.cell = b.cell AND b.vec_id < a.vec_id
+         |  WHERE ${Similarity.duckCos("a", "b")} >= ${Similarity.SemDedupTheta}
+         |  GROUP BY a.vec_id
+         |), sem AS (
+         |  SELECT a.vec_id AS doc_id, COALESCE(d.n_dups_lower, 0) = 0 AS kept
+         |  FROM assigned a LEFT JOIN dups d ON d.vid = a.vec_id
+         |)
+         |SELECT q.source, COUNT(*) AS n_docs, CAST(SUM(len(q.toks)) AS BIGINT) AS n_tokens
+         |FROM quality q
+         |LEFT JOIN mass m ON m.doc_id = q.doc_id
+         |JOIN sem s ON s.doc_id = q.doc_id
+         |WHERE q.q >= $QualityMin AND ($langCase) = 'en'
+         |  AND COALESCE(m.dup_frac, 0.0) <= 0.5 AND s.kept
+         |GROUP BY q.source
+         |ORDER BY q.source""".stripMargin
   )
 }

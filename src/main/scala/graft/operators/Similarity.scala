@@ -151,7 +151,7 @@ object Similarity {
   /** DuckDB fragment: exact sequential-double cosine between a.embedding
     * and b.embedding (embeddings are fixed 64-dim).
     */
-  private def duckCos(a: String, b: String): String =
+  private[operators] def duckCos(a: String, b: String): String =
     s"""list_sum([$a.embedding[i]::DOUBLE * $b.embedding[i]::DOUBLE for i in range(1, len($a.embedding)+1)])
        | / sqrt(list_sum([$a.embedding[i]::DOUBLE * $a.embedding[i]::DOUBLE for i in range(1, len($a.embedding)+1)]))
        | / sqrt(list_sum([$b.embedding[i]::DOUBLE * $b.embedding[i]::DOUBLE for i in range(1, len($b.embedding)+1)]))""".stripMargin
