@@ -213,7 +213,9 @@ object ScaleProbe {
       // cell; the documented at-scale knob is growing k with N, same as
       // IVF — the probe makes that trade-off measurable, not hidden),
       // and the streaming near-dup gate (dedup state O(distinct sketches))
-      "d12_substring_dup_mass", "e11_semdedup", "s19_stream_neardup_gate")
+      "d12_substring_dup_mass", "e11_semdedup", "s19_stream_neardup_gate",
+      // bounded-buffer quota sample and the three-gate capstone
+      "t21_stratified_sample", "p03_multimodal_curation")
       // local iteration only: probe just a subset by name prefix
       .filter(n => sys.env.get("SPARK_GRAFT_ONLY")
         .forall(_.split(",").exists(n.startsWith)))
