@@ -39,6 +39,21 @@ object TextFunctions {
   def jaccard(a: Column, b: Column): Column =
     size(array_intersect(a, b)).cast("double") / size(array_union(a, b)).cast("double")
 
+  /** [[jaccard]] for SORTED UNIQUE `array<long>` inputs (the hashed-shingle
+    * arrays `Dedup.sketched` builds): one allocation-free sorted-merge
+    * intersection (SortedIntersectCount) replaces array_intersect +
+    * array_union's two per-pair hash sets and two materialized arrays —
+    * |a ∪ b| = |a| + |b| − |a ∩ b| for sets, so the value is bit-identical
+    * to [[jaccard]] (same integer operands, same one double division).
+    * This sits in the verify stage of every LSH dedup (d03/d04/d08/d09/
+    * p01/t20), the hottest per-pair loop in the engine.
+    */
+  def jaccardSorted(a: Column, b: Column): Column = {
+    val inter = graft.functions.ArrayFunctions.sorted_intersect_count(a, b)
+    inter.cast("double") /
+      (size(a).cast("long") + size(b).cast("long") - inter).cast("double")
+  }
+
   /** Whitespace token count. */
   def tokenCountWs(text: Column): Column = size(tokens(text)).cast("long")
 

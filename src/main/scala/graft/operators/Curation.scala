@@ -72,12 +72,12 @@ object Curation {
         .filter(size(col("raw")) > 0)
         .select(col("doc_id"),
           minhash_signature(col("raw"), Dedup.MinHashK).as("sig"),
-          transform(col("raw"), g => xxhash64(g)).as("hsh")))
+          sort_array(transform(col("raw"), g => xxhash64(g))).as("hsh")))
       val cand = Dedup.minhashBandCandidates(sh.select(col("doc_id"), col("sig")))
       val a = sh.select(col("doc_id").as("id_a"), col("hsh").as("sh_a"))
       val b = sh.select(col("doc_id").as("id_b"), col("hsh").as("sh_b"))
       val nearDupLosers = cand.join(a, "id_a").join(b, "id_b")
-        .filter(jaccard(col("sh_a"), col("sh_b")) >= Jac)
+        .filter(jaccardSorted(col("sh_a"), col("sh_b")) >= Jac)
         .select(col("id_b").as("doc_id")) // id_a < id_b: larger id loses
         .distinct()
 

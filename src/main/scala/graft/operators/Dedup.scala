@@ -130,7 +130,11 @@ object Dedup {
     graft.Materialize(shingled(s, dir)
       .select(col("doc_id"),
         minhash_signature(col("sh"), MinHashK).as("sig"),
-        transform(col("sh"), g => xxhash64(g)).as("hsh")))
+        // sorted once at build: every verify join then computes jaccard
+        // with the allocation-free sorted merge (jaccardSorted) instead
+        // of per-pair hash sets; d09's rarity ordering re-sorts by
+        // (df, tok) itself, so it is order-insensitive to this
+        sort_array(transform(col("sh"), g => xxhash64(g))).as("hsh")))
 
   /** d03's verified near-dup pairs — LSH band candidates, exact-Jaccard
     * gated. Shared by d03 itself, d07/d11 (as edges), and t20 (as the
@@ -142,7 +146,7 @@ object Dedup {
     val b = sk.select(col("doc_id").as("id_b"), col("hsh").as("sh_b"))
     minhashBandCandidates(sk.select(col("doc_id"), col("sig")))
       .join(a, "id_a").join(b, "id_b")
-      .select(col("id_a"), col("id_b"), jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
+      .select(col("id_a"), col("id_b"), jaccardSorted(col("sh_a"), col("sh_b")).as("jaccard"))
       .filter(col("jaccard") >= JaccardThreshold)
   }
 
@@ -356,14 +360,14 @@ object Dedup {
     "d04_ngram_jaccard_blocked" -> ((s, dir) => {
       val d = Tables.documents(s, dir)
         .select(col("doc_id"), col("lang"), col("source"),
-          transform(wordShingles(col("text"), 3), g => xxhash64(g)).as("sh"))
+          sort_array(transform(wordShingles(col("text"), 3), g => xxhash64(g))).as("sh"))
         .filter(size(col("sh")) > 0)
       val a = d.select(col("lang"), col("source"), col("doc_id").as("id_a"), col("sh").as("sh_a"))
       val b = d.select(col("lang"), col("source"), col("doc_id").as("id_b"), col("sh").as("sh_b"))
       a.join(b, Seq("lang", "source"))
         .filter(col("id_a") < col("id_b"))
         .select(col("lang"), col("source"), col("id_a"), col("id_b"),
-          jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
+          jaccardSorted(col("sh_a"), col("sh_b")).as("jaccard"))
         .orderBy(col("jaccard").desc, col("id_a").asc, col("id_b").asc)
         .limit(50)
     }),
@@ -391,7 +395,7 @@ object Dedup {
       val a = sk.select(col("doc_id").as("id_a"), col("hsh").as("sh_a"))
       val b = sk.select(col("doc_id").as("id_b"), col("hsh").as("sh_b"))
       cand.join(a, "id_a").join(b, "id_b")
-        .select(col("id_a"), col("id_b"), jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
+        .select(col("id_a"), col("id_b"), jaccardSorted(col("sh_a"), col("sh_b")).as("jaccard"))
         .filter(col("jaccard") >= JaccardThreshold)
         .orderBy("id_a", "id_b")
     }),
@@ -462,7 +466,7 @@ object Dedup {
       val av = sk.select(col("doc_id").as("id_a"), col("hsh").as("sh_a"))
       val bv = sk.select(col("doc_id").as("id_b"), col("hsh").as("sh_b"))
       cand.join(av, "id_a").join(bv, "id_b")
-        .select(col("id_a"), col("id_b"), jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
+        .select(col("id_a"), col("id_b"), jaccardSorted(col("sh_a"), col("sh_b")).as("jaccard"))
         .filter(col("jaccard") >= t)
         .orderBy("id_a", "id_b")
     }),
