@@ -170,4 +170,23 @@ class PropertySpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSeq
     assert(edge === Seq(0L, 3L, 0L))
   }
+
+  test("jaccardSorted is bit-identical to jaccard on the real hashed-shingle arrays") {
+    // the claim 8 oracle queries rest on: same integer operands, same one
+    // double division — checked on the actual corpus pair space, not a toy
+    import graft.functions.TextFunctions._
+    val d = Tables.documents(spark, sfDir).limit(40)
+      .select(col("doc_id"), sort_array(transform(wordShingles(col("text"), 3), g => xxhash64(g))).as("h"))
+      .filter(size(col("h")) > 0)
+    val a = d.select(col("doc_id").as("ia"), col("h").as("ha"))
+    val b = d.select(col("doc_id").as("ib"), col("h").as("hb"))
+    val both = a.join(b, col("ia") < col("ib"))
+      .select(jaccard(col("ha"), col("hb")).as("classic"),
+        jaccardSorted(col("ha"), col("hb")).as("merged"))
+      .collect()
+    assert(both.nonEmpty)
+    both.foreach(r => assert(java.lang.Double.doubleToRawLongBits(r.getDouble(0)) ===
+      java.lang.Double.doubleToRawLongBits(r.getDouble(1)),
+      s"diverged: classic=${r.getDouble(0)} merged=${r.getDouble(1)}"))
+  }
 }
