@@ -16,6 +16,11 @@ import graft.Tables
   */
 object Temporal {
 
+  /** a14: max staleness (seconds) for a view to still count as the as-of
+    * match of a purchase — the merge_asof(tolerance) bound.
+    */
+  val AsofToleranceSec = 3600L
+
   /** Funnel core over (user_id, event_type, sec) rows — extracted so the
     * stall paths (stage-1/stage-2 users, click-before-view) can be
     * unit-tested on crafted events: the shipped fixture happens to take
@@ -118,6 +123,34 @@ object Temporal {
           date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("purchase_ts"),
           date_format(col("view_ts"), "yyyy-MM-dd HH:mm:ss").as("asof_view_ts"),
           (col("ts").cast("long") - col("view_ts").cast("long")).as("staleness_sec"))
+        .orderBy("event_id")
+    }),
+
+    // AS-OF WITH TOLERANCE — a01's running-max form plus the staleness
+    // bound every production as-of carries (pandas merge_asof(tolerance),
+    // kdb wj): a purchase matches its most recent view ONLY if that view
+    // is within Δt; older context is stale and the row reports no match
+    // (the null-preserving semantics — the purchase is still emitted,
+    // like a left as-of). Same single shuffle + one ordered pass as a01:
+    // the tolerance is a post-pass filter on the already-computed
+    // running max, NOT a different algorithm — which is exactly why the
+    // bounded variant costs nothing extra at 100 TB.
+    "a14_asof_tolerance" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.events(s, dir)
+        .filter(col("event_type").isin("view", "purchase"))
+        .withColumn("view_ts",
+          max(when(col("event_type") === "view", col("ts"))).over(w))
+        .filter(col("event_type") === "purchase")
+        .withColumn("stale_sec", col("ts").cast("long") - col("view_ts").cast("long"))
+        .select(
+          col("event_id"), col("user_id"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("purchase_ts"),
+          when(col("stale_sec") <= AsofToleranceSec,
+            date_format(col("view_ts"), "yyyy-MM-dd HH:mm:ss")).as("asof_view_ts"),
+          when(col("stale_sec") <= AsofToleranceSec, col("stale_sec")).as("staleness_sec"),
+          (col("view_ts").isNotNull && col("stale_sec") > AsofToleranceSec).as("dropped_stale"))
         .orderBy("event_id")
     }),
 
@@ -608,6 +641,28 @@ object Temporal {
         |)
         |WHERE event_type = 'purchase'
         |ORDER BY event_id""".stripMargin,
+
+    // a01's oracle plus the tolerance CASE on the same second-truncated
+    // staleness both engines compute identically
+    "a14_asof_tolerance" ->
+      s"""SELECT event_id, user_id,
+         |  strftime(date_trunc('second', ts), '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+         |  CASE WHEN stale_sec <= $AsofToleranceSec
+         |    THEN strftime(date_trunc('second', view_ts), '%Y-%m-%d %H:%M:%S') END AS asof_view_ts,
+         |  CASE WHEN stale_sec <= $AsofToleranceSec THEN stale_sec END AS staleness_sec,
+         |  (view_ts IS NOT NULL AND stale_sec > $AsofToleranceSec) AS dropped_stale
+         |FROM (
+         |  SELECT *, CAST(epoch(date_trunc('second', ts)) - epoch(date_trunc('second', view_ts)) AS BIGINT) AS stale_sec
+         |  FROM (
+         |    SELECT event_id, user_id, event_type, ts,
+         |      MAX(CASE WHEN event_type = 'view' THEN ts END) OVER (
+         |        PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+         |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS view_ts
+         |    FROM events WHERE event_type IN ('view', 'purchase')
+         |  )
+         |)
+         |WHERE event_type = 'purchase'
+         |ORDER BY event_id""".stripMargin,
 
     "a05_funnel" ->
       """WITH e AS (

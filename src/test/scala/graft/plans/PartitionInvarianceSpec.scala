@@ -52,7 +52,8 @@ class PartitionInvarianceSpec extends SparkSpec {
     // round 6 operators: window-hash frequency counts (d12), the
     // cell-blocked pair counts (e11), and the bounded-buffer quota
     // sample whose merge order must not change the picked docs (t21)
-    "d12_substring_dup_mass", "e11_semdedup", "t21_stratified_sample")
+    "d12_substring_dup_mass", "e11_semdedup", "t21_stratified_sample",
+    "a14_asof_tolerance")
 
   private def runAt(name: String, parts: Int): Seq[String] = {
     val old = spark.conf.get("spark.sql.shuffle.partitions")
