@@ -11,6 +11,13 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked run output passes straight through to stdout, WITHOUT sbt's
+// "[info] " logger prefix. The driver machine-parses the one JSON metric
+// line Bench prints from the captured log tail; through the default
+// LoggedOutput strategy that line arrives as "[info] {...}" and fails to
+// parse (BENCH_r02..r06 all record parsed=null). StdoutOutput is the
+// documented sbt escape hatch for exactly this.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
