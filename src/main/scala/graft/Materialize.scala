@@ -50,28 +50,37 @@ object Materialize {
     * cluster (scratchDir on HDFS/S3) it survives executor loss, which is
     * what production graph/dedup pipelines do with iteration outputs.
     *
-    * Scratch files are label-table-sized (O(|V|) rows, few columns). Two
-    * cleanup guarantees bound disk use: (1) writing a new scratch for a
-    * tag deletes that tag's PREVIOUS scratch, so a long-lived session
-    * holds at most one live dir per tag — safe because the runners
-    * (Verify/Bench/specs) consume each result fully before re-invoking
-    * the producing query, same sequential-consumption contract
-    * `StreamingQueries.runToTable` documents; (2) a JVM shutdown hook
-    * removes whatever remains, so repeated sessions don't accrete. Set
-    * `spark.graft.scratchDir` to the job's scratch space on a cluster
-    * (cleanup there is the scheduler's job — the hook only handles
-    * local paths it created).
+    * Scratch files are label-table-sized (O(|V|) rows, few columns), so
+    * cleanup is deferred entirely to a JVM shutdown hook: every LOCAL
+    * scratch dir this process created is removed on exit. No dir is
+    * deleted while the process lives — two frames produced under the same
+    * tag (a plan composing two connectedComponents results, or parallel
+    * suites) can both stay readable for the whole session; the previous
+    * eager delete-on-overwrite assumed a sequential-consumption contract
+    * nothing enforced. Set `spark.graft.scratchDir` to the job's scratch
+    * space on a cluster — non-local URIs (hdfs://, s3a://, …) are NOT
+    * registered with the hook (java.io.File deletion would silently no-op
+    * on them anyway); cleanup there is the cluster scheduler's job.
     */
-  private val livePerTag = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val localScratch = new java.util.concurrent.ConcurrentLinkedQueue[String]()
 
   private def deleteRecursively(p: java.io.File): Unit = {
     if (p.isDirectory) Option(p.listFiles()).foreach(_.foreach(deleteRecursively))
     p.delete()
   }
 
+  /** A path the shutdown hook can handle with java.io.File: no URI scheme
+    * (a bare filesystem path) or an explicit file: scheme. Exposed for
+    * MaterializeScratchSpec.
+    */
+  private[graft] def isLocalPath(p: String): Boolean = {
+    val scheme = new java.net.URI(p).getScheme
+    scheme == null || scheme == "file"
+  }
+
   locally {
     sys.addShutdownHook {
-      livePerTag.values.forEach(p => deleteRecursively(new java.io.File(p)))
+      localScratch.forEach(p => deleteRecursively(new java.io.File(p)))
     }
   }
 
@@ -81,8 +90,7 @@ object Materialize {
       .getOrElse(sys.props("java.io.tmpdir") + "/graft-scratch")
     val path = s"$base/${tag}_${java.util.UUID.randomUUID()}"
     df.write.parquet(path)
-    val prev = livePerTag.put(tag, path)
-    if (prev != null) deleteRecursively(new java.io.File(prev))
+    if (isLocalPath(path)) localScratch.add(path)
     spark.read.parquet(path)
   }
 }

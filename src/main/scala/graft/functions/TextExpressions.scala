@@ -73,3 +73,49 @@ case class WordNgrams(child: Expression, n: Int, distinct: Boolean)
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
+
+/** Fixed-width character histogram: counts of UTF-16 code units bucketed
+  * by `codeUnit % bins`. One O(chars) pass per row.
+  *
+  * Used as the bag-of-characters edit-distance prefilter (t17): one edit
+  * operation moves the histogram by at most 2 units of L1 distance, so
+  * L1/2 is a true lower bound on Levenshtein for ANY fixed char→bin
+  * mapping — collisions only weaken the bound, never break it. Native
+  * expression because the HOF spelling (`transform(sequence(0, bins-1),
+  * b -> size(filter(split(s, ''), ...)))`) is interpreted
+  * (CodegenFallback) and re-splits the string per bin — measured as the
+  * dominant cost of the whole t17 pair scan at sf0.1.
+  */
+case class CharHistogram(child: Expression, bins: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  require(bins > 0)
+
+  override def inputTypes = Seq(StringType)
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.IntegerType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "char_histogram"
+
+  override def nullSafeEval(v: Any): Any = compute(v.asInstanceOf[UTF8String])
+
+  /** Also invoked from generated code (public on purpose). */
+  def compute(s: UTF8String): ArrayData = {
+    val str = s.toString
+    val h = new Array[Int](bins)
+    var i = 0
+    while (i < str.length) {
+      h(str.charAt(i) % bins) += 1
+      i += 1
+    }
+    new GenericArrayData(h)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val ref = ctx.addReferenceObj("charHistogram", this, classOf[CharHistogram].getName)
+      s"${ev.value} = $ref.compute($a);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

@@ -33,6 +33,14 @@ object TextFunctions {
     org.apache.spark.sql.graft.Bridge.column(
       WordNgrams(org.apache.spark.sql.graft.Bridge.expression(text), n, distinct = true))
 
+  /** Per-row character histogram (UTF-16 code unit % bins) — the
+    * bag-of-characters edit-distance prefilter primitive; see
+    * [[CharHistogram]].
+    */
+  def charHistogram(text: Column, bins: Int): Column =
+    org.apache.spark.sql.graft.Bridge.column(
+      CharHistogram(org.apache.spark.sql.graft.Bridge.expression(text), bins))
+
   /** Exact token-set Jaccard similarity of two shingle arrays: int set
     * sizes, one final double division (bit-exact across engines).
     */

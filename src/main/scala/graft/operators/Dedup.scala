@@ -201,6 +201,37 @@ object Dedup {
       .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
       .distinct()
 
+  /** d04 core: within-block all-pairs exact Jaccard over a
+    * (doc_id, lang, source, sh) frame — with the block admission decided
+    * COUNT-FIRST, exactly like `admittedBands` does for d03's LSH
+    * buckets: a count aggregate (constant state per block) picks which
+    * (lang, source) blocks enter the pair join, so a degenerate block — a
+    * crawl where one source dominates — is dropped BEFORE the n²-per-block
+    * self-join can materialize its pair space. Without the cap this was
+    * the catalog's last unbounded quadratic: pair count grows as Σ|block|²
+    * and a single million-doc block is 5·10¹¹ pairs. With it, pairs ≤
+    * #blocks · maxBlock²/2 — bounded by a config constant, not the data.
+    * Dropped blocks are not silently un-deduped at scale: metadata
+    * blocking is the didactic contrast here, and oversized blocks are
+    * exactly the regime where the shipped scale path (d03's banded LSH,
+    * which subdivides by CONTENT, not metadata) takes over. Exposed for
+    * DedupSpec's block-explosion property test.
+    */
+  private[operators] def blockedJaccardPairs(d: DataFrame,
+                                             maxBlock: Int = MaxBucket): DataFrame = {
+    val admittedBlocks = d.groupBy("lang", "source")
+      .agg(count(lit(1)).as("bsz"))
+      .filter(col("bsz") > 1 && col("bsz") <= maxBlock)
+      .select("lang", "source")
+    val adm = d.join(admittedBlocks, Seq("lang", "source"))
+    val a = adm.select(col("lang"), col("source"), col("doc_id").as("id_a"), col("sh").as("sh_a"))
+    val b = adm.select(col("lang"), col("source"), col("doc_id").as("id_b"), col("sh").as("sh_b"))
+    a.join(b, Seq("lang", "source"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("lang"), col("source"), col("id_a"), col("id_b"),
+        jaccardSorted(col("sh_a"), col("sh_b")).as("jaccard"))
+  }
+
   /** d10 core over distinct (doc_id, tok) rows — exposed so DedupSpec can
     * drive it with crafted token sets (directional semantics, df-cap
     * exclusion) independent of the fixture.
@@ -356,18 +387,16 @@ object Dedup {
     // BEFORE the pair join: intersect/union cardinalities (and hence
     // jaccard) are unchanged (64-bit collisions are ~1e-14 here), while
     // the arrays shuffled through the n²-per-block join shrink ~25× and
-    // compare as primitives instead of strings.
+    // compare as primitives instead of strings. Blocks are CAPPED
+    // count-first (blockedJaccardPairs) — see the helper's doc for why
+    // the n²-per-block join needs the same admission discipline as d03's
+    // LSH buckets.
     "d04_ngram_jaccard_blocked" -> ((s, dir) => {
       val d = Tables.documents(s, dir)
         .select(col("doc_id"), col("lang"), col("source"),
           sort_array(transform(wordShingles(col("text"), 3), g => xxhash64(g))).as("sh"))
         .filter(size(col("sh")) > 0)
-      val a = d.select(col("lang"), col("source"), col("doc_id").as("id_a"), col("sh").as("sh_a"))
-      val b = d.select(col("lang"), col("source"), col("doc_id").as("id_b"), col("sh").as("sh_b"))
-      a.join(b, Seq("lang", "source"))
-        .filter(col("id_a") < col("id_b"))
-        .select(col("lang"), col("source"), col("id_a"), col("id_b"),
-          jaccardSorted(col("sh_a"), col("sh_b")).as("jaccard"))
+      blockedJaccardPairs(d)
         .orderBy(col("jaccard").desc, col("id_a").asc, col("id_b").asc)
         .limit(50)
     }),
@@ -708,22 +737,28 @@ object Dedup {
          |HAVING COUNT(*)::DOUBLE / sz.n_rare::DOUBLE >= $ContainmentThreshold
          |ORDER BY id_a, id_b""".stripMargin,
 
+    // block admission (2 ≤ size ≤ MaxBucket) restated count-first, same
+    // as the engine's blockedJaccardPairs
     "d04_ngram_jaccard_blocked" ->
-      """WITH t AS (
-        |  SELECT doc_id, lang, source,
-        |    list_filter(string_split(lower(text), ' '), w -> len(w) > 0) AS w
-        |  FROM documents
-        |), s AS (
-        |  SELECT doc_id, lang, source,
-        |    list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w) - 1)]) AS sh
-        |  FROM t WHERE len(w) >= 3
-        |)
-        |SELECT a.lang, a.source, a.doc_id AS id_a, b.doc_id AS id_b,
-        |  len(list_intersect(a.sh, b.sh))::DOUBLE / len(list_distinct(list_concat(a.sh, b.sh)))::DOUBLE AS jaccard
-        |FROM s a JOIN s b ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
-        |WHERE len(a.sh) > 0 AND len(b.sh) > 0
-        |ORDER BY jaccard DESC, id_a ASC, id_b ASC
-        |LIMIT 50""".stripMargin,
+      s"""WITH t AS (
+         |  SELECT doc_id, lang, source,
+         |    list_filter(string_split(lower(text), ' '), w -> len(w) > 0) AS w
+         |  FROM documents
+         |), s AS (
+         |  SELECT doc_id, lang, source,
+         |    list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w) - 1)]) AS sh
+         |  FROM t WHERE len(w) >= 3
+         |), adm AS (
+         |  SELECT lang, source FROM s GROUP BY lang, source
+         |  HAVING COUNT(*) > 1 AND COUNT(*) <= $MaxBucket
+         |)
+         |SELECT a.lang, a.source, a.doc_id AS id_a, b.doc_id AS id_b,
+         |  len(list_intersect(a.sh, b.sh))::DOUBLE / len(list_distinct(list_concat(a.sh, b.sh)))::DOUBLE AS jaccard
+         |FROM s a JOIN s b ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+         |JOIN adm ON adm.lang = a.lang AND adm.source = a.source
+         |WHERE len(a.sh) > 0 AND len(b.sh) > 0
+         |ORDER BY jaccard DESC, id_a ASC, id_b ASC
+         |LIMIT 50""".stripMargin,
 
     // brute-force restricted to pairs involving a new doc: new docs have
     // the larger ids here, so with id_a < id_b the condition is id_b ≥ 400

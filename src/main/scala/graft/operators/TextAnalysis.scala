@@ -388,24 +388,46 @@ object TextAnalysis {
       // the pair space (measured at sf0.1: 8.5% survive). The bound is a
       // true lower bound, so the output is unchanged — the oracle stays
       // the unfiltered reference.
+      // The pair join carries ONLY (ids, 16-int histograms) — the 80-char
+      // heads rejoin by id for the ~8% of pairs surviving the bag filter
+      // (id-keyed equi-joins: AQE broadcasts the heads side when the
+      // corpus slice is small, shuffles on id at scale — never an
+      // explicit broadcast of a corpus-sized frame), so the quadratic
+      // shuffle payload is histograms, never strings. The surviving DPs run
+      // BANDED: levenshtein(a, b, threshold) explores the |i-j| ≤ 10
+      // diagonal band (O(τ·n), -1 past the bound) instead of the full
+      // O(n²) table — same classic DP both engines implement, same
+      // distances for every pair the ≤ 10 filter keeps, so the unfiltered
+      // oracle is unchanged.
+      // histogram via the native CharHistogram expression — the HOF
+      // spelling re-split the head per bin, interpreted, and was the
+      // dominant cost of the whole query (measured ~1.5 s/side at sf0.1)
       val d = Tables.documents(s, dir)
         .select(col("doc_id"), col("lang"), col("source"),
           substring(col("text"), 1, 80).as("head"))
-        .withColumn("hist", expr(
-          "transform(sequence(0, 15)," +
-            " b -> size(filter(split(head, ''), c -> length(c) > 0 AND ascii(c) % 16 = b)))"))
+        .withColumn("hist", charHistogram(col("head"), 16))
       val a = d.select(col("lang"), col("source"), col("doc_id").as("id_a"),
-        col("head").as("head_a"), col("hist").as("hist_a"))
+        col("hist").as("hist_a"))
       val b = d.select(col("lang"), col("source"), col("doc_id").as("id_b"),
-        col("head").as("head_b"), col("hist").as("hist_b"))
+        col("hist").as("hist_b"))
+      val heads = d.select(col("doc_id"), col("head"))
+      // the L1 distance is spelled as 16 explicit |a[i]-b[i]| terms, not
+      // zip_with/aggregate: higher-order lambdas are interpreted per row,
+      // and this predicate runs over the FULL quadratic pair space —
+      // explicit GetArrayItem/Abs/Add stays inside whole-stage codegen
+      val bagL1 = (0 until 16)
+        .map(i => abs(element_at(col("hist_a"), i + 1) - element_at(col("hist_b"), i + 1)))
+        .reduce(_ + _)
       a.join(b, Seq("lang", "source"))
         .filter(col("id_a") < col("id_b"))
-        .withColumn("bag_l1", expr(
-          "aggregate(zip_with(hist_a, hist_b, (x, y) -> abs(x - y)), 0, (acc, v) -> acc + v)"))
+        .withColumn("bag_l1", bagL1)
         .filter(col("bag_l1") <= 20)
+        .select(col("lang"), col("source"), col("id_a"), col("id_b"))
+        .join(heads.select(col("doc_id").as("id_a"), col("head").as("head_a")), "id_a")
+        .join(heads.select(col("doc_id").as("id_b"), col("head").as("head_b")), "id_b")
         .select(col("lang"), col("source"), col("id_a"), col("id_b"),
-          levenshtein(col("head_a"), col("head_b")).cast("long").as("edit_dist"))
-        .filter(col("edit_dist") <= 10)
+          levenshtein(col("head_a"), col("head_b"), 10).cast("long").as("edit_dist"))
+        .filter(col("edit_dist") >= 0)
         .orderBy("lang", "source", "id_a", "id_b")
     }),
 
@@ -474,7 +496,13 @@ object TextAnalysis {
     // instead of the corpus (q38's argument, applied to sampling).
     "t21_stratified_sample" -> ((s, dir) => {
       import graft.functions.TopKAggregator.top_k
-      val h = col("doc_id") * lit(2654435761L) % lit(999999937L)
+      // reduce mod p BEFORE the multiply: (doc_id % p) ≤ ~1e9 times the
+      // Knuth constant (~2.65e9) peaks at ~2.65e18 < Long.Max, so the
+      // modular multiply never wraps — the raw doc_id * 2654435761 form
+      // silently overflowed Long for doc_id ≳ 3.5e9 (Spark wraps, DuckDB
+      // errors: a latent cross-engine divergence at real id scales).
+      // For doc_id < p the value is unchanged, so the sample is stable.
+      val h = col("doc_id") % lit(999999937L) * lit(2654435761L) % lit(999999937L)
       Tables.documents(s, dir)
         .select(col("source"), col("doc_id"), h.as("h"))
         // negated: the aggregator keeps score-DESC, we want smallest-h;
@@ -641,9 +669,9 @@ object TextAnalysis {
     "t21_stratified_sample" ->
       s"""SELECT source, rank, doc_id, h FROM (
          |  SELECT source, doc_id,
-         |    doc_id * 2654435761 % 999999937 AS h,
+         |    doc_id % 999999937 * 2654435761 % 999999937 AS h,
          |    ROW_NUMBER() OVER (PARTITION BY source
-         |      ORDER BY doc_id * 2654435761 % 999999937 ASC, doc_id ASC) AS rank
+         |      ORDER BY doc_id % 999999937 * 2654435761 % 999999937 ASC, doc_id ASC) AS rank
          |  FROM documents
          |)
          |WHERE rank <= $SampleK

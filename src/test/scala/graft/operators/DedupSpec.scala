@@ -150,6 +150,35 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.minhashBandCandidates(mixedSig).count() === 45L) // C(10,2), loner excluded
   }
 
+  test("block cap: a single dominant (lang, source) block cannot explode d04's pair join") {
+    import spark.implicits._
+    // 600 docs in ONE metadata block — the one-source-dominates crawl.
+    // Uncapped metadata blocking would emit 600·599/2 ≈ 180k pairs from
+    // that block alone; the count-first admission must drop it before the
+    // self-join materializes any of them (same discipline as d03's
+    // bucket cap above).
+    val n = 600
+    val block = (1 to n).map(i =>
+      (i.toLong, "en", "srcBig", s"unique document number $i with its own words"))
+      .toDF("doc_id", "lang", "source", "text")
+    val shingled = block.select(col("doc_id"), col("lang"), col("source"),
+      sort_array(transform(wordShingles(col("text"), 3), g => xxhash64(g))).as("sh"))
+    assert(Dedup.blockedJaccardPairs(shingled).count() === 0L,
+      s"blocks wider than ${Dedup.MaxBucket} must be dropped count-first")
+    // an explicit high cap restores the quadratic — the cap, not the
+    // data, is what bounds the pair space
+    assert(Dedup.blockedJaccardPairs(shingled, maxBlock = n + 1).count() === n.toLong * (n - 1) / 2)
+    // admitted blocks still pair up: two small blocks, one loner block
+    val mixed = (1 to 6).map(i => (i.toLong, "en", "srcA", s"text alpha $i common words here"))
+      .++((7 to 10).map(i => (i.toLong, "de", "srcB", s"text beta $i andere worte hier")))
+      .:+((11L, "fr", "srcC", "texte solitaire sans paire"))
+      .toDF("doc_id", "lang", "source", "text")
+    val mixedSh = mixed.select(col("doc_id"), col("lang"), col("source"),
+      sort_array(transform(wordShingles(col("text"), 3), g => xxhash64(g))).as("sh"))
+      .filter(size(col("sh")) > 0)
+    assert(Dedup.blockedJaccardPairs(mixedSh).count() === 15L + 6L) // C(6,2) + C(4,2), loner block excluded
+  }
+
   test("connected components: non-convergence at the round cap throws, not partial labels") {
     import spark.implicits._
     // a 10-node path has diameter 9 — 3 rounds of min-label propagation

@@ -25,7 +25,8 @@ class CodegenSpec extends SparkSpec {
       codegenPlan(d.select(minhash_signature(wordShingles(col("text"), 3), 16).as("sig"))),
       codegenPlan(d.select(simhash64(wordShingles(col("text"), 3)).as("h"))),
       codegenPlan(e.select(cosine_similarity(col("embedding"), col("embedding")).as("c"))),
-      codegenPlan(e.select(hyperplane_lsh_multi(col("embedding"), 4, 2, 64, 7L).as("b"))))
+      codegenPlan(e.select(hyperplane_lsh_multi(col("embedding"), 4, 2, 64, 7L).as("b"))),
+      codegenPlan(d.select(charHistogram(col("text"), 16).as("hist"))))
     plans.foreach { p =>
       // "*(n)" prefixes mark operators fused into a whole-stage-codegen
       // stage; the Project carrying the custom expression must be starred,
@@ -38,18 +39,17 @@ class CodegenSpec extends SparkSpec {
 
   test("codegen and interpreted paths agree for every custom expression") {
     val d = Tables.documents(spark, sfDir).limit(50)
-    val viaCodegen = d.select(col("doc_id"),
+    def snapshot() = d.select(col("doc_id"),
         rolling_fingerprint(col("text")).as("fp"),
-        simhash64(wordShingles(col("text"), 3)).as("sh"))
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+        simhash64(wordShingles(col("text"), 3)).as("sh"),
+        charHistogram(col("text"), 16).as("hist"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getSeq[Int](3))).toSet
+    val viaCodegen = snapshot()
     // spark.sql.codegen.wholeStage=false forces the eval path
     spark.conf.set("spark.sql.codegen.wholeStage", "false")
     spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
     try {
-      val viaEval = d.select(col("doc_id"),
-          rolling_fingerprint(col("text")).as("fp"),
-          simhash64(wordShingles(col("text"), 3)).as("sh"))
-        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val viaEval = snapshot()
       assert(viaCodegen === viaEval, "doGenCode and nullSafeEval must agree")
     } finally {
       spark.conf.unset("spark.sql.codegen.wholeStage")
