@@ -84,13 +84,22 @@ object Materialize {
     }
   }
 
-  def toStorage(df: DataFrame, tag: String): DataFrame = {
+  def toStorage(df: DataFrame, tag: String): DataFrame =
+    df.sparkSession.read.parquet(toStoragePath(df, tag))
+
+  /** Like toStorage but hands back the scratch PATH instead of a frame —
+    * the session hand-off primitive: a caller running an isolated child
+    * session (`spark.newSession()`, private SQLConf) writes on one
+    * session and re-reads the path on another. Registered for shutdown
+    * cleanup exactly like toStorage.
+    */
+  def toStoragePath(df: DataFrame, tag: String): String = {
     val spark = df.sparkSession
     val base = spark.conf.getOption("spark.graft.scratchDir")
       .getOrElse(sys.props("java.io.tmpdir") + "/graft-scratch")
     val path = s"$base/${tag}_${java.util.UUID.randomUUID()}"
     df.write.parquet(path)
     if (isLocalPath(path)) localScratch.add(path)
-    spark.read.parquet(path)
+    path
   }
 }

@@ -268,9 +268,21 @@ object Dedup {
     */
   private[operators] def connectedComponents(pairs: DataFrame,
                                              maxRounds: Int = MaxCcRounds): DataFrame = {
+    // The loop tunes spark.sql.shuffle.partitions to the edge set; that
+    // override runs on an ISOLATED CHILD SESSION (`newSession()`: shared
+    // SparkContext, private SQLConf), so a concurrent runner executing
+    // other queries on the caller's session can never observe it
+    // (ConfHygieneSpec pins d07-concurrent-with-q04 correctness). The
+    // session hand-off goes through storage both ways — the input pairs
+    // are written to scratch once (cheap: the dup-graph edge list, which
+    // the old code persisted anyway) and re-read on the child; the
+    // result returns as a storage-backed frame on the CALLER's session.
+    val owner = pairs.sparkSession
+    val spark = owner.newSession()
+    val pairsPath = graft.Materialize.toStoragePath(pairs.toDF("id_a", "id_b"), "cc_input")
     // undirected edges + self-loops (self-loop keeps a node's own label
     // in the min; symmetric closure makes propagation direction-free)
-    val pa = pairs.toDF("id_a", "id_b")
+    val pa = spark.read.parquet(pairsPath)
     val edges = pa
       .union(pa.select(col("id_b"), col("id_a")))
       .union(pa.select(col("id_a"), col("id_a")))
@@ -281,12 +293,6 @@ object Dedup {
     // the dup graph is orders of magnitude smaller than the corpus that
     // produced it, and the loop pays the partition fixed cost every round.
     // (The count also materializes the persisted edges before the loop.)
-    // NOTE: this mutates session-global spark.sql.shuffle.partitions for
-    // the duration of the loop (restored in finally). That assumes a
-    // single-threaded runner — true for Verify/Bench/specs, which execute
-    // queries sequentially; do not call this concurrently with other
-    // queries on the same SparkSession.
-    val spark = pairs.sparkSession
     val defaultParts = spark.conf.get("spark.sql.shuffle.partitions").toInt
     val nParts = math.max(8, math.min(defaultParts, (edges.count() / 100000L).toInt))
     spark.conf.set("spark.sql.shuffle.partitions", nParts.toString)
@@ -338,12 +344,15 @@ object Dedup {
       // otherwise every invocation either leaks one cached dataset for the
       // session lifetime, or (cache-materialized + unpersist) re-runs the
       // whole propagation on every later read. See Materialize.toStorage.
-      val out = graft.Materialize.toStorage(
+      // Read back on the CALLER's session: downstream consumers (d11's
+      // survivor join) compose it with caller-session frames.
+      val outPath = graft.Materialize.toStoragePath(
         labels.select(col("doc_id"), col("lbl").as("cluster_id")), "cc_labels")
       labels.unpersist()
-      out
+      owner.read.parquet(outPath)
     } finally {
-      spark.conf.set("spark.sql.shuffle.partitions", defaultParts.toString)
+      // no conf restore needed — the override lives and dies with the
+      // child session's private SQLConf
       edges.unpersist()
     }
   }

@@ -760,46 +760,43 @@ object Relational {
       // (spark.sql.cteRecursionRowLimit, default 1M) — the 10× probe
       // trips it with a perfectly healthy walk (rows ∝ |orders|, depth
       // unchanged). This recursion is provably finite (the frontier
-      // strictly advances along rn), so raise the cap FOR THIS QUERY
-      // ONLY: the recursion is executed eagerly (Materialize) inside
-      // try so the finally can restore the session default without
-      // un-raising the cap under the actual execution — the returned
-      // frame is served from its persisted blocks. Like
-      // StreamingQueries.runToTable this assumes the single-threaded
-      // driver/bench runner (documented there).
-      val oldLimit = s.conf.get("spark.sql.cteRecursionRowLimit")
-      s.conf.set("spark.sql.cteRecursionRowLimit", "1000000000")
-      try {
-        // the successor table is MATERIALIZED once (Materialize:
-        // lineage-keeping persist) before the recursion: a plain
-        // CTE would be inlined into every recursive step, re-running the
-        // scan + LEAD window sort ~max-chain-length times (measured:
-        // 10.5 s → ~3 s at sf0.1). Production recursion over a lineage
-        // table does the same — walk a materialized edge table, don't
-        // re-derive it per step.
-        val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
-        graft.Materialize(Tables.orders(s, dir)
-          .select(col("o_custkey"), col("o_orderkey"),
-            lead(col("o_orderkey"), 1).over(w).as("nxt_key"),
-            row_number().over(w).as("rn")))
-          .createOrReplaceTempView("orders_chain")
-        graft.Materialize(s.sql("""
-          WITH RECURSIVE walk AS (
-            SELECT o_custkey, o_orderkey, 1 AS seq
-            FROM orders_chain WHERE rn = 1
-            UNION ALL
-            SELECT /*+ BROADCAST(w) */ n.o_custkey, n.nxt_key, w.seq + 1
-            FROM walk w JOIN orders_chain n
-              ON n.o_custkey = w.o_custkey AND n.o_orderkey = w.o_orderkey
-            WHERE n.nxt_key IS NOT NULL
-          )
-          SELECT o_custkey AS custkey, COUNT(*) AS n_orders,
-                 CAST(MAX(seq) AS BIGINT) AS chain_len,
-                 max_by(o_orderkey, seq) AS last_order
-          FROM walk GROUP BY o_custkey ORDER BY custkey"""))
-      } finally {
-        s.conf.set("spark.sql.cteRecursionRowLimit", oldLimit)
-      }
+      // strictly advances along rn), so the cap is raised on an ISOLATED
+      // CHILD SESSION (`newSession()`: shared SparkContext, private
+      // SQLConf) — the caller's session keeps the runaway-recursion
+      // guard, and a concurrent runner can never observe the override
+      // (ConfHygieneSpec). The temp view registers in the child's
+      // private catalog, so it can't clobber a caller-session view
+      // either. The whole recursion executes eagerly (Materialize) on
+      // the child; the returned frame is served from persisted blocks.
+      val s2 = s.newSession()
+      s2.conf.set("spark.sql.cteRecursionRowLimit", "1000000000")
+      // the successor table is MATERIALIZED once (Materialize:
+      // lineage-keeping persist) before the recursion: a plain
+      // CTE would be inlined into every recursive step, re-running the
+      // scan + LEAD window sort ~max-chain-length times (measured:
+      // 10.5 s → ~3 s at sf0.1). Production recursion over a lineage
+      // table does the same — walk a materialized edge table, don't
+      // re-derive it per step.
+      val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+      graft.Materialize(Tables.orders(s2, dir)
+        .select(col("o_custkey"), col("o_orderkey"),
+          lead(col("o_orderkey"), 1).over(w).as("nxt_key"),
+          row_number().over(w).as("rn")))
+        .createOrReplaceTempView("orders_chain")
+      graft.Materialize(s2.sql("""
+        WITH RECURSIVE walk AS (
+          SELECT o_custkey, o_orderkey, 1 AS seq
+          FROM orders_chain WHERE rn = 1
+          UNION ALL
+          SELECT /*+ BROADCAST(w) */ n.o_custkey, n.nxt_key, w.seq + 1
+          FROM walk w JOIN orders_chain n
+            ON n.o_custkey = w.o_custkey AND n.o_orderkey = w.o_orderkey
+          WHERE n.nxt_key IS NOT NULL
+        )
+        SELECT o_custkey AS custkey, COUNT(*) AS n_orders,
+               CAST(MAX(seq) AS BIGINT) AS chain_len,
+               max_by(o_orderkey, seq) AS last_order
+        FROM walk GROUP BY o_custkey ORDER BY custkey"""))
     }),
 
     // ERROR-SAFE ARITHMETIC — Spark 4 runs ANSI mode by default, where
@@ -849,18 +846,31 @@ object Relational {
         .orderBy("user_id")
     }),
 
-    // ---- approximate / sketch (weaker rows-only driver check; no oracle) ------
+    // APPROX-DISTINCT'S EXACT TWIN, under the hash gate. The sketch
+    // numbers themselves (HLL++ counts, KLL percentile ranks) are
+    // engine-specific internals no cross-engine oracle can hash-match —
+    // so the GATED output is the exact ground truth the sketches are
+    // validated against (exact distinct parts per flag, exact
+    // interpolated quantity percentiles, group sizes), and the
+    // approx-vs-exact tolerance assertions live wholly in SketchSpec,
+    // which computes approx_count_distinct / approx_percentile over the
+    // same table and must land within the configured error bounds of
+    // THESE columns. Percentile points are dyadic (1/2, 3/4, 7/8) over
+    // integer l_quantity: position and interpolation arithmetic are
+    // exact binary fractions, so Spark's percentile and DuckDB's
+    // quantile_cont agree bit-for-bit under ANY evaluation order (the
+    // q40 argument, extended to the upper tail).
     "q27_approx_distinct" -> ((s, dir) => {
-      // Percentiles surfaced as three scalar columns (not an array) so the
-      // driver's rows-only pandas sort can handle the output.
       Tables.lineitem(s, dir)
         .groupBy("l_returnflag")
-        .agg(approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
-             expr("approx_percentile(l_extendedprice, array(0.5, 0.95, 0.99))").as("price_pcts"))
-        .select(col("l_returnflag"), col("approx_parts"),
-                col("price_pcts").getItem(0).as("price_p50"),
-                col("price_pcts").getItem(1).as("price_p95"),
-                col("price_pcts").getItem(2).as("price_p99"))
+        .agg(countDistinct(col("l_partkey")).as("exact_parts"),
+          expr("percentile(l_quantity, array(0.5, 0.75, 0.875))").as("qty_pcts"),
+          count(lit(1)).as("n_rows"))
+        .select(col("l_returnflag"), col("exact_parts"),
+          col("qty_pcts").getItem(0).as("qty_p50"),
+          col("qty_pcts").getItem(1).as("qty_p75"),
+          col("qty_pcts").getItem(2).as("qty_p875"),
+          col("n_rows"))
         .orderBy("l_returnflag")
     }),
 
@@ -1294,6 +1304,19 @@ object Relational {
         |  quantile_cont(l_quantity, 0.5) AS median,
         |  quantile_cont(l_quantity, 0.75) AS q75,
         |  COUNT(*) AS n
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
+
+    // q27's gated output is the exact ground truth (the sketch numbers
+    // are engine-specific; SketchSpec owns the approx-vs-exact bounds)
+    "q27_approx_distinct" ->
+      """SELECT l_returnflag,
+        |  COUNT(DISTINCT l_partkey) AS exact_parts,
+        |  quantile_cont(l_quantity, 0.5) AS qty_p50,
+        |  quantile_cont(l_quantity, 0.75) AS qty_p75,
+        |  quantile_cont(l_quantity, 0.875) AS qty_p875,
+        |  COUNT(*) AS n_rows
         |FROM lineitem
         |GROUP BY l_returnflag
         |ORDER BY l_returnflag""".stripMargin,

@@ -37,6 +37,32 @@ class ConfHygieneSpec extends SparkSpec {
     assert(snapshot() === before)
   }
 
+  test("d07's partition override is invisible to a query running CONCURRENTLY on the same context") {
+    import scala.concurrent._
+    import scala.concurrent.duration._
+    import ExecutionContext.Implicits.global
+    // Round 7: the CC loop (d07) and the recursive walk (q49) run their
+    // conf overrides on isolated child sessions. The old restore-in-
+    // finally discipline kept the conf clean BETWEEN queries but mutated
+    // it DURING — a concurrent runner could have its shuffle partitioning
+    // (or recursion guard) swapped mid-plan. This drives both at once on
+    // one SparkContext and asserts the foreground query's results and
+    // session conf stay bit-identical at every probe while d07 is live.
+    val expected = SparkEntry.queries("q04_join_sortmerge")(spark, sfDir).collect().toSeq
+    val before = snapshot()
+    val d07 = Future(SparkEntry.queries("d07_dup_clusters")(spark, sfDir).count())
+    var probes = 0
+    while (!d07.isCompleted && probes < 50) {
+      assert(snapshot() === before, "session conf mutated mid-flight by concurrent d07")
+      val got = SparkEntry.queries("q04_join_sortmerge")(spark, sfDir).collect().toSeq
+      assert(got === expected, "q04 result drifted while d07 ran concurrently")
+      probes += 1
+    }
+    assert(probes > 0, "d07 finished before any concurrent probe ran — rerun with a slower box or bigger sf")
+    assert(Await.result(d07, 10.minutes) > 0)
+    assert(snapshot() === before)
+  }
+
   test("a full no-op pass over a query leaves no persisted-RDD leak beyond materializations") {
     // Materialize-d frames stay cached by design (Bench sweeps them
     // between queries); what must NOT grow is the count across REPEATED

@@ -109,6 +109,24 @@ class SimilaritySpec extends SparkSpec {
       Seq("vid", "nn_id", "nn_cos", "is_near_dup"))
   }
 
+  test("e04b recall holds at the bench scale (sf0.1): >= 0.95 on the near-dup set") {
+    // The sf0.001 pin above shows the mechanism; this one measures recall
+    // where the bench runs and where the ρ≈0.87 worst-case claim
+    // (SCALING.md) lives — 10× the vectors, same bits/tables config, so
+    // bucket occupancy (the thing that actually erodes LSH recall as N
+    // grows) is tested at the scale we publish numbers for.
+    val dir = "/root/testdata/sf0.1"
+    val exact = Similarity.queries("e04_embedding_nn_dedup")(spark, dir).collect()
+    val exactNN = exact.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val nearDups = exact.filter(_.getBoolean(3)).map(_.getLong(0)).toSet
+    val lsh = Similarity.queries("e04b_embedding_nn_dedup_lsh")(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(nearDups.nonEmpty, "sf0.1 fixture should contain planted near-dups")
+    val recall = nearDups.count(v => lsh.get(v).contains(exactNN(v))).toDouble / nearDups.size
+    info(s"e04b near-dup recall at sf0.1 = $recall (${nearDups.size} near-dups)")
+    assert(recall >= 0.95, s"near-dup recall $recall below 0.95 at bench scale")
+  }
+
   test("e04b/e01b plans contain no quadratic join (that's the point)") {
     for (q <- Seq("e04b_embedding_nn_dedup_lsh", "e01b_cosine_pairs_topk_lsh")) {
       val plan = Similarity.queries(q)(spark, sfDir).queryExecution.executedPlan.toString

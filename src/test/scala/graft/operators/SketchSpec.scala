@@ -3,41 +3,41 @@ package graft.operators
 import graft.{SparkSpec, Tables}
 import org.apache.spark.sql.functions._
 
-/** q27's sketches are rows-only at the driver gate (HLL/KLL internals are
-  * engine-specific, so no SQL oracle can hash-match) — this spec supplies
-  * the real check: the approximations must land within their configured
-  * error bounds of the exact answers.
+/** The approx-vs-exact tolerance assertions for the sketch family. Since
+  * round 7, q27's GATED output is the exact ground truth (exact distinct,
+  * exact dyadic percentiles — hash-matched against DuckDB); the sketch
+  * numbers themselves are engine-specific internals, so their accuracy
+  * contract lives here: approx_count_distinct and approx_percentile over
+  * the same table must land within configured error bounds of the gated
+  * exact columns. q52's HLL binaries remain spec-only for the same
+  * reason.
   */
 class SketchSpec extends SparkSpec {
 
-  test("q27: approx_count_distinct within rsd bound; percentiles bracket the exact ranks") {
-    val got = Relational.queries("q27_approx_distinct")(spark, sfDir).collect()
-    assert(got.nonEmpty)
+  test("q27: approx_count_distinct within rsd bound; approx_percentile tracks the gated exact percentiles") {
+    val gated = Relational.queries("q27_approx_distinct")(spark, sfDir).collect()
+    assert(gated.nonEmpty)
     val li = Tables.lineitem(spark, sfDir)
-    val exactDistinct = li.groupBy("l_returnflag")
-      .agg(countDistinct(col("l_partkey")).as("n"))
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    got.foreach { r =>
+    val approx = li.groupBy("l_returnflag")
+      .agg(approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
+        expr("approx_percentile(l_quantity, array(0.5, 0.75, 0.875))").as("apcts"))
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getSeq[Double](2)))).toMap
+    gated.foreach { r =>
       val flag = r.getString(0)
-      val approx = r.getLong(1)
-      val exact = exactDistinct(flag)
+      val exactParts = r.getLong(1)
+      val (approxParts, apcts) = approx(flag)
       // rsd 0.02 configured; allow 5 sigma
-      assert(math.abs(approx - exact).toDouble / exact <= 0.10,
-        s"$flag: approx_count_distinct $approx vs exact $exact")
-    }
-    // exact percentiles of the same column bracket the sketch answers:
-    // approx_percentile guarantees rank error <= accuracy default (1e-4
-    // relative rank) — generous value-space tolerance here
-    val exactPct = li.groupBy("l_returnflag")
-      .agg(expr("percentile(CAST(l_extendedprice AS DOUBLE), array(0.5, 0.95, 0.99))").as("p"))
-      .collect().map(r => r.getString(0) -> r.getSeq[Double](1)).toMap
-    got.foreach { r =>
-      val flag = r.getString(0)
-      val (p50, p95, p99) = (r.getDouble(2), r.getDouble(3), r.getDouble(4))
-      val ex = exactPct(flag)
-      assert(math.abs(p50 - ex(0)) / ex(0) <= 0.01, s"$flag p50 $p50 vs ${ex(0)}")
-      assert(math.abs(p95 - ex(1)) / ex(1) <= 0.01, s"$flag p95 $p95 vs ${ex(1)}")
-      assert(math.abs(p99 - ex(2)) / ex(2) <= 0.01, s"$flag p99 $p99 vs ${ex(2)}")
+      assert(math.abs(approxParts - exactParts).toDouble / exactParts <= 0.10,
+        s"$flag: approx_count_distinct $approxParts vs exact $exactParts")
+      // approx_percentile returns actual data values with rank error
+      // bounded by the accuracy default — at these group sizes that is
+      // within one value step of the interpolated exact percentile
+      Seq(r.getDouble(2), r.getDouble(3), r.getDouble(4)).zip(apcts).foreach {
+        case (exactP, approxP) =>
+          assert(math.abs(approxP - exactP) <= 1.0,
+            s"$flag: approx_percentile $approxP vs exact $exactP")
+      }
     }
   }
 

@@ -204,6 +204,80 @@ class CheckpointRestartSpec extends SparkSpec {
       "content conserved, not just cardinality")
   }
 
+  test("two competing workers on one checkpoint: takeover conserves the count; refusal is loud with takeover off") {
+    // The reference's with-errors run IS a two-competing-workers fight:
+    // coordinator incarnation 2 steals shard leases from incarnation 1,
+    // the loser logs 77 lease-token conflicts, and the count is still
+    // conserved (log_output/chunkedCheckpointing100kWithErrors.log:
+    // 170-335). Spark's analog is explicit, both halves pinned here:
+    //  - default (spark.sql.streaming.stopActiveRunOnRestart=true): the
+    //    NEWEST incarnation wins — starting worker B on a live worker A's
+    //    checkpoint STOPS A and B takes over, and the WAL-then-commit
+    //    protocol + file-sink metadata keep delivery exactly-once across
+    //    the takeover (the lease-steal end-state);
+    //  - with takeover disabled: B's start() is REFUSED loudly ("same id
+    //    is already active") and A is untouched — never two writers
+    //    interleaving commits on one checkpoint.
+    val src = tmp("graft-compete-src")
+    val ckpt = tmp("graft-compete-ckpt")
+    val sink = tmp("graft-compete-sink")
+    val producer = new ShardedBatchProducer(src, nrShards = 8, batchSize = 100)
+
+    def start(trigger: Trigger) =
+      Pipelines.decoded(Pipelines.ingest(spark, src, maxFilesPerTrigger = Some(2)))
+        .select("sequence_number", "shard_id", "id")
+        .writeStream
+        .format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .outputMode(OutputMode.Append())
+        .trigger(trigger)
+        .start()
+
+    producer.emit(1, 2001)
+    val workerA = start(Trigger.ProcessingTime(0L))
+    // wait until A owns the checkpoint (first batch committed)
+    var deadline = System.currentTimeMillis() + 60000L
+    while (workerA.lastProgress == null && System.currentTimeMillis() < deadline)
+      Thread.sleep(100L)
+    assert(workerA.lastProgress != null, "worker A never made progress")
+
+    // contention 1 — default takeover: B starts mid-stream, A must be
+    // stopped BY THE SYSTEM (incarnation 2 steals the lease)
+    val workerB = start(Trigger.ProcessingTime(0L))
+    assert(workerA.awaitTermination(60000L),
+      "takeover must stop the old incarnation")
+    assert(workerB.isActive, "the new incarnation must be the live one")
+
+    // contention 2 — takeover disabled: C's start on the live B throws
+    val old = spark.conf.getOption("spark.sql.streaming.stopActiveRunOnRestart")
+    spark.conf.set("spark.sql.streaming.stopActiveRunOnRestart", "false")
+    try {
+      val ex = intercept[Exception] { start(Trigger.ProcessingTime(0L)) }
+      assert(ex.getMessage != null && ex.getMessage.toLowerCase.contains("active"),
+        s"expected a loud already-active refusal, got: ${ex.getMessage}")
+      assert(workerB.isActive, "the refusal must not take down the survivor")
+    } finally {
+      old match {
+        case Some(v) => spark.conf.set("spark.sql.streaming.stopActiveRunOnRestart", v)
+        case None    => spark.conf.unset("spark.sql.streaming.stopActiveRunOnRestart")
+      }
+    }
+
+    producer.emit(2001, 3001) // more arrivals AFTER both contentions
+    deadline = System.currentTimeMillis() + 120000L
+    while (spark.read.parquet(sink).count() < 3000L &&
+           System.currentTimeMillis() < deadline)
+      Thread.sleep(250L)
+    workerB.stop()
+
+    val out = spark.read.parquet(sink)
+    assert(out.count() === 3000L, "exactly-once across the takeover: every record delivered")
+    assert(out.select("sequence_number").distinct().count() === 3000L, "no duplicates")
+    assert(out.agg(sum(col("id").cast("long"))).head().getLong(0) === 3000L * 3001L / 2,
+      "content conserved, not just cardinality")
+  }
+
   test("at-least-once to exactly-once: dropDuplicatesWithinWatermark collapses redelivery") {
     import spark.implicits._
     val src = tmp("graft-dedup-src")
