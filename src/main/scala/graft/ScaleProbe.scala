@@ -106,10 +106,19 @@ object ScaleProbe {
     val srcDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
     val outDir = if (args.length > 1) args(1) else "/tmp/graft_scale"
     val factor = if (args.length > 2) args(2).toInt else 10
+    // SPARK_GRAFT_TABLES restricts which scaled tables get built (csv of
+    // documents,embeddings,events,lineitem,orders; default all) — the
+    // 100× probes of the graph/recursion/text paths don't need the
+    // embeddings table, whose rotation trick caps the factor at 64.
+    val tables = sys.env.get("SPARK_GRAFT_TABLES")
+      .map(_.split(",").map(_.trim).toSet)
+      .getOrElse(Set("documents", "embeddings", "events", "lineitem", "orders"))
     // rotation r of a 64-dim vector is distinct only for r in 1..63 — at
     // r = 64 it is the identity (cos = 1 duplicates, the exact failure
     // mode the rotation exists to avoid) and beyond that slice() breaks
-    require(factor >= 1 && factor <= 64, s"factor must be in [1, 64], got $factor")
+    require(factor >= 1, s"factor must be >= 1, got $factor")
+    require(!tables("embeddings") || factor <= 64,
+      s"factor must be in [1, 64] when the embeddings table is built, got $factor")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -140,19 +149,19 @@ object ScaleProbe {
       new java.io.File(tmp).delete()
     }
 
-    scaledDocs(spark, srcDir, factor).repartition(32)
+    if (tables("documents")) scaledDocs(spark, srcDir, factor).repartition(32)
       .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
-    scaledEmbeddings(spark, srcDir, factor).repartition(32)
+    if (tables("embeddings")) scaledEmbeddings(spark, srcDir, factor).repartition(32)
       .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
-    scaledEvents(spark, srcDir, factor).repartition(32)
+    if (tables("events")) scaledEvents(spark, srcDir, factor).repartition(32)
       .write.mode("overwrite").parquet(s"$outDir/events.parquet")
-    scaledLineitem(spark, srcDir, factor).repartition(32)
+    if (tables("lineitem")) scaledLineitem(spark, srcDir, factor).repartition(32)
       .write.mode("overwrite").parquet(s"$outDir/lineitem.parquet")
-    scaledOrders(spark, srcDir, factor).repartition(32)
+    if (tables("orders")) scaledOrders(spark, srcDir, factor).repartition(32)
       .write.mode("overwrite").parquet(s"$outDir/orders.parquet")
-    writeFlat(scaledEvents(spark, srcDir, factor), "events")
-    writeFlat(scaledDocs(spark, srcDir, factor), "documents")
-    println(s"[probe] built ${factor}x corpus at $outDir")
+    if (tables("events")) writeFlat(scaledEvents(spark, srcDir, factor), "events")
+    if (tables("documents")) writeFlat(scaledDocs(spark, srcDir, factor), "documents")
+    println(s"[probe] built ${factor}x corpus at $outDir (tables: ${tables.toSeq.sorted.mkString(",")})")
 
     val probes = Seq(
       "d03_minhash_lsh", "d07_dup_clusters", "t07_decontaminate",
@@ -215,7 +224,15 @@ object ScaleProbe {
       // and the streaming near-dup gate (dedup state O(distinct sketches))
       "d12_substring_dup_mass", "e11_semdedup", "s19_stream_neardup_gate",
       // bounded-buffer quota sample and the three-gate capstone
-      "t21_stratified_sample", "p03_multimodal_curation")
+      "t21_stratified_sample", "p03_multimodal_curation",
+      // round 7: conversion-deadline funnel (user-keyed joins — ~linear),
+      // trailing-7d distinct (|user-days|×7 explode — linear, constant
+      // factor), MV-maintenance merge (scan + O(groups) merge — ~scan),
+      // and the streaming quota sample (state = k×sources — ~scan)
+      "a15_constrained_funnel", "a16_sliding_distinct",
+      "v01_incremental_agg", "s20_stream_quota_sample",
+      // shot segmentation: one sequential pass per payload — ~scan
+      "m10_shot_summary")
       // local iteration only: probe just a subset by name prefix
       .filter(n => sys.env.get("SPARK_GRAFT_ONLY")
         .forall(_.split(",").exists(n.startsWith)))

@@ -77,6 +77,49 @@ object Multimodal {
       width: Int, height: Int, n_channels: Int,
       frame_offsets: Array[Long])
 
+  /** One shot (maximal run of frames between cuts) of one payload. */
+  case class ShotRow(
+      doc_id: Long, shot_idx: Long, start_frame: Long, n_frames: Long,
+      key_frame: Long, key_sig: Long, sig_mass: Long)
+
+  /** m10 core: m08's cut chain composed into SHOTS — the curation unit a
+    * video pipeline dedups/captions per. A cut at frame f (delta over
+    * `CutThreshold` vs frame f-1) STARTS a new shot at f; per shot, the
+    * keyframe is the max-signature frame (earliest on ties — the
+    * deterministic stand-in for "most detailed frame"), and sig_mass is
+    * the shot's total signature (its byte mass). Same single sequential
+    * pass per payload as `sceneStats` — integer-exact, so the whole
+    * segmentation is oracle-checkable.
+    */
+  private[operators] def shotRows(b: Blob): Seq[ShotRow] = {
+    val nf = (b.payload.length + FrameStride - 1) / FrameStride
+    val out = scala.collection.mutable.ArrayBuffer.empty[ShotRow]
+    var prevSig = 0L
+    var shotIdx = 0L; var start = 0L; var n = 0L
+    var keyF = 0L; var keySig = Long.MinValue; var mass = 0L
+    def close(): Unit = {
+      out += ShotRow(b.doc_id, shotIdx, start, n, keyF, keySig, mass)
+      shotIdx += 1
+    }
+    var f = 0
+    while (f < nf) {
+      var sig = 0L
+      var i = f * FrameStride
+      val end = math.min(b.payload.length, i + FrameStride)
+      while (i < end) { sig += (b.payload(i) & 0xFF); i += 1 }
+      if (f > 0 && math.abs(sig - prevSig) > CutThreshold) {
+        close()
+        start = f; n = 0L; keySig = Long.MinValue; mass = 0L
+      }
+      n += 1; mass += sig
+      if (sig > keySig) { keySig = sig; keyF = f }
+      prevSig = sig
+      f += 1
+    }
+    if (n > 0) close()
+    out.toSeq
+  }
+
   /** m08 core: frame signatures (Σ bytes per `FrameStride`-byte frame) →
     * consecutive deltas → cuts above `CutThreshold`. Extracted so
     * MultimodalSpec can drive it with crafted payloads (the fixture has
@@ -324,6 +367,28 @@ object Multimodal {
         .orderBy("doc_id")
     }),
 
+    // SHOT SUMMARIZATION — m08's cuts composed into the unit a video
+    // curation pass actually operates on: shots (maximal runs of frames
+    // between cuts), each with its span, keyframe (max-signature frame,
+    // earliest on ties), and byte mass. This is the decode→segment→
+    // keyframe-select chain that turns raw video into per-shot curation
+    // rows (dedup on keyframes, caption per shot); same batched narrow
+    // map as m05/m07/m08 — no shuffle, scan-linear, one sequential pass
+    // per payload — and all-integer math keeps the full segmentation
+    // under the exact gate (the oracle restates it with window
+    // functions: cut flags → running-sum shot ids → per-shot rollup).
+    "m10_shot_summary" -> ((s, dir) => {
+      val blobs = Tables.documents(s, dir)
+        .filter(length(col("text")) > 0)
+        .select(col("doc_id"), col("text").cast("binary").as("payload"))
+        .as(Encoders.product[Blob])
+      blobs.mapPartitions { it =>
+        it.grouped(DecodeBatchSize).flatMap(batch => batch.flatMap(shotRows))
+      }(Encoders.product[ShotRow])
+        .toDF()
+        .orderBy("doc_id", "shot_idx")
+    }),
+
     // PERCEPTUAL-HASH NEAR-DUP IMAGES — the pixel-space analog of d03's
     // MinHash (which never sees pixels, only tokens): a 64-bit gradient
     // dHash per payload, Hamming-band pigeonhole join for candidates,
@@ -485,6 +550,43 @@ object Multimodal {
          |FROM d
          |GROUP BY doc_id
          |ORDER BY doc_id""".stripMargin,
+
+    // same ASCII-fixture precondition as m01 (chars ⇔ bytes); the
+    // segmentation restated declaratively: per-frame sigs (m08's
+    // fragment) → cut flags via LAG → running-sum shot ids → per-shot
+    // rollup, keyframe = rank 1 by (sig DESC, f ASC) within the shot
+    "m10_shot_summary" ->
+      s"""WITH c AS (
+         |  SELECT doc_id, unnest([ascii(text[i]) for i in range(1, len(text)+1)]) AS byte,
+         |    unnest(range(0, len(text))) AS pos
+         |  FROM documents WHERE strlen(text) > 0
+         |), fr AS (
+         |  SELECT doc_id, pos // $FrameStride AS f, SUM(byte) AS sig
+         |  FROM c GROUP BY doc_id, pos // $FrameStride
+         |), d AS (
+         |  SELECT doc_id, f, sig,
+         |    CASE WHEN f > 0 AND abs(sig - LAG(sig) OVER (PARTITION BY doc_id ORDER BY f))
+         |      > $CutThreshold THEN 1 ELSE 0 END AS is_cut
+         |  FROM fr
+         |), sid AS (
+         |  SELECT doc_id, f, sig,
+         |    SUM(is_cut) OVER (PARTITION BY doc_id ORDER BY f) AS shot_idx
+         |  FROM d
+         |), sh AS (
+         |  SELECT doc_id, f, sig, shot_idx,
+         |    ROW_NUMBER() OVER (PARTITION BY doc_id, shot_idx
+         |      ORDER BY sig DESC, f ASC) AS rk
+         |  FROM sid
+         |)
+         |SELECT doc_id, CAST(shot_idx AS BIGINT) AS shot_idx,
+         |  CAST(MIN(f) AS BIGINT) AS start_frame,
+         |  COUNT(*) AS n_frames,
+         |  CAST(MIN(CASE WHEN rk = 1 THEN f END) AS BIGINT) AS key_frame,
+         |  CAST(MIN(CASE WHEN rk = 1 THEN sig END) AS BIGINT) AS key_sig,
+         |  CAST(SUM(sig) AS BIGINT) AS sig_mass
+         |FROM sh
+         |GROUP BY doc_id, shot_idx
+         |ORDER BY doc_id, shot_idx""".stripMargin,
 
     // same ASCII-fixture precondition as m01 (chars ⇔ bytes); probe i is
     // the 0-based byte i·stride = 1-based char i·stride+1. The oracle

@@ -897,10 +897,62 @@ object Relational {
         .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("approx_users"))
         .select(lit("ALL").as("event_type"), col("approx_users"))
       byType.unionByName(allTypes).orderBy("event_type")
-    })
+    }),
+
+    // INCREMENTAL AGGREGATE MAINTENANCE — the materialized-view upkeep
+    // kernel: a stored per-group PARTIAL state (sum, count — the
+    // mergeable form; avg is derived, never stored) is combined with the
+    // partial state of a new delta batch by one state-merge agg, and the
+    // result must equal a full recompute. At 100 TB this is the
+    // difference between re-aggregating the corpus nightly and
+    // aggregating only the day's increment: base state is O(groups), the
+    // merge shuffles O(2·groups) rows, and only the delta is scanned at
+    // update time. Here base/delta split lineitem on l_orderkey % 10
+    // (deterministic, partition-invariant); decimal partial sums make
+    // merge associativity EXACT, so the maintenance identity
+    // merge(partial(base), partial(delta)) == partial(base ∪ delta)
+    // sits under the hash gate with the oracle as the full recompute.
+    "v01_incremental_agg" -> ((s, dir) =>
+      incrementalAgg(Tables.lineitem(s, dir)))
   )
 
+  /** v01 core over lineitem-shaped rows — extracted so the merge paths
+    * the shipped split never produces (a group present ONLY in the delta,
+    * an empty delta) are unit-testable on crafted rows.
+    */
+  private[operators] def incrementalAgg(li: DataFrame): DataFrame = {
+    def partialState(df: DataFrame): DataFrame =
+      df.groupBy("l_returnflag", "l_linestatus")
+        .agg(sum(col("l_quantity").cast("decimal(38,6)")).as("s_qty"),
+          sum(col("l_extendedprice").cast("decimal(38,6)")).as("s_price"),
+          count(lit(1)).as("n"))
+    val base = partialState(li.filter(col("l_orderkey") % 10 =!= 0))
+    val delta = partialState(li.filter(col("l_orderkey") % 10 === 0))
+    base.unionByName(delta)
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(sum("s_qty").as("s_qty"), sum("s_price").as("s_price"),
+        sum("n").as("n"))
+      .select(col("l_returnflag"), col("l_linestatus"),
+        col("s_qty").cast("double").as("sum_qty"),
+        col("s_price").cast("double").as("sum_base_price"),
+        (col("s_qty").cast("double") / col("n")).as("avg_qty"),
+        col("n").as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
   def oracles: Map[String, String] = Map(
+    // the maintenance identity IS the oracle: merged partial states must
+    // equal the full recompute (decimal sums are associative, so exact)
+    "v01_incremental_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS sum_base_price,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*) AS avg_qty,
+        |  COUNT(*) AS count_order
+        |FROM lineitem
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
     "q02_filter_project" ->
       """SELECT l_orderkey, l_linenumber,
         |  CAST(CAST(l_extendedprice * l_discount AS DECIMAL(38,6)) AS DOUBLE) AS disc_revenue

@@ -46,6 +46,63 @@ object Temporal {
       .orderBy("user_id")
   }
 
+  /** a15: conversion windows — a click must land within 1 h of the first
+    * view, a purchase within 24 h of that click, or the funnel stalls.
+    */
+  val ClickWindowSec = 3600L
+  val PurchaseWindowSec = 86400L
+
+  /** a15 core over (user_id, event_type, sec) rows — a05's staged
+    * conditional mins with per-stage conversion DEADLINES: stage n+1 only
+    * counts if it lands within the window after stage n's time. Extracted
+    * (like `funnel`) so the expiry paths — a click just past the hour, a
+    * purchase at exactly the 24 h bound — are unit-testable on crafted
+    * events; the shipped fixture's timing happens to exercise only some
+    * boundaries. Same scale shape as a05: three hash aggs + two
+    * user-keyed equi-joins, never a per-user sequence scan.
+    */
+  private[operators] def constrainedFunnel(e: DataFrame): DataFrame = {
+    val tA = e.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min("sec").as("t_view"))
+    val tB = e.filter(col("event_type") === "click").join(tA, "user_id")
+      .filter(col("sec") > col("t_view") &&
+        col("sec") <= col("t_view") + ClickWindowSec)
+      .groupBy("user_id").agg(min("sec").as("t_click"))
+    val tC = e.filter(col("event_type") === "purchase").join(tB, "user_id")
+      .filter(col("sec") > col("t_click") &&
+        col("sec") <= col("t_click") + PurchaseWindowSec)
+      .groupBy("user_id").agg(min("sec").as("t_purchase"))
+    tA.join(tB, Seq("user_id"), "left").join(tC, Seq("user_id"), "left")
+      .select(col("user_id"),
+        date_format(timestamp_seconds(col("t_view")), "yyyy-MM-dd HH:mm:ss").as("first_view"),
+        (col("t_click") - col("t_view")).as("click_delay_sec"),
+        (col("t_purchase") - col("t_click")).as("purchase_delay_sec"),
+        (lit(1L) + when(col("t_click").isNotNull, 1L).otherwise(0L)
+          + when(col("t_purchase").isNotNull, 1L).otherwise(0L)).as("stage"))
+      .orderBy("user_id")
+  }
+
+  /** a16 core over (user_id, ts: timestamp) rows — trailing-7-day
+    * distinct users per day. Extracted so window membership (a user-day
+    * covers exactly end-days d..d+6), within-window dedup, and the
+    * grid clip at the last active day are unit-testable on crafted rows.
+    */
+  private[operators] def slidingDistinct(events: DataFrame): DataFrame = {
+    val ud = events
+      .select(col("user_id"), expr("cast(ts as long) div 86400").as("day"))
+      .distinct()
+    val span = ud.agg(max("day").as("d1"))
+    ud.select(col("user_id"), explode(expr("sequence(day, day + 6)")).as("end_day"))
+      .distinct()
+      .crossJoin(broadcast(span))
+      .filter(col("end_day") <= col("d1"))
+      .groupBy("end_day")
+      .agg(count(lit(1)).as("n_users_7d"))
+      .select(date_format(timestamp_seconds(col("end_day") * 86400L), "yyyy-MM-dd").as("day"),
+        col("n_users_7d"))
+      .orderBy("day")
+  }
+
   /** a08 core over (user_id, event_id, ts: timestamp, value) rows —
     * extracted so fill semantics (multi-hour gaps carry the LAST reading
     * of the last observed hour; leading hour always observed; per-user
@@ -275,6 +332,33 @@ object Temporal {
         .agg(count(lit(1)).as("n_active"))
         .orderBy("cohort_week", "week")
     }),
+
+    // CONSTRAINED FUNNEL — a05 with conversion DEADLINES, the form a
+    // product-analytics funnel is actually defined in: a click only
+    // converts if it lands within 1 h of the first view, a purchase
+    // within 24 h of that click. Same staged-conditional-min plan as a05
+    // (three hash aggs + two user-keyed joins — no per-user sequence
+    // scan, no whole-stream window), with each stage's filter gaining an
+    // upper bound; the delay columns are integer second arithmetic, so
+    // the whole funnel sits under the exact gate.
+    "a15_constrained_funnel" -> ((s, dir) => {
+      constrainedFunnel(Tables.events(s, dir)
+        .filter(col("event_type").isin("view", "click", "purchase"))
+        .select(col("user_id"), col("event_type"), col("ts").cast("long").as("sec")))
+    }),
+
+    // TRAILING-7-DAY DISTINCT USERS per day — the rolling-MAU/WAU shape.
+    // COUNT(DISTINCT) OVER a sliding frame doesn't exist in Spark (or in
+    // most engines) and the naive form re-scans 7 days of events per day;
+    // the scalable identity: a user active on day d is a member of the
+    // trailing window of every end-day in [d, d+6], so distinct
+    // (user, day) pairs ×7 cover-days → distinct (user, end_day) → count
+    // per end_day. Work is |distinct user-days| × 7 — corpus-linear with
+    // a constant factor of the window length, never window-quadratic, and
+    // the raw event stream collapses to user-days at the first agg. The
+    // grid is clipped to days the data actually spans (1-row broadcast).
+    "a16_sliding_distinct" -> ((s, dir) =>
+      slidingDistinct(Tables.events(s, dir).select(col("user_id"), col("ts")))),
 
     // TIME-WEIGHTED AVERAGE — the correct mean for irregularly-sampled
     // series (sensor readings, prices, metrics): each value is weighted
@@ -685,6 +769,47 @@ object Temporal {
         |    + CASE WHEN t_purchase IS NULL THEN 0 ELSE 1 END AS BIGINT) AS stage
         |FROM a LEFT JOIN b USING (user_id) LEFT JOIN c USING (user_id)
         |ORDER BY user_id""".stripMargin,
+
+    "a15_constrained_funnel" ->
+      s"""WITH e AS (
+        |  SELECT user_id, event_type, epoch(date_trunc('second', ts)) AS sec
+        |  FROM events WHERE event_type IN ('view', 'click', 'purchase')
+        |), a AS (
+        |  SELECT user_id, MIN(sec) AS t_view FROM e WHERE event_type = 'view' GROUP BY user_id
+        |), b AS (
+        |  SELECT e.user_id, MIN(sec) AS t_click FROM e JOIN a USING (user_id)
+        |  WHERE event_type = 'click' AND sec > t_view AND sec <= t_view + $ClickWindowSec
+        |  GROUP BY e.user_id
+        |), c AS (
+        |  SELECT e.user_id, MIN(sec) AS t_purchase FROM e JOIN b USING (user_id)
+        |  WHERE event_type = 'purchase' AND sec > t_click AND sec <= t_click + $PurchaseWindowSec
+        |  GROUP BY e.user_id
+        |)
+        |SELECT a.user_id,
+        |  strftime(to_timestamp(t_view), '%Y-%m-%d %H:%M:%S') AS first_view,
+        |  CAST(t_click - t_view AS BIGINT) AS click_delay_sec,
+        |  CAST(t_purchase - t_click AS BIGINT) AS purchase_delay_sec,
+        |  CAST(1 + CASE WHEN t_click IS NULL THEN 0 ELSE 1 END
+        |    + CASE WHEN t_purchase IS NULL THEN 0 ELSE 1 END AS BIGINT) AS stage
+        |FROM a LEFT JOIN b USING (user_id) LEFT JOIN c USING (user_id)
+        |ORDER BY user_id""".stripMargin,
+
+    "a16_sliding_distinct" ->
+      """WITH ud AS (
+        |  SELECT DISTINCT user_id, CAST(epoch(date_trunc('second', ts)) AS BIGINT) // 86400 AS day
+        |  FROM events
+        |), span AS (
+        |  SELECT MAX(day) AS d1 FROM ud
+        |), cov AS (
+        |  SELECT DISTINCT user_id, day + i AS end_day
+        |  FROM ud, range(0, 7) AS t(i), span
+        |  WHERE day + i <= d1
+        |)
+        |SELECT strftime(to_timestamp(end_day * 86400), '%Y-%m-%d') AS day,
+        |  COUNT(*) AS n_users_7d
+        |FROM cov
+        |GROUP BY end_day
+        |ORDER BY day""".stripMargin,
 
     "a06_retention" ->
       """WITH w AS (

@@ -620,6 +620,32 @@ object StreamingQueries {
         .groupBy(pmod(col("simhash"), lit(8L)).as("sketch_shard"))
         .agg(count(lit(1)).as("n_unique"))
       runToTable(agg, OutputMode.Complete(), statePartitions = Some(8)).orderBy("sketch_shard")
+    }),
+
+    // STREAMING QUOTA SAMPLE — t21's deterministic exactly-k-per-source
+    // sample maintained CONTINUOUSLY: the TopKAggregator's k-bounded
+    // buffer rides the state store (state = k (score, id) pairs per
+    // source, CONSTANT as the stream grows — the streaming version of the
+    // "shuffle carries k rows, not the corpus" argument), so at every
+    // micro-batch the store holds the current sample of everything
+    // ingested so far. The hash rank is arrival-order-free (a doc's rank
+    // never depends on when it arrived), so the streamed sample equals
+    // the batch sample and t21's window-form oracle gates it exactly.
+    // The posexplode runs on the materialized result, batch-side — the
+    // streaming plan is pure bounded-state agg.
+    "s20_stream_quota_sample" -> ((s, dir) => {
+      import graft.functions.TopKAggregator.top_k
+      import graft.operators.TextAnalysis.SampleK
+      val h = col("doc_id") % lit(999999937L) * lit(2654435761L) % lit(999999937L)
+      val agg = documentsStream(s, dir)
+        .select(col("source"), col("doc_id"), h.as("h"))
+        .groupBy("source")
+        .agg(top_k((-col("h")).cast("double"), col("doc_id"), SampleK).as("top"))
+      runToTable(agg, OutputMode.Complete(), statePartitions = Some(8))
+        .select(col("source"), posexplode(col("top")).as(Seq("i", "t")))
+        .select(col("source"), (col("i") + 1).cast("long").as("rank"),
+          col("t.id").as("doc_id"), (-col("t.score")).cast("long").as("h"))
+        .orderBy("source", "rank")
     })
   )
 
@@ -868,6 +894,20 @@ object StreamingQueries {
          |  COUNT(DISTINCT hu) AS n_unique
          |FROM sh
          |GROUP BY 1
-         |ORDER BY 1""".stripMargin
+         |ORDER BY 1""".stripMargin,
+
+    // t21's window-form oracle verbatim: the streamed bounded-state
+    // sample must equal the batch sample (the rank hash is
+    // arrival-order-free)
+    "s20_stream_quota_sample" ->
+      s"""SELECT source, rank, doc_id, h FROM (
+         |  SELECT source, doc_id,
+         |    doc_id % 999999937 * 2654435761 % 999999937 AS h,
+         |    ROW_NUMBER() OVER (PARTITION BY source
+         |      ORDER BY doc_id % 999999937 * 2654435761 % 999999937 ASC, doc_id ASC) AS rank
+         |  FROM documents
+         |)
+         |WHERE rank <= ${graft.operators.TextAnalysis.SampleK}
+         |ORDER BY source, rank""".stripMargin
   )
 }

@@ -90,6 +90,38 @@ class MultimodalSpec extends SparkSpec {
     assert(tiny.n_frames === 1 && tiny.n_cuts === 0L && tiny.max_delta === 0L)
   }
 
+  test("m10 shots: crafted payloads segment at cuts; keyframe is max-sig earliest-tie") {
+    import Multimodal.{Blob, FrameStride, ShotRow}
+    // two 'a' frames then two 'z' frames: one cut at frame 2 ⇒ two shots.
+    // Within each shot the two frames tie on signature ⇒ keyframe = the
+    // EARLIER frame of the tie.
+    val aSig = 'a'.toLong * FrameStride
+    val zSig = 'z'.toLong * FrameStride
+    val two = Multimodal.shotRows(
+      Blob(1L, Array.fill(2 * FrameStride)('a'.toByte) ++ Array.fill(2 * FrameStride)('z'.toByte)))
+    assert(two === Seq(
+      ShotRow(1L, 0L, 0L, 2L, 0L, aSig, 2 * aSig),
+      ShotRow(1L, 1L, 2L, 2L, 2L, zSig, 2 * zSig)))
+
+    // homogeneous payload: a single shot spanning every frame
+    val flat = Multimodal.shotRows(Blob(2L, Array.fill(3 * FrameStride)('m'.toByte)))
+    val mSig = 'm'.toLong * FrameStride
+    assert(flat === Seq(ShotRow(2L, 0L, 0L, 3L, 0L, mSig, 3 * mSig)))
+
+    // ragged tail that triggers a cut: the short last frame starts its
+    // own shot and is its own keyframe, and the frame census conserves
+    val cutTail = Multimodal.shotRows(Blob(3L, Array.fill(FrameStride + 1)('z'.toByte)))
+    if ('z'.toLong * (FrameStride - 1) > Multimodal.CutThreshold) {
+      assert(cutTail.length === 2)
+      assert(cutTail(1) === ShotRow(3L, 1L, 1L, 1L, 1L, 'z'.toLong, 'z'.toLong))
+    }
+    assert(cutTail.map(_.n_frames).sum === 2L)
+
+    // empty-adjacent edge: a sub-frame payload is one one-frame shot
+    val tiny = Multimodal.shotRows(Blob(4L, Array.fill(5)('x'.toByte)))
+    assert(tiny === Seq(ShotRow(4L, 0L, 0L, 1L, 0L, 5L * 'x'.toLong, 5L * 'x'.toLong)))
+  }
+
   test("m09 phash: crafted probe flips give exact distances; >HamMax rejected; short docs excluded") {
     import spark.implicits._
     import Multimodal.{PhashMinLen, PhashStride}

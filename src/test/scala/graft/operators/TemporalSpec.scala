@@ -150,4 +150,69 @@ class TemporalSpec extends SparkSpec {
     assert(agg.find(_._1 == 2L).get._3 === 1.0)
     assert(agg.find(_._1 == 2L).get._6 === 8.0)
   }
+
+  test("a15 conversion deadlines: inclusive bounds, expiry, delays") {
+    import spark.implicits._
+    val cw = Temporal.ClickWindowSec      // 3600
+    val pw = Temporal.PurchaseWindowSec   // 86400
+    val e = Seq(
+      // click at EXACTLY view + 1h: inclusive bound admits; purchase at
+      // exactly click + 24h: admits too — full funnel with max delays
+      (1L, "view", 100L), (1L, "click", 100L + cw), (1L, "purchase", 100L + cw + pw),
+      // click one second past the window: stalls at stage 1 even though a
+      // purchase follows (an unconstrained a05 would reach stage 3 here)
+      (2L, "view", 100L), (2L, "click", 100L + cw + 1L), (2L, "purchase", 200L + cw),
+      // in-window click, purchase one second past ITS window: stage 2
+      (3L, "view", 100L), (3L, "click", 200L), (3L, "purchase", 200L + pw + 1L),
+      // a second, in-window click after an expired first click does not
+      // resurrect the funnel stage — but the MIN is over in-window clicks
+      // only, so the 2nd-click path converts: (late click ignored, timely
+      // click counts regardless of order seen)
+      (4L, "view", 100L), (4L, "click", 100L + cw + 9L), (4L, "click", 500L),
+      (4L, "purchase", 600L)
+    ).toDF("user_id", "event_type", "sec")
+
+    val got = Temporal.constrainedFunnel(e).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(4), Option(r.get(2)).map(_.asInstanceOf[Long]), Option(r.get(3)).map(_.asInstanceOf[Long])))
+      .toMap
+
+    assert(got(1L) === ((3L, Some(cw), Some(pw))), "deadline bounds are inclusive")
+    assert(got(2L)._1 === 1L, "a click past view+1h must not convert")
+    assert(got(3L)._1 === 2L, "a purchase past click+24h must not convert")
+    assert(got(4L) === ((3L, Some(400L), Some(100L))),
+      "the earliest IN-WINDOW click defines the purchase window")
+  }
+
+  test("a16 trailing-7d distinct: window membership, dedup within window, grid clip") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // day numbers: u1 active day 0 and day 3 (ONE distinct user in every
+    // window covering either); u2 active day 0 twice (must not double-
+    // count); u3 active day 9 — the u1/u2 mass expires after end-day 6
+    // resp. 9, and the grid must stop at the LAST ACTIVE day (9), not
+    // run to day 3 + 6 = 9 only by luck of u3 — so also check no end-day
+    // past 9 appears
+    val e = Seq(
+      (1L, 0L), (1L, 3L * 86400L + 7L),   // u1: days 0, 3
+      (2L, 10L),                          // u2: day 0
+      (2L, 20L),                          // u2 again day 0 — dedup
+      (3L, 9L * 86400L)                   // u3: day 9
+    ).toDF("user_id", "sec")
+      .withColumn("ts", timestamp_seconds(col("sec"))).drop("sec")
+      .select(col("user_id"), col("ts"))
+
+    val got = Temporal.slidingDistinct(e).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+
+    // windows ending days 0-6 contain u1 (day 0 or 3) and u2 (day 0 for
+    // end-days 0-6); u1's day-3 activity covers end-days 3-9; u3 covers 9
+    val exp = Map(
+      "1970-01-01" -> 2L, "1970-01-02" -> 2L, "1970-01-03" -> 2L,
+      "1970-01-04" -> 2L, "1970-01-05" -> 2L, "1970-01-06" -> 2L,
+      "1970-01-07" -> 2L,                   // end-day 6: u2 day0 still in [0..6]
+      "1970-01-08" -> 1L, "1970-01-09" -> 1L, // u1 via day 3
+      "1970-01-10" -> 2L)                   // end-day 9: u1 (day 3) + u3 (day 9)
+    assert(got === exp)
+  }
 }

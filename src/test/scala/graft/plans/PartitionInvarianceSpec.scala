@@ -53,7 +53,14 @@ class PartitionInvarianceSpec extends SparkSpec {
     // cell-blocked pair counts (e11), and the bounded-buffer quota
     // sample whose merge order must not change the picked docs (t21)
     "d12_substring_dup_mass", "e11_semdedup", "t21_stratified_sample",
-    "a14_asof_tolerance")
+    "a14_asof_tolerance",
+    // round 7: deadline-staged conditional mins (a15), the ×7 explode +
+    // distinct + broadcast span clip (a16), the decimal partial-state
+    // merge whose split must not leak into the answer (v01), and the
+    // per-doc shot segmentation (m10 — narrow map, but the ordering
+    // columns must hold under any input partitioning)
+    "a15_constrained_funnel", "a16_sliding_distinct", "v01_incremental_agg",
+    "m10_shot_summary")
 
   private def runAt(name: String, parts: Int): Seq[String] = {
     val old = spark.conf.get("spark.sql.shuffle.partitions")

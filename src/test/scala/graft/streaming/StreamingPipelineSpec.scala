@@ -197,4 +197,16 @@ class StreamingPipelineSpec extends SparkSpec {
     val nUnique: Long = streamed.values.sum
     assert(nUnique <= nDocs)
   }
+
+  test("s20 quota sample: streamed bounded-state sample equals the batch t21 sample") {
+    val streamed = StreamingQueries.queries("s20_stream_quota_sample")(spark, sfDir)
+      .collect().map(_.toSeq).toSeq
+    val batch = graft.operators.TextAnalysis.queries("t21_stratified_sample")(spark, sfDir)
+      .collect().map(_.toSeq).toSeq
+    // the rank hash is arrival-order-free and the aggregator's merge is
+    // commutative-associative, so micro-batched arrival must not change
+    // the sample at all — bit-identical rows, same order
+    assert(streamed === batch)
+    assert(streamed.nonEmpty)
+  }
 }
