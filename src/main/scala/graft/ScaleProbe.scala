@@ -232,7 +232,20 @@ object ScaleProbe {
       "a15_constrained_funnel", "a16_sliding_distinct",
       "v01_incremental_agg", "s20_stream_quota_sample",
       // shot segmentation: one sequential pass per payload — ~scan
-      "m10_shot_summary")
+      "m10_shot_summary",
+      // round 7 second batch: SCD-2 version chains (one user-keyed
+      // shuffle, per-key sorts — ~linear), the apportioned sample
+      // (O(sources) quota frame + k-bounded buffers — ~scan), and the
+      // cross-modal union closure (three banded/blocked candidate
+      // generators + CC over the union edge set — ~edge-linear)
+      "v02_scd2_history", "t22_apportioned_sample", "p04_crossmodal_clusters",
+      // span surgery (window hashes + rare-hit ×4 explode — ~scan) and
+      // the audio edge trim (one narrow pass per payload — ~scan)
+      "t23_decontaminate_surgery", "m11_silence_trim",
+      // round 7: the count-first block cap measured where it matters —
+      // d04's pair space is bounded by cap² per admitted block at any
+      // corpus depth (the r6-verdict item-1 discipline, proven at 100×)
+      "d04_ngram_jaccard_blocked")
       // local iteration only: probe just a subset by name prefix
       .filter(n => sys.env.get("SPARK_GRAFT_ONLY")
         .forall(_.split(",").exists(n.startsWith)))

@@ -7,6 +7,7 @@ import graft.Tables
 import graft.functions.HashingFunctions._
 import graft.functions.TextFunctions
 import graft.functions.TextFunctions._
+import graft.functions.VectorFunctions.cosine_similarity
 
 /** The flagship composition: a full training-data curation pipeline as ONE
   * declarative query — the production shape where the operator families
@@ -145,6 +146,40 @@ object Curation {
         .groupBy("source")
         .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("n_tokens"))
         .orderBy("source")
+    }),
+
+    // CROSS-MODAL DUPLICATE CLUSTERS — the union-resolution pass a
+    // multimodal corpus runs after its per-modality dedup sweeps: a doc
+    // can be a near-copy of another by TEXT (d03's verified MinHash-LSH
+    // pairs), by PIXELS (m09's perceptual-hash pairs over the probe
+    // grid), or by MEANING (e11's within-cell θ-similar embedding pairs)
+    // — and "how many distinct things do we actually have" is a question
+    // about the UNION of those edge sets, because duplicate chains hop
+    // modalities (a ↔text↔ b ↔pixels↔ c is ONE asset). Each edge family
+    // is generated in its own documented at-scale form (banded / banded /
+    // cell-blocked — never all-pairs), edges union as bare 16-byte id
+    // pairs, and d07's label-propagation CC resolves components. keep =
+    // (doc_id == cluster_id) — min-label CC makes the smallest member
+    // the canonical keeper with no extra election pass (d11's policy
+    // would slot in as a max_by if size-based survivorship were wanted).
+    "p04_crossmodal_clusters" -> ((s, dir) => {
+      val textE = Dedup.nearDupPairs(s, dir).select(col("id_a"), col("id_b"))
+      val phashE = Multimodal.phashPairs(Tables.documents(s, dir))
+        .select(col("doc_a").as("id_a"), col("doc_b").as("id_b"))
+      val assigned = Similarity.semAssigned(Tables.embeddings(s, dir))
+      val ea = assigned.select(col("cell"), col("vec_id").as("id_a"), col("embedding").as("emb_a"))
+      val eb = assigned.select(col("cell"), col("vec_id").as("id_b"), col("embedding").as("emb_b"))
+      val semE = ea.join(eb, "cell")
+        .filter(col("id_a") < col("id_b"))
+        .filter(cosine_similarity(col("emb_a"), col("emb_b")) >= Similarity.SemDedupTheta)
+        .select(col("id_a"), col("id_b"))
+      val edges = textE.unionByName(phashE).unionByName(semE).distinct()
+      val clusters = Dedup.connectedComponents(edges)
+      val sizes = clusters.groupBy("cluster_id").agg(count(lit(1)).as("n_members"))
+      clusters.join(sizes, "cluster_id")
+        .select(col("doc_id"), col("cluster_id"), col("n_members"),
+          (col("doc_id") === col("cluster_id")).as("keep"))
+        .orderBy("doc_id")
     })
   )
 
@@ -313,6 +348,91 @@ object Curation {
          |WHERE q.q >= $QualityMin AND ($langCase) = 'en'
          |  AND COALESCE(m.dup_frac, 0.0) <= 0.5 AND s.kept
          |GROUP BY q.source
-         |ORDER BY q.source""".stripMargin
+         |ORDER BY q.source""".stripMargin,
+
+    // union of the three modality pair oracles (d07's brute text pairs,
+    // m09's brute phash pairs, e11's within-cell θ-pairs — each already
+    // proven answer-equal to its banded/blocked Spark form by its own
+    // gate row), then d07's recursive min-label closure over the union
+    "p04_crossmodal_clusters" ->
+      s"""WITH RECURSIVE t AS (
+         |  SELECT doc_id, list_filter(string_split(lower(text), ' '), w -> len(w) > 0) AS w
+         |  FROM documents
+         |), s AS (
+         |  SELECT doc_id,
+         |    list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w) - 1)]) AS sh
+         |  FROM t WHERE len(w) >= 3
+         |), tpairs AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM s a JOIN s b ON a.doc_id < b.doc_id
+         |  WHERE len(a.sh) > 0 AND len(b.sh) > 0
+         |    AND len(list_intersect(a.sh, b.sh))::DOUBLE / len(list_distinct(list_concat(a.sh, b.sh)))::DOUBLE >= ${Dedup.JaccardThreshold}
+         |), elig AS (
+         |  SELECT doc_id, text FROM documents WHERE strlen(text) >= ${Multimodal.PhashMinLen}
+         |), bits AS (
+         |  SELECT doc_id, i,
+         |    CASE WHEN ascii(text[(${Multimodal.PhashStride}*i+1)::INT])
+         |           > ascii(text[(${Multimodal.PhashStride}*i+${Multimodal.PhashStride + 1})::INT])
+         |         THEN 1 ELSE 0 END AS bit
+         |  FROM elig, unnest(range(0, ${Multimodal.PhashBits})) AS u(i)
+         |), pbands AS (
+         |  SELECT doc_id, (i // 16)::INT AS b,
+         |    SUM(bit * (1::BIGINT << (i % 16)::INT))::BIGINT AS v
+         |  FROM bits GROUP BY doc_id, (i // 16)::INT
+         |), ph AS (
+         |  SELECT doc_id, list(v ORDER BY b) AS vs FROM pbands GROUP BY doc_id
+         |), ppairs AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM ph a JOIN ph b ON a.doc_id < b.doc_id
+         |  WHERE bit_count(xor(a.vs[1], b.vs[1])) + bit_count(xor(a.vs[2], b.vs[2]))
+         |      + bit_count(xor(a.vs[3], b.vs[3])) + bit_count(xor(a.vs[4], b.vs[4]))
+         |    <= ${Multimodal.PhashHamMax}
+         |), x AS (
+         |  SELECT label, vec_id,
+         |    unnest([{'d': i - 1, 'v': embedding[i]::DOUBLE} for i in range(1, len(embedding) + 1)]) AS u
+         |  FROM embeddings
+         |), cd AS (
+         |  SELECT label, u.d AS dim, list_sum(list(u.v ORDER BY vec_id)) / COUNT(*) AS c
+         |  FROM x GROUP BY label, u.d
+         |), cent AS (
+         |  SELECT label AS cell, list_transform(list(c ORDER BY dim), v -> v::FLOAT) AS ce
+         |  FROM cd GROUP BY label
+         |), scoredc AS (
+         |  SELECT e.vec_id, e.embedding, c.cell,
+         |    list_sum([e.embedding[i]::DOUBLE * c.ce[i]::DOUBLE for i in range(1, len(e.embedding) + 1)])
+         |    / sqrt(list_sum([e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE for i in range(1, len(e.embedding) + 1)]))
+         |    / sqrt(list_sum([c.ce[i]::DOUBLE * c.ce[i]::DOUBLE for i in range(1, len(c.ce) + 1)])) AS ccos
+         |  FROM embeddings e, cent c
+         |), assigned AS (
+         |  SELECT vec_id, embedding, cell FROM (
+         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cell ASC) AS rn
+         |    FROM scoredc
+         |  ) WHERE rn = 1
+         |), spairs AS (
+         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+         |  FROM assigned a JOIN assigned b ON a.cell = b.cell AND a.vec_id < b.vec_id
+         |  WHERE ${Similarity.duckCos("a", "b")} >= ${Similarity.SemDedupTheta}
+         |), upairs AS (
+         |  SELECT id_a, id_b FROM tpairs
+         |  UNION SELECT id_a, id_b FROM ppairs
+         |  UNION SELECT id_a, id_b FROM spairs
+         |), edges AS (
+         |  SELECT id_a AS src, id_b AS dst FROM upairs
+         |  UNION SELECT id_b, id_a FROM upairs
+         |  UNION SELECT id_a, id_a FROM upairs
+         |  UNION SELECT id_b, id_b FROM upairs
+         |), reach AS (
+         |  SELECT src AS doc_id, dst AS reach_id FROM edges
+         |  UNION
+         |  SELECT r.doc_id, e.dst FROM reach r JOIN edges e ON r.reach_id = e.src
+         |), clusters AS (
+         |  SELECT doc_id, MIN(reach_id) AS cluster_id
+         |  FROM reach GROUP BY doc_id
+         |)
+         |SELECT doc_id, cluster_id,
+         |  COUNT(*) OVER (PARTITION BY cluster_id) AS n_members,
+         |  doc_id = cluster_id AS keep
+         |FROM clusters
+         |ORDER BY doc_id""".stripMargin
   )
 }

@@ -47,6 +47,48 @@ object Multimodal {
       doc_id: Long, n_samples: Long, n_frames: Long,
       total_energy: Long, peak_frame: Long, peak_energy: Long)
 
+  /** m11: a frame is "silent" iff energy·4 < the doc's peak frame energy
+    * (a relative gate — integer compare, no float threshold; the peak
+    * frame always passes it, so every doc keeps ≥ 1 frame).
+    */
+  case class AudioTrim(
+      doc_id: Long, n_frames: Long, first_loud: Long, last_loud: Long,
+      kept_frames: Long, trimmed_frames: Long, kept_energy: Long)
+
+  /** m11 per-payload trim — exposed for MultimodalSpec's crafted-payload
+    * closed forms. Two sequential passes: frame energies (m07's decode),
+    * then the edge scan for the first/last frame clearing e·4 ≥ peak.
+    */
+  private[operators] def trimOf(b: Blob): AudioTrim = {
+    val ns = b.payload.length / 2
+    val nf = (ns + AudioFrameSamples - 1) / AudioFrameSamples
+    val e = new Array[Long](nf)
+    var peak = 0L
+    var f = 0
+    while (f < nf) {
+      var acc = 0L
+      var i = f * AudioFrameSamples
+      val end = math.min(ns, i + AudioFrameSamples)
+      while (i < end) {
+        val smp = (b.payload(2 * i) & 0xFF) | ((b.payload(2 * i + 1) & 0xFF) << 8)
+        acc += smp.toLong * smp
+        i += 1
+      }
+      e(f) = acc
+      if (acc > peak) peak = acc
+      f += 1
+    }
+    var first = 0
+    while (first < nf && e(first) * 4 < peak) first += 1
+    var last = nf - 1
+    while (last > first && e(last) * 4 < peak) last -= 1
+    var kept = 0L
+    var j = first
+    while (j <= last) { kept += e(j); j += 1 }
+    AudioTrim(b.doc_id, nf.toLong, first.toLong, last.toLong,
+      (last - first + 1).toLong, (nf - (last - first + 1)).toLong, kept)
+  }
+
   /** m08 scene-change grid: consecutive-frame signature delta above
     * `CutThreshold` flags a cut (shot-boundary detection's integer
     * skeleton). 256 ≈ 4 bytes' worth of full-range change on a
@@ -345,6 +387,29 @@ object Multimodal {
         .orderBy("doc_id")
     }),
 
+    // SILENCE TRIM — what a speech-data pass does with m07's frame
+    // energies: cut the quiet lead-in/lead-out and keep the loud middle.
+    // A frame is silent iff energy·4 < the doc's own peak frame energy —
+    // a RELATIVE integer gate (no absolute float threshold to tune per
+    // corpus, no cross-engine float compare), and the peak frame always
+    // passes its own gate so first/last_loud are total. Trim removes
+    // only the silent PREFIX and SUFFIX; interior silent frames between
+    // the first and last loud frame stay (they're pauses, not padding).
+    // Same batched narrow map as m07 — two sequential passes over each
+    // payload's frames (energies, then the edge scan), no shuffle,
+    // scan-linear, all BIGINT ⇒ exact gate.
+    "m11_silence_trim" -> ((s, dir) => {
+      val blobs = Tables.documents(s, dir)
+        .filter(length(col("text")) >= 2)
+        .select(col("doc_id"), col("text").cast("binary").as("payload"))
+        .as(Encoders.product[Blob])
+      blobs.mapPartitions { it =>
+        it.grouped(DecodeBatchSize).flatMap(_.map(b => trimOf(b)))
+      }(Encoders.product[AudioTrim])
+        .toDF()
+        .orderBy("doc_id")
+    }),
+
     // SCENE-CHANGE DETECTION — the shot-boundary primitive of a video
     // curation pass: per frame (m05's byte grid), an integer signature
     // (Σ frame bytes — a real decoder would use a histogram; the
@@ -526,6 +591,41 @@ object Multimodal {
          |FROM agg a JOIN fr ON fr.doc_id = a.doc_id AND fr.e = a.peak_energy
          |GROUP BY a.doc_id, n_samples, n_frames, total_energy, peak_energy
          |ORDER BY a.doc_id""".stripMargin,
+
+    // m07's frame CTEs + the relative gate: loud ⟺ e·4 ≥ doc peak; the
+    // kept range is [min loud, max loud] (interior pauses stay)
+    "m11_silence_trim" ->
+      s"""WITH s AS (
+         |  SELECT doc_id, text, unnest(range(0, strlen(text) // 2)) AS si
+         |  FROM documents WHERE strlen(text) >= 2
+         |), v AS (
+         |  SELECT doc_id, si // $AudioFrameSamples AS f,
+         |    (ascii(text[(2*si+1)::INT]) + 256 * ascii(text[(2*si+2)::INT]))::BIGINT AS smp
+         |  FROM s
+         |), fr AS (
+         |  SELECT doc_id, f, SUM(smp * smp) AS e
+         |  FROM v GROUP BY doc_id, f
+         |), pk AS (
+         |  SELECT doc_id, MAX(e) AS peak, COUNT(*) AS nf FROM fr GROUP BY doc_id
+         |), loud AS (
+         |  SELECT fr.doc_id, MIN(f) AS first_loud, MAX(f) AS last_loud
+         |  FROM fr JOIN pk USING (doc_id)
+         |  WHERE fr.e * 4 >= pk.peak
+         |  GROUP BY fr.doc_id
+         |), kept AS (
+         |  SELECT fr.doc_id, SUM(fr.e) AS kept_energy
+         |  FROM fr JOIN loud l ON fr.doc_id = l.doc_id
+         |    AND fr.f BETWEEN l.first_loud AND l.last_loud
+         |  GROUP BY fr.doc_id
+         |)
+         |SELECT p.doc_id, CAST(p.nf AS BIGINT) AS n_frames,
+         |  CAST(l.first_loud AS BIGINT) AS first_loud,
+         |  CAST(l.last_loud AS BIGINT) AS last_loud,
+         |  CAST(l.last_loud - l.first_loud + 1 AS BIGINT) AS kept_frames,
+         |  CAST(p.nf - (l.last_loud - l.first_loud + 1) AS BIGINT) AS trimmed_frames,
+         |  CAST(k.kept_energy AS BIGINT) AS kept_energy
+         |FROM pk p JOIN loud l USING (doc_id) JOIN kept k USING (doc_id)
+         |ORDER BY p.doc_id""".stripMargin,
 
     // same ASCII-fixture precondition as m01 (chars ⇔ bytes); frame f
     // covers chars f*stride+1 .. f*stride+stride (1-based, clamped)

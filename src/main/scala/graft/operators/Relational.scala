@@ -913,8 +913,43 @@ object Relational {
     // merge(partial(base), partial(delta)) == partial(base ∪ delta)
     // sits under the hash gate with the oracle as the full recompute.
     "v01_incremental_agg" -> ((s, dir) =>
-      incrementalAgg(Tables.lineitem(s, dir)))
+      incrementalAgg(Tables.lineitem(s, dir))),
+
+    // SCD TYPE-2 HISTORY BUILD — q51's other half: the lakehouse MERGE
+    // that KEEPS history instead of collapsing it. Every change opens a
+    // version row with a validity interval [valid_from, valid_to); the
+    // next change for the same key closes it; a tombstone ('error')
+    // closes the current version WITHOUT opening one (so a user whose
+    // last change is a delete has no is_current row — the SCD-2 delete
+    // contract). Scale shape: ONE user-keyed shuffle; both window passes
+    // (lead for the closing edge, row_number for the version sequence)
+    // share the same partitioning+ordering, and each key sorts only its
+    // own handful of changes — per-key-linear, never a global sort.
+    // Values pass through untouched ⇒ the whole history gates exactly.
+    "v02_scd2_history" -> ((s, dir) => {
+      scd2History(Tables.events(s, dir)
+        .withColumn("ts_sec", col("ts").cast("long"))
+        .select(col("user_id"), col("event_id"), col("ts_sec"),
+          col("event_type"), col("value")))
+        .orderBy("user_id", "version_seq")
+    })
   )
+
+  /** v02 core over (user_id, event_id, ts_sec, event_type, value) change
+    * rows — extracted so the tombstone paths (delete mid-history, delete
+    * as the LAST change) are unit-testable on crafted rows.
+    */
+  private[operators] def scd2History(changes: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts_sec", "event_id")
+    changes
+      .withColumn("valid_to", lead(col("ts_sec"), 1).over(w))
+      .filter(col("event_type") =!= "error")
+      .withColumn("version_seq", row_number().over(w).cast("long"))
+      .select(col("user_id"), col("version_seq"),
+        col("event_type").as("state"), col("value"),
+        col("ts_sec").as("valid_from"), col("valid_to"),
+        col("valid_to").isNull.as("is_current"))
+  }
 
   /** v01 core over lineitem-shaped rows — extracted so the merge paths
     * the shipped split never produces (a group present ONLY in the delta,
@@ -952,6 +987,25 @@ object Relational {
         |FROM lineitem
         |GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    // same two windows over the same (user, change-order) key; ties are
+    // impossible (event_id unique), so both engines chain identically
+    "v02_scd2_history" ->
+      """WITH ch AS (
+        |  SELECT user_id, event_id, event_type, "value",
+        |    CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS ts_sec
+        |  FROM events
+        |), v AS (
+        |  SELECT *, LEAD(ts_sec) OVER (
+        |    PARTITION BY user_id ORDER BY ts_sec, event_id) AS valid_to
+        |  FROM ch
+        |)
+        |SELECT user_id,
+        |  ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts_sec, event_id) AS version_seq,
+        |  event_type AS state, "value", ts_sec AS valid_from, valid_to,
+        |  valid_to IS NULL AS is_current
+        |FROM v WHERE event_type <> 'error'
+        |ORDER BY user_id, version_seq""".stripMargin,
 
     "q02_filter_project" ->
       """SELECT l_orderkey, l_linenumber,

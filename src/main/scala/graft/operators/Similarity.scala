@@ -45,6 +45,28 @@ object Similarity {
         (aggregate(col("vals"), lit(0.0), (acc, x) => acc + x.getField("v")) / col("n"))
           .as("c"))
 
+  /** e11's blocking stage, shared with p04's cross-modal edge builder:
+    * every vector assigned to its nearest label-centroid cell. Centroids
+    * come from `centroidComponents` (order-pinned sums — bit-reproducible)
+    * and are BROADCAST (|labels| rows), so the embedding table crosses no
+    * shuffle here; the nearest-cell pick is a per-vector window over the
+    * |labels| scored copies (constant fan-out, never corpus²).
+    */
+  private[operators] def semAssigned(e: DataFrame): DataFrame = {
+    val cents = centroidComponents(e)
+      .groupBy("label")
+      .agg(transform(sort_array(collect_list(struct(col("dim"), col("c")))), s => s.getField("c"))
+        .cast("array<float>").as("centroid"))
+      .select(col("label").as("cell"), col("centroid"))
+    val wAssign = Window.partitionBy("vec_id").orderBy(col("ccos").desc, col("cell").asc)
+    e.join(broadcast(cents))
+      .select(col("vec_id"), col("embedding"), col("cell"),
+        cosine_similarity(col("embedding"), col("centroid")).as("ccos"))
+      .withColumn("rn", row_number().over(wAssign))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("embedding"), col("cell"))
+  }
+
   /** LSH candidate pair generation shared by e01b/e04b (same hyperplane
     * tables as e03): explode per-table buckets, bound each bucket to
     * `maxBucket` members (a degenerate bucket — e.g. a corpus of identical
@@ -357,19 +379,7 @@ object Similarity {
     // keeps per-task work flat while the cell join stays a plain
     // equi-join.
     "e11_semdedup" -> ((s, dir) => {
-      val e = Tables.embeddings(s, dir)
-      val cents = centroidComponents(e)
-        .groupBy("label")
-        .agg(transform(sort_array(collect_list(struct(col("dim"), col("c")))), s => s.getField("c"))
-          .cast("array<float>").as("centroid"))
-        .select(col("label").as("cell"), col("centroid"))
-      val wAssign = Window.partitionBy("vec_id").orderBy(col("ccos").desc, col("cell").asc)
-      val assigned = e.join(broadcast(cents))
-        .select(col("vec_id"), col("embedding"), col("cell"),
-          cosine_similarity(col("embedding"), col("centroid")).as("ccos"))
-        .withColumn("rn", row_number().over(wAssign))
-        .filter(col("rn") === 1)
-        .select(col("vec_id"), col("embedding"), col("cell"))
+      val assigned = semAssigned(Tables.embeddings(s, dir))
       val a = assigned.select(col("cell"), col("vec_id").as("vid"), col("embedding").as("emb_a"))
       val b = assigned.select(col("cell"), col("vec_id").as("nid"), col("embedding").as("emb_b"))
       val dupsLower = a.join(b, "cell")

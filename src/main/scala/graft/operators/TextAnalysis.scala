@@ -38,6 +38,12 @@ object TextAnalysis {
   /** t21: docs kept per source (exact-count quota sampling). */
   val SampleK = 10
 
+  /** t22: total sample budget apportioned across sources by char mass.
+    * Must stay modest — it bounds the TopKAggregator buffer (K rows per
+    * source per task) and the largest per-source quota.
+    */
+  val SampleBudget = 120L
+
   /** t12: PII classes, applied in order (earlier classes consume their
     * matches before later, broader ones run). Patterns stay inside the
     * regex subset Java and RE2 share, so the DuckDB oracle runs them
@@ -76,6 +82,61 @@ object TextAnalysis {
         col("n_boiler").cast("double") / col("n_spans").cast("double"))
       .withColumn("keep", col("n_boiler") * 2 <= col("n_spans"))
       .select("doc_id", "n_spans", "n_boiler", "boiler_ratio", "keep")
+  }
+
+  /** t22's largest-remainder (Hamilton) apportionment over a (source, m)
+    * mass frame: base = ⌊k·m/M⌋, the k − Σbase leftover seats go to the
+    * largest remainders (ties by source asc). All BIGINT, so the quota
+    * vector is engine-exact; the unpartitioned windows run over |sources|
+    * rows, never the corpus. Exposed for TextSpec's apportionment-law
+    * tests (Σquota = k; every quota within 1 of its exact share).
+    */
+  private[operators] def apportionedQuotas(mass: DataFrame, k: Long): DataFrame = {
+    val wAll = Window.partitionBy(lit(1))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val wRem = Window.partitionBy(lit(1)).orderBy(col("rem").desc, col("source").asc)
+    mass
+      .withColumn("mtot", sum("m").over(wAll))
+      // `div`, not `/`: Spark's `/` on BIGINTs is double division
+      .withColumn("base", expr(s"($k * m) div mtot"))
+      .withColumn("rem", expr(s"($k * m) % mtot"))
+      .withColumn("leftover", lit(k) - sum("base").over(wAll))
+      .withColumn("rr", row_number().over(wRem))
+      .select(col("source"),
+        (col("base") + when(col("rr") <= col("leftover"), 1L).otherwise(0L)).as("quota"))
+  }
+
+  /** t23 core over (doc_id, text) rows — exposed so TextSpec can pin the
+    * masking geometry on a crafted corpus (overlapping hits merge, edge
+    * windows cover exactly 4 positions, clean docs keep everything).
+    * Eval membership is t07's rule (doc_id % 97 == 0).
+    */
+  private[operators] def decontaminateSurgery(docs: DataFrame): DataFrame = {
+    val toks = docs
+      .select(col("doc_id"),
+        filter(split(lower(col("text")), " "), w => length(w) > 0).as("w"))
+      .select(col("doc_id"), col("w"), size(col("w")).cast("long").as("n_tokens"))
+      .filter(col("n_tokens") > 0)
+    val wins = toks.filter(col("n_tokens") >= 4)
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(0), size(col("w")) - 4),
+          i => struct(i.cast("long").as("wi"),
+            xxhash64(concat_ws(" ", slice(col("w"), i + 1, lit(4)))).as("h")))).as("x"))
+      .select(col("doc_id"), col("x.wi"), col("x.h"))
+    val evalH = wins.filter(col("doc_id") % 97 === 0).select("h").distinct()
+    val masked = wins.filter(col("doc_id") % 97 =!= 0)
+      .join(evalH, "h")
+      .select(col("doc_id"), explode(sequence(col("wi"), col("wi") + 3)).as("pos"))
+      .distinct()
+      .groupBy("doc_id").agg(count(lit(1)).as("n_masked"))
+    toks.filter(col("doc_id") % 97 =!= 0)
+      .join(masked, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("n_masked"), lit(0L)).as("n_masked"))
+      .withColumn("n_kept", col("n_tokens") - col("n_masked"))
+      .withColumn("kept_frac",
+        col("n_kept").cast("double") / col("n_tokens").cast("double"))
+      .orderBy("doc_id")
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -169,6 +230,24 @@ object TextAnalysis {
         .agg(count(lit(1)).as("n_shared"))
         .orderBy("doc_id")
     }),
+
+    // DECONTAMINATION SURGERY — t07 upgraded from flag-the-doc to the
+    // span-level excision a release pipeline actually performs: dropping
+    // every contaminated doc wholesale throws away the 99% of its tokens
+    // that are clean, so instead each eval-overlapping 4-gram window
+    // masks exactly its own 4 token positions and the doc ships with
+    // those positions excised. Mechanics are d12's position-mass shape
+    // pointed at t07's eval set: windows leave the scan as 64-bit hashes
+    // (raw text never shuffles), the eval side is distinct + tiny
+    // (broadcast at any corpus size), and ONLY the contaminated windows
+    // — rare by construction — explode ×4 into covered positions before
+    // the distinct. Window wi covers tokens [wi, wi+3] with wi ≤
+    // n_tokens−4, so coverage needs no clamp; all counts are integers
+    // and kept_frac is one IEEE division of exact longs ⇒ exact gate.
+    // 64-bit window-hash collisions are the same accepted ~1e-14 odds
+    // as d02/d12/p01.
+    "t23_decontaminate_surgery" -> ((s, dir) =>
+      decontaminateSurgery(Tables.documents(s, dir))),
 
     // deterministic source-mixture sampling: admit each doc iff a
     // stateless mix of its id lands under the source's target rate
@@ -515,6 +594,39 @@ object TextAnalysis {
         .orderBy("source", "rank")
     }),
 
+    // APPORTIONED SAMPLE — t21 upgraded from "k per stratum" to the
+    // question a mixture designer actually asks: split ONE global budget
+    // K across sources IN PROPORTION TO their char mass, exactly. The
+    // apportionment is the largest-remainder method (Hamilton): base
+    // quota = ⌊K·m_s/M⌋, then the K − Σbase leftover seats go to the
+    // largest remainders (K·m_s mod M, ties by source name) — all BIGINT
+    // arithmetic (K·m_s ≤ 120·total-chars, far under Long.Max even at
+    // 100 TB), so the quota vector is bit-identical on any engine. Doc
+    // selection inside each source is t21's deterministic hash rank via
+    // the k-bounded TopKAggregator (buffer = K rows per source per task —
+    // the corpus never rides the shuffle); quotas join back as a
+    // broadcast of |sources| rows. The apportionment windows run over the
+    // per-source mass frame — |sources| rows, so the unpartitioned
+    // windows are O(sources), never a corpus-wide single-partition sort.
+    "t22_apportioned_sample" -> ((s, dir) => {
+      import graft.functions.TopKAggregator.top_k
+      val h = col("doc_id") % lit(999999937L) * lit(2654435761L) % lit(999999937L)
+      val docs = Tables.documents(s, dir)
+        .select(col("source"), col("doc_id"), col("n_chars"), h.as("h"))
+      val quotas = apportionedQuotas(
+        docs.groupBy("source").agg(sum("n_chars").as("m")), SampleBudget)
+      val ranked = docs
+        .groupBy("source")
+        .agg(top_k((-col("h")).cast("double"), col("doc_id"), SampleBudget.toInt).as("top"))
+        .select(col("source"), posexplode(col("top")).as(Seq("i", "t")))
+        .select(col("source"), (col("i") + 1).cast("long").as("rank"),
+          col("t.id").as("doc_id"), (-col("t.score")).cast("long").as("h"))
+      ranked.join(broadcast(quotas), "source")
+        .filter(col("rank") <= col("quota"))
+        .select(col("source"), col("quota"), col("rank"), col("doc_id"), col("h"))
+        .orderBy("source", "rank")
+    }),
+
     // HEAVY-HITTER SPANS VIA COUNT-MIN SKETCH — the frequency sibling of
     // t13's bloom pattern: find every bigram making up ≥ 1/1000 of all
     // bigram occurrences. The naive form shuffles EVERY occurrence into a
@@ -676,6 +788,72 @@ object TextAnalysis {
          |)
          |WHERE rank <= $SampleK
          |ORDER BY source, rank""".stripMargin,
+
+    // the apportionment arithmetic restated verbatim (all BIGINT — the
+    // quota vector must be bit-identical) + t21's window-form rank
+    "t22_apportioned_sample" ->
+      s"""WITH mass AS (
+         |  SELECT source, CAST(SUM(n_chars) AS BIGINT) AS m
+         |  FROM documents GROUP BY source
+         |), tot AS (
+         |  SELECT source, m, SUM(m) OVER () AS mtot FROM mass
+         |), seats AS (
+         |  SELECT source,
+         |    ($SampleBudget * m) // mtot AS base,
+         |    ($SampleBudget * m) % mtot AS rem
+         |  FROM tot
+         |), q AS (
+         |  SELECT source, base,
+         |    $SampleBudget - SUM(base) OVER () AS leftover,
+         |    ROW_NUMBER() OVER (ORDER BY rem DESC, source ASC) AS rr
+         |  FROM seats
+         |), quota AS (
+         |  SELECT source,
+         |    base + CASE WHEN rr <= leftover THEN 1 ELSE 0 END AS quota
+         |  FROM q
+         |), ranked AS (
+         |  SELECT source, doc_id,
+         |    doc_id % 999999937 * 2654435761 % 999999937 AS h,
+         |    ROW_NUMBER() OVER (PARTITION BY source
+         |      ORDER BY doc_id % 999999937 * 2654435761 % 999999937 ASC, doc_id ASC) AS rank
+         |  FROM documents
+         |)
+         |SELECT r.source, q.quota, r.rank, r.doc_id, r.h
+         |FROM ranked r JOIN quota q USING (source)
+         |WHERE r.rank <= q.quota
+         |ORDER BY r.source, r.rank""".stripMargin,
+
+    // the same windows joined on the raw 4-gram STRING (the hash-free
+    // statement of the semantics the 64-bit window hashes implement),
+    // contaminated windows exploded to their 4 covered positions
+    "t23_decontaminate_surgery" ->
+      """WITH t AS (
+        |  SELECT doc_id, list_filter(string_split(lower(text), ' '), w -> len(w) > 0) AS w
+        |  FROM documents
+        |), toks AS (
+        |  SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens, w FROM t WHERE len(w) > 0
+        |), wins AS (
+        |  SELECT doc_id,
+        |    unnest([{'wi': i - 1, 'g': w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]}
+        |            for i in range(1, len(w) - 2)]) AS x
+        |  FROM toks WHERE n_tokens >= 4
+        |), ww AS (
+        |  SELECT doc_id, x.wi AS wi, x.g AS g FROM wins
+        |), ev AS (
+        |  SELECT DISTINCT g FROM ww WHERE doc_id % 97 = 0
+        |), cov AS (
+        |  SELECT DISTINCT w.doc_id, w.wi + r.d AS pos
+        |  FROM ww w JOIN ev USING (g) CROSS JOIN range(0, 4) r(d)
+        |  WHERE w.doc_id % 97 <> 0
+        |), mask AS (
+        |  SELECT doc_id, COUNT(*) AS n_masked FROM cov GROUP BY doc_id
+        |)
+        |SELECT k.doc_id, k.n_tokens, COALESCE(m.n_masked, 0) AS n_masked,
+        |  k.n_tokens - COALESCE(m.n_masked, 0) AS n_kept,
+        |  (k.n_tokens - COALESCE(m.n_masked, 0))::DOUBLE / k.n_tokens::DOUBLE AS kept_frac
+        |FROM toks k LEFT JOIN mask m ON m.doc_id = k.doc_id
+        |WHERE k.doc_id % 97 <> 0
+        |ORDER BY k.doc_id""".stripMargin,
 
     // d03's brute-force pair oracle + DuckDB's levenshtein on the same
     // 80-char heads (both engines implement the classic DP exactly)

@@ -1,0 +1,53 @@
+package graft.operators
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.functions._
+import graft.functions.VectorFunctions.cosine_similarity
+
+/** p04's cross-modal closure semantics, pinned against the three edge
+  * generators it unions (the per-modality generators are each already
+  * hash-gated by their own oracle rows — this spec pins the COMPOSITION:
+  * every per-modality duplicate pair must co-cluster, and the manifest
+  * columns must be internally consistent).
+  */
+class CurationSpec extends SparkSpec {
+
+  private lazy val out =
+    Curation.queries("p04_crossmodal_clusters")(spark, sfDir).collect()
+  private lazy val cluster: Map[Long, Long] =
+    out.map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("p04: manifest is internally consistent (min-label keeper, true sizes)") {
+    assert(out.nonEmpty)
+    // keep ⟺ the doc IS its cluster label; the label is the min member
+    out.foreach { r =>
+      assert(r.getBoolean(3) === (r.getLong(0) == r.getLong(1)))
+    }
+    val members = out.groupBy(_.getLong(1))
+    members.foreach { case (cid, rows) =>
+      assert(rows.map(_.getLong(0)).min === cid, s"cluster $cid label != min member")
+      rows.foreach(r => assert(r.getLong(2) === rows.length.toLong,
+        s"n_members mismatch in cluster $cid"))
+    }
+  }
+
+  test("p04: every per-modality duplicate pair lands in one cluster") {
+    val textE = Dedup.nearDupPairs(spark, sfDir)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val phashE = Multimodal.phashPairs(Tables.documents(spark, sfDir))
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val assigned = Similarity.semAssigned(Tables.embeddings(spark, sfDir))
+    val ea = assigned.select(col("cell"), col("vec_id").as("id_a"), col("embedding").as("emb_a"))
+    val eb = assigned.select(col("cell"), col("vec_id").as("id_b"), col("embedding").as("emb_b"))
+    val semE = ea.join(eb, "cell").filter(col("id_a") < col("id_b"))
+      .filter(cosine_similarity(col("emb_a"), col("emb_b")) >= Similarity.SemDedupTheta)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val all = textE ++ phashE ++ semE
+    assert(all.nonEmpty, "fixture must exercise at least one modality's edges")
+    all.foreach { case (a, b) =>
+      assert(cluster.contains(a) && cluster.contains(b),
+        s"edge endpoints $a,$b missing from the closure")
+      assert(cluster(a) === cluster(b), s"pair ($a,$b) split across clusters")
+    }
+  }
+}

@@ -150,6 +150,29 @@ class MultimodalSpec extends SparkSpec {
     assert(got === Seq((1L, 2L, 1L), (1L, 4L, 0L), (2L, 4L, 1L)))
   }
 
+  test("m11 trim geometry: relative gate cuts the quiet edges, keeps interior pauses") {
+    import Multimodal.{trimOf, AudioFrameSamples, Blob}
+    val chars = 2 * AudioFrameSamples // one frame = 256 samples = 512 bytes
+    def payload(frames: String): Array[Byte] =
+      frames.flatMap(c => (if (c == 'q') " " else "~") * chars).getBytes("US-ASCII")
+    def frameEnergy(c: Char): Long = {
+      val b = (if (c == 'q') ' ' else '~').toInt.toLong
+      val smp = b | (b << 8)
+      AudioFrameSamples.toLong * smp * smp
+    }
+    val eq = frameEnergy('q'); val el = frameEnergy('l')
+    assert(eq * 4 < el, "fixture must make quiet frames fail the relative gate")
+    // quiet lead-in and lead-out trimmed; the interior pause stays
+    val t1 = trimOf(Blob(1L, payload("qllqlq")))
+    assert((t1.first_loud, t1.last_loud, t1.kept_frames, t1.trimmed_frames) === ((1L, 4L, 4L, 2L)))
+    assert(t1.kept_energy === 3 * el + eq)
+    // all-loud: nothing trimmed; single frame: it is its own peak
+    val t2 = trimOf(Blob(2L, payload("lll")))
+    assert((t2.first_loud, t2.last_loud, t2.trimmed_frames) === ((0L, 2L, 0L)))
+    val t3 = trimOf(Blob(3L, payload("q")))
+    assert((t3.first_loud, t3.last_loud, t3.kept_frames) === ((0L, 0L, 1L)))
+  }
+
   test("m02 decode runs as a narrow map (no shuffle in the plan before the final sort)") {
     val plan = Multimodal.queries("m02_fake_decode")(spark, sfDir)
       .queryExecution.executedPlan.toString

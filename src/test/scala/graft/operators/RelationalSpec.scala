@@ -45,4 +45,40 @@ class RelationalSpec extends SparkSpec {
     val exp = fullRecompute(rows).collect().map(_.toSeq).toSeq
     assert(got === exp)
   }
+
+  private def changes(rows: Seq[(Long, Long, Long, String, Double)]) = {
+    import spark.implicits._
+    rows.toDF("user_id", "event_id", "ts_sec", "event_type", "value")
+  }
+
+  test("v02 scd2: tombstone closes the open version without opening one") {
+    // user 1: view → click → DELETE → purchase (delete mid-history:
+    // click's validity ends at the tombstone ts; purchase reopens);
+    // user 2: view → DELETE as the last change (no current row);
+    // user 3: a single change (current from its own ts)
+    val got = Relational.scd2History(changes(Seq(
+      (1L, 1L, 100L, "view", 1.0), (1L, 2L, 200L, "click", 2.0),
+      (1L, 3L, 300L, "error", 0.0), (1L, 4L, 400L, "purchase", 3.0),
+      (2L, 5L, 100L, "view", 1.0), (2L, 6L, 150L, "error", 0.0),
+      (3L, 7L, 500L, "view", 9.0)
+    ))).orderBy("user_id", "version_seq")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getDouble(3), r.getLong(4), Option(r.get(5)), r.getBoolean(6))).toSeq
+    assert(got === Seq(
+      (1L, 1L, "view", 1.0, 100L, Some(200L), false),
+      (1L, 2L, "click", 2.0, 200L, Some(300L), false), // closed BY the delete
+      (1L, 3L, "purchase", 3.0, 400L, None, true),
+      (2L, 1L, "view", 1.0, 100L, Some(150L), false),  // dead key: no current
+      (3L, 1L, "view", 9.0, 500L, None, true)))
+  }
+
+  test("v02 scd2 on the fixture: intervals well-formed, ≤1 current per user") {
+    val rows = graft.SparkEntry.queries("v02_scd2_history")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => r.isNullAt(5) || r.getLong(5) >= r.getLong(4)),
+      "a version's valid_to must not precede its valid_from")
+    val currents = rows.filter(_.getBoolean(6)).groupBy(_.getLong(0))
+    assert(currents.values.forall(_.length == 1),
+      "at most one is_current version per user")
+  }
 }

@@ -205,4 +205,55 @@ class TextSpec extends SparkSpec {
       .count()
     assert(under === 0L, "CMS must never report less than the true count")
   }
+
+  test("t23 surgery geometry: edge windows mask 4; overlapping hits merge; clean docs intact") {
+    import spark.implicits._
+    // eval docs (id % 97 == 0) carry the contaminated 4-grams
+    val docs = Seq(
+      (97L, "aa bb cc dd"),                       // eval gram 1
+      (194L, "bb cc dd ee"),                      // eval gram 2 (overlaps 1 in doc 1)
+      (1L, "aa bb cc dd ee"),                     // hits at wi=0 AND wi=1 → merged mask 0..4
+      (2L, "xx aa bb cc dd yy zz"),               // one hit at wi=1 → masks 1..4 of 7
+      (3L, "clean words only here five"),         // no hit
+      (4L, "aa bb cc dd zz aa bb cc dd")          // two disjoint-ish hits: wi=0, wi=5 → masks 0..3 ∪ 5..8
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.decontaminateSurgery(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got(1L) === ((5L, 5L, 0L)), "overlapping masks must merge, not double-count")
+    assert(got(2L) === ((7L, 4L, 3L)))
+    assert(got(3L) === ((5L, 0L, 5L)))
+    assert(got(4L) === ((9L, 8L, 1L)), "two hits mask 8 distinct positions of 9")
+    assert(!got.contains(97L) && !got.contains(194L), "eval docs are not surgery targets")
+  }
+
+  private def quotasOf(masses: Seq[(String, Long)], k: Long): Map[String, Long] = {
+    import spark.implicits._
+    TextAnalysis.apportionedQuotas(masses.toDF("source", "m"), k)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+  }
+
+  test("t22 apportionment: exact shares pass through; Hamilton tie goes to source asc") {
+    // masses proportional to 5:3:2 with k=10 — exact, no leftover seats
+    assert(quotasOf(Seq("a" -> 500L, "b" -> 300L, "c" -> 200L), 10L) ===
+      Map("a" -> 5L, "b" -> 3L, "c" -> 2L))
+    // equal thirds with k=10: base 3 each, one leftover seat, remainders
+    // all equal → the tie-break (source asc) must give it to 'a'
+    assert(quotasOf(Seq("a" -> 7L, "b" -> 7L, "c" -> 7L), 10L) ===
+      Map("a" -> 4L, "b" -> 3L, "c" -> 3L))
+  }
+
+  test("t22 apportionment laws on the fixture: Σquota = k, each within 1 of exact share") {
+    val mass = Tables.documents(spark, sfDir)
+      .groupBy("source").agg(sum("n_chars").as("m"))
+    val masses = mass.collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
+    val total = masses.map(_._2).sum
+    val k = TextAnalysis.SampleBudget
+    val q = quotasOf(masses, k)
+    assert(q.values.sum === k, "largest-remainder must hand out exactly k seats")
+    masses.foreach { case (src, m) =>
+      val exact = k.toDouble * m / total
+      assert(math.abs(q(src) - exact) < 1.0 + 1e-9,
+        s"$src quota ${q(src)} strays more than a seat from exact share $exact")
+    }
+  }
 }

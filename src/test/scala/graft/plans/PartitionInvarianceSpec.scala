@@ -60,7 +60,16 @@ class PartitionInvarianceSpec extends SparkSpec {
     // per-doc shot segmentation (m10 — narrow map, but the ordering
     // columns must hold under any input partitioning)
     "a15_constrained_funnel", "a16_sliding_distinct", "v01_incremental_agg",
-    "m10_shot_summary")
+    "m10_shot_summary",
+    // round 7 second batch: version chains under reshuffled changes
+    // (v02), the BIGINT apportionment + bounded-buffer pick (t22), and
+    // the cross-modal union closure (p04 — three candidate generators
+    // and an iterative CC, all of whose tie-breaks must hold)
+    "v02_scd2_history", "t22_apportioned_sample", "p04_crossmodal_clusters",
+    // the masked-position distinct under reshuffled window hits (t23)
+    // and the per-payload edge scan (m11 — narrow, but ordering columns
+    // must hold under any input partitioning)
+    "t23_decontaminate_surgery", "m11_silence_trim")
 
   private def runAt(name: String, parts: Int): Seq[String] = {
     val old = spark.conf.get("spark.sql.shuffle.partitions")
