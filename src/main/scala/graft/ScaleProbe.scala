@@ -159,6 +159,13 @@ object ScaleProbe {
       .write.mode("overwrite").parquet(s"$outDir/lineitem.parquet")
     if (tables("orders")) scaledOrders(spark, srcDir, factor).repartition(32)
       .write.mode("overwrite").parquet(s"$outDir/orders.parquet")
+    // dimension pass-through: part is NOT scaled (the ×F lineitem replicas
+    // shift partkeys into disjoint id spaces, so the original 1× part
+    // table covers only replica 0 — which is exactly what a dim lookup
+    // whose fact side grew looks like; k03's routing still exercises both
+    // paths on the replica-0 slice and inner-join semantics drop the rest)
+    if (tables("lineitem")) Tables.part(spark, srcDir)
+      .write.mode("overwrite").parquet(s"$outDir/part.parquet")
     if (tables("events")) writeFlat(scaledEvents(spark, srcDir, factor), "events")
     if (tables("documents")) writeFlat(scaledDocs(spark, srcDir, factor), "documents")
     println(s"[probe] built ${factor}x corpus at $outDir (tables: ${tables.toSeq.sorted.mkString(",")})")
@@ -245,7 +252,17 @@ object ScaleProbe {
       // round 7: the count-first block cap measured where it matters —
       // d04's pair space is bounded by cap² per admitted block at any
       // corpus depth (the r6-verdict item-1 discipline, proven at 100×)
-      "d04_ngram_jaccard_blocked")
+      "d04_ngram_jaccard_blocked",
+      // round 7 third batch: lag-chain + |types|² agg (a17 — ~scan),
+      // count-first hot/cold routed join (k03 — ~the plain join, minus
+      // the hot shuffle), partition-scoped refresh (v03 — |delta| +
+      // touched partitions), per-edge triangle credits (g04 — triangle-
+      // linear after the oriented intersect), and two top-50 channel
+      // scans + a 50×50 fusion join (e12 — ~two scans)
+      "a17_transition_matrix", "k03_hot_key_isolation", "v03_partition_refresh",
+      "g04_edge_jaccard", "e12_hybrid_rrf",
+      // shingle-hash df join — d12's discipline, expected ~corpus-linear
+      "t24_ngram_novelty")
       // local iteration only: probe just a subset by name prefix
       .filter(n => sys.env.get("SPARK_GRAFT_ONLY")
         .forall(_.split(",").exists(n.startsWith)))

@@ -204,6 +204,54 @@ object Graph {
     }
   }
 
+  /** g04 core: per-edge neighborhood Jaccard — link-strength scoring (how
+    * substitutable are two co-purchased parts). |N(u)∩N(v)| for an edge is
+    * exactly the number of triangles through it, so the common-neighbor
+    * counts come from g01's oriented adjacency-array intersection with the
+    * intersection MATERIALIZED (explode) instead of counted: rows produced
+    * = 3·|triangles| credit rows, never the Σ deg² wedge space, and every
+    * per-row array is degree-oriented (O(√E) bound). Jaccard =
+    * t / (du + dv − t) — one IEEE division of exact longs per edge, so
+    * ordering and values gate exactly.
+    */
+  private[operators] def edgeJaccard(e: DataFrame, topK: Int): DataFrame = {
+    val deg = degrees(e)
+    val withDeg = e
+      .join(deg.select(col("x").as("u"), col("deg").as("du")), "u")
+      .join(deg.select(col("x").as("v"), col("deg").as("dv")), "v")
+    val lower = struct(col("du"), col("u")) < struct(col("dv"), col("v"))
+    val oriented = withDeg.select(
+      when(lower, col("u")).otherwise(col("v")).as("a"),
+      when(lower, col("v")).otherwise(col("u")).as("b"))
+    val adj = oriented.groupBy(col("a").as("x"))
+      .agg(sort_array(collect_list(col("b"))).as("nbrs"))
+    // one row per triangle {a, b, c}: found once, on its degree-lowest
+    // edge (a, b); then 3 undirected edge credits per triangle
+    val tris = oriented
+      .join(adj.select(col("x").as("a"), col("nbrs").as("na")), "a")
+      .join(adj.select(col("x").as("b"), col("nbrs").as("nb")), "b")
+      .select(col("a"), col("b"),
+        explode(array_intersect(col("na"), col("nb"))).as("c"))
+    val credits = tris.select(
+      array(
+        struct(least(col("a"), col("b")).as("u"), greatest(col("a"), col("b")).as("v")),
+        struct(least(col("a"), col("c")).as("u"), greatest(col("a"), col("c")).as("v")),
+        struct(least(col("b"), col("c")).as("u"), greatest(col("b"), col("c")).as("v"))
+      ).as("es"))
+      .select(explode(col("es")).as("e"))
+      .select(col("e.u").as("u"), col("e.v").as("v"))
+      .groupBy("u", "v").agg(count(lit(1)).as("t"))
+    e.join(credits, Seq("u", "v"), "left")
+      .join(deg.select(col("x").as("u"), col("deg").as("deg_u")), "u")
+      .join(deg.select(col("x").as("v"), col("deg").as("deg_v")), "v")
+      .select(col("u"), col("v"), coalesce(col("t"), lit(0L)).as("common_nbrs"),
+        col("deg_u"), col("deg_v"))
+      .withColumn("jaccard", col("common_nbrs").cast("double") /
+        (col("deg_u") + col("deg_v") - col("common_nbrs")).cast("double"))
+      .orderBy(col("jaccard").desc, col("u").asc, col("v").asc)
+      .limit(topK)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // TRIANGLE COUNT + global clustering coefficient. Degree-ordered
     // orientation → every triangle has exactly one source vertex with
@@ -227,7 +275,14 @@ object Graph {
     // recursive-CTE closure with MIN(level) per vertex. Takes the raw
     // pair stream: the adjacency collect_set dedups, so the edge-distinct
     // shuffle g01/g02 need is skipped here.
-    "g03_bfs_levels" -> ((s, dir) => bfsLevels(partPairs(s, dir)))
+    "g03_bfs_levels" -> ((s, dir) => bfsLevels(partPairs(s, dir))),
+
+    // EDGE NEIGHBORHOOD JACCARD — top-100 strongest co-purchase links by
+    // neighborhood overlap (the link-prediction / substitute-detection
+    // score). Common neighbors per edge = triangles through it, computed
+    // by materializing g01's oriented intersections (3 credit rows per
+    // triangle); all counts exact longs, one division per edge.
+    "g04_edge_jaccard" -> ((s, dir) => edgeJaccard(partEdges(s, dir), 100))
   )
 
   def oracles: Map[String, String] = Map(
@@ -309,6 +364,36 @@ object Graph {
          |SELECT CAST(lvl AS BIGINT) AS level, COUNT(*) AS n_vertices,
          |  MIN(v) AS min_part, MAX(v) AS max_part
          |FROM lv GROUP BY lvl
-         |ORDER BY level""".stripMargin
+         |ORDER BY level""".stripMargin,
+
+    // common neighbors restated as the direct two-hop join (oracle-scale
+    // only); jaccard = the same single division of exact BIGINTs
+    "g04_edge_jaccard" ->
+      """WITH li AS (
+        |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+        |), e AS (
+        |  SELECT DISTINCT a.pk AS u, b.pk AS v
+        |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+        |), nb AS (
+        |  SELECT u AS src, v AS dst FROM e UNION ALL SELECT v, u FROM e
+        |), deg AS (
+        |  SELECT src AS x, COUNT(*) AS deg FROM nb GROUP BY src
+        |), t AS (
+        |  SELECT e.u, e.v, COUNT(*) AS common
+        |  FROM e
+        |  JOIN nb n1 ON n1.src = e.u
+        |  JOIN nb n2 ON n2.src = e.v AND n2.dst = n1.dst
+        |  GROUP BY e.u, e.v
+        |)
+        |SELECT e.u, e.v, COALESCE(t.common, 0) AS common_nbrs,
+        |  du.deg AS deg_u, dv.deg AS deg_v,
+        |  COALESCE(t.common, 0)::DOUBLE
+        |    / (du.deg + dv.deg - COALESCE(t.common, 0))::DOUBLE AS jaccard
+        |FROM e
+        |LEFT JOIN t ON t.u = e.u AND t.v = e.v
+        |JOIN deg du ON du.x = e.u
+        |JOIN deg dv ON dv.x = e.v
+        |ORDER BY jaccard DESC, e.u ASC, e.v ASC
+        |LIMIT 100""".stripMargin
   )
 }

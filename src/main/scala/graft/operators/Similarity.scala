@@ -397,6 +397,50 @@ object Similarity {
         .orderBy("vec_id")
     }),
 
+    // HYBRID RETRIEVAL with RECIPROCAL RANK FUSION — the RAG-serving
+    // kernel: a lexical channel (distinct-term overlap with the query
+    // document) and a vector channel (cosine against the query embedding)
+    // each rank the corpus top-50, and the channels fuse by RRF. Fusion
+    // contributions are INTEGER — ⌊10⁹/(60+rank)⌋, the standard k=60
+    // RRF with a fixed-point numerator — so the fused score is a BIGINT
+    // sum and the final ranking gates exactly (float RRF would be
+    // summation-order-dependent). Scale shape: the query row broadcasts
+    // into two corpus scans; each channel keeps top-50 via sort+limit
+    // (TakeOrdered — k×partitions rows to the driver-side heap, never a
+    // global sort); the fusion join is 50×50 row frames. At 100 TB the
+    // channels are exactly this plan over an inverted-index prefilter
+    // (lexical) and an IVF shortlist (e06) — the fusion stays identical.
+    "e12_hybrid_rrf" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"),
+          array_distinct(expr("filter(split(lower(text), ' '), x -> length(x) > 0)")).as("w"))
+      val qd = docs.filter(col("doc_id") === 0L).select(col("w").as("qw"))
+      val wRank = Window.orderBy(col("score").desc, col("doc_id").asc)
+      val lex = docs.filter(col("doc_id") =!= 0L)
+        .crossJoin(broadcast(qd))
+        .select(col("doc_id"), size(array_intersect(col("w"), col("qw"))).cast("long").as("score"))
+        .filter(col("score") > 0L)
+        .orderBy(col("score").desc, col("doc_id").asc).limit(50)
+        .withColumn("lex_rank", row_number().over(wRank).cast("long"))
+        .select("doc_id", "lex_rank")
+      val e = Tables.embeddings(s, dir)
+      val qv = e.filter(col("vec_id") === 0L).select(col("embedding").as("q_emb"))
+      val wCos = Window.orderBy(col("cos_sim").desc, col("doc_id").asc)
+      val vec = e.filter(col("vec_id") =!= 0L)
+        .crossJoin(broadcast(qv))
+        .select(col("vec_id").as("doc_id"),
+          cosine_similarity(col("embedding"), col("q_emb")).as("cos_sim"))
+        .orderBy(col("cos_sim").desc, col("doc_id").asc).limit(50)
+        .withColumn("vec_rank", row_number().over(wCos).cast("long"))
+        .select("doc_id", "vec_rank")
+      lex.join(vec, Seq("doc_id"), "full_outer")
+        .select(col("doc_id"), col("lex_rank"), col("vec_rank"),
+          (coalesce(expr("1000000000L div (60 + lex_rank)"), lit(0L)) +
+            coalesce(expr("1000000000L div (60 + vec_rank)"), lit(0L))).as("rrf_score"))
+        .orderBy(col("rrf_score").desc, col("doc_id").asc)
+        .limit(10)
+    }),
+
     // int8 vector quantization — the embedding-compression step an ANN
     // serving layer runs (4× smaller vectors, SIMD-friendly dot products).
     // Per-vector symmetric scheme: scale = 127 / max|x|, q_d = ⌊x_d·127 /
@@ -619,6 +663,41 @@ object Similarity {
       |)""".stripMargin
 
   def oracles: Map[String, String] = Map(
+    // identical channel ranks (integer overlap / the duckCos double),
+    // identical integer fusion — 10⁹ // (60+rank) in BIGINT
+    "e12_hybrid_rrf" ->
+      s"""WITH qd AS (
+         |  SELECT list_distinct(list_filter(string_split(lower(text), ' '), x -> len(x) > 0)) AS qw
+         |  FROM documents WHERE doc_id = 0
+         |), lexall AS (
+         |  SELECT d.doc_id,
+         |    CAST(len(list_intersect(
+         |      list_distinct(list_filter(string_split(lower(d.text), ' '), x -> len(x) > 0)), qd.qw
+         |    )) AS BIGINT) AS score
+         |  FROM documents d, qd WHERE d.doc_id <> 0
+         |), lex AS (
+         |  SELECT doc_id,
+         |    CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id ASC) AS BIGINT) AS lex_rank
+         |  FROM lexall WHERE score > 0
+         |  QUALIFY lex_rank <= 50
+         |), q AS (
+         |  SELECT embedding FROM embeddings WHERE vec_id = 0
+         |), vecall AS (
+         |  SELECT b.vec_id AS doc_id, ${duckCos("q", "b")} AS cos_sim
+         |  FROM q, embeddings b WHERE b.vec_id <> 0
+         |), vec AS (
+         |  SELECT doc_id,
+         |    CAST(ROW_NUMBER() OVER (ORDER BY cos_sim DESC, doc_id ASC) AS BIGINT) AS vec_rank
+         |  FROM vecall
+         |  QUALIFY vec_rank <= 50
+         |)
+         |SELECT COALESCE(l.doc_id, v.doc_id) AS doc_id, l.lex_rank, v.vec_rank,
+         |  COALESCE(1000000000 // (60 + l.lex_rank), 0)
+         |    + COALESCE(1000000000 // (60 + v.vec_rank), 0) AS rrf_score
+         |FROM lex l FULL OUTER JOIN vec v ON l.doc_id = v.doc_id
+         |ORDER BY rrf_score DESC, doc_id ASC
+         |LIMIT 10""".stripMargin,
+
     "e01_cosine_pairs_topk" ->
       s"""SELECT a.vec_id AS id_a, b.vec_id AS id_b,
          |  ${duckCos("a", "b")} AS cos_sim

@@ -48,6 +48,37 @@ object Skew {
     salted.join(replicated, Seq(key, "salt")).drop("salt")
   }
 
+  /** Hot-key isolation join — the OTHER standard skew fix, complementary
+    * to salting: detect the hot probe keys count-first, route them through
+    * a broadcast join of the (tiny) hot slice of the build side, and let
+    * the cold majority take the ordinary shuffle join; the union is
+    * exactly the plain join. Where salting spreads ONE reducer's key over
+    * N reducers (paying a ×N build replication for every key), isolation
+    * pays nothing for the cold 99% and removes the hot keys from the
+    * shuffle entirely — the shape to prefer when hotness is concentrated
+    * in few keys (power-law event streams, null-ish sentinel keys).
+    *
+    * Detection is an aggregate, never a sample: per-key counts + the
+    * global (total, n_keys) pair decide hotness with exact integer
+    * arithmetic (cnt · n_keys · 3 > total · 4 ⟺ cnt > 4/3 · mean), so
+    * the routing is deterministic and partition-invariant. The hot-key
+    * frame is O(hot keys) rows — broadcastable by construction, since a
+    * key set too big to broadcast is by definition not "few hot keys"
+    * (then salting or AQE skew-split is the right tool).
+    */
+  def hotKeyIsolatedJoin(probe: DataFrame, build: DataFrame, key: String): DataFrame = {
+    val counts = probe.groupBy(col(key)).agg(count(lit(1)).as("cnt"))
+    val global = counts.agg(sum("cnt").as("total"), count(lit(1)).as("n_keys"))
+    val hot = counts.crossJoin(broadcast(global))
+      .filter(col("cnt") * col("n_keys") * 3 > col("total") * 4)
+      .select(col(key))
+    val probeHot = probe.join(broadcast(hot), Seq(key), "left_semi")
+    val probeCold = probe.join(broadcast(hot), Seq(key), "left_anti")
+    val buildHot = build.join(broadcast(hot), Seq(key), "left_semi")
+    probeHot.join(broadcast(buildHot), Seq(key))
+      .unionByName(probeCold.join(build, Seq(key)))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // salted aggregation over the (deliberately low-cardinality, hence
     // "all keys hot") l_returnflag key. Result == plain groupBy, so the
@@ -81,6 +112,26 @@ object Skew {
           sum((col("l_quantity").cast("decimal(38,6)") * col("mult")).cast("decimal(38,6)"))
             .cast("double").as("weighted_qty"))
         .orderBy("flag")
+    }),
+
+    // hot-key isolation on the lineitem ⋈ part join: partkeys above 4/3×
+    // the mean probe count are routed through a broadcast of their build
+    // slice; the cold rest shuffle normally. The per-key aggregate proves
+    // route-invisibility: result == the plain join, which the oracle
+    // states. (TPC-H partkeys are near-uniform, so the 4/3 threshold
+    // admits a real-but-small hot set at every SF — the routing, semi/
+    // anti splits, and union all execute on both paths.)
+    "k03_hot_key_isolation" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+        .select(col("l_partkey").as("p_partkey"), col("l_quantity"), col("l_extendedprice"))
+      val p = Tables.part(s, dir).select(col("p_partkey"), col("p_size"))
+      hotKeyIsolatedJoin(li, p, "p_partkey")
+        .groupBy("p_partkey")
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast("decimal(38,6)")).cast("double").as("sum_qty"),
+          sum((col("l_extendedprice").cast("decimal(38,6)") * col("p_size").cast("long"))
+            .cast("decimal(38,6)")).cast("double").as("weighted_price"))
+        .orderBy("p_partkey")
     })
   )
 
@@ -104,6 +155,16 @@ object Skew {
         |  CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(38,6)) * mult AS DECIMAL(38,6))) AS DOUBLE) AS weighted_qty
         |FROM lineitem li JOIN dim ON li.l_returnflag = dim.flag
         |GROUP BY li.l_returnflag
-        |ORDER BY flag""".stripMargin
+        |ORDER BY flag""".stripMargin,
+
+    // the UNROUTED join — hot/cold routing must be answer-invisible
+    "k03_hot_key_isolation" ->
+      """SELECT p.p_partkey, COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(38,6)) * CAST(p_size AS BIGINT) AS DECIMAL(38,6))) AS DOUBLE)
+        |    AS weighted_price
+        |FROM lineitem li JOIN part p ON li.l_partkey = p.p_partkey
+        |GROUP BY p.p_partkey
+        |ORDER BY p.p_partkey""".stripMargin
   )
 }

@@ -546,10 +546,65 @@ object Temporal {
           (max(col("ts_sec")) - min(col("ts_sec"))).as("duration_sec"),
           countDistinct(col("event_type")).as("n_types"))
         .orderBy("user_id", "session_seq")
-    })
+    }),
+
+    // EVENT-TYPE TRANSITION MATRIX — the Markov-chain view of user
+    // journeys (what follows what): per-user consecutive event pairs via
+    // one lag window, then a global (from, to) count with an exact
+    // per-source probability. Scale shape: ONE user-keyed shuffle for the
+    // lag (each key sorts only its own events), then a hash agg on the
+    // |types|² transition space — O(types²) rows ever shuffle upward, so
+    // the matrix costs a scan regardless of corpus size. Counts are
+    // BIGINT; the probability is one IEEE division of exact longs (both
+    // engines round-to-nearest-even identically), so the matrix gates.
+    "a17_transition_matrix" -> ((s, dir) =>
+      transitionMatrix(Tables.events(s, dir)
+        .withColumn("ts_sec", col("ts").cast("long"))
+        .select(col("user_id"), col("ts_sec"), col("event_id"), col("event_type"))))
   )
 
+  /** a17 core over (user_id, ts_sec, event_id, event_type) rows —
+    * extracted so the chain semantics (per-user adjacency, cross-user
+    * isolation, row-stochastic probabilities) are unit-testable on
+    * crafted sequences.
+    */
+  private[operators] def transitionMatrix(e: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts_sec").asc, col("event_id").asc)
+    val wFrom = Window.partitionBy("from_type")
+    e.withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .filter(col("next_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("next_type").as("to_type"))
+      .agg(count(lit(1)).as("n_transitions"))
+      .withColumn("from_total", sum(col("n_transitions")).over(wFrom))
+      .select(col("from_type"), col("to_type"), col("n_transitions"),
+        col("from_total"),
+        (col("n_transitions").cast("double") / col("from_total").cast("double"))
+          .as("p_transition"))
+      .orderBy("from_type", "to_type")
+  }
+
   def oracles: Map[String, String] = Map(
+    // same lag ordering (ts_sec, event_id — unique, so no tie ambiguity);
+    // probability = one division of exact BIGINTs in both engines
+    "a17_transition_matrix" ->
+      """WITH seq AS (
+        |  SELECT user_id, event_type,
+        |    LEAD(event_type) OVER (
+        |      PARTITION BY user_id
+        |      ORDER BY CAST(epoch(date_trunc('second', ts)) AS BIGINT) ASC, event_id ASC
+        |    ) AS next_type
+        |  FROM events
+        |), tr AS (
+        |  SELECT event_type AS from_type, next_type AS to_type, COUNT(*) AS n_transitions
+        |  FROM seq WHERE next_type IS NOT NULL
+        |  GROUP BY 1, 2
+        |)
+        |SELECT from_type, to_type, n_transitions,
+        |  SUM(n_transitions) OVER (PARTITION BY from_type) AS from_total,
+        |  n_transitions::DOUBLE / (SUM(n_transitions) OVER (PARTITION BY from_type))::DOUBLE
+        |    AS p_transition
+        |FROM tr
+        |ORDER BY from_type, to_type""".stripMargin,
     // identical fold order: 1-based DuckDB lists, list_reduce left-fold
     // over the same time-sorted term sequence the Spark aggregate() folds
     "a07_time_weighted_avg" ->

@@ -84,6 +84,24 @@ object TextAnalysis {
       .select("doc_id", "n_spans", "n_boiler", "boiler_ratio", "keep")
   }
 
+  /** t24 core over (doc_id, text) rows — extracted so the boundary cases
+    * (fully-novel doc, fully-shared twin docs, sub-3-token doc absent)
+    * are unit-testable on crafted corpora.
+    */
+  private[operators] def ngramNovelty(docs: DataFrame): DataFrame = {
+    val sh = docs
+      .select(col("doc_id"), explode(wordShingles(col("text"), 3)).as("g"))
+      .select(col("doc_id"), xxhash64(col("g")).as("h"))
+    val df = sh.groupBy("h").agg(count(lit(1)).as("df"))
+    sh.join(df, "h")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("df") === 1L, 1L).otherwise(0L)).as("n_novel"))
+      .withColumn("novelty_frac",
+        col("n_novel").cast("double") / col("n_shingles").cast("double"))
+      .orderBy("doc_id")
+  }
+
   /** t22's largest-remainder (Hamilton) apportionment over a (source, m)
     * mass frame: base = ⌊k·m/M⌋, the k − Σbase leftover seats go to the
     * largest remainders (ties by source asc). All BIGINT, so the quota
@@ -248,6 +266,19 @@ object TextAnalysis {
     // as d02/d12/p01.
     "t23_decontaminate_surgery" -> ((s, dir) =>
       decontaminateSurgery(Tables.documents(s, dir))),
+
+    // N-GRAM NOVELTY — the memorization/duplication-adjacent quality
+    // signal: what fraction of a doc's distinct 3-gram shingles appear in
+    // NO other document (df == 1 corpus-wide ⇒ the shingle is this doc's
+    // alone — wordShingles is distinct-per-doc, so df counts documents).
+    // High novelty = original text; low novelty = assembled from
+    // corpus-common fragments. Complements d06 (pairwise source overlap)
+    // and d12 (dup mass weighs REPEATED windows; novelty isolates the
+    // never-repeated ones). Scale shape: the d12 discipline — shingles
+    // leave the scan as 64-bit hashes (raw text never shuffles), one
+    // map-side-combined df agg, one hash equi-join back; corpus-linear.
+    // Same accepted ~1e-14 collision odds as d02/d12/t23.
+    "t24_ngram_novelty" -> ((s, dir) => ngramNovelty(Tables.documents(s, dir))),
 
     // deterministic source-mixture sampling: admit each doc iff a
     // stateless mix of its id lands under the source's target rate
@@ -854,6 +885,27 @@ object TextAnalysis {
         |FROM toks k LEFT JOIN mask m ON m.doc_id = k.doc_id
         |WHERE k.doc_id % 97 <> 0
         |ORDER BY k.doc_id""".stripMargin,
+
+    // df over the shingle STRINGS (the hash is Spark-internal shuffle
+    // economy, answer-invisible modulo the accepted collision odds)
+    "t24_ngram_novelty" ->
+      """WITH t AS (
+        |  SELECT doc_id, list_filter(string_split(lower(text), ' '), w -> len(w) > 0) AS w
+        |  FROM documents
+        |), sh AS (
+        |  SELECT doc_id,
+        |    unnest(list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+        |                          for i in range(1, len(w) - 1)])) AS g
+        |  FROM t WHERE len(w) >= 3
+        |), df AS (
+        |  SELECT g, COUNT(*) AS df FROM sh GROUP BY g
+        |)
+        |SELECT sh.doc_id, COUNT(*) AS n_shingles,
+        |  CAST(SUM(CASE WHEN df.df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+        |  SUM(CASE WHEN df.df = 1 THEN 1 ELSE 0 END)::DOUBLE / COUNT(*)::DOUBLE AS novelty_frac
+        |FROM sh JOIN df USING (g)
+        |GROUP BY sh.doc_id
+        |ORDER BY sh.doc_id""".stripMargin,
 
     // d03's brute-force pair oracle + DuckDB's levenshtein on the same
     // 80-char heads (both engines implement the classic DP exactly)

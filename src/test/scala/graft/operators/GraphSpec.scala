@@ -92,6 +92,41 @@ class GraphSpec extends SparkSpec {
     assert(Graph.bfsLevels(lolli, maxRounds = 10).count() === 5)
   }
 
+  test("g04 closed forms: K4 edges all 0.5; triangle edges 1/3; path edge 0") {
+    // K4: every edge has the other 2 vertices as common neighbors,
+    // deg = 3 each → jacc = 2 / (3 + 3 − 2) = 0.5
+    val k4 = Graph.edgeJaccard(edges((1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)), 100).collect()
+    assert(k4.length === 6)
+    assert(k4.forall(r => r.getAs[Long]("common_nbrs") === 2L &&
+      r.getAs[Double]("jaccard") === 0.5))
+    // triangle: common = 1, jacc = 1 / (2 + 2 − 1) = 1/3
+    val c3 = Graph.edgeJaccard(edges((1, 2), (2, 3), (1, 3)), 100).collect()
+    assert(c3.forall(r => r.getAs[Double]("jaccard") === 1.0 / 3.0))
+    // path 1-2-3: no common neighbors on either edge
+    val p3 = Graph.edgeJaccard(edges((1, 2), (2, 3)), 100).collect()
+    assert(p3.forall(r => r.getAs[Long]("common_nbrs") === 0L &&
+      r.getAs[Double]("jaccard") === 0.0))
+  }
+
+  test("g04 equals brute-force per-edge common-neighbor count on a messy graph") {
+    val pairs = (1 to 120).map { i =>
+      ((i * 7919L) % 23, (i * 104729L) % 23)
+    }.filter { case (a, b) => a != b }
+    val e = edges(pairs: _*)
+    val es = e.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val nbr = es.toSeq.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val got = Graph.edgeJaccard(e, 10000).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getAs[Long]("common_nbrs"), r.getAs[Long]("deg_u"), r.getAs[Long]("deg_v")))).toMap
+    assert(got.keySet === es, "one scored row per edge")
+    es.foreach { case (u, v) =>
+      val expect = (nbr(u) intersect nbr(v)).size.toLong
+      assert(got((u, v)) === ((expect, nbr(u).size.toLong, nbr(v).size.toLong)),
+        s"edge ($u,$v)")
+    }
+  }
+
   test("g02: total rank mass is conserved up to per-vertex floor loss") {
     val e = edges((1 to 60).map(i => ((i * 13L) % 17, (i * 29L) % 17))
       .filter(p => p._1 != p._2): _*)

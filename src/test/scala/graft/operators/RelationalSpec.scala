@@ -81,4 +81,32 @@ class RelationalSpec extends SparkSpec {
     assert(currents.values.forall(_.length == 1),
       "at most one is_current version per user")
   }
+
+  test("v03 partition refresh == full recompute across all touch patterns") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // months: 'A' untouched (stale passes through), 'B' mixed base+delta
+    // (recomputed from BOTH populations), 'C' delta-only (absent from the
+    // stale MV — must come wholly from the refresh), 'D' untouched with a
+    // repeated customer (distinct-count survives pass-through)
+    val o = Seq(
+      (1L, 10L, 5.0, "A"), (2L, 11L, 7.0, "A"),
+      (3L, 10L, 1.0, "B"), (4L, 12L, 2.0, "B"), (100L, 12L, 4.0, "B"),
+      (101L, 13L, 8.0, "C"), (102L, 13L, 16.0, "C"),
+      (5L, 14L, 3.0, "D"), (6L, 14L, 9.0, "D")
+    ).toDF("o_orderkey", "o_custkey", "o_totalprice", "month")
+    val isDelta = col("o_orderkey") >= 100L
+
+    val got = Relational.partitionRefresh(o, isDelta).collect()
+      .map(r => (r.getString(0), (r.getLong(1), r.getDouble(2), r.getLong(3)))).toMap
+    val full = o.groupBy("month")
+      .agg(count(lit(1)).as("n"),
+        sum(col("o_totalprice").cast("decimal(38,6)")).cast("double").as("s"),
+        countDistinct(col("o_custkey")).as("c"))
+      .collect().map(r => (r.getString(0), (r.getLong(1), r.getDouble(2), r.getLong(3)))).toMap
+    assert(got === full, "refresh identity: result must equal the full recompute")
+    assert(got("C") === ((2L, 24.0, 1L)), "delta-only month comes from the refresh alone")
+    assert(got("B") === ((3L, 7.0, 2L)), "mixed month recomputes over base ∪ delta")
+    assert(got("D") === ((2L, 12.0, 1L)), "untouched distinct-count passes through")
+  }
 }

@@ -200,4 +200,26 @@ class SimilaritySpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
     assert(blocked === brute, "within-cell dup counts must equal the unblocked pair count")
   }
+
+  test("e12 hybrid RRF: fusion arithmetic, rank bounds, channel union") {
+    val rows = Similarity.queries("e12_hybrid_rrf")(spark, sfDir).collect()
+    assert(rows.length === 10)
+    rows.foreach { r =>
+      val lex = if (r.isNullAt(1)) None else Some(r.getLong(1))
+      val vec = if (r.isNullAt(2)) None else Some(r.getLong(2))
+      assert(lex.isDefined || vec.isDefined, "a fused doc must appear in some channel")
+      assert(lex.forall(k => k >= 1 && k <= 50) && vec.forall(k => k >= 1 && k <= 50))
+      // the fused score is exactly the integer RRF of the emitted ranks
+      val expect = lex.map(k => 1000000000L / (60 + k)).getOrElse(0L) +
+        vec.map(k => 1000000000L / (60 + k)).getOrElse(0L)
+      assert(r.getLong(3) === expect, s"rrf_score mismatch for doc ${r.getLong(0)}")
+    }
+    // descending fusion order with doc_id tie-break
+    val scores = rows.map(r => (r.getLong(3), r.getLong(0)))
+    assert(scores.sliding(2).forall { case Array((s1, d1), (s2, d2)) =>
+      s1 > s2 || (s1 == s2 && d1 < d2) },
+      "fused ranking must be (rrf desc, doc_id asc)")
+    // the query doc itself never retrieves
+    assert(rows.forall(_.getLong(0) != 0L))
+  }
 }

@@ -46,6 +46,34 @@ class SkewSpec extends SparkSpec {
     assert(partsUsed > 1, s"hot key still lands on one partition ($partsUsed)")
   }
 
+  test("hotKeyIsolatedJoin on a 95%-hot key equals the plain join; both routes fire") {
+    import spark.implicits._
+    // "hot" owns 9500 of 10000 probe rows (mean ≈ 1667 over 6 keys, so
+    // only "hot" clears the 4/3·mean threshold); build has an extra key
+    // the probe never references (must not appear — inner-join semantics)
+    val probe = (1 to 10000).map { i =>
+      val k = if (i <= 9500) "hot" else s"cold${i % 5}"
+      (k, i.toLong)
+    }.toDF("k", "v")
+    val build = Seq(("hot", 2L), ("cold0", 3L), ("cold1", 5L), ("cold2", 7L),
+      ("cold3", 11L), ("cold4", 13L), ("never", 99L)).toDF("k", "mult")
+
+    def summarize(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy("k").agg(count(lit(1)).as("n"), sum(col("v") * col("mult")).as("s"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+
+    val routed = summarize(Skew.hotKeyIsolatedJoin(probe, build, "k"))
+    val plain = summarize(probe.join(build, "k"))
+    assert(routed === plain, "hot/cold routing must be answer-invisible")
+    assert(plain.exists(_._1 == "hot") && !plain.exists(_._1 == "never"))
+
+    // cold-only distribution: threshold admits nothing, the broadcast
+    // route is empty, and the result is still exactly the plain join
+    val uniform = (1 to 1000).map(i => (s"cold${i % 5}", i.toLong)).toDF("k", "v")
+    assert(summarize(Skew.hotKeyIsolatedJoin(uniform, build, "k")) ===
+      summarize(uniform.join(build, "k")))
+  }
+
   test("saltedSumCount on the hot distribution equals plain groupBy") {
     import spark.implicits._
     val df = (1 to 5000).map { i =>

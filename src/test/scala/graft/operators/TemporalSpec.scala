@@ -215,4 +215,34 @@ class TemporalSpec extends SparkSpec {
       "1970-01-10" -> 2L)                   // end-day 9: u1 (day 3) + u3 (day 9)
     assert(got === exp)
   }
+
+  test("a17 transition matrix: per-user chains, cross-user isolation, row-stochastic") {
+    import spark.implicits._
+    // u1: a→b→a (transitions a→b, b→a); u2: a→a→c (a→a, a→c); u3: lone
+    // event, no transition. u1's last event and u2's first are adjacent
+    // in TIME but different users — must NOT pair. Same-second pair in
+    // u2 ordered by event_id.
+    val e = Seq(
+      (1L, 100L, 1L, "a"), (1L, 200L, 2L, "b"), (1L, 300L, 3L, "a"),
+      (2L, 301L, 4L, "a"), (2L, 400L, 5L, "a"), (2L, 400L, 6L, "c"),
+      (3L, 999L, 7L, "z")
+    ).toDF("user_id", "ts_sec", "event_id", "event_type")
+
+    val got = Temporal.transitionMatrix(e).collect()
+      .map(r => ((r.getString(0), r.getString(1)),
+        (r.getAs[Long]("n_transitions"), r.getAs[Long]("from_total"),
+          r.getAs[Double]("p_transition")))).toMap
+
+    assert(got.keySet === Set(("a", "b"), ("b", "a"), ("a", "a"), ("a", "c")),
+      "cross-user adjacency and lone events must produce no transitions")
+    assert(got(("a", "b")) === ((1L, 3L, 1.0 / 3.0)))
+    assert(got(("a", "a")) === ((1L, 3L, 1.0 / 3.0)))
+    assert(got(("a", "c")) === ((1L, 3L, 1.0 / 3.0)))
+    assert(got(("b", "a")) === ((1L, 1L, 1.0)))
+    // row-stochastic: probabilities per from_type sum to 1 exactly
+    // (each is n/total with a common total; the sums here are exact)
+    assert(got.toSeq.groupBy(_._1._1).forall { case (_, rows) =>
+      rows.map(_._2._3).sum === 1.0
+    })
+  }
 }

@@ -256,4 +256,22 @@ class TextSpec extends SparkSpec {
         s"$src quota ${q(src)} strays more than a seat from exact share $exact")
     }
   }
+
+  test("t24 novelty: unique doc 1.0; identical twins share everything; short doc absent") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma delta"),     // shingles unique to doc 1 → novelty 1.0
+      (2L, "one two three four"),         // identical twin of 3: df=2 on every shingle
+      (3L, "one two three four"),
+      (4L, "one two three five"),         // shares "one two three" with 2/3, owns 1 of 2
+      (5L, "too short")                   // < 3 tokens → no shingles → absent
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.ngramNovelty(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got.keySet === Set(1L, 2L, 3L, 4L))
+    assert(got(1L) === ((2L, 2L, 1.0)), "fully original doc is fully novel")
+    assert(got(2L) === ((2L, 0L, 0.0)), "twin docs have zero novelty")
+    assert(got(3L) === ((2L, 0L, 0.0)))
+    assert(got(4L) === ((2L, 1L, 0.5)), "'two three five' is doc 4's alone")
+  }
 }

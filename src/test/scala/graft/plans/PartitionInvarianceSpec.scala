@@ -69,7 +69,16 @@ class PartitionInvarianceSpec extends SparkSpec {
     // the masked-position distinct under reshuffled window hits (t23)
     // and the per-payload edge scan (m11 — narrow, but ordering columns
     // must hold under any input partitioning)
-    "t23_decontaminate_surgery", "m11_silence_trim")
+    "t23_decontaminate_surgery", "m11_silence_trim",
+    // round 7 third batch: lag-chain ordering under reshuffled events
+    // (a17), count-first hot/cold routing whose threshold is a global
+    // aggregate (k03), the anti/semi partition split (v03), per-edge
+    // triangle credits under reshuffled edges (g04), and the two-channel
+    // rank fusion whose every tie-break is pinned (e12)
+    "a17_transition_matrix", "k03_hot_key_isolation", "v03_partition_refresh",
+    "g04_edge_jaccard", "e12_hybrid_rrf",
+    // the shingle-hash df join (t24 — hash shuffle must not leak order)
+    "t24_ngram_novelty")
 
   private def runAt(name: String, parts: Int): Seq[String] = {
     val old = spark.conf.get("spark.sql.shuffle.partitions")
