@@ -262,7 +262,9 @@ object ScaleProbe {
       "a17_transition_matrix", "k03_hot_key_isolation", "v03_partition_refresh",
       "g04_edge_jaccard", "e12_hybrid_rrf",
       // shingle-hash df join — d12's discipline, expected ~corpus-linear
-      "t24_ngram_novelty")
+      "t24_ngram_novelty",
+      // per-user last-event state (O(users) × one event) — ~scan
+      "s21_stream_transitions")
       // local iteration only: probe just a subset by name prefix
       .filter(n => sys.env.get("SPARK_GRAFT_ONLY")
         .forall(_.split(",").exists(n.startsWith)))

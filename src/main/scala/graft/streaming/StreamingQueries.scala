@@ -26,6 +26,8 @@ case class SessEvent(user_id: Long, event_id: Long, ts_sec: Long, event_type: St
 case class SessionRow(user_id: Long, start_sec: Long, end_sec: Long,
                       n_events: Long, n_types: Long)
 case class UserStateOut(user_id: Long, n_events: Long, min_event_id: Long, max_ts_sec: Long)
+case class LastEvent(ts_sec: Long, event_id: Long, event_type: String)
+case class Transition(user_id: Long, from_type: String, to_type: String)
 
 /** s14: the s04 per-user fold re-expressed in Spark 4's arbitrary-state v2
   * API (`transformWithState`) — typed ValueState on the RocksDB store,
@@ -518,6 +520,30 @@ object StreamingQueries {
         .orderBy("user_id", "session_start")
     }),
 
+    // STREAMING TRANSITION MATRIX — a17's streaming twin, and the only
+    // catalog entry whose state is a per-key LAST EVENT carried ACROSS
+    // micro-batches: the first event of batch n+1 pairs with the last
+    // event of batch n (the reference's per-shard "last processed" Ref,
+    // A4, promoted from a watermark to a join operand). Per batch each
+    // user's rows sort locally, chain onto the carried event, and emit
+    // one (from, to) row per consecutive pair; the matrix rollup runs on
+    // the sink table (batch side). State is O(users) × one event — the
+    // smallest possible; emission is append-only so the sink never
+    // rewrites. Oracle = a17's batch SQL: batching must be answer-
+    // invisible, which TransitionStreamSpec pins by re-running the same
+    // events split 1-file-per-batch.
+    "s21_stream_transitions" -> ((s, dir) => {
+      import s.implicits._
+      val typed = eventsStream(s, dir)
+        .select(col("user_id"), col("event_id"),
+          expr("unix_micros(ts) div 1000000").as("ts_sec"),
+          col("event_type"))
+        .as[SessEvent]
+      val pairs = runToTable(transitionsStream(typed), OutputMode.Append(),
+        statePartitions = Some(8))
+      transitionRollup(pairs)
+    }),
+
     // CHAINED time-window aggregations — TWO stateful operators in ONE
     // streaming query (the multi-stateful-operator support of Spark
     // 3.5+): hourly counts per type, re-aggregated into daily rollups of
@@ -681,6 +707,59 @@ object StreamingQueries {
     * event, empty input) are unit-testable — the oracle gate only
     * exercises what the fixture contains.
     */
+  /** s21 streaming core: typed SessEvent stream → one Transition row per
+    * consecutive per-user pair, with the last event carried in GroupState
+    * across micro-batches. Exposed so TransitionStreamSpec can drive it
+    * over a crafted multi-file (multi-batch) input.
+    */
+  private[streaming] def transitionsStream(
+      typed: org.apache.spark.sql.Dataset[SessEvent]): DataFrame = {
+    import typed.sparkSession.implicits._
+    typed.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[SessEvent], state: GroupState[LastEvent]) =>
+          val (out, last) = transitionStep(user, rows.toSeq, state.getOption)
+          state.update(last)
+          out.iterator
+      }.toDF()
+  }
+
+  /** s21 batch-side rollup over the emitted (user_id, from_type, to_type)
+    * pair table — identical output contract to a17.
+    */
+  private[streaming] def transitionRollup(pairs: DataFrame): DataFrame = {
+    val wFrom = org.apache.spark.sql.expressions.Window.partitionBy("from_type")
+    pairs.groupBy("from_type", "to_type")
+      .agg(count(lit(1)).as("n_transitions"))
+      .withColumn("from_total", sum(col("n_transitions")).over(wFrom))
+      .select(col("from_type"), col("to_type"), col("n_transitions"),
+        col("from_total"),
+        (col("n_transitions").cast("double") / col("from_total").cast("double"))
+          .as("p_transition"))
+      .orderBy("from_type", "to_type")
+  }
+
+  /** s21 per-key step: sort this batch's rows, chain them onto the
+    * carried last event, emit one Transition per consecutive pair, and
+    * return the new last event. Pure — unit-tested directly, and the
+    * flatMapGroupsWithState body is just this + a state update.
+    *
+    * Cross-batch correctness assumes per-user batch-monotonic arrival
+    * (a later micro-batch carries no earlier event) — the reference's
+    * per-shard sequence-order contract; WITHIN a batch the sort makes
+    * the fold order-free (s04/s12 discipline).
+    */
+  private[streaming] def transitionStep(user: Long, rows: Seq[SessEvent],
+      prev: Option[LastEvent]): (Seq[Transition], LastEvent) = {
+    val sorted = rows.sortBy(e => (e.ts_sec, e.event_id))
+    val chain = prev.map(p => SessEvent(user, p.event_id, p.ts_sec, p.event_type)).toSeq ++ sorted
+    val out = chain.sliding(2).collect {
+      case Seq(a, b) => Transition(user, a.event_type, b.event_type)
+    }.toSeq
+    val last = chain.last
+    (out, LastEvent(last.ts_sec, last.event_id, last.event_type))
+  }
+
   private[streaming] def splitSessions(user: Long, rows: Seq[SessEvent]): Seq[SessionRow] = {
     val evs = rows.toArray.sortBy(e => (e.ts_sec, e.event_id))
     val out = scala.collection.mutable.ArrayBuffer.empty[SessionRow]
@@ -698,6 +777,28 @@ object StreamingQueries {
 
   def oracles: Map[String, String] = Map(
     "s01_stream_count" -> "SELECT COUNT(*) AS n FROM events",
+
+    // a17's batch matrix verbatim: micro-batching + carried state must be
+    // answer-invisible
+    "s21_stream_transitions" ->
+      """WITH seq AS (
+        |  SELECT user_id, event_type,
+        |    LEAD(event_type) OVER (
+        |      PARTITION BY user_id
+        |      ORDER BY CAST(epoch(date_trunc('second', ts)) AS BIGINT) ASC, event_id ASC
+        |    ) AS next_type
+        |  FROM events
+        |), tr AS (
+        |  SELECT event_type AS from_type, next_type AS to_type, COUNT(*) AS n_transitions
+        |  FROM seq WHERE next_type IS NOT NULL
+        |  GROUP BY 1, 2
+        |)
+        |SELECT from_type, to_type, n_transitions,
+        |  SUM(n_transitions) OVER (PARTITION BY from_type) AS from_total,
+        |  n_transitions::DOUBLE / (SUM(n_transitions) OVER (PARTITION BY from_type))::DOUBLE
+        |    AS p_transition
+        |FROM tr
+        |ORDER BY from_type, to_type""".stripMargin,
 
     "s02_stream_tumbling" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS win_start,
