@@ -73,6 +73,68 @@ case class SortedIntersectCount(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** a ∩ b for two SORTED `array<long>` columns, as a two-pointer merge that
+  * materializes ONLY the intersection (≤ min(|a|,|b|) longs) — the
+  * array-returning sibling of [[SortedIntersectCount]], for consumers that
+  * need the members, not the size (g04 explodes the common neighbors into
+  * per-triangle credit rows). `array_intersect` pays a per-row OpenHashSet
+  * probe per element; the merge walk is branch-predictable and
+  * allocation-bounded by the result. Same (sorted, unique, non-null)
+  * input contract.
+  */
+case class SortedIntersect(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+
+  override def inputTypes = Seq(ArrayType(LongType), ArrayType(LongType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "sorted_intersect"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val (nx, ny) = (x.numElements(), y.numElements())
+    val tmp = new Array[Long](math.min(nx, ny))
+    var i = 0; var j = 0; var c = 0
+    while (i < nx && j < ny) {
+      val xv = x.getLong(i); val yv = y.getLong(j)
+      if (xv == yv) { tmp(c) = xv; c += 1; i += 1; j += 1 }
+      else if (xv < yv) i += 1
+      else j += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(java.util.Arrays.copyOf(tmp, c))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val nx = ctx.freshName("nx")
+      val ny = ctx.freshName("ny")
+      val c = ctx.freshName("c")
+      val tmp = ctx.freshName("tmp")
+      val xv = ctx.freshName("xv")
+      val yv = ctx.freshName("yv")
+      s"""
+         |int $nx = $a.numElements(), $ny = $b.numElements();
+         |int $i = 0, $j = 0, $c = 0;
+         |long[] $tmp = new long[Math.min($nx, $ny)];
+         |while ($i < $nx && $j < $ny) {
+         |  long $xv = $a.getLong($i);
+         |  long $yv = $b.getLong($j);
+         |  if ($xv == $yv) { $tmp[$c++] = $xv; $i++; $j++; }
+         |  else if ($xv < $yv) { $i++; } else { $j++; }
+         |}
+         |${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+         |  .fromPrimitiveArray(java.util.Arrays.copyOf($tmp, $c));
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 object ArrayFunctions {
 
   /** Codegen'd sorted-set intersection size — see [[SortedIntersectCount]]
@@ -81,4 +143,11 @@ object ArrayFunctions {
   def sorted_intersect_count(a: Column, b: Column): Column =
     ExpressionUtils.column(
       SortedIntersectCount(ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+
+  /** Codegen'd sorted-set intersection (members) — see [[SortedIntersect]]
+    * for the contract and why not `array_intersect`.
+    */
+  def sorted_intersect(a: Column, b: Column): Column =
+    ExpressionUtils.column(
+      SortedIntersect(ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
 }

@@ -231,7 +231,7 @@ object Graph {
       .join(adj.select(col("x").as("a"), col("nbrs").as("na")), "a")
       .join(adj.select(col("x").as("b"), col("nbrs").as("nb")), "b")
       .select(col("a"), col("b"),
-        explode(array_intersect(col("na"), col("nb"))).as("c"))
+        explode(graft.functions.ArrayFunctions.sorted_intersect(col("na"), col("nb"))).as("c"))
     val credits = tris.select(
       array(
         struct(least(col("a"), col("b")).as("u"), greatest(col("a"), col("b")).as("v")),

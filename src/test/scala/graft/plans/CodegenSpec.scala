@@ -57,6 +57,32 @@ class CodegenSpec extends SparkSpec {
     }
   }
 
+  test("sorted_intersect: codegen'd, agrees with eval and with array_intersect") {
+    import graft.functions.ArrayFunctions.sorted_intersect
+    import spark.implicits._
+    val pairs = (1 to 200).map { i =>
+      val a = (0L until 40L).filter(v => (v * 7919 + i) % 3 != 0).toArray.sorted
+      val b = (0L until 40L).filter(v => (v * 104729 + i) % 4 != 0).toArray.sorted
+      (a, b)
+    }.toDF("a", "b")
+    val p = codegenPlan(pairs.select(sorted_intersect(col("a"), col("b")).as("x")))
+    assert(!p.contains("CodegenFallback"), s"codegen fallback leaked into:\n$p")
+    def snap() = pairs.select(sorted_intersect(col("a"), col("b")).as("x"),
+        array_intersect(col("a"), col("b")).as("y"))
+      .collect().map(r => (r.getSeq[Long](0), r.getSeq[Long](1)))
+    val viaCodegen = snap()
+    viaCodegen.foreach { case (x, y) =>
+      assert(x === y.sorted, "merge result must equal array_intersect on sorted-unique input")
+    }
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    try assert(snap().map(_._1) === viaCodegen.map(_._1), "doGenCode and nullSafeEval must agree")
+    finally {
+      spark.conf.unset("spark.sql.codegen.wholeStage")
+      spark.conf.unset("spark.sql.codegen.factoryMode")
+    }
+  }
+
   test("cms probe is codegen'd and its codegen/eval paths agree") {
     val d = Tables.documents(spark, sfDir)
       .select(xxhash64(col("text")).as("h"))
