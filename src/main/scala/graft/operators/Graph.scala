@@ -99,9 +99,11 @@ object Graph {
     // codegen'd two-pointer merge (sorted_intersect_count) — per-row
     // zero-allocation, vs array_intersect's per-row hash set + result
     // array that exist only to be counted.
+    // shuffle_hash: see edgeJaccard — sorting array-payload rows is the
+    // join's dominant cost; hash-build on the |V|-row adjacency side
     val tri = oriented
-      .join(adj.select(col("x").as("a"), col("nbrs").as("na")), "a")
-      .join(adj.select(col("x").as("b"), col("nbrs").as("nb")), Seq("b"), "left")
+      .join(adj.select(col("x").as("a"), col("nbrs").as("na")).hint("shuffle_hash"), "a")
+      .join(adj.select(col("x").as("b"), col("nbrs").as("nb")).hint("shuffle_hash"), Seq("b"), "left")
       .select(coalesce(
         graft.functions.ArrayFunctions.sorted_intersect_count(col("na"), col("nb")),
         lit(0L)).as("t"))
@@ -227,9 +229,13 @@ object Graph {
       .agg(sort_array(collect_list(col("b"))).as("nbrs"))
     // one row per triangle {a, b, c}: found once, on its degree-lowest
     // edge (a, b); then 3 undirected edge credits per triangle
+    // shuffle_hash, not sort-merge: the probe side carries two ~O(√E)
+    // LONG-array payloads per row, and sorting those heavy rows is the
+    // dominant 10×-probe cost; hashing builds on the (|V|-row) adjacency
+    // side and streams the edges unsorted
     val tris = oriented
-      .join(adj.select(col("x").as("a"), col("nbrs").as("na")), "a")
-      .join(adj.select(col("x").as("b"), col("nbrs").as("nb")), "b")
+      .join(adj.select(col("x").as("a"), col("nbrs").as("na")).hint("shuffle_hash"), "a")
+      .join(adj.select(col("x").as("b"), col("nbrs").as("nb")).hint("shuffle_hash"), "b")
       .select(col("a"), col("b"),
         explode(graft.functions.ArrayFunctions.sorted_intersect(col("na"), col("nb"))).as("c"))
     val credits = tris.select(

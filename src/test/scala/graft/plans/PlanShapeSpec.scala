@@ -336,4 +336,32 @@ class PlanShapeSpec extends SparkSpec {
     assert(equiJoins.exists(_.exists(_.contains("cell"))),
       s"within-cell pairing must be a cell-keyed equi-join, got keys: $equiJoins")
   }
+
+  test("k03: hot route is a broadcast hash join; the plan unions two routes") {
+    val p = sparkPlan("k03_hot_key_isolation")
+    // hot slice of the build side + the semi/anti splits all broadcast —
+    // at least one BroadcastHashJoin must carry the p_partkey equi-key
+    val bhj = collectAll(p) { case j: BroadcastHashJoinExec => j.leftKeys.map(_.sql) }
+    assert(bhj.exists(_.exists(_.contains("p_partkey"))),
+      s"hot route must broadcast on the join key, got: $bhj")
+    assert(p.toString.contains("Union"), "hot and cold routes must union")
+    assert(collectAll(p) {
+      case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c
+    }.isEmpty, "no cartesian anywhere in the routed join")
+  }
+
+  test("e12: both retrieval channels lower to TakeOrderedAndProject, never a full sort") {
+    val p = sparkPlan("e12_hybrid_rrf")
+    val topk = collectAll(p) { case t: TakeOrderedAndProjectExec => t }
+    // lexical top-50, vector top-50, fused top-10
+    assert(topk.size >= 3, s"expected 3 TakeOrdered channels, got ${topk.size}:\n$p")
+  }
+
+  test("g04: triangle credits come from equi-joins only (no quadratic operator)") {
+    val p = sparkPlan("g04_edge_jaccard")
+    assert(collectAll(p) {
+      case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c
+      case n: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => n
+    }.isEmpty, "edge jaccard must never plan a nested-loop or cartesian join")
+  }
 }
