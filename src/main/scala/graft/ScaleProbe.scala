@@ -264,7 +264,10 @@ object ScaleProbe {
       // shingle-hash df join — d12's discipline, expected ~corpus-linear
       "t24_ngram_novelty",
       // per-user last-event state (O(users) × one event) — ~scan
-      "s21_stream_transitions")
+      "s21_stream_transitions",
+      // one filter over the version table — ~scan; and the df-capped
+      // shot-signature pair join — bounded by df·|bucket| per signature
+      "v04_asof_snapshot", "m12_video_neardup")
       // local iteration only: probe just a subset by name prefix
       .filter(n => sys.env.get("SPARK_GRAFT_ONLY")
         .forall(_.split(",").exists(n.startsWith)))

@@ -119,6 +119,37 @@ object Multimodal {
       width: Int, height: Int, n_channels: Int,
       frame_offsets: Array[Long])
 
+  /** m12: drop shot signatures shared by more than this many videos
+    * before pairing (the d10 DfCap discipline — a boilerplate intro/
+    * outro shot would otherwise pair every video with every other), and
+    * admit a pair iff Jaccard ≥ 1/2 over the capped signature sets
+    * (3·shared ≥ |A|+|B| — integer, engine-exact).
+    */
+  val ShotSigDfCap = 64L
+
+  /** m12 pair core over distinct (doc_id, key_sig) rows — extracted so
+    * the set algebra (exact twins, sub-threshold overlap, the df cap
+    * silencing a corpus-wide boilerplate signature) is unit-testable on
+    * crafted signature sets.
+    */
+  private[operators] def shotSigPairs(sigs: DataFrame): DataFrame = {
+    val df = sigs.groupBy("key_sig").agg(count(lit(1)).as("df"))
+    val keep = sigs.join(df.filter(col("df") <= ShotSigDfCap).select("key_sig"), "key_sig")
+    val sz = keep.groupBy("doc_id").agg(count(lit(1)).as("nsig"))
+    val shared = keep.select(col("key_sig"), col("doc_id").as("doc_a"))
+      .join(keep.select(col("key_sig"), col("doc_id").as("doc_b")), "key_sig")
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_shared"))
+    shared
+      .join(sz.select(col("doc_id").as("doc_a"), col("nsig").as("n_a")), "doc_a")
+      .join(sz.select(col("doc_id").as("doc_b"), col("nsig").as("n_b")), "doc_b")
+      .filter(col("n_shared") * 3 >= col("n_a") + col("n_b"))
+      .select(col("doc_a"), col("doc_b"), col("n_shared"), col("n_a"), col("n_b"),
+        (col("n_shared").cast("double") /
+          (col("n_a") + col("n_b") - col("n_shared")).cast("double")).as("jaccard"))
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** One shot (maximal run of frames between cuts) of one payload. */
   case class ShotRow(
       doc_id: Long, shot_idx: Long, start_frame: Long, n_frames: Long,
@@ -454,6 +485,30 @@ object Multimodal {
         .orderBy("doc_id", "shot_idx")
     }),
 
+    // VIDEO NEAR-DUP — the shot-level analog of m09's frame-level dedup:
+    // two videos are near-dups when their SHOT KEYFRAME SIGNATURE sets
+    // overlap (re-encoded / trimmed copies keep most shots; m10's
+    // keyframe signature is the stand-in for a real keyframe perceptual
+    // hash). Candidate generation is an inverted-index equi-join on the
+    // signature (d03's blocking shape in shot space) with a df cap —
+    // signatures in more than ShotSigDfCap videos are dropped count-first
+    // (the d10 discipline; a boilerplate intro shot must not pair the
+    // whole corpus) — and the verdict is Jaccard ≥ 1/2 over the capped
+    // sets as an INTEGER inequality (3·shared ≥ |A|+|B|), so the whole
+    // chain gates exactly. Scale shape: shots stream out of the same
+    // narrow decode map as m10, only (doc, sig) longs shuffle, pair work
+    // is bounded by df·|bucket| per signature.
+    "m12_video_neardup" -> ((s, dir) => {
+      val blobs = Tables.documents(s, dir)
+        .filter(length(col("text")) > 0)
+        .select(col("doc_id"), col("text").cast("binary").as("payload"))
+        .as(Encoders.product[Blob])
+      val shots = blobs.mapPartitions { it =>
+        it.grouped(DecodeBatchSize).flatMap(batch => batch.flatMap(shotRows))
+      }(Encoders.product[ShotRow]).toDF()
+      shotSigPairs(shots.select(col("doc_id"), col("key_sig")).distinct())
+    }),
+
     // PERCEPTUAL-HASH NEAR-DUP IMAGES — the pixel-space analog of d03's
     // MinHash (which never sees pixels, only tokens): a 64-bit gradient
     // dHash per payload, Hamming-band pigeonhole join for candidates,
@@ -687,6 +742,54 @@ object Multimodal {
          |FROM sh
          |GROUP BY doc_id, shot_idx
          |ORDER BY doc_id, shot_idx""".stripMargin,
+
+    // m10's segmentation chain → per-video keyframe-signature sets →
+    // df-capped signature join; Jaccard threshold restated as the same
+    // integer inequality
+    "m12_video_neardup" ->
+      s"""WITH c AS (
+         |  SELECT doc_id, unnest([ascii(text[i]) for i in range(1, len(text)+1)]) AS byte,
+         |    unnest(range(0, len(text))) AS pos
+         |  FROM documents WHERE strlen(text) > 0
+         |), fr AS (
+         |  SELECT doc_id, pos // $FrameStride AS f, SUM(byte) AS sig
+         |  FROM c GROUP BY doc_id, pos // $FrameStride
+         |), d AS (
+         |  SELECT doc_id, f, sig,
+         |    CASE WHEN f > 0 AND abs(sig - LAG(sig) OVER (PARTITION BY doc_id ORDER BY f))
+         |      > $CutThreshold THEN 1 ELSE 0 END AS is_cut
+         |  FROM fr
+         |), sid AS (
+         |  SELECT doc_id, f, sig,
+         |    SUM(is_cut) OVER (PARTITION BY doc_id ORDER BY f) AS shot_idx
+         |  FROM d
+         |), sh AS (
+         |  SELECT doc_id, f, sig, shot_idx,
+         |    ROW_NUMBER() OVER (PARTITION BY doc_id, shot_idx
+         |      ORDER BY sig DESC, f ASC) AS rk
+         |  FROM sid
+         |), sigs AS (
+         |  SELECT DISTINCT doc_id, CAST(sig AS BIGINT) AS key_sig
+         |  FROM sh WHERE rk = 1
+         |), df AS (
+         |  SELECT key_sig, COUNT(*) AS df FROM sigs GROUP BY key_sig
+         |), keep AS (
+         |  SELECT s.doc_id, s.key_sig FROM sigs s JOIN df USING (key_sig)
+         |  WHERE df.df <= $ShotSigDfCap
+         |), sz AS (
+         |  SELECT doc_id, COUNT(*) AS nsig FROM keep GROUP BY doc_id
+         |), pr AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
+         |  FROM keep a JOIN keep b ON a.key_sig = b.key_sig AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2
+         |)
+         |SELECT doc_a, doc_b, n_shared, sa.nsig AS n_a, sb.nsig AS n_b,
+         |  n_shared::DOUBLE / (sa.nsig + sb.nsig - n_shared)::DOUBLE AS jaccard
+         |FROM pr
+         |JOIN sz sa ON sa.doc_id = pr.doc_a
+         |JOIN sz sb ON sb.doc_id = pr.doc_b
+         |WHERE 3 * n_shared >= sa.nsig + sb.nsig
+         |ORDER BY doc_a, doc_b""".stripMargin,
 
     // same ASCII-fixture precondition as m01 (chars ⇔ bytes); probe i is
     // the 0-based byte i·stride = 1-based char i·stride+1. The oracle

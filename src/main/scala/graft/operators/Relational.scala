@@ -954,8 +954,33 @@ object Relational {
         Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey"),
           col("o_totalprice"),
           date_format(date_trunc("month", col("o_orderdate")), "yyyy-MM-dd").as("month")),
-        col("month") >= "2001-01-01" || col("o_orderkey") % 997 === 0))
+        col("month") >= "2001-01-01" || col("o_orderkey") % 997 === 0)),
+
+    // SNAPSHOT-AS-OF READ (time travel) — the lakehouse read that makes
+    // v02's history useful: the table AS OF time T is every version row
+    // whose validity interval covers T (valid_from ≤ T < valid_to, open
+    // intervals unbounded). One filter over the history — at scale this
+    // is a partition-pruned scan of the version table, no join, no
+    // state; users first seen after T and users tombstoned before T are
+    // both absent BY the interval algebra (the delete contract v02's
+    // spec pins). T is mid-fixture so all three populations exist.
+    "v04_asof_snapshot" -> ((s, dir) => {
+      scd2History(Tables.events(s, dir)
+        .withColumn("ts_sec", col("ts").cast("long"))
+        .select(col("user_id"), col("event_id"), col("ts_sec"),
+          col("event_type"), col("value")))
+        .filter(col("valid_from") <= SnapshotSec &&
+          (col("valid_to").isNull || col("valid_to") > SnapshotSec))
+        .select(col("user_id"), col("version_seq"), col("state"), col("value"),
+          col("valid_from"), col("valid_to"))
+        .orderBy("user_id")
+    })
   )
+
+  /** v04: the snapshot instant — 2024-01-16 00:00:00 UTC, the middle of
+    * the events fixture's 30-day span at every SF.
+    */
+  val SnapshotSec = 1705363200L
 
   /** v03 core over (o_orderkey, o_custkey, o_totalprice, month) rows with
     * a caller-supplied delta predicate — extracted so the refresh paths
@@ -1050,6 +1075,28 @@ object Relational {
         |  valid_to IS NULL AS is_current
         |FROM v WHERE event_type <> 'error'
         |ORDER BY user_id, version_seq""".stripMargin,
+
+    // v02's history restated + the interval-covers-T filter
+    "v04_asof_snapshot" ->
+      s"""WITH ch AS (
+         |  SELECT user_id, event_id, event_type, "value",
+         |    CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS ts_sec
+         |  FROM events
+         |), v AS (
+         |  SELECT *, LEAD(ts_sec) OVER (
+         |    PARTITION BY user_id ORDER BY ts_sec, event_id) AS valid_to
+         |  FROM ch
+         |), hist AS (
+         |  SELECT user_id,
+         |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts_sec, event_id) AS version_seq,
+         |    event_type AS state, "value", ts_sec AS valid_from, valid_to
+         |  FROM v WHERE event_type <> 'error'
+         |)
+         |SELECT user_id, version_seq, state, "value", valid_from, valid_to
+         |FROM hist
+         |WHERE valid_from <= $SnapshotSec
+         |  AND (valid_to IS NULL OR valid_to > $SnapshotSec)
+         |ORDER BY user_id""".stripMargin,
 
     // the refresh identity IS the oracle: per-month full recompute
     "v03_partition_refresh" ->

@@ -173,6 +173,30 @@ class MultimodalSpec extends SparkSpec {
     assert((t3.first_loud, t3.last_loud, t3.kept_frames) === ((0L, 0L, 1L)))
   }
 
+  test("m12 shot-sig pairs: twins 1.0, sub-threshold excluded, df cap silences boilerplate") {
+    import spark.implicits._
+    def pairs(sigs: Seq[(Long, Long)]) =
+      Multimodal.shotSigPairs(sigs.toDF("doc_id", "key_sig"))
+        .collect().map(r => ((r.getLong(0), r.getLong(1)),
+          (r.getLong(2), r.getDouble(5)))).toMap
+    // docs 1,2 share both sigs (jacc 1.0); doc 3 shares 1 of its 2 with
+    // doc 1 (jacc 1/3 < 1/2 — excluded); doc 4 disjoint
+    val base = pairs(Seq(
+      (1L, 10L), (1L, 11L), (2L, 10L), (2L, 11L),
+      (3L, 10L), (3L, 99L), (4L, 50L), (4L, 51L)))
+    assert(base.keySet === Set((1L, 2L)))
+    assert(base((1L, 2L)) === ((2L, 1.0)))
+    // exactly half shared: |A|=|B|=2, shared=1 → jacc 1/3 excluded;
+    // shared=2 of 3 → 2/(3+3-2)=0.5 included (the 3·shared ≥ |A|+|B| edge)
+    val edge = pairs(Seq(
+      (1L, 10L), (1L, 11L), (1L, 12L), (2L, 10L), (2L, 11L), (2L, 13L)))
+    assert(edge.keySet === Set((1L, 2L)) && edge((1L, 2L)) === ((2L, 0.5)))
+    // a signature in 66 > ShotSigDfCap docs is dropped count-first: the
+    // 66 docs have empty capped sets → zero pairs (no explosion)
+    val boiler = pairs((1L to 66L).map(d => (d, 777L)))
+    assert(boiler.isEmpty, "df-capped signature must not pair the corpus")
+  }
+
   test("m02 decode runs as a narrow map (no shuffle in the plan before the final sort)") {
     val plan = Multimodal.queries("m02_fake_decode")(spark, sfDir)
       .queryExecution.executedPlan.toString

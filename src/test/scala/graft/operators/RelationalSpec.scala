@@ -82,6 +82,30 @@ class RelationalSpec extends SparkSpec {
       "at most one is_current version per user")
   }
 
+  test("v04 snapshot-as-of: covering interval picked; pre-birth, post-tombstone, boundary") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val T = 1000L
+    // u1: v1 [100,500) v2 [500,∞) → v2 current at T
+    // u2: [100,900) then tombstone at 900 → absent at T
+    // u3: first change at 1500 → absent at T
+    // u4: interval ends exactly at T [100,1000) → EXCLUDED (valid_to > T strict),
+    //     successor [1000,∞) included (valid_from ≤ T inclusive)
+    val changes = Seq(
+      (1L, 1L, 100L, "view", 1.0), (1L, 2L, 500L, "click", 2.0),
+      (2L, 3L, 100L, "view", 3.0), (2L, 4L, 900L, "error", 0.0),
+      (3L, 5L, 1500L, "view", 4.0),
+      (4L, 6L, 100L, "view", 5.0), (4L, 7L, 1000L, "click", 6.0)
+    ).toDF("user_id", "event_id", "ts_sec", "event_type", "value")
+    val got = Relational.scd2History(changes)
+      .filter(col("valid_from") <= T && (col("valid_to").isNull || col("valid_to") > T))
+      .collect().map(r => r.getLong(0) -> ((r.getString(2), r.getLong(4)))).toMap
+    assert(got === Map(
+      1L -> (("click", 500L)),
+      4L -> (("click", 1000L))),
+      "snapshot must pick exactly the covering interval per surviving user")
+  }
+
   test("v03 partition refresh == full recompute across all touch patterns") {
     import spark.implicits._
     import org.apache.spark.sql.functions._

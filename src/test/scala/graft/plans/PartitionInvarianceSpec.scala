@@ -78,7 +78,10 @@ class PartitionInvarianceSpec extends SparkSpec {
     "a17_transition_matrix", "k03_hot_key_isolation", "v03_partition_refresh",
     "g04_edge_jaccard", "e12_hybrid_rrf",
     // the shingle-hash df join (t24 — hash shuffle must not leak order)
-    "t24_ngram_novelty")
+    "t24_ngram_novelty",
+    // interval filter over reshuffled version chains (v04) and the
+    // df-capped signature pair join (m12)
+    "v04_asof_snapshot", "m12_video_neardup")
 
   private def runAt(name: String, parts: Int): Seq[String] = {
     val old = spark.conf.get("spark.sql.shuffle.partitions")
