@@ -267,7 +267,9 @@ object ScaleProbe {
       "s21_stream_transitions",
       // one filter over the version table — ~scan; and the df-capped
       // shot-signature pair join — bounded by df·|bucket| per signature
-      "v04_asof_snapshot", "m12_video_neardup")
+      "v04_asof_snapshot", "m12_video_neardup",
+      // |types|·7·24-row matrix agg — ~scan
+      "a18_activity_profile")
       // local iteration only: probe just a subset by name prefix
       .filter(n => sys.env.get("SPARK_GRAFT_ONLY")
         .forall(_.split(",").exists(n.startsWith)))

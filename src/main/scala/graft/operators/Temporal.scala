@@ -560,7 +560,27 @@ object Temporal {
     "a17_transition_matrix" -> ((s, dir) =>
       transitionMatrix(Tables.events(s, dir)
         .withColumn("ts_sec", col("ts").cast("long"))
-        .select(col("user_id"), col("ts_sec"), col("event_id"), col("event_type"))))
+        .select(col("user_id"), col("ts_sec"), col("event_id"), col("event_type")))),
+
+    // ACTIVITY PROFILE — the (ISO weekday × hour) seasonality matrix per
+    // event type, with peak cells flagged: the load-shaping/anomaly
+    // baseline every event pipeline maintains. One hash agg over at most
+    // |types|·7·24 output rows (map-side combined — the matrix costs a
+    // scan at any corpus size), then a |matrix|-row window for the
+    // per-type max. ISO weekday (1 = Monday) because Spark's dayofweek
+    // and DuckDB's dayofweek disagree on the Sunday origin — weekday()+1
+    // ≡ isodow() is the cross-engine-stable form. All counts BIGINT ⇒
+    // exact gate.
+    "a18_activity_profile" -> ((s, dir) => {
+      val wType = Window.partitionBy("event_type")
+      Tables.events(s, dir)
+        .groupBy(col("event_type"),
+          (weekday(col("ts")) + 1).cast("long").as("dow"),
+          hour(col("ts")).cast("long").as("hour"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("is_peak", col("n") === max(col("n")).over(wType))
+        .orderBy("event_type", "dow", "hour")
+    })
   )
 
   /** a17 core over (user_id, ts_sec, event_id, event_type) rows —
@@ -584,6 +604,18 @@ object Temporal {
   }
 
   def oracles: Map[String, String] = Map(
+    // isodow ≡ Spark weekday+1 (both 1 = Monday); counts exact
+    "a18_activity_profile" ->
+      """WITH m AS (
+        |  SELECT event_type, CAST(isodow(ts) AS BIGINT) AS dow,
+        |    CAST(hour(ts) AS BIGINT) AS hour, COUNT(*) AS n
+        |  FROM events GROUP BY 1, 2, 3
+        |)
+        |SELECT event_type, dow, hour, n,
+        |  n = MAX(n) OVER (PARTITION BY event_type) AS is_peak
+        |FROM m
+        |ORDER BY event_type, dow, hour""".stripMargin,
+
     // same lag ordering (ts_sec, event_id — unique, so no tie ambiguity);
     // probability = one division of exact BIGINTs in both engines
     "a17_transition_matrix" ->

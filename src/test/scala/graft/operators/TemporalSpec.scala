@@ -216,6 +216,30 @@ class TemporalSpec extends SparkSpec {
     assert(got === exp)
   }
 
+  test("a18 activity profile: ISO weekday origin, hour bucketing, peak ties all flagged") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // 2024-01-15 is a Monday (isodow 1). Two cells for type "a" tie at
+    // n=2 (both must flag); type "b" has a single peak.
+    val e = Seq(
+      ("a", "2024-01-15 09:10:00"), ("a", "2024-01-15 09:50:00"),  // Mon h9 ×2
+      ("a", "2024-01-16 14:00:00"), ("a", "2024-01-16 14:30:00"),  // Tue h14 ×2 (tie)
+      ("a", "2024-01-21 23:59:59"),                                // Sun h23 ×1
+      ("b", "2024-01-17 08:00:00")                                 // Wed h8 ×1
+    ).toDF("event_type", "s").withColumn("ts", to_timestamp(col("s")))
+    val got = e.groupBy(col("event_type"),
+        (weekday(col("ts")) + 1).cast("long").as("dow"),
+        hour(col("ts")).cast("long").as("hour"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("is_peak", col("n") === max(col("n"))
+        .over(org.apache.spark.sql.expressions.Window.partitionBy("event_type")))
+      .collect().map(r => ((r.getString(0), r.getLong(1), r.getLong(2)),
+        (r.getLong(3), r.getBoolean(4)))).toMap
+    assert(got === Map(
+      ("a", 1L, 9L) -> ((2L, true)), ("a", 2L, 14L) -> ((2L, true)),
+      ("a", 7L, 23L) -> ((1L, false)), ("b", 3L, 8L) -> ((1L, true))))
+  }
+
   test("a17 transition matrix: per-user chains, cross-user isolation, row-stochastic") {
     import spark.implicits._
     // u1: a→b→a (transitions a→b, b→a); u2: a→a→c (a→a, a→c); u3: lone

@@ -79,9 +79,10 @@ class PartitionInvarianceSpec extends SparkSpec {
     "g04_edge_jaccard", "e12_hybrid_rrf",
     // the shingle-hash df join (t24 — hash shuffle must not leak order)
     "t24_ngram_novelty",
-    // interval filter over reshuffled version chains (v04) and the
-    // df-capped signature pair join (m12)
-    "v04_asof_snapshot", "m12_video_neardup")
+    // interval filter over reshuffled version chains (v04), the
+    // df-capped signature pair join (m12), and the peak-flag window
+    // over the seasonality matrix (a18)
+    "v04_asof_snapshot", "m12_video_neardup", "a18_activity_profile")
 
   private def runAt(name: String, parts: Int): Seq[String] = {
     val old = spark.conf.get("spark.sql.shuffle.partitions")
