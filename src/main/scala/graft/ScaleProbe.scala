@@ -269,7 +269,9 @@ object ScaleProbe {
       // shot-signature pair join — bounded by df·|bucket| per signature
       "v04_asof_snapshot", "m12_video_neardup",
       // |types|·7·24-row matrix agg — ~scan
-      "a18_activity_profile")
+      "a18_activity_profile",
+      // three hash-keyed rollups over the corpus — ~3 scans
+      "p05_dedup_report")
       // local iteration only: probe just a subset by name prefix
       .filter(n => sys.env.get("SPARK_GRAFT_ONLY")
         .forall(_.split(",").exists(n.startsWith)))

@@ -180,6 +180,46 @@ object Curation {
         .select(col("doc_id"), col("cluster_id"), col("n_members"),
           (col("doc_id") === col("cluster_id")).as("keep"))
         .orderBy("doc_id")
+    }),
+
+    // DEDUP REPORT — the per-source curation dashboard a pipeline owner
+    // reads before committing a dedup pass: how many docs each source
+    // loses to exact dedup (d01's keeper rule), to normalized dedup
+    // (d02's), and what fraction of its token windows are corpus-
+    // duplicated (d12's mass, rolled up). Pure composition of the three
+    // shipped kernels — hashes shuffle, text never does; every input is
+    // already individually oracle-proven, and the report re-states their
+    // rules per source. All counts BIGINT; dup_frac is one division.
+    "p05_dedup_report" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      def extras(keyed: DataFrame): DataFrame = {
+        val keep = keyed.groupBy("h").agg(min("doc_id").as("keep"))
+        keyed.join(keep, "h").filter(col("doc_id") =!= col("keep"))
+          .groupBy("source").agg(count(lit(1)).as("n"))
+      }
+      val exact = extras(docs.select(col("source"), col("doc_id"),
+        xxhash64(col("text")).as("h")))
+        .withColumnRenamed("n", "n_exact_extra")
+      val norm = extras(docs.select(col("source"), col("doc_id"),
+        xxhash64(regexp_replace(lower(col("text")), "[^a-z0-9 ]", "")).as("h")))
+        .withColumnRenamed("n", "n_norm_extra")
+      val mass = Dedup.substringDupMass(docs)
+        .join(docs.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(sum("n_windows").as("n_windows"), sum("n_dup_windows").as("n_dup_windows"))
+      docs.groupBy("source").agg(count(lit(1)).as("n_docs"))
+        .join(exact, Seq("source"), "left")
+        .join(norm, Seq("source"), "left")
+        .join(mass, Seq("source"), "left")
+        .select(col("source"), col("n_docs"),
+          coalesce(col("n_exact_extra"), lit(0L)).as("n_exact_extra"),
+          coalesce(col("n_norm_extra"), lit(0L)).as("n_norm_extra"),
+          coalesce(col("n_windows"), lit(0L)).as("n_windows"),
+          coalesce(col("n_dup_windows"), lit(0L)).as("n_dup_windows"),
+          when(coalesce(col("n_windows"), lit(0L)) === 0L, 0.0)
+            .otherwise(col("n_dup_windows").cast("double") / col("n_windows").cast("double"))
+            .as("dup_frac"))
+        .orderBy("source")
     })
   )
 
@@ -433,6 +473,59 @@ object Curation {
          |  COUNT(*) OVER (PARTITION BY cluster_id) AS n_members,
          |  doc_id = cluster_id AS keep
          |FROM clusters
-         |ORDER BY doc_id""".stripMargin
+         |ORDER BY doc_id""".stripMargin,
+
+    // d01/d02's keeper rules + d12's window mass, each restated over the
+    // raw strings (the Spark side's hashes are shuffle economy only),
+    // rolled up per source
+    "p05_dedup_report" ->
+      s"""WITH ek AS (
+         |  SELECT text, MIN(doc_id) AS keep FROM documents GROUP BY text
+         |), exe AS (
+         |  SELECT d.source, COUNT(*) AS n_exact_extra
+         |  FROM documents d JOIN ek ON ek.text = d.text
+         |  WHERE d.doc_id <> ek.keep GROUP BY d.source
+         |), nk AS (
+         |  SELECT regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g') AS nt,
+         |    MIN(doc_id) AS keep
+         |  FROM documents GROUP BY 1
+         |), ne AS (
+         |  SELECT d.source, COUNT(*) AS n_norm_extra
+         |  FROM documents d
+         |  JOIN nk ON nk.nt = regexp_replace(lower(d.text), '[^a-z0-9 ]', '', 'g')
+         |  WHERE d.doc_id <> nk.keep GROUP BY d.source
+         |), t AS (
+         |  SELECT doc_id, list_filter(string_split(lower(text), ' '), w -> len(w) > 0) AS w
+         |  FROM documents
+         |), wins AS (
+         |  SELECT doc_id,
+         |    unnest([array_to_string(w[i:i+${Dedup.SubstringW - 1}], ' ')
+         |            for i in range(1, len(w) - ${Dedup.SubstringW - 2})]) AS win
+         |  FROM t WHERE len(w) >= ${Dedup.SubstringW}
+         |), freq AS (
+         |  SELECT win, COUNT(*) AS cnt FROM wins GROUP BY win
+         |), dm AS (
+         |  SELECT w.doc_id, COUNT(*) AS n_windows,
+         |    SUM(CASE WHEN cnt >= 2 THEN 1 ELSE 0 END) AS n_dup
+         |  FROM wins w JOIN freq USING (win) GROUP BY w.doc_id
+         |), sm AS (
+         |  SELECT d.source, CAST(SUM(dm.n_windows) AS BIGINT) AS n_windows,
+         |    CAST(SUM(dm.n_dup) AS BIGINT) AS n_dup_windows
+         |  FROM dm JOIN documents d USING (doc_id) GROUP BY d.source
+         |), base AS (
+         |  SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source
+         |)
+         |SELECT b.source, b.n_docs,
+         |  COALESCE(exe.n_exact_extra, 0) AS n_exact_extra,
+         |  COALESCE(ne.n_norm_extra, 0) AS n_norm_extra,
+         |  COALESCE(sm.n_windows, 0) AS n_windows,
+         |  COALESCE(sm.n_dup_windows, 0) AS n_dup_windows,
+         |  CASE WHEN COALESCE(sm.n_windows, 0) = 0 THEN 0.0
+         |       ELSE sm.n_dup_windows::DOUBLE / sm.n_windows::DOUBLE END AS dup_frac
+         |FROM base b
+         |LEFT JOIN exe ON exe.source = b.source
+         |LEFT JOIN ne ON ne.source = b.source
+         |LEFT JOIN sm ON sm.source = b.source
+         |ORDER BY b.source""".stripMargin
   )
 }

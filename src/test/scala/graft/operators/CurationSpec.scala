@@ -50,4 +50,19 @@ class CurationSpec extends SparkSpec {
       assert(cluster(a) === cluster(b), s"pair ($a,$b) split across clusters")
     }
   }
+
+  test("p05 report internal consistency on the fixture: extras bounded, norm ⊇ exact") {
+    val rows = Curation.queries("p05_dedup_report")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (nDocs, nExact, nNorm) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      val (nWin, nDup, frac) = (r.getLong(4), r.getLong(5), r.getDouble(6))
+      assert(nExact < nDocs && nNorm < nDocs, "a source cannot lose every doc (keepers stay)")
+      // normalization only merges MORE texts, so normalized extras can
+      // never be fewer than exact extras for the same source
+      assert(nNorm >= nExact, s"norm dedup must subsume exact (got $nNorm < $nExact)")
+      assert(nDup <= nWin && frac >= 0.0 && frac <= 1.0)
+      if (nWin > 0) assert(frac === nDup.toDouble / nWin.toDouble)
+    }
+  }
 }

@@ -82,7 +82,9 @@ class PartitionInvarianceSpec extends SparkSpec {
     // interval filter over reshuffled version chains (v04), the
     // df-capped signature pair join (m12), and the peak-flag window
     // over the seasonality matrix (a18)
-    "v04_asof_snapshot", "m12_video_neardup", "a18_activity_profile")
+    "v04_asof_snapshot", "m12_video_neardup", "a18_activity_profile",
+    // three hash-keyed dedup rollups joined per source (p05)
+    "p05_dedup_report")
 
   private def runAt(name: String, parts: Int): Seq[String] = {
     val old = spark.conf.get("spark.sql.shuffle.partitions")
