@@ -271,7 +271,10 @@ object ScaleProbe {
       // |types|·7·24-row matrix agg — ~scan
       "a18_activity_profile",
       // three hash-keyed rollups over the corpus — ~3 scans
-      "p05_dedup_report")
+      "p05_dedup_report",
+      // manifest-sized pruning math + one exact pass — ~scan; and the
+      // two-interval-filter user join — ~scan
+      "z04_partition_pruning", "v05_snapshot_diff")
       // local iteration only: probe just a subset by name prefix
       .filter(n => sys.env.get("SPARK_GRAFT_ONLY")
         .forall(_.split(",").exists(n.startsWith)))

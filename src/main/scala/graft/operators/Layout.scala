@@ -136,6 +136,47 @@ object Layout {
           (col("rows_scanned").cast("double") / col("rows_total").cast("double"))
             .as("scan_fraction"))
         .orderBy("q")
+    }),
+
+    // DATE-PARTITION PRUNING AUDIT — z03's read-side arithmetic for the
+    // OTHER layout mechanism: Hive/Delta-style month partitions of
+    // orders, probed with four day-granular date-range predicates (the
+    // z03 quartile grid in epoch-day space). A partition is read iff its
+    // manifest [min_day, max_day] intersects the probe range, so the
+    // partial months at each range edge are scanned-but-not-matching —
+    // exactly the partition-granularity false-positive cost a
+    // finer-than-partition predicate pays, quantified. Manifest-sized
+    // work (80 partition rows × 4 probes) + one exact pass for ground
+    // truth; all integers + one division ⇒ exact gate.
+    "z04_partition_pruning" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+        .select(date_format(date_trunc("month", col("o_orderdate")), "yyyy-MM-dd").as("month"),
+          datediff(col("o_orderdate"), lit("1970-01-01").cast("date")).as("day"))
+      val bounds = o.agg(min("day").as("d0"), max("day").as("d1"))
+      val probes = bounds
+        .select(explode(expr("sequence(0L, 3L)")).as("q"), col("d0"), col("d1"))
+        .select(col("q"),
+          expr("d0 + (d1 - d0 + 1) * q div 4").as("lo_d"),
+          expr("d0 + (d1 - d0 + 1) * (q + 1) div 4 - 1").as("hi_d"))
+      val manifest = o.groupBy("month")
+        .agg(count(lit(1)).as("n"), min("day").as("min_day"), max("day").as("max_day"))
+      val touched = manifest.crossJoin(broadcast(probes))
+        .groupBy("q")
+        .agg(count(lit(1)).as("n_partitions"),
+          sum(when(col("min_day") <= col("hi_d") && col("max_day") >= col("lo_d"), 1L)
+            .otherwise(0L)).as("n_read"),
+          sum(when(col("min_day") <= col("hi_d") && col("max_day") >= col("lo_d"), col("n"))
+            .otherwise(0L)).as("rows_scanned"))
+      val exact = o.crossJoin(broadcast(probes))
+        .groupBy("q")
+        .agg(count(when(col("day").between(col("lo_d"), col("hi_d")), 1)).as("rows_matching"),
+          count(lit(1)).as("rows_total"))
+      touched.join(exact, "q")
+        .select(col("q"), col("n_partitions"), col("n_read"),
+          col("rows_scanned"), col("rows_matching"),
+          (col("rows_scanned").cast("double") / col("rows_total").cast("double"))
+            .as("scan_fraction"))
+        .orderBy("q")
     })
   )
 
@@ -249,6 +290,39 @@ object Layout {
          |  rows_scanned::DOUBLE / rows_total::DOUBLE AS scan_fraction
          |FROM touched t JOIN exact e ON e.q = t.q
          |ORDER BY t.q""".stripMargin
-    }
+    },
+
+    "z04_partition_pruning" ->
+      """WITH o AS (
+        |  SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month,
+        |    date_diff('day', DATE '1970-01-01', o_orderdate) AS day
+        |  FROM orders
+        |), bounds AS (
+        |  SELECT MIN(day) AS d0, MAX(day) AS d1 FROM o
+        |), probes AS (
+        |  SELECT q, d0 + (d1 - d0 + 1) * q // 4 AS lo_d,
+        |    d0 + (d1 - d0 + 1) * (q + 1) // 4 - 1 AS hi_d
+        |  FROM bounds, unnest(range(0, 4)) AS t(q)
+        |), manifest AS (
+        |  SELECT month, COUNT(*) AS n, MIN(day) AS min_day, MAX(day) AS max_day
+        |  FROM o GROUP BY month
+        |), touched AS (
+        |  SELECT q, COUNT(*) AS n_partitions,
+        |    CAST(SUM(CASE WHEN min_day <= hi_d AND max_day >= lo_d THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_read,
+        |    CAST(SUM(CASE WHEN min_day <= hi_d AND max_day >= lo_d THEN n ELSE 0 END) AS BIGINT)
+        |      AS rows_scanned
+        |  FROM manifest CROSS JOIN probes
+        |  GROUP BY q
+        |), exact AS (
+        |  SELECT q, COUNT(CASE WHEN day BETWEEN lo_d AND hi_d THEN 1 END) AS rows_matching,
+        |    COUNT(*) AS rows_total
+        |  FROM o CROSS JOIN probes
+        |  GROUP BY q
+        |)
+        |SELECT CAST(t.q AS BIGINT) AS q, n_partitions, n_read, rows_scanned, rows_matching,
+        |  rows_scanned::DOUBLE / rows_total::DOUBLE AS scan_fraction
+        |FROM touched t JOIN exact e ON e.q = t.q
+        |ORDER BY q""".stripMargin
   )
 }

@@ -974,8 +974,40 @@ object Relational {
         .select(col("user_id"), col("version_seq"), col("state"), col("value"),
           col("valid_from"), col("valid_to"))
         .orderBy("user_id")
-    })
+    }),
+
+    // SNAPSHOT DIFF — what changed between two points in time: v04's
+    // as-of read at T and at T+7d, full-outer-joined per user and
+    // classified added / removed / changed / unchanged (the audit query
+    // behind every "what did last week's loads do" investigation, and
+    // the semantic the lakehouse CDF/table_changes feature serves). One
+    // history build, two interval filters, one user-keyed join whose
+    // sides are each ≤ |users| rows; counts BIGINT ⇒ exact gate.
+    "v05_snapshot_diff" -> ((s, dir) =>
+      snapshotDiff(scd2History(Tables.events(s, dir)
+        .withColumn("ts_sec", col("ts").cast("long"))
+        .select(col("user_id"), col("event_id"), col("ts_sec"),
+          col("event_type"), col("value"))),
+        SnapshotSec, SnapshotSec + 7L * 86400L))
   )
+
+  /** v05 core over a v02-shaped history — extracted so every status leg
+    * (added, removed via tombstone, changed, unchanged) is unit-testable
+    * on crafted version chains.
+    */
+  private[operators] def snapshotDiff(hist: DataFrame, t1: Long, t2: Long): DataFrame = {
+    def at(t: Long): DataFrame = hist
+      .filter(col("valid_from") <= t && (col("valid_to").isNull || col("valid_to") > t))
+      .select(col("user_id"), col("version_seq"))
+    at(t1).withColumnRenamed("version_seq", "v1")
+      .join(at(t2).withColumnRenamed("version_seq", "v2"), Seq("user_id"), "full_outer")
+      .select(when(col("v1").isNull, "added")
+        .when(col("v2").isNull, "removed")
+        .when(col("v1") === col("v2"), "unchanged")
+        .otherwise("changed").as("status"))
+      .groupBy("status").agg(count(lit(1)).as("n_users"))
+      .orderBy("status")
+  }
 
   /** v04: the snapshot instant — 2024-01-16 00:00:00 UTC, the middle of
     * the events fixture's 30-day span at every SF.
@@ -1097,6 +1129,38 @@ object Relational {
          |WHERE valid_from <= $SnapshotSec
          |  AND (valid_to IS NULL OR valid_to > $SnapshotSec)
          |ORDER BY user_id""".stripMargin,
+
+    // two as-of reads of the same restated history, joined and classified
+    "v05_snapshot_diff" ->
+      s"""WITH ch AS (
+         |  SELECT user_id, event_id, event_type, "value",
+         |    CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS ts_sec
+         |  FROM events
+         |), v AS (
+         |  SELECT *, LEAD(ts_sec) OVER (
+         |    PARTITION BY user_id ORDER BY ts_sec, event_id) AS valid_to
+         |  FROM ch
+         |), hist AS (
+         |  SELECT user_id,
+         |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts_sec, event_id) AS version_seq,
+         |    event_type AS state, ts_sec AS valid_from, valid_to
+         |  FROM v WHERE event_type <> 'error'
+         |), s1 AS (
+         |  SELECT user_id, version_seq AS v1 FROM hist
+         |  WHERE valid_from <= $SnapshotSec AND (valid_to IS NULL OR valid_to > $SnapshotSec)
+         |), s2 AS (
+         |  SELECT user_id, version_seq AS v2 FROM hist
+         |  WHERE valid_from <= ${SnapshotSec + 7L * 86400L}
+         |    AND (valid_to IS NULL OR valid_to > ${SnapshotSec + 7L * 86400L})
+         |)
+         |SELECT CASE WHEN v1 IS NULL THEN 'added'
+         |            WHEN v2 IS NULL THEN 'removed'
+         |            WHEN v1 = v2 THEN 'unchanged'
+         |            ELSE 'changed' END AS status,
+         |  COUNT(*) AS n_users
+         |FROM s1 FULL OUTER JOIN s2 USING (user_id)
+         |GROUP BY 1
+         |ORDER BY status""".stripMargin,
 
     // the refresh identity IS the oracle: per-month full recompute
     "v03_partition_refresh" ->

@@ -98,4 +98,21 @@ class LayoutSpec extends SparkSpec {
       assert(bins.values.map(_.map(_._3).sum).sum === files.map(_._3).sum)
     }
   }
+
+  test("z04 partition pruning: superset scan, edge cost real, pruning non-trivial") {
+    val rows = Layout.queries("z04_partition_pruning")(spark, sfDir).collect()
+    assert(rows.length === 4)
+    rows.foreach { r =>
+      val (nPart, nRead) = (r.getLong(1), r.getLong(2))
+      val (scanned, matching, frac) = (r.getLong(3), r.getLong(4), r.getDouble(5))
+      assert(nRead >= 1 && nRead <= nPart, "a quartile probe must read some partitions")
+      assert(scanned >= matching, "partition scan must be a superset of the match set")
+      assert(nRead < nPart, "a quartile probe must also PRUNE partitions")
+      assert(frac > 0.0 && frac <= 1.0)
+    }
+    // day-granular probe edges fall inside months somewhere: at least one
+    // probe pays the partition-granularity false-positive cost
+    assert(rows.exists(r => r.getLong(3) > r.getLong(4)),
+      "no probe shows scanned > matching — the edge-cost claim is untested")
+  }
 }

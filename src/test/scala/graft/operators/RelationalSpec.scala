@@ -106,6 +106,25 @@ class RelationalSpec extends SparkSpec {
       "snapshot must pick exactly the covering interval per surviving user")
   }
 
+  test("v05 snapshot diff: all four status legs on crafted chains") {
+    import spark.implicits._
+    val (t1, t2) = (1000L, 2000L)
+    // u1 unchanged (one version spans both); u2 changed (new version in
+    // the window); u3 removed (tombstone at 1500 closes without opening);
+    // u4 added (first change after t1); u5 born and tombstoned INSIDE
+    // the window — in neither snapshot, absent entirely
+    val changes = Seq(
+      (1L, 1L, 500L, "view", 1.0),
+      (2L, 2L, 500L, "view", 2.0), (2L, 3L, 1500L, "click", 3.0),
+      (3L, 4L, 500L, "view", 4.0), (3L, 5L, 1500L, "error", 0.0),
+      (4L, 6L, 1500L, "view", 5.0),
+      (5L, 7L, 1200L, "view", 6.0), (5L, 8L, 1800L, "error", 0.0)
+    ).toDF("user_id", "event_id", "ts_sec", "event_type", "value")
+    val got = Relational.snapshotDiff(Relational.scd2History(changes), t1, t2)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got === Map("added" -> 1L, "removed" -> 1L, "changed" -> 1L, "unchanged" -> 1L))
+  }
+
   test("v03 partition refresh == full recompute across all touch patterns") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
