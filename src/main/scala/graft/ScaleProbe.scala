@@ -274,7 +274,9 @@ object ScaleProbe {
       "p05_dedup_report",
       // manifest-sized pruning math + one exact pass — ~scan; and the
       // two-interval-filter user join — ~scan
-      "z04_partition_pruning", "v05_snapshot_diff")
+      "z04_partition_pruning", "v05_snapshot_diff",
+      // probe-filtered bucket join: per-ingest work O(batch × bucket)
+      "e13_incremental_embedding_dedup")
       // local iteration only: probe just a subset by name prefix
       .filter(n => sys.env.get("SPARK_GRAFT_ONLY")
         .forall(_.split(",").exists(n.startsWith)))

@@ -255,6 +255,44 @@ object Similarity {
         .orderBy("vid")
     }),
 
+    // INCREMENTAL EMBEDDING DEDUP — d08's asymmetry in embedding space:
+    // an arriving batch (vec_id ≡ 0 mod 10) is checked against the
+    // standing corpus AND its own earlier arrivals, and corpus×corpus
+    // pairs are NEVER GENERATED — the probe side of the bucket join is
+    // filtered to the batch BEFORE pairing, so per-ingest work is
+    // O(batch × bucket), not O(corpus²). Same bucket geometry, cap, and
+    // 0.45 verdict as e04b (whose oracle technique this reuses); each
+    // new vector gets its best allowed neighbor and an admit/reject
+    // decision — the ingestion-time gate a vector store runs.
+    "e13_incremental_embedding_dedup" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      // e04b's bucket machinery (6 bits × 48 tables, cap 10000) with the
+      // probe side pre-filtered — inline because the shared helper pairs
+      // the full corpus by construction
+      val ex = e
+        .withColumn("buckets", hyperplane_lsh_multi(col("embedding"), 6, 48, 64, seed = 7L))
+        .select(col("vec_id"), posexplode(col("buckets")).as(Seq("tbl", "bucket")))
+      val bounded = ex.join(
+        ex.groupBy("tbl", "bucket").agg(count(lit(1)).as("bsz"))
+          .filter(col("bsz") <= 10000L).select("tbl", "bucket"),
+        Seq("tbl", "bucket"))
+      val probe = bounded.filter(col("vec_id") % 10 === 0)
+        .select(col("vec_id").as("vid"), col("tbl"), col("bucket"))
+      val index = bounded.select(col("vec_id").as("nid"), col("tbl"), col("bucket"))
+      val cands = probe.join(index, Seq("tbl", "bucket"))
+        .filter(col("nid") =!= col("vid") &&
+          (col("nid") % 10 =!= 0 || col("nid") < col("vid")))
+        .select("vid", "nid")
+      scoreCandidates(e, cands)
+        .groupBy("vid")
+        .agg(max(struct(col("cos_sim"), (-col("nid")).as("neg_nid"))).as("best"))
+        .select(col("vid"), (-col("best.neg_nid")).as("nn_id"),
+          col("best.cos_sim").as("nn_cos"),
+          (col("best.cos_sim") > 0.45).as("is_near_dup"),
+          (col("best.cos_sim") <= 0.45).as("admitted"))
+        .orderBy("vid")
+    }),
+
     // e01's output shape, banded: global top-100 most-similar pairs from
     // LSH candidates only (vid < nid halves the directed pair space).
     // The top of the ranking is exactly where LSH recall is highest —
@@ -769,6 +807,26 @@ object Similarity {
          |  FROM pairs p JOIN embeddings a ON a.vec_id = p.vid JOIN embeddings b ON b.vec_id = p.nid
          |)
          |SELECT vid, nid AS nn_id, cos_sim AS nn_cos, cos_sim > 0.45 AS is_near_dup
+         |FROM scored WHERE rn = 1 ORDER BY vid""".stripMargin,
+
+    // e04b's oracle with the probe side restricted to the arriving batch
+    // and the allowed-neighbor predicate (corpus, or earlier arrival)
+    "e13_incremental_embedding_dedup" ->
+      s"""WITH ${duckLshCtes()}, bok AS (
+         |  SELECT tbl, bucket FROM sigs GROUP BY tbl, bucket HAVING COUNT(*) <= 10000
+         |), bounded AS (
+         |  SELECT s.vec_id, s.tbl, s.bucket FROM sigs s JOIN bok USING (tbl, bucket)
+         |), pairs AS (
+         |  SELECT DISTINCT a.vec_id AS vid, b.vec_id AS nid
+         |  FROM bounded a JOIN bounded b ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id <> b.vec_id
+         |  WHERE a.vec_id % 10 = 0 AND (b.vec_id % 10 <> 0 OR b.vec_id < a.vec_id)
+         |), scored AS (
+         |  SELECT p.vid, p.nid, ${duckCos("a", "b")} AS cos_sim,
+         |    ROW_NUMBER() OVER (PARTITION BY p.vid ORDER BY ${duckCos("a", "b")} DESC, p.nid ASC) AS rn
+         |  FROM pairs p JOIN embeddings a ON a.vec_id = p.vid JOIN embeddings b ON b.vec_id = p.nid
+         |)
+         |SELECT vid, nid AS nn_id, cos_sim AS nn_cos, cos_sim > 0.45 AS is_near_dup,
+         |  cos_sim <= 0.45 AS admitted
          |FROM scored WHERE rn = 1 ORDER BY vid""".stripMargin,
 
     "e06_ivf_ann" ->

@@ -201,6 +201,25 @@ class SimilaritySpec extends SparkSpec {
     assert(blocked === brute, "within-cell dup counts must equal the unblocked pair count")
   }
 
+  test("e13 incremental dedup: batch-only rows, asymmetric neighbors, admit consistency") {
+    val rows = Similarity.queries("e13_incremental_embedding_dedup")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (vid, nid) = (r.getLong(0), r.getLong(1))
+      assert(vid % 10 === 0L, "only arriving-batch vectors get a verdict row")
+      assert(nid % 10 != 0L || nid < vid,
+        s"neighbor $nid of $vid is a LATER arrival — corpus/earlier-only is the d08 contract")
+      assert(r.getBoolean(4) === !r.getBoolean(3), "admitted ⟺ not near-dup")
+    }
+    // the asymmetry must not cost verdicts: every batch vector that
+    // shares a bucket with an allowed neighbor appears (spot-check: the
+    // row count is the full batch at this SF, where buckets are dense)
+    val batch = graft.Tables.embeddings(spark, sfDir)
+      .filter("vec_id % 10 = 0").count()
+    assert(rows.length >= (batch * 9) / 10,
+      s"only ${rows.length} of $batch batch vectors got a verdict")
+  }
+
   test("e12 hybrid RRF: fusion arithmetic, rank bounds, channel union") {
     val rows = Similarity.queries("e12_hybrid_rrf")(spark, sfDir).collect()
     assert(rows.length === 10)

@@ -85,9 +85,11 @@ class PartitionInvarianceSpec extends SparkSpec {
     "v04_asof_snapshot", "m12_video_neardup", "a18_activity_profile",
     // three hash-keyed dedup rollups joined per source (p05)
     "p05_dedup_report",
-    // manifest×probe pruning arithmetic (z04) and the two-snapshot
-    // full-outer classification (v05)
-    "z04_partition_pruning", "v05_snapshot_diff")
+    // manifest×probe pruning arithmetic (z04), the two-snapshot
+    // full-outer classification (v05), and the asymmetric bucket join +
+    // struct-max top-1 (e13)
+    "z04_partition_pruning", "v05_snapshot_diff",
+    "e13_incremental_embedding_dedup")
 
   private def runAt(name: String, parts: Int): Seq[String] = {
     val old = spark.conf.get("spark.sql.shuffle.partitions")
