@@ -74,6 +74,54 @@ class SkewSpec extends SparkSpec {
       summarize(uniform.join(build, "k")))
   }
 
+  test("AQE skew-join split fires on a hot partition and stays answer-invisible") {
+    import spark.implicits._
+    // ~16 MB of rows on ONE key vs a few KB on the cold keys: with the
+    // skew thresholds lowered, AQE must mark the sort-merge join
+    // skew-handled (isSkewJoin) and split the hot partition — the
+    // config-level leg of the skew triptych (k01/k02 salting, k03
+    // isolation) made machine-checkable. Result must equal the plain
+    // join semantics regardless.
+    val probe = (1 to 400000).map { i =>
+      (if (i <= 390000) "hot" else s"cold${i % 7}", i.toLong)
+    }.toDF("k", "v")
+    val build = (Seq("hot") ++ (0 until 7).map(i => s"cold$i"))
+      .zipWithIndex.map { case (k, m) => (k, m.toLong + 2L) }.toDF("k", "mult")
+    val saved = Seq(
+      "spark.sql.adaptive.skewJoin.enabled",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.coalescePartitions.enabled",
+      "spark.sql.autoBroadcastJoinThreshold").map(k => k -> spark.conf.getOption(k))
+    try {
+      spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "256KB")
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "128KB")
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force a shuffle join
+      // GLOBAL aggregate downstream, not a keyed one: a groupBy(k) after
+      // the join would REQUIRE the join's hash distribution, and AQE
+      // (correctly) refuses to split a skewed partition when that breaks
+      // a downstream requirement — the split is legal only when nothing
+      // downstream needs the join's partitioning (or with
+      // forceOptimizeSkewedJoin, which trades an extra shuffle)
+      val joined = probe.join(build.hint("merge"), "k")
+        .agg(count(lit(1)).as("n"), sum(col("v") * col("mult")).as("s"))
+      val got = joined.collect().map(r => (r.getLong(0), r.getLong(1))).head
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"),
+        s"AQE did not mark the join skew-handled:\n$plan")
+      val expect = probe.join(build, "k")
+        .agg(count(lit(1)).as("n"), sum(col("v") * col("mult")).as("s"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).head
+      assert(got === expect, "skew splitting must be answer-invisible")
+    } finally saved.foreach { case (k, v) =>
+      v.fold(spark.conf.unset(k))(spark.conf.set(k, _))
+    }
+  }
+
   test("saltedSumCount on the hot distribution equals plain groupBy") {
     import spark.implicits._
     val df = (1 to 5000).map { i =>
