@@ -102,4 +102,24 @@ object Materialize {
     if (isLocalPath(path)) localScratch.add(path)
     path
   }
+
+  /** toStoragePath with a Hive-style directory layout on `partCol`: each
+    * distinct partCol value becomes its own directory, so a later read
+    * with `WHERE partCol IN (...)` (literal values) prunes whole
+    * directories at PLANNING time — the scan never opens the unselected
+    * files. This is the storage shape an iterative consumer needs when
+    * its per-round working set (a BFS frontier's neighborhoods) touches a
+    * small, identifiable slice of a big materialized table: per-round IO
+    * ∝ the slice, not the table. Cleanup contract identical to
+    * toStoragePath.
+    */
+  def toStoragePathPartitioned(df: DataFrame, tag: String, partCol: String): String = {
+    val spark = df.sparkSession
+    val base = spark.conf.getOption("spark.graft.scratchDir")
+      .getOrElse(sys.props("java.io.tmpdir") + "/graft-scratch")
+    val path = s"$base/${tag}_${java.util.UUID.randomUUID()}"
+    df.write.partitionBy(partCol).parquet(path)
+    if (isLocalPath(path)) localScratch.add(path)
+    path
+  }
 }

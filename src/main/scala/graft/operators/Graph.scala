@@ -35,6 +35,15 @@ object Graph {
     */
   val MaxBfsRounds = 30
 
+  /** g03: directory count for the range-bucketed adjacency layout (see
+    * bfsLevels). A constant, not a function of |V|: what it bounds is the
+    * per-round driver traffic (≤ this many bucket ids collected to plan
+    * the pruned scan) and the file-listing overhead; within a bucket the
+    * scan is columnar and parallel, so more buckets past ~the executor
+    * count buys pruning granularity but nothing else.
+    */
+  val BfsAdjBuckets = 64
+
   /** Undirected co-purchase pairs (u < v), WITH multiplicity — one row
     * per order that pairs the two parts. Per-order part sets are small
     * (TPC-H ~4 lineitems/order), so the self-join on l_orderkey is
@@ -149,7 +158,7 @@ object Graph {
     // shuffle ∝ frontier fan-out and per-round shuffle ∝ |E| at cluster
     // scale. collect_set also absorbs input multiplicity, so the input
     // may be the RAW pair stream (partPairs) — no edge-dedup shuffle.
-    val adj = e.select(col("u").as("src"), col("v").as("dst"))
+    val adjBuild = e.select(col("u").as("src"), col("v").as("dst"))
       .unionAll(e.select(col("v").as("src"), col("u").as("dst")))
       .groupBy("src").agg(collect_set(col("dst")).as("nbrs"))
       .persist()
@@ -157,11 +166,32 @@ object Graph {
     // union over those caches (≤ |V| cached rows total, re-cached never)
     var levels = List.empty[DataFrame]
     try {
-      // 1 scalar to the driver: the root choice (same discipline as d07's
-      // convergence count); also materializes the persisted adjacency
-      val root = adj
+      // 2 driver rows, both over the just-cached adjacency: the id range
+      // (sizes the range-bucket layout below) and the root choice (same
+      // 1-scalar discipline as d07's convergence count). The first job
+      // also materializes the cache.
+      val statsRow = adjBuild.agg(min(col("src")).as("lo"), max(col("src")).as("hi")).collect()(0)
+      require(!statsRow.isNullAt(0), "bfsLevels: empty edge input — no root to pick")
+      val (lo, hi) = (statsRow.getLong(0), statsRow.getLong(1))
+      val root = adjBuild
         .orderBy(size(col("nbrs")).desc, col("src").asc)
         .limit(1).select("src").collect()(0).getLong(0)
+      // the at-scale lever (SCALING.md's 100× reading: pre-bucketing,
+      // every round scanned the FULL adjacency — rounds × |E|): write the
+      // adjacency ONCE as a range-bucketed table (bkt = (src−lo) ∕ w,
+      // ≤ BfsAdjBuckets directories), and each round scan ONLY the
+      // buckets the frontier's ids fall in. Range (not hash) bucketing is
+      // deliberate: real vertex ids have locality (a crawl segment, a
+      // tenant, one component of a partitioned graph), so a frontier
+      // confined to a region touches few ranges — a hash layout would
+      // smear any frontier across every bucket and prune nothing.
+      // Per-round IO ∝ frontier's bucket coverage, never |E|.
+      val w = math.max(1L, (hi - lo) / BfsAdjBuckets + 1L)
+      def bktOf(c: org.apache.spark.sql.Column) = ((c - lit(lo)) / lit(w)).cast("int")
+      val adjPath = graft.Materialize.toStoragePathPartitioned(
+        adjBuild.withColumn("bkt", bktOf(col("src"))), "bfs_adj", "bkt")
+      adjBuild.unpersist()
+      val adj = spark.read.parquet(adjPath)
       var frontier = spark.range(1)
         .select(lit(root).as("v"), lit(0L).as("lvl")).persist()
       levels = frontier :: levels
@@ -169,12 +199,19 @@ object Graph {
       var lvl = 0L
       var exhausted = false
       while (!exhausted && lvl < maxRounds) {
+        // ≤ BfsAdjBuckets scalars to the driver: the bucket ids this
+        // frontier touches — bounded by the bucket-count CONSTANT, never
+        // by frontier size. The isin over literal partition values is
+        // what turns into planning-time directory pruning on the scan.
+        val bkts = frontier.select(bktOf(col("v")).as("bkt"))
+          .distinct().collect().map(_.getInt(0)).toSeq
+        val adjRound = adj.where(col("bkt").isin(bkts: _*))
         // no broadcast hint: a small-world frontier can be most of |V| by
         // level 2, so the join must be allowed to stay a shuffle join —
         // AQE broadcasts the early (tiny) frontiers on its own. distinct
         // runs BEFORE the anti-join: its map-side partial dedup collapses
         // the fan-out to ≤ |V| rows per task before anything shuffles.
-        val next = adj.join(frontier.select(col("v").as("src")), "src")
+        val next = adjRound.join(frontier.select(col("v").as("src")), "src")
           .select(explode(col("nbrs")).as("v")).distinct()
           .join(visited, Seq("v"), "left_anti")
           .select(col("v"), lit(lvl + 1L).as("lvl"))
@@ -202,7 +239,7 @@ object Graph {
         .orderBy("level"), "bfs_levels")
     } finally {
       levels.foreach(_.unpersist())
-      adj.unpersist()
+      adjBuild.unpersist()
     }
   }
 

@@ -603,6 +603,33 @@ object Temporal {
       .orderBy("from_type", "to_type")
   }
 
+  /** The transition-matrix oracle SQL, shared verbatim by a17 (batch)
+    * and s21 (streaming — micro-batching + carried state must be
+    * answer-invisible). One definition so the two rows cannot drift.
+    * `from_total` is CAST to BIGINT: DuckDB widens `SUM(BIGINT) OVER`
+    * to HUGEINT (→ float64 through Arrow), which fails a typed hash
+    * compare against Spark's int64 even when values are identical.
+    */
+  val transitionMatrixOracle: String =
+    """WITH seq AS (
+      |  SELECT user_id, event_type,
+      |    LEAD(event_type) OVER (
+      |      PARTITION BY user_id
+      |      ORDER BY CAST(epoch(date_trunc('second', ts)) AS BIGINT) ASC, event_id ASC
+      |    ) AS next_type
+      |  FROM events
+      |), tr AS (
+      |  SELECT event_type AS from_type, next_type AS to_type, COUNT(*) AS n_transitions
+      |  FROM seq WHERE next_type IS NOT NULL
+      |  GROUP BY 1, 2
+      |)
+      |SELECT from_type, to_type, n_transitions,
+      |  CAST(SUM(n_transitions) OVER (PARTITION BY from_type) AS BIGINT) AS from_total,
+      |  n_transitions::DOUBLE / (SUM(n_transitions) OVER (PARTITION BY from_type))::DOUBLE
+      |    AS p_transition
+      |FROM tr
+      |ORDER BY from_type, to_type""".stripMargin
+
   def oracles: Map[String, String] = Map(
     // isodow ≡ Spark weekday+1 (both 1 = Monday); counts exact
     "a18_activity_profile" ->
@@ -618,25 +645,7 @@ object Temporal {
 
     // same lag ordering (ts_sec, event_id — unique, so no tie ambiguity);
     // probability = one division of exact BIGINTs in both engines
-    "a17_transition_matrix" ->
-      """WITH seq AS (
-        |  SELECT user_id, event_type,
-        |    LEAD(event_type) OVER (
-        |      PARTITION BY user_id
-        |      ORDER BY CAST(epoch(date_trunc('second', ts)) AS BIGINT) ASC, event_id ASC
-        |    ) AS next_type
-        |  FROM events
-        |), tr AS (
-        |  SELECT event_type AS from_type, next_type AS to_type, COUNT(*) AS n_transitions
-        |  FROM seq WHERE next_type IS NOT NULL
-        |  GROUP BY 1, 2
-        |)
-        |SELECT from_type, to_type, n_transitions,
-        |  SUM(n_transitions) OVER (PARTITION BY from_type) AS from_total,
-        |  n_transitions::DOUBLE / (SUM(n_transitions) OVER (PARTITION BY from_type))::DOUBLE
-        |    AS p_transition
-        |FROM tr
-        |ORDER BY from_type, to_type""".stripMargin,
+    "a17_transition_matrix" -> transitionMatrixOracle,
     // identical fold order: 1-based DuckDB lists, list_reduce left-fold
     // over the same time-sorted term sequence the Spark aggregate() folds
     "a07_time_weighted_avg" ->

@@ -849,7 +849,7 @@ object TextAnalysis {
          |      ORDER BY doc_id % 999999937 * 2654435761 % 999999937 ASC, doc_id ASC) AS rank
          |  FROM documents
          |)
-         |SELECT r.source, q.quota, r.rank, r.doc_id, r.h
+         |SELECT r.source, CAST(q.quota AS BIGINT) AS quota, r.rank, r.doc_id, r.h
          |FROM ranked r JOIN quota q USING (source)
          |WHERE r.rank <= q.quota
          |ORDER BY r.source, r.rank""".stripMargin,

@@ -778,27 +778,10 @@ object StreamingQueries {
   def oracles: Map[String, String] = Map(
     "s01_stream_count" -> "SELECT COUNT(*) AS n FROM events",
 
-    // a17's batch matrix verbatim: micro-batching + carried state must be
-    // answer-invisible
-    "s21_stream_transitions" ->
-      """WITH seq AS (
-        |  SELECT user_id, event_type,
-        |    LEAD(event_type) OVER (
-        |      PARTITION BY user_id
-        |      ORDER BY CAST(epoch(date_trunc('second', ts)) AS BIGINT) ASC, event_id ASC
-        |    ) AS next_type
-        |  FROM events
-        |), tr AS (
-        |  SELECT event_type AS from_type, next_type AS to_type, COUNT(*) AS n_transitions
-        |  FROM seq WHERE next_type IS NOT NULL
-        |  GROUP BY 1, 2
-        |)
-        |SELECT from_type, to_type, n_transitions,
-        |  SUM(n_transitions) OVER (PARTITION BY from_type) AS from_total,
-        |  n_transitions::DOUBLE / (SUM(n_transitions) OVER (PARTITION BY from_type))::DOUBLE
-        |    AS p_transition
-        |FROM tr
-        |ORDER BY from_type, to_type""".stripMargin,
+    // a17's batch matrix verbatim (one shared definition — see
+    // Temporal.transitionMatrixOracle): micro-batching + carried state
+    // must be answer-invisible
+    "s21_stream_transitions" -> graft.operators.Temporal.transitionMatrixOracle,
 
     "s02_stream_tumbling" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS win_start,

@@ -64,6 +64,17 @@ def main():
         mism = []
         for c in a.columns:
             av, bv = a[c], b[c]
+            # Dtype-strict gate (round 8): the driver's hash is type-sensitive,
+            # so an integer column on one side vs a float column on the other
+            # (e.g. DuckDB widening SUM(BIGINT) OVER (...) to HUGEINT, which
+            # arrives as float64 through Arrow) must FAIL here even when the
+            # values coerce equal. Without this, check.py passes what the
+            # driver fails — exactly the a17/s21/t22 class from round 7.
+            ka, kb = av.dtype.kind, bv.dtype.kind
+            if (ka in 'iu' and kb == 'f') or (ka == 'f' and kb in 'iu'):
+                mism.append(f"{c}: dtype kind mismatch spark={av.dtype} duck={bv.dtype} "
+                            f"(int-vs-float — cast the oracle column)")
+                continue
             if av.dtype.kind == 'f' or bv.dtype.kind == 'f':
                 ok = np.allclose(av.astype(float), bv.astype(float), rtol=0, atol=0, equal_nan=True)
                 exact = ok
