@@ -56,18 +56,23 @@ object Bench {
         name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
       }
 
-    // Two full executions per query; reported time = the MIN of the two.
-    // Pass 1 doubles as warmup (JIT + whole-stage-codegen + parquet
-    // footer caches land there), so pass 2 is steady-state — and taking
-    // the min also discards the one-off GC spikes this box's 2–3×
-    // run-to-run swings are made of (SCALING.md, round-6 attribution).
-    // Both executions are complete plans over the full input — nothing
-    // is cached between passes (the fence unpersists everything), so the
-    // min is a real end-to-end time, not a warm-cache artifact. A query
-    // that failed in either pass reports -1.
+    // Three full executions per query; reported time = the MIN of the
+    // three. Pass 1 doubles as warmup (JIT + whole-stage-codegen +
+    // parquet footer caches land there), so passes 2-3 are steady-state
+    // — and taking the min discards the one-off GC spikes this box's
+    // 2–3× run-to-run swings are made of (SCALING.md, round-6
+    // attribution; round-7's bench_detail measured the SAME JVM timing
+    // g01 at 17.2 s and 7.9 s in consecutive passes, which made the
+    // noise band the dominant uncertainty in round-over-round
+    // comparison — a third pass halves the odds a spike survives into
+    // the min). All executions are complete plans over the full input —
+    // nothing is cached between passes (the fence unpersists
+    // everything), so the min is a real end-to-end time, not a
+    // warm-cache artifact. A query that failed in any pass reports -1.
     // raw per-pass times ride along into bench_detail.json so the min is
     // auditable (which pass won, how far apart they were)
-    var passDetail: Map[String, (Double, Double)] = Map.empty
+    val Passes = 3
+    var passDetail: Map[String, Seq[Double]] = Map.empty
     val results: Seq[(String, Double)] =
       if (reps > 1) {
         // local iteration mode: per-rep times, no min-folding — the
@@ -78,12 +83,11 @@ object Bench {
         }
         (1 to reps).flatMap(r => timedPass(r).map { case (n, t) => s"$n#$r" -> t })
       } else {
-        val p1 = timedPass(1)
-        val p2 = timedPass(2)
-        passDetail = p1.keys.map(n => n -> ((p1(n), p2(n)))).toMap
+        val ps = (1 to Passes).map(timedPass)
+        passDetail = ps.head.keys.map(n => n -> ps.map(_(n))).toMap
         SparkEntry.queries.keys.filter(selected).toSeq.sorted.map { n =>
-          val (a, b) = (p1(n), p2(n))
-          n -> (if (a < 0 || b < 0) -1.0 else math.min(a, b))
+          val ts = ps.map(_(n))
+          n -> (if (ts.exists(_ < 0)) -1.0 else ts.min)
         }
       }
     // The driver captures only the LAST ~2000 chars of the run log, so the
@@ -107,8 +111,8 @@ object Bench {
     val fullQs = results.map { case (k, v) => s"\"$k\":" + fmt(v, 3) }.mkString("{", ",", "}")
     val passes =
       if (passDetail.isEmpty) ""
-      else passDetail.toSeq.sortBy(_._1).map { case (k, (a, b)) =>
-        s"\"$k\":[${fmt(a, 3)},${fmt(b, 3)}]"
+      else passDetail.toSeq.sortBy(_._1).map { case (k, ts) =>
+        s"\"$k\":[${ts.map(fmt(_, 3)).mkString(",")}]"
       }.mkString(""","passes":{""", ",", "}")
     java.nio.file.Files.write(java.nio.file.Paths.get("bench_detail.json"),
       s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec","queries":$fullQs$passes,"sf":"$sfDir"}""".getBytes("UTF-8"))

@@ -190,24 +190,72 @@ object Curation {
     // shipped kernels — hashes shuffle, text never does; every input is
     // already individually oracle-proven, and the report re-states their
     // rules per source. All counts BIGINT; dup_frac is one division.
+    // SPLIT LEAKAGE AUDIT — the check a training pipeline runs after
+    // carving train/val/test: a near-duplicate PAIR that straddles the
+    // split boundary leaks training signal into evaluation even though
+    // both docs individually passed every gate. Composes two shipped,
+    // individually-proven kernels — t06's deterministic hash split
+    // (xxhash64 bucket, 80/10/10) and d03's verified near-dup pairs
+    // (banded LSH candidates, exact-Jaccard gate) — into the split-pair
+    // matrix: one row per unordered split pair with its dup-pair count
+    // and the leak flag. Scale shape is d03's (the pair generator is
+    // the banded join; the split label join adds two id-keyed hash
+    // joins over O(pairs) rows); the output is ≤ 6 rows at any corpus
+    // size.
+    "p06_split_leakage" -> ((s, dir) => {
+      val bucket = pmod(xxhash64(col("doc_id")), lit(100))
+      val sp = Tables.documents(s, dir).select(col("doc_id"),
+        when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test").as("split"))
+      Dedup.nearDupPairs(s, dir)
+        .join(sp.select(col("doc_id").as("id_a"), col("split").as("sp_a")), "id_a")
+        .join(sp.select(col("doc_id").as("id_b"), col("split").as("sp_b")), "id_b")
+        .select(least(col("sp_a"), col("sp_b")).as("split_a"),
+          greatest(col("sp_a"), col("sp_b")).as("split_b"))
+        .groupBy("split_a", "split_b")
+        .agg(count(lit(1)).as("n_pairs"))
+        .withColumn("is_leak", col("split_a") =!= col("split_b"))
+        .orderBy("split_a", "split_b")
+    }),
+
     "p05_dedup_report" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
-      def extras(keyed: DataFrame): DataFrame = {
+      // ONE scan of documents.text (the r7 100× probe measured the
+      // previous three-scan form at 90.3 s, dominated by re-reading and
+      // re-hashing text): a single projection computes the exact hash,
+      // the normalized hash, AND d12's window hashes, stored once
+      // (Materialize.toStorage — same discipline as d07's edge table),
+      // so the three rollups below scan an 8-byte-hash table and text
+      // never leaves the first scan.
+      val toks = filter(split(lower(col("text")), " "), w => length(w) > 0)
+      val hashed = graft.Materialize.toStorage(
+        docs
+          .select(col("source"), col("doc_id"), col("text"), toks.as("w"))
+          .select(col("source"), col("doc_id"),
+            xxhash64(col("text")).as("h_exact"),
+            xxhash64(regexp_replace(lower(col("text")), "[^a-z0-9 ]", "")).as("h_norm"),
+            when(size(col("w")) >= Dedup.SubstringW,
+              transform(sequence(lit(0), size(col("w")) - Dedup.SubstringW),
+                i => xxhash64(concat_ws(" ", slice(col("w"), i + lit(1), lit(Dedup.SubstringW))))))
+              .otherwise(array().cast("array<bigint>")).as("win_h")),
+        "p05_hashes")
+      def extras(hcol: String): DataFrame = {
+        val keyed = hashed.select(col("source"), col("doc_id"), col(hcol).as("h"))
         val keep = keyed.groupBy("h").agg(min("doc_id").as("keep"))
         keyed.join(keep, "h").filter(col("doc_id") =!= col("keep"))
           .groupBy("source").agg(count(lit(1)).as("n"))
       }
-      val exact = extras(docs.select(col("source"), col("doc_id"),
-        xxhash64(col("text")).as("h")))
-        .withColumnRenamed("n", "n_exact_extra")
-      val norm = extras(docs.select(col("source"), col("doc_id"),
-        xxhash64(regexp_replace(lower(col("text")), "[^a-z0-9 ]", "")).as("h")))
-        .withColumnRenamed("n", "n_norm_extra")
-      val mass = Dedup.substringDupMass(docs)
-        .join(docs.select("doc_id", "source"), "doc_id")
+      val exact = extras("h_exact").withColumnRenamed("n", "n_exact_extra")
+      val norm = extras("h_norm").withColumnRenamed("n", "n_norm_extra")
+      // d12's mass rolled straight to source: counting dup windows per
+      // source ≡ summing the per-doc counts per source, minus the
+      // doc_id→source join the old form paid
+      val wins = hashed.select(col("source"), explode(col("win_h")).as("h"))
+      val freq = wins.groupBy("h").agg(count(lit(1)).as("cnt"))
+      val mass = wins.join(freq, "h")
         .groupBy("source")
-        .agg(sum("n_windows").as("n_windows"), sum("n_dup_windows").as("n_dup_windows"))
-      docs.groupBy("source").agg(count(lit(1)).as("n_docs"))
+        .agg(count(lit(1)).as("n_windows"),
+          sum(when(col("cnt") >= 2, 1L).otherwise(0L)).as("n_dup_windows"))
+      hashed.groupBy("source").agg(count(lit(1)).as("n_docs"))
         .join(exact, Seq("source"), "left")
         .join(norm, Seq("source"), "left")
         .join(mass, Seq("source"), "left")
@@ -478,6 +526,38 @@ object Curation {
     // d01/d02's keeper rules + d12's window mass, each restated over the
     // raw strings (the Spark side's hashes are shuffle economy only),
     // rolled up per source
+    // t06's split restatement (DuckHash CTEs) ⋈ d03's full-pair-space
+    // near-dup SQL — the oracle states the LEAKAGE ground truth over ALL
+    // pairs, so it also re-certifies d03's recall-1-at-threshold claim
+    // on the composed path
+    "p06_split_leakage" ->
+      s"""WITH ids AS (
+         |  SELECT doc_id, doc_id AS x FROM documents
+         |), ${DuckHash.xxhash64LongCtes("doc_id")}, sp AS (
+         |  SELECT doc_id,
+         |    CASE WHEN ((hv % 100) + 100) % 100 < 80 THEN 'train'
+         |         WHEN ((hv % 100) + 100) % 100 < 90 THEN 'val' ELSE 'test' END AS split
+         |  FROM hashed
+         |), t AS (
+         |  SELECT doc_id, list_filter(string_split(lower(text), ' '), w -> len(w) > 0) AS w
+         |  FROM documents
+         |), shl AS (
+         |  SELECT doc_id,
+         |    list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w) - 1)]) AS sh
+         |  FROM t WHERE len(w) >= 3
+         |), pairs AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM shl a JOIN shl b ON a.doc_id < b.doc_id
+         |  WHERE len(a.sh) > 0 AND len(b.sh) > 0
+         |    AND len(list_intersect(a.sh, b.sh))::DOUBLE / len(list_distinct(list_concat(a.sh, b.sh)))::DOUBLE >= ${Dedup.JaccardThreshold}
+         |), lab AS (
+         |  SELECT least(pa.split, pb.split) AS split_a, greatest(pa.split, pb.split) AS split_b
+         |  FROM pairs p JOIN sp pa ON pa.doc_id = p.id_a JOIN sp pb ON pb.doc_id = p.id_b
+         |)
+         |SELECT split_a, split_b, COUNT(*) AS n_pairs, split_a <> split_b AS is_leak
+         |FROM lab GROUP BY split_a, split_b
+         |ORDER BY split_a, split_b""".stripMargin,
+
     "p05_dedup_report" ->
       s"""WITH ek AS (
          |  SELECT text, MIN(doc_id) AS keep FROM documents GROUP BY text

@@ -988,7 +988,59 @@ object Relational {
         .withColumn("ts_sec", col("ts").cast("long"))
         .select(col("user_id"), col("event_id"), col("ts_sec"),
           col("event_type"), col("value"))),
-        SnapshotSec, SnapshotSec + 7L * 86400L))
+        SnapshotSec, SnapshotSec + 7L * 86400L)),
+
+    // DELETION PROPAGATION — the lakehouse-side answer to a right-to-be-
+    // forgotten (or licensing-takedown) request against a TRAINING
+    // corpus: deleting source docs is the easy half; the audit is which
+    // DERIVED artifacts the tombstones invalidate. Composes the shipped
+    // derivation rules — t10's stride chunks and t11's per-source packed
+    // token stream — against a deterministic tombstone set (doc_id ≡ 0
+    // mod 53): per source, docs deleted, chunks invalidated (t10's
+    // count arithmetic), distinct packed sequences made dirty (a
+    // sequence is dirty iff it contains ≥1 token of a deleted doc —
+    // t11's interval arithmetic, exploded per deleted doc over its
+    // ≤ n_tokens/512+2 covered sequence ids), and the dirty fraction.
+    // Scale shape: one token-count scan + t11's within-source window;
+    // the explode is bounded by deleted docs' sequence spans, never the
+    // corpus; output is |sources| rows.
+    "v06_delete_propagation" -> ((s, dir) => {
+      import graft.functions.TextFunctions.tokenCountWs
+      import graft.operators.TextAnalysis.{ChunkStride, SeqBudget}
+      val del = col("doc_id") % 53 === 0
+      val docs = Tables.documents(s, dir)
+      val w = Window.partitionBy("source").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val stream = docs.select(col("doc_id"), col("source"),
+          tokenCountWs(col("text")).as("n_tokens"), del.as("deleted"))
+        .filter(col("n_tokens") > 0)
+        .withColumn("cum", sum("n_tokens").over(w))
+      val seqTotals = stream.groupBy("source")
+        .agg(expr(s"(max(cum) - 1) div $SeqBudget + 1").as("n_seqs_total"))
+      val dirty = stream.filter(col("deleted"))
+        .select(col("source"),
+          explode(expr(s"sequence((cum - n_tokens) div $SeqBudget, (cum - 1) div $SeqBudget)")).as("seq"))
+        .groupBy("source").agg(countDistinct("seq").as("n_seqs_dirty"))
+      val chunks = docs.filter(del && length(col("text")) > 0)
+        .groupBy("source")
+        .agg(sum(expr(s"(length(text) - 1) div $ChunkStride + 1")).as("n_chunks_invalidated"))
+      val deleted = docs.filter(del).groupBy("source").agg(count(lit(1)).as("n_docs_deleted"))
+      docs.select("source").distinct()
+        .join(deleted, Seq("source"), "left")
+        .join(chunks, Seq("source"), "left")
+        .join(dirty, Seq("source"), "left")
+        .join(seqTotals, Seq("source"), "left")
+        .select(col("source"),
+          coalesce(col("n_docs_deleted"), lit(0L)).as("n_docs_deleted"),
+          coalesce(col("n_chunks_invalidated"), lit(0L)).as("n_chunks_invalidated"),
+          coalesce(col("n_seqs_dirty"), lit(0L)).as("n_seqs_dirty"),
+          coalesce(col("n_seqs_total"), lit(0L)).as("n_seqs_total"),
+          when(coalesce(col("n_seqs_total"), lit(0L)) === 0, 0.0)
+            .otherwise(coalesce(col("n_seqs_dirty"), lit(0L)).cast("double")
+              / col("n_seqs_total").cast("double"))
+            .as("dirty_frac"))
+        .orderBy("source")
+    })
   )
 
   /** v05 core over a v02-shaped history — extracted so every status leg
@@ -1161,6 +1213,52 @@ object Relational {
          |FROM s1 FULL OUTER JOIN s2 USING (user_id)
          |GROUP BY 1
          |ORDER BY status""".stripMargin,
+
+    // t10's chunk count + t11's window/interval arithmetic restated
+    // against the same mod-53 tombstone set; every SUM/COUNT cast to
+    // BIGINT (the dtype-strict rule)
+    "v06_delete_propagation" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, source, text,
+         |    CAST(len(list_filter(string_split(lower(text), ' '), w -> len(w) > 0)) AS BIGINT) AS n_tokens,
+         |    doc_id % 53 = 0 AS deleted
+         |  FROM documents
+         |), c AS (
+         |  SELECT doc_id, source, n_tokens, deleted,
+         |    CAST(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+         |  FROM t WHERE n_tokens > 0
+         |), tot AS (
+         |  SELECT source, (MAX(cum) - 1) // ${graft.operators.TextAnalysis.SeqBudget} + 1 AS n_seqs_total
+         |  FROM c GROUP BY source
+         |), dirty AS (
+         |  SELECT source, COUNT(DISTINCT seq) AS n_seqs_dirty FROM (
+         |    SELECT source,
+         |      unnest(range((cum - n_tokens) // ${graft.operators.TextAnalysis.SeqBudget},
+         |                   (cum - 1) // ${graft.operators.TextAnalysis.SeqBudget} + 1)) AS seq
+         |    FROM c WHERE deleted
+         |  ) GROUP BY source
+         |), chunks AS (
+         |  SELECT source,
+         |    CAST(SUM((len(text) - 1) // ${graft.operators.TextAnalysis.ChunkStride} + 1) AS BIGINT) AS n_chunks_invalidated
+         |  FROM t WHERE deleted AND len(text) > 0 GROUP BY source
+         |), deld AS (
+         |  SELECT source, COUNT(*) AS n_docs_deleted FROM t WHERE deleted GROUP BY source
+         |), base AS (SELECT DISTINCT source FROM documents)
+         |SELECT b.source,
+         |  COALESCE(deld.n_docs_deleted, 0) AS n_docs_deleted,
+         |  COALESCE(chunks.n_chunks_invalidated, 0) AS n_chunks_invalidated,
+         |  COALESCE(dirty.n_seqs_dirty, 0) AS n_seqs_dirty,
+         |  COALESCE(tot.n_seqs_total, 0) AS n_seqs_total,
+         |  CASE WHEN COALESCE(tot.n_seqs_total, 0) = 0 THEN 0.0
+         |       ELSE CAST(COALESCE(dirty.n_seqs_dirty, 0) AS DOUBLE)
+         |            / CAST(tot.n_seqs_total AS DOUBLE) END AS dirty_frac
+         |FROM base b
+         |LEFT JOIN deld ON deld.source = b.source
+         |LEFT JOIN chunks ON chunks.source = b.source
+         |LEFT JOIN dirty ON dirty.source = b.source
+         |LEFT JOIN tot ON tot.source = b.source
+         |ORDER BY b.source""".stripMargin,
 
     // the refresh identity IS the oracle: per-month full recompute
     "v03_partition_refresh" ->

@@ -67,6 +67,25 @@ object Similarity {
       .select(col("vec_id"), col("embedding"), col("cell"))
   }
 
+  /** Auto-derived hyperplane-signature width: the smallest b ≥ LshMinBits
+    * with 2^b · LshTargetBucket ≥ n, i.e. max(floor, ⌈log₂(n / target)⌉)
+    * — computed in INTEGER arithmetic (shift-and-compare, no float log)
+    * so the DuckDB mirror (`duckLshCtes`' geo CTE, same shift-compare
+    * over a range scan) derives bit-identically from the same count.
+    * One cheap scalar to the driver per query (a parquet-metadata
+    * count), in exchange for a geometry that cannot silently go
+    * quadratic when the corpus grows past the tuning point — the
+    * r7 64× saturation probe made that failure concrete.
+    */
+  private[operators] val LshTargetBucket = 1000L
+  private[operators] val LshMinBits = 6
+  private[operators] val LshMaxBits = 24
+  private[operators] def derivedLshBits(n: Long): Int = {
+    var b = LshMinBits
+    while (b < LshMaxBits && (1L << b) * LshTargetBucket < n) b += 1
+    b
+  }
+
   /** LSH candidate pair generation shared by e01b/e04b (same hyperplane
     * tables as e03): explode per-table buckets, bound each bucket to
     * `maxBucket` members (a degenerate bucket — e.g. a corpus of identical
@@ -79,18 +98,29 @@ object Similarity {
     *
     * Scale note: bucket count is 2^bits per table, so `bits` must grow
     * with log2(N / targetBucketSize) for the within-bucket join to stay
-    * linear. The defaults (6 bits × 48 tables) are tuned for the synthetic
+    * linear — and since round 8 the OPERATOR owns that contract:
+    * `bits < 0` (the default) derives the geometry from a corpus count
+    * via `derivedLshBits` instead of trusting the caller. The r7
+    * saturation probe is the motivation: a 64× corpus under the fixed
+    * 6-bit layout put ~5k vectors in EVERY bucket and went quadratic —
+    * a mis-set knob is a silent scale-killer, so the knob computes
+    * itself. The floor (6 bits × 48 tables) is tuned for the synthetic
     * corpora's HARD regime — near-dups at cos ≈ 0.45–0.51, where per-bit
     * agreement is only ~0.65 — giving ~0.98 expected recall there at half
     * the candidate volume of fewer-bits/fewer-tables settings; a real
     * embedding corpus (dups at cos ≥ 0.9) reaches the same recall with
-    * far more bits and fewer tables.
+    * far more bits and fewer tables. As derived bits grow past the
+    * floor, candidate volume stays linear by construction while recall
+    * on the hard regime decays (0.65^bits per table) — the recall knob
+    * at that point is TABLE count, which stays caller-visible because
+    * it trades cost, not correctness-of-scale.
     */
-  private def lshCandidatePairs(e: DataFrame, bits: Int = 6, tables: Int = 48,
+  private def lshCandidatePairs(e: DataFrame, bits: Int = -1, tables: Int = 48,
                                 maxBucket: Long = 10000L,
                                 dedup: Boolean = true): DataFrame = {
+    val b = if (bits > 0) bits else derivedLshBits(e.count())
     val ex = e
-      .withColumn("buckets", hyperplane_lsh_multi(col("embedding"), bits, tables, 64, seed = 7L))
+      .withColumn("buckets", hyperplane_lsh_multi(col("embedding"), b, tables, 64, seed = 7L))
       .select(col("vec_id"), posexplode(col("buckets")).as(Seq("tbl", "bucket")))
     val bounded = ex.join(
       ex.groupBy("tbl", "bucket").agg(count(lit(1)).as("bsz"))
@@ -266,11 +296,12 @@ object Similarity {
     // decision — the ingestion-time gate a vector store runs.
     "e13_incremental_embedding_dedup" -> ((s, dir) => {
       val e = Tables.embeddings(s, dir)
-      // e04b's bucket machinery (6 bits × 48 tables, cap 10000) with the
-      // probe side pre-filtered — inline because the shared helper pairs
-      // the full corpus by construction
+      // e04b's bucket machinery (derived-bits × 48 tables, cap 10000)
+      // with the probe side pre-filtered — inline because the shared
+      // helper pairs the full corpus by construction
       val ex = e
-        .withColumn("buckets", hyperplane_lsh_multi(col("embedding"), 6, 48, 64, seed = 7L))
+        .withColumn("buckets",
+          hyperplane_lsh_multi(col("embedding"), derivedLshBits(e.count()), 48, 64, seed = 7L))
         .select(col("vec_id"), posexplode(col("buckets")).as(Seq("tbl", "bucket")))
       val bounded = ex.join(
         ex.groupBy("tbl", "bucket").agg(count(lit(1)).as("bsz"))
@@ -291,6 +322,49 @@ object Similarity {
           (col("best.cos_sim") > 0.45).as("is_near_dup"),
           (col("best.cos_sim") <= 0.45).as("admitted"))
         .orderBy("vid")
+    }),
+
+    // KNN LABEL PROPAGATION — the weak-supervision step of corpus-scale
+    // auto-labeling: vectors whose label is withheld (vec_id ≡ 0 mod 10,
+    // e13's batch convention) get a predicted label by 5-NN majority
+    // vote over the LABELED rest. Candidates come from the shared
+    // derived-bits bucket machinery (never all-pairs); the vote is
+    // integer counts with a (votes DESC, label ASC) tie-break, so the
+    // whole pipeline — including accuracy per vector — sits under the
+    // hash gate. Scale shape: e04b's (banded candidate join + per-qid
+    // top-k window over O(candidates), one vote agg on (qid, label)).
+    "e14_knn_label_propagation" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val ex = e
+        .withColumn("buckets",
+          hyperplane_lsh_multi(col("embedding"), derivedLshBits(e.count()), 48, 64, seed = 7L))
+        .select(col("vec_id"), posexplode(col("buckets")).as(Seq("tbl", "bucket")))
+      val bounded = ex.join(
+        ex.groupBy("tbl", "bucket").agg(count(lit(1)).as("bsz"))
+          .filter(col("bsz") <= 10000L).select("tbl", "bucket"),
+        Seq("tbl", "bucket"))
+      val probe = bounded.filter(col("vec_id") % 10 === 0)
+        .select(col("vec_id").as("qid"), col("tbl"), col("bucket"))
+      val index = bounded.filter(col("vec_id") % 10 =!= 0)
+        .select(col("vec_id").as("nid"), col("tbl"), col("bucket"))
+      val cands = probe.join(index, Seq("tbl", "bucket")).select("qid", "nid").distinct()
+      val scored = cands
+        .join(e.select(col("vec_id").as("qid"), col("embedding").as("qe")), "qid")
+        .join(e.select(col("vec_id").as("nid"), col("embedding").as("ne"),
+          col("label").as("nlab")), "nid")
+        .select(col("qid"), col("nid"), col("nlab"),
+          cosine_similarity(col("qe"), col("ne")).as("cos_sim"))
+      val w = Window.partitionBy("qid").orderBy(col("cos_sim").desc, col("nid").asc)
+      val votes = scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= 5)
+        .groupBy("qid", "nlab").agg(count(lit(1)).as("votes"))
+      val pick = votes.groupBy("qid")
+        .agg(max(struct(col("votes"), (-col("nlab")).as("neg"))).as("best"))
+        .select(col("qid"), col("best.votes").as("n_votes"),
+          (-col("best.neg")).cast("long").as("predicted_label"))
+      pick.join(e.select(col("vec_id").as("qid"), col("label").cast("long").as("true_label")), "qid")
+        .select(col("qid"), col("predicted_label"), col("true_label"), col("n_votes"),
+          (col("predicted_label") === col("true_label")).as("correct"))
+        .orderBy("qid")
     }),
 
     // e01's output shape, banded: global top-100 most-similar pairs from
@@ -609,8 +683,10 @@ object Similarity {
     // afford more bits and fewer tables. Approximate vs e02 (recall in
     // tests) but deterministic → oracle-gated via the plane restatement.
     "e03_ann_lsh" -> ((s, dir) => {
-      val bits = 6; val tables = 48; val dim = 64
-      val e = Tables.embeddings(s, dir)
+      val tables = 48; val dim = 64
+      val base = Tables.embeddings(s, dir)
+      val bits = derivedLshBits(base.count())
+      val e = base
         .withColumn("buckets", hyperplane_lsh_multi(col("embedding"), bits, tables, dim, seed = 7L))
       val exploded = e.select(col("vec_id"), col("embedding"),
           posexplode(col("buckets")).as(Seq("tbl", "bucket")))
@@ -634,8 +710,12 @@ object Similarity {
     })
   )
 
-  /** DuckDB restatement of `hyperplane_lsh_multi` (seed 7, `bits` ×
-    * `tables`): planes are splitmix64-derived dyadic rationals —
+  /** DuckDB restatement of `hyperplane_lsh_multi` (seed 7, derived-bits
+    * × `tables`). The `geo` CTE mirrors `derivedLshBits` with the SAME
+    * integer shift-and-compare over the SAME corpus count, so the
+    * restated pipeline derives the identical signature width at any
+    * data size — the auto-derivation itself sits under the hash gate.
+    * Planes are splitmix64-derived dyadic rationals —
     * `(z >>> 11) / 2^52 - 1.0` is exact in DOUBLE — and each signature
     * bit is the sign of a sequential-double dot fold (the list_sum
     * parity e01's green oracle already proves). Emits CTEs ending in
@@ -644,11 +724,16 @@ object Similarity {
     * splitmix64's golden gamma (also the per-table stride),
     * 14029467366897019727 = the per-dim stride (XXH64 P2).
     */
-  private def duckLshCtes(bits: Int = 6, tables: Int = 48): String = {
-    val pw = (0 until bits).map(j => s"($j, ${1L << j})").mkString(",")
-    s"""grid AS (
-       |  SELECT tj.tj, d.d FROM (SELECT unnest(range(0, ${tables * bits})) AS tj) tj,
+  private def duckLshCtes(tables: Int = 48): String = {
+    s"""geo AS (
+       |  SELECT COALESCE(MIN(j), $LshMaxBits) AS b
+       |  FROM range($LshMinBits, ${LshMaxBits + 1}) r(j),
+       |       (SELECT COUNT(*) AS n FROM embeddings) c
+       |  WHERE (1::BIGINT << j) * $LshTargetBucket >= c.n
+       |), grid AS (
+       |  SELECT r.tj, d.d FROM range(0, ${tables * LshMaxBits}) r(tj), geo,
        |       (SELECT unnest(range(0, 64)) AS d) d
+       |  WHERE r.tj < $tables * geo.b
        |), ids AS (
        |  SELECT tj, d,
        |    (CAST(7 AS HUGEINT) + tj * CAST('11400714819323198485' AS HUGEINT)
@@ -657,12 +742,15 @@ object Similarity {
        |), ${DuckHash.splitmix64Ctes("tj, d")}, planes AS (
        |  SELECT tj, list((sv // 2048)::DOUBLE / 4503599627370496.0 - 1.0 ORDER BY d) AS pl
        |  FROM smixed GROUP BY tj
+       |), pw AS (
+       |  SELECT r.j, (1::BIGINT << r.j) AS p FROM range(0, $LshMaxBits) r(j), geo
+       |  WHERE r.j < geo.b
        |), sigbits AS (
-       |  SELECT e.vec_id, p.tj // $bits AS tbl,
+       |  SELECT e.vec_id, p.tj // geo.b AS tbl,
        |    CASE WHEN list_sum([e.embedding[i]::DOUBLE * p.pl[i] for i in range(1, len(e.embedding)+1)]) >= 0.0
        |         THEN pw.p ELSE 0 END AS bit
-       |  FROM embeddings e CROSS JOIN planes p
-       |  JOIN (VALUES $pw) AS pw(j, p) ON pw.j = p.tj % $bits
+       |  FROM embeddings e CROSS JOIN planes p CROSS JOIN geo
+       |  JOIN pw ON pw.j = p.tj % geo.b
        |), sigs AS (
        |  SELECT vec_id, tbl, CAST(SUM(bit) AS BIGINT) AS bucket FROM sigbits GROUP BY vec_id, tbl
        |)""".stripMargin
@@ -828,6 +916,35 @@ object Similarity {
          |SELECT vid, nid AS nn_id, cos_sim AS nn_cos, cos_sim > 0.45 AS is_near_dup,
          |  cos_sim <= 0.45 AS admitted
          |FROM scored WHERE rn = 1 ORDER BY vid""".stripMargin,
+
+    // e04b's candidate oracle with a labeled index side and the 5-NN
+    // integer vote — prediction AND correctness both under the hash gate
+    "e14_knn_label_propagation" ->
+      s"""WITH ${duckLshCtes()}, bok AS (
+         |  SELECT tbl, bucket FROM sigs GROUP BY tbl, bucket HAVING COUNT(*) <= 10000
+         |), bounded AS (
+         |  SELECT s.vec_id, s.tbl, s.bucket FROM sigs s JOIN bok USING (tbl, bucket)
+         |), cand AS (
+         |  SELECT DISTINCT a.vec_id AS qid, b.vec_id AS nid
+         |  FROM bounded a JOIN bounded b ON a.tbl = b.tbl AND a.bucket = b.bucket
+         |  WHERE a.vec_id % 10 = 0 AND b.vec_id % 10 <> 0
+         |), scored AS (
+         |  SELECT c.qid, c.nid, b.label AS nlab, ${duckCos("a", "b")} AS cos_sim,
+         |    ROW_NUMBER() OVER (PARTITION BY c.qid ORDER BY ${duckCos("a", "b")} DESC, c.nid ASC) AS rn
+         |  FROM cand c JOIN embeddings a ON a.vec_id = c.qid JOIN embeddings b ON b.vec_id = c.nid
+         |), votes AS (
+         |  SELECT qid, nlab, COUNT(*) AS votes FROM scored WHERE rn <= 5 GROUP BY qid, nlab
+         |), pick AS (
+         |  SELECT qid, votes AS n_votes, nlab AS predicted_label,
+         |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY votes DESC, nlab ASC) AS pr
+         |  FROM votes
+         |)
+         |SELECT p.qid, CAST(p.predicted_label AS BIGINT) AS predicted_label,
+         |  CAST(e.label AS BIGINT) AS true_label, p.n_votes,
+         |  p.predicted_label = e.label AS correct
+         |FROM pick p JOIN embeddings e ON e.vec_id = p.qid
+         |WHERE pr = 1
+         |ORDER BY p.qid""".stripMargin,
 
     "e06_ivf_ann" ->
       s"""WITH $duckIvfCtes, cand AS (

@@ -61,16 +61,27 @@ object Skew {
     * Detection is an aggregate, never a sample: per-key counts + the
     * global (total, n_keys) pair decide hotness with exact integer
     * arithmetic (cnt · n_keys · 3 > total · 4 ⟺ cnt > 4/3 · mean), so
-    * the routing is deterministic and partition-invariant. The hot-key
-    * frame is O(hot keys) rows — broadcastable by construction, since a
-    * key set too big to broadcast is by definition not "few hot keys"
-    * (then salting or AQE skew-split is the right tool).
+    * the routing is deterministic and partition-invariant.
+    *
+    * The hot set is CAPPED at `maxHotKeys` (top keys by count, total
+    * order via the key tiebreak) so the broadcast frames are bounded by
+    * construction: on a distribution where many keys clear the 4/3×mean
+    * threshold (bimodal keys — the "few hot keys" premise failing), the
+    * overflow keys simply stay on the cold shuffle path, where AQE's
+    * skew-split still covers them — graceful degradation to the plain
+    * join, never an unbounded broadcast that fails at runtime. The
+    * union is exactly the plain join in every case.
     */
-  def hotKeyIsolatedJoin(probe: DataFrame, build: DataFrame, key: String): DataFrame = {
+  def hotKeyIsolatedJoin(probe: DataFrame, build: DataFrame, key: String,
+                         maxHotKeys: Int = 1024): DataFrame = {
     val counts = probe.groupBy(col(key)).agg(count(lit(1)).as("cnt"))
     val global = counts.agg(sum("cnt").as("total"), count(lit(1)).as("n_keys"))
+    // orderBy+limit, not a window: TakeOrdered keeps per-partition top-N
+    // and merges — no single-partition sort even when MANY keys qualify
     val hot = counts.crossJoin(broadcast(global))
       .filter(col("cnt") * col("n_keys") * 3 > col("total") * 4)
+      .orderBy(col("cnt").desc, col(key).asc)
+      .limit(maxHotKeys)
       .select(col(key))
     val probeHot = probe.join(broadcast(hot), Seq(key), "left_semi")
     val probeCold = probe.join(broadcast(hot), Seq(key), "left_anti")

@@ -392,6 +392,39 @@ object TextAnalysis {
     // (distinct tokens only, map-side combined) and the token→freq
     // join-back keyed by token; at 100 TB the unigram table is the thing
     // you'd broadcast — integer sums keep the whole query hash-exact.
+    // INTEGER SURPRISAL SCORING — the deterministic skeleton of the
+    // perplexity quality filter every curation stack runs (score each
+    // doc by how improbable its tokens are under a corpus LM, flag the
+    // tail). The per-token surprisal is floor(log2(N / cf)) STATED AS
+    // BIT LENGTHS — floor(log2 n) = bitlength(n) − 1 — because log/exp
+    // are not correctly-rounded IEEE ops and a float log2 would differ
+    // between engines at the ulp level, breaking the hash gate; the
+    // bit-length form keeps the perplexity SHAPE (rare tokens cost more
+    // bits, the flag is a mean-bits threshold) in exact integer
+    // arithmetic on both sides. Same scale shape as t14: token-linear,
+    // one vocabulary-keyed shuffle that map-side combines, and the
+    // 1-row corpus total rides a broadcast.
+    "t25_surprisal_score" -> ((s, dir) => {
+      val toks = Tables.documents(s, dir)
+        .select(col("doc_id"),
+          explode(filter(split(lower(col("text")), " "), w => length(w) > 0)).as("tok"))
+      val freq = toks.groupBy("tok").agg(count(lit(1)).as("cf"))
+      val tot = freq.agg(sum("cf").as("n"))
+        .select((length(bin(col("n"))) - 1).cast("long").as("nb"))
+      toks.join(freq, "tok")
+        .crossJoin(broadcast(tot))
+        .select(col("doc_id"),
+          (col("nb") - (length(bin(col("cf"))) - 1)).cast("long").as("bits"), col("nb"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tokens"), sum("bits").as("sum_bits"), max("nb").as("nb"))
+        .select(col("doc_id"), col("n_tokens"), col("sum_bits"),
+          (col("sum_bits").cast("double") / col("n_tokens").cast("double")).as("mean_bits"),
+          // mean surprisal > 3/4 of the max possible bits ⟺ integer
+          // cross-multiplication — both engines decide identically
+          (col("sum_bits") * 4 > col("nb") * 3 * col("n_tokens")).as("is_rare_heavy"))
+        .orderBy("doc_id")
+    }),
+
     "t14_rare_token_ratio" -> ((s, dir) => {
       val toks = Tables.documents(s, dir)
         .select(col("doc_id"),
@@ -1060,6 +1093,28 @@ object TextAnalysis {
         |FROM s JOIN ev USING (g)
         |WHERE s.doc_id % 97 <> 0
         |GROUP BY s.doc_id
+        |ORDER BY doc_id""".stripMargin,
+
+    // bitlength-stated floor-log2 (see the query's scaladoc): exact
+    // integer surprisal in both engines, no float log anywhere
+    "t25_surprisal_score" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(list_filter(string_split(lower(text), ' '), w -> len(w) > 0)) AS tok
+        |  FROM documents
+        |), freq AS (
+        |  SELECT tok, COUNT(*) AS cf FROM toks GROUP BY tok
+        |), tot AS (
+        |  SELECT length(bin(CAST(SUM(cf) AS BIGINT))) - 1 AS nb FROM freq
+        |), sc AS (
+        |  SELECT t.doc_id, CAST(tot.nb - (length(bin(f.cf)) - 1) AS BIGINT) AS bits, tot.nb
+        |  FROM toks t JOIN freq f USING (tok) CROSS JOIN tot
+        |)
+        |SELECT doc_id, COUNT(*) AS n_tokens,
+        |  CAST(SUM(bits) AS BIGINT) AS sum_bits,
+        |  CAST(SUM(bits) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mean_bits,
+        |  SUM(bits) * 4 > MAX(nb) * 3 * COUNT(*) AS is_rare_heavy
+        |FROM sc
+        |GROUP BY doc_id
         |ORDER BY doc_id""".stripMargin,
 
     "t14_rare_token_ratio" ->

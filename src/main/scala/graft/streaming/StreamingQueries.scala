@@ -279,6 +279,33 @@ object StreamingQueries {
         .orderBy("win_start", "event_type")
     }),
 
+    // TTL-BOUNDED STREAMING DEDUP — s03's unbounded dropDuplicates state
+    // is the textbook streaming-dedup memory leak at 100 TB: state grows
+    // with distinct keys FOREVER. s22 is the production form: the dedup
+    // key carries the 1-hour tumbling window of the WATERMARKED event
+    // time, so the watermark evicts finished buckets' state — state is
+    // O(keys active in the windows still in flight), never O(all keys
+    // ever seen). Emission is deterministic and closed-form (append mode
+    // finalizes exactly the windows the terminal watermark passed —
+    // s09's discipline): per finalized (window, user, type) bucket, the
+    // FIRST event as an order-free struct-min over (ts_sec, event_id),
+    // plus how many duplicates the bucket absorbed.
+    "s22_stream_dedup_ttl" -> ((s, dir) => {
+      val agg = eventsStream(s, dir)
+        .withWatermark("ts", "30 minutes")
+        .select(col("ts"), col("user_id"), col("event_type"),
+          col("event_id"), col("ts").cast("long").as("ts_sec"))
+        .groupBy(window(col("ts"), "1 hour").as("win"), col("user_id"), col("event_type"))
+        .agg(min(struct(col("ts_sec"), col("event_id"))).as("first"),
+          count(lit(1)).as("n_events"))
+        .select(date_format(col("win.start"), "yyyy-MM-dd HH:mm:ss").as("win_start"),
+          col("user_id"), col("event_type"),
+          col("first.event_id").as("first_event_id"),
+          (col("n_events") - 1).as("n_dups"))
+      runToTable(agg, OutputMode.Append(), statePartitions = Some(8))
+        .orderBy("win_start", "user_id", "event_type")
+    }),
+
     // streaming dedup (C5's exactly-once upgrade path): distinct
     // (user_id, event_type) pairs via dropDuplicates state, append mode.
     "s03_stream_dedup" -> ((s, dir) => {
@@ -739,20 +766,29 @@ object StreamingQueries {
       .orderBy("from_type", "to_type")
   }
 
-  /** s21 per-key step: sort this batch's rows, chain them onto the
-    * carried last event, emit one Transition per consecutive pair, and
-    * return the new last event. Pure — unit-tested directly, and the
-    * flatMapGroupsWithState body is just this + a state update.
+  /** s21 per-key step: merge the carried last event INTO this batch's
+    * rows by (ts_sec, event_id), emit one Transition per consecutive
+    * pair, and return the new last event. Pure — unit-tested directly,
+    * and the flatMapGroupsWithState body is just this + a state update.
     *
-    * Cross-batch correctness assumes per-user batch-monotonic arrival
+    * Cross-batch exactness assumes per-user batch-monotonic arrival
     * (a later micro-batch carries no earlier event) — the reference's
-    * per-shard sequence-order contract; WITHIN a batch the sort makes
-    * the fold order-free (s04/s12 discipline).
+    * per-shard sequence-order contract — but the assumption is no
+    * longer load-bearing for sanity: the carried event is SORTED into
+    * the chain rather than unconditionally prepended, so a late event
+    * (ts before the carried state) produces locally-ordered transitions
+    * and a non-regressing carried timestamp instead of a reversed pair
+    * and state that travels backwards. Already-emitted transitions are
+    * not retracted (that is what the batch-side a17 rollup being
+    * answer-equal certifies under in-order input); WITHIN a batch the
+    * sort makes the fold order-free (s04/s12 discipline). Under
+    * in-order arrival the merge is position-identical to the old
+    * prepend, so the oracle is unchanged.
     */
   private[streaming] def transitionStep(user: Long, rows: Seq[SessEvent],
       prev: Option[LastEvent]): (Seq[Transition], LastEvent) = {
-    val sorted = rows.sortBy(e => (e.ts_sec, e.event_id))
-    val chain = prev.map(p => SessEvent(user, p.event_id, p.ts_sec, p.event_type)).toSeq ++ sorted
+    val chain = (prev.map(p => SessEvent(user, p.event_id, p.ts_sec, p.event_type)).toSeq ++ rows)
+      .sortBy(e => (e.ts_sec, e.event_id))
     val out = chain.sliding(2).collect {
       case Seq(a, b) => Transition(user, a.event_type, b.event_type)
     }.toSeq
@@ -815,6 +851,27 @@ object StreamingQueries {
     "s03_stream_dedup" ->
       """SELECT DISTINCT user_id, event_type FROM events
         |ORDER BY user_id, event_type""".stripMargin,
+
+    // s09's terminal-watermark closed form on the (window, user, type)
+    // grain; first event = the (ts_sec, event_id)-min via row_number
+    "s22_stream_dedup_ttl" ->
+      """WITH m AS (
+        |  SELECT max(ts) - INTERVAL 30 MINUTE AS wm FROM events
+        |), e AS (
+        |  SELECT date_trunc('hour', ts) AS ws, user_id, event_type, event_id,
+        |    CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS ts_sec
+        |  FROM events
+        |), r AS (
+        |  SELECT ws, user_id, event_type, event_id,
+        |    ROW_NUMBER() OVER (PARTITION BY ws, user_id, event_type ORDER BY ts_sec, event_id) AS rn,
+        |    COUNT(*) OVER (PARTITION BY ws, user_id, event_type) AS n
+        |  FROM e
+        |)
+        |SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS win_start, user_id, event_type,
+        |  event_id AS first_event_id, CAST(n - 1 AS BIGINT) AS n_dups
+        |FROM r, m
+        |WHERE rn = 1 AND ws + INTERVAL 1 HOUR <= wm
+        |ORDER BY win_start, user_id, event_type""".stripMargin,
 
     "s04_stream_user_state" ->
       """SELECT user_id, COUNT(*) AS n_events, MIN(event_id) AS min_event_id,

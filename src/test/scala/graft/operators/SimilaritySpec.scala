@@ -127,6 +127,26 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.95, s"near-dup recall $recall below 0.95 at bench scale")
   }
 
+  test("derivedLshBits: floor at small N, grows with log2(N/target), capped") {
+    // floor: anything at or under 2^6 * 1000 stays at the tuned 6 bits
+    // (the sf0.01/sf0.1 corpora — so the recall pins measure the same
+    // geometry the oracles restate)
+    assert(Similarity.derivedLshBits(1L) === 6)
+    assert(Similarity.derivedLshBits(5000L) === 6)
+    assert(Similarity.derivedLshBits(50000L) === 6)
+    assert(Similarity.derivedLshBits(64000L) === 6) // exact boundary: 2^6*1000
+    // first crossing: one more vector needs one more bit
+    assert(Similarity.derivedLshBits(64001L) === 7)
+    assert(Similarity.derivedLshBits(100000L) === 7) // the 20x cross-check corpus
+    // the r7 saturation case: 64x sf0.1 = 3.2M vectors. Fixed 6 bits put
+    // ~5k vectors in every bucket (quadratic, killed); derived geometry
+    // gives 2^12 = 4096 buckets/table -> ~780/bucket, linear again
+    assert(Similarity.derivedLshBits(3200000L) === 12)
+    // cap: the derivation never exceeds LshMaxBits (bucket ids stay
+    // well inside a long; 2^24 buckets x 1000 target = 16.7B vectors)
+    assert(Similarity.derivedLshBits(Long.MaxValue) === Similarity.LshMaxBits)
+  }
+
   test("e04b/e01b plans contain no quadratic join (that's the point)") {
     for (q <- Seq("e04b_embedding_nn_dedup_lsh", "e01b_cosine_pairs_topk_lsh")) {
       val plan = Similarity.queries(q)(spark, sfDir).queryExecution.executedPlan.toString

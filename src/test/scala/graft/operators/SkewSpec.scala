@@ -72,6 +72,19 @@ class SkewSpec extends SparkSpec {
     val uniform = (1 to 1000).map(i => (s"cold${i % 5}", i.toLong)).toDF("k", "v")
     assert(summarize(Skew.hotKeyIsolatedJoin(uniform, build, "k")) ===
       summarize(uniform.join(build, "k")))
+
+    // bimodal overflow: both "hot" keys clear 4/3×mean, but maxHotKeys=1
+    // routes only the TOP one through the broadcast — the other stays on
+    // the cold shuffle path and the result is STILL exactly the plain
+    // join (the cap degrades gracefully instead of growing the broadcast)
+    val bimodal = (1 to 10000).map { i =>
+      val k = if (i <= 4700) "hotA" else if (i <= 9400) "hotB" else s"cold${i % 5}"
+      (k, i.toLong)
+    }.toDF("k", "v")
+    val bibuild = Seq(("hotA", 2L), ("hotB", 3L), ("cold0", 5L), ("cold1", 7L),
+      ("cold2", 11L), ("cold3", 13L), ("cold4", 17L)).toDF("k", "mult")
+    assert(summarize(Skew.hotKeyIsolatedJoin(bimodal, bibuild, "k", maxHotKeys = 1)) ===
+      summarize(bimodal.join(bibuild, "k")))
   }
 
   test("AQE skew-join split fires on a hot partition and stays answer-invisible") {

@@ -32,6 +32,25 @@ class TransitionStreamSpec extends SparkSpec {
     assert(t2.map(t => (t.from_type, t.to_type)) === Seq(("y", "z")))
   }
 
+  test("transitionStep: a LATE event merges by (ts, id) instead of reversing the chain") {
+    import graft.streaming.LastEvent
+    // carried state at ts=400; the next batch delivers ts=300 (late) and
+    // ts=500. The old prepend emitted the reversed pair d→c and carried
+    // whatever the batch's max was; the merge orders the chain
+    // c(300) → d(400,state) → e(500): locally-ordered transitions and a
+    // monotone carried timestamp.
+    val (t, last) = transitionStep(1L, Seq(
+      SessEvent(1L, 7L, 500L, "e"), SessEvent(1L, 6L, 300L, "c")),
+      Some(LastEvent(400L, 5L, "d")))
+    assert(t.map(x => (x.from_type, x.to_type)) === Seq(("c", "d"), ("d", "e")))
+    assert(last === LastEvent(500L, 7L, "e"))
+    // an ONLY-late batch must not regress the carried state
+    val (t2, last2) = transitionStep(1L, Seq(SessEvent(1L, 8L, 100L, "b")),
+      Some(LastEvent(400L, 5L, "d")))
+    assert(t2.map(x => (x.from_type, x.to_type)) === Seq(("b", "d")))
+    assert(last2 === LastEvent(400L, 5L, "d"))
+  }
+
   test("multi-batch stream: state carries across batches, matrix == batch answer") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft-trans").toString
