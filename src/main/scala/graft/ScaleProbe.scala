@@ -276,7 +276,15 @@ object ScaleProbe {
       // two-interval-filter user join — ~scan
       "z04_partition_pruning", "v05_snapshot_diff",
       // probe-filtered bucket join: per-ingest work O(batch × bucket)
-      "e13_incremental_embedding_dedup")
+      "e13_incremental_embedding_dedup",
+      // round 8: integer-surprisal scoring (t14's shape — token-linear),
+      // the split-leakage audit (d03's pair gen + two id-keyed label
+      // joins), deletion propagation (one token scan + t11's window +
+      // a deleted-docs-bounded explode), TTL dedup (state O(keys ×
+      // in-flight windows)), kNN label propagation (e04b's candidate
+      // machinery + a vote agg), and the single-scan p05 rewrite
+      "t25_surprisal_score", "p06_split_leakage", "v06_delete_propagation",
+      "s22_stream_dedup_ttl", "e14_knn_label_propagation", "p05_dedup_report")
       // local iteration only: probe just a subset by name prefix
       .filter(n => sys.env.get("SPARK_GRAFT_ONLY")
         .forall(_.split(",").exists(n.startsWith)))

@@ -76,8 +76,19 @@ object Similarity {
     * count), in exchange for a geometry that cannot silently go
     * quadratic when the corpus grows past the tuning point — the
     * r7 64× saturation probe made that failure concrete.
+    *
+    * Why target 32: it is the MEASURED occupancy of the tuned floor
+    * geometry (sf0.1's corpus over 2^6 buckets ≈ 31 members/bucket,
+    * median 30 by census) — i.e. the occupancy the recall pins are
+    * measured at. Deriving bits to PRESERVE that occupancy keeps
+    * per-bucket join work (≈ occupancy² per bucket) constant as N
+    * grows, so total candidate volume grows ∝ N — the first retune
+    * (target 1000) kept the derivation sub-quadratic but let
+    * occupancy grow 30 → 1000, a 1000× constant on every downstream
+    * join, which turned the 64× probe into a disk-filling (if linear)
+    * monster. Occupancy is the knob the derivation must hold fixed.
     */
-  private[operators] val LshTargetBucket = 1000L
+  private[operators] val LshTargetBucket = 32L
   private[operators] val LshMinBits = 6
   private[operators] val LshMaxBits = 24
   private[operators] def derivedLshBits(n: Long): Int = {
@@ -270,13 +281,39 @@ object Similarity {
     // candidate pipeline is restated in the DuckDB oracle (hash-exact).
     "e04b_embedding_nn_dedup_lsh" -> ((s, dir) => {
       val e = Tables.embeddings(s, dir)
+      // ALL-CORPUS NN inverts the fetch-joins-after trade the
+      // probe-bounded variants (e13/e14) rightly keep: with every
+      // vector a probe, the candidate stream is ~(occupancy × N) rows,
+      // so fetching embeddings BY PAIR KEY duplicates each embedding
+      // ~2·pairs/N times (measured 2300× at the 64× corpus — an 80 GB
+      // sort-spill that filled the disk), while carrying the embedding
+      // THROUGH the bucket join duplicates it exactly `tables` (48×)
+      // times through one small exchange (1.7 GB at the same corpus).
+      // The cosine is computed inside the join output and immediately
+      // hash-aggregated — the candidate stream itself never
+      // materializes or shuffles.
+      val ex = e
+        .withColumn("buckets",
+          hyperplane_lsh_multi(col("embedding"), derivedLshBits(e.count()), 48, 64, seed = 7L))
+        .select(col("vec_id"), col("embedding"), posexplode(col("buckets")).as(Seq("tbl", "bucket")))
+      val ok = ex.groupBy("tbl", "bucket").agg(count(lit(1)).as("bsz"))
+        .filter(col("bsz") <= 10000L).select("tbl", "bucket")
+      val bounded = ex.join(ok, Seq("tbl", "bucket"))
       // top-1 as a lexicographic struct-max, NOT a row_number window: a
       // hash aggregate reduces map-side (one candidate per vid survives
       // each task), where the window would sort-shuffle the full
       // candidate set — the difference between shuffling |vids| rows and
       // |candidates| rows. (-nid) makes the tie-break nid-ascending,
-      // identical to e04's ordering.
-      scoreCandidates(e, lshCandidatePairs(e, dedup = false))
+      // identical to e04's ordering. A pair found by several tables is
+      // re-scored, never re-counted — max-of-equal-structs, so the
+      // skipped pair-dedup shuffle (the biggest intermediate) is free.
+      bounded.select(col("vec_id").as("vid"), col("embedding").as("emb_a"),
+          col("tbl"), col("bucket"))
+        .join(bounded.select(col("vec_id").as("nid"), col("embedding").as("emb_b"),
+          col("tbl"), col("bucket")), Seq("tbl", "bucket"))
+        .filter(col("vid") =!= col("nid"))
+        .select(col("vid"), col("nid"),
+          cosine_similarity(col("emb_a"), col("emb_b")).as("cos_sim"))
         .groupBy("vid")
         .agg(max(struct(col("cos_sim"), (-col("nid")).as("neg_nid"))).as("best"))
         .select(col("vid"), (-col("best.neg_nid")).as("nn_id"),
@@ -375,8 +412,29 @@ object Similarity {
     // candidate pipeline is deterministic and fully restated).
     "e01b_cosine_pairs_topk_lsh" -> ((s, dir) => {
       val e = Tables.embeddings(s, dir)
-      scoreCandidates(e, lshCandidatePairs(e).filter(col("vid") < col("nid")))
-        .select(col("vid").as("id_a"), col("nid").as("id_b"), col("cos_sim"))
+      // e04b's all-corpus carry-through shape (see its scaladoc for the
+      // measured trade): embeddings ride the bucket join once (48×
+      // duplication, one small exchange), the cosine is computed in the
+      // join output, and the pair-dedup happens on SCORED pairs — a
+      // (vid, nid)-keyed agg of 24-byte rows (max of equal values) in
+      // place of an id-distinct followed by two embedding fetch joins
+      // whose sort carried the wide arrays (measured 221 s → see
+      // SCALING.md r8 row). TakeOrdered keeps the global top-100.
+      val ex = e
+        .withColumn("buckets",
+          hyperplane_lsh_multi(col("embedding"), derivedLshBits(e.count()), 48, 64, seed = 7L))
+        .select(col("vec_id"), col("embedding"), posexplode(col("buckets")).as(Seq("tbl", "bucket")))
+      val ok = ex.groupBy("tbl", "bucket").agg(count(lit(1)).as("bsz"))
+        .filter(col("bsz") <= 10000L).select("tbl", "bucket")
+      val bounded = ex.join(ok, Seq("tbl", "bucket"))
+      bounded.select(col("vec_id").as("id_a"), col("embedding").as("emb_a"),
+          col("tbl"), col("bucket"))
+        .join(bounded.select(col("vec_id").as("id_b"), col("embedding").as("emb_b"),
+          col("tbl"), col("bucket")), Seq("tbl", "bucket"))
+        .filter(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"),
+          cosine_similarity(col("emb_a"), col("emb_b")).as("cos_sim"))
+        .groupBy("id_a", "id_b").agg(max(col("cos_sim")).as("cos_sim"))
         .orderBy(col("cos_sim").desc, col("id_a").asc, col("id_b").asc)
         .limit(100)
     }),

@@ -128,22 +128,26 @@ class SimilaritySpec extends SparkSpec {
   }
 
   test("derivedLshBits: floor at small N, grows with log2(N/target), capped") {
-    // floor: anything at or under 2^6 * 1000 stays at the tuned 6 bits
-    // (the sf0.01/sf0.1 corpora — so the recall pins measure the same
-    // geometry the oracles restate)
+    // floor: anything at or under 2^6 * 32 = 2048 stays at the tuned 6
+    // bits — which covers BOTH gate corpora (sf0.01: 500 vectors,
+    // sf0.1: 2000), so every green oracle row and both recall pins
+    // measure the same geometry the oracles restate
     assert(Similarity.derivedLshBits(1L) === 6)
-    assert(Similarity.derivedLshBits(5000L) === 6)
-    assert(Similarity.derivedLshBits(50000L) === 6)
-    assert(Similarity.derivedLshBits(64000L) === 6) // exact boundary: 2^6*1000
+    assert(Similarity.derivedLshBits(500L) === 6)
+    assert(Similarity.derivedLshBits(2000L) === 6)
+    assert(Similarity.derivedLshBits(2048L) === 6) // exact boundary: 2^6*32
     // first crossing: one more vector needs one more bit
-    assert(Similarity.derivedLshBits(64001L) === 7)
-    assert(Similarity.derivedLshBits(100000L) === 7) // the 20x cross-check corpus
-    // the r7 saturation case: 64x sf0.1 = 3.2M vectors. Fixed 6 bits put
-    // ~5k vectors in every bucket (quadratic, killed); derived geometry
-    // gives 2^12 = 4096 buckets/table -> ~780/bucket, linear again
-    assert(Similarity.derivedLshBits(3200000L) === 12)
+    assert(Similarity.derivedLshBits(2049L) === 7)
+    // the 20x cross-check corpus (10k vectors): three bit-boundaries
+    // past the floor — occupancy back at ~20/bucket
+    assert(Similarity.derivedLshBits(10000L) === 9)
+    // the 64x saturation case (128k vectors): fixed 6 bits put ~2k in
+    // every bucket (quadratic, killed in r7); derived 12 bits restores
+    // the tuned ~31/bucket occupancy — pair mass grows ~linearly
+    assert(Similarity.derivedLshBits(128000L) === 12)
     // cap: the derivation never exceeds LshMaxBits (bucket ids stay
-    // well inside a long; 2^24 buckets x 1000 target = 16.7B vectors)
+    // well inside a long; 2^24 buckets x 32 target = 537M vectors
+    // per... shard of a sharded index — past that, partition the corpus)
     assert(Similarity.derivedLshBits(Long.MaxValue) === Similarity.LshMaxBits)
   }
 
