@@ -284,7 +284,10 @@ object ScaleProbe {
       // in-flight windows)), kNN label propagation (e04b's candidate
       // machinery + a vote agg), and the single-scan p05 rewrite
       "t25_surprisal_score", "p06_split_leakage", "v06_delete_propagation",
-      "s22_stream_dedup_ttl", "e14_knn_label_propagation", "p05_dedup_report")
+      "s22_stream_dedup_ttl", "e14_knn_label_propagation", "p05_dedup_report",
+      // round 8, second batch: the peel profile (per-round work ∝ the
+      // shrinking survivor set) and the manifest-sized depth audit
+      "g05_kcore", "z05_overlap_depth")
       // local iteration only: probe just a subset by name prefix
       .filter(n => sys.env.get("SPARK_GRAFT_ONLY")
         .forall(_.split(",").exists(n.startsWith)))

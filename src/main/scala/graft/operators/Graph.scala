@@ -243,6 +243,77 @@ object Graph {
     }
   }
 
+  /** g05: the peel-round count. Fixed (not a cap): BOTH engines run
+    * exactly this many peel layers, so the emitted profiles align
+    * row-for-row — converged rounds are explicit no-op rows (0 removed),
+    * never silently elided. 12 covers the measured cascade depth (the
+    * fixture's collapse completes in ≤ 8 rounds at every SF) with slack.
+    */
+  val MaxPeelRounds = 12
+
+  /** g05 core: the k-core PEEL CASCADE PROFILE at k = ⌊2|E|∕|V|⌋ + 1
+    * (one above mean degree, derived from the data in integer
+    * arithmetic — the LSH-bits discipline). Each round drops every
+    * vertex whose degree among survivors is < k and reports what the
+    * round did: removed count, surviving vertices/edges. The profile is
+    * the graph-curation AUDIT: on a graph with a dense backbone it
+    * converges onto the backbone; on a near-regular graph (this
+    * fixture — degree census min 38, median ~118 at sf0.1) removing the
+    * below-mean tail cascades to a TOTAL collapse in ~3 rounds, and the
+    * profile shows exactly that, which is the finding (no community
+    * core exists to extract). Per-round work ∝ the shrinking survivor
+    * set; the per-round driver traffic is 3 audit scalars (this is a
+    * summary operator — its whole OUTPUT is ~12 rows of scalars), and
+    * after convergence the remaining no-op rows are synthesized without
+    * jobs.
+    */
+  private[operators] def kCorePeel(e: DataFrame,
+                                   rounds: Int = MaxPeelRounds): DataFrame = {
+    val spark = e.sparkSession
+    import spark.implicits._
+    var alive = graft.Materialize(e.select("u", "v"))
+    val first = alive
+    var prev: DataFrame = null
+    def vCount(df: DataFrame): Long =
+      df.select(col("u").as("x")).unionAll(df.select(col("v").as("x")))
+        .distinct().count()
+    try {
+      val e0 = alive.count()
+      val v0 = vCount(alive)
+      val k = 2L * e0 / v0 + 1L
+      var nV = v0; var nE = e0
+      var converged = false
+      val profile = (1 to rounds).map { r =>
+        if (converged) (r.toLong, k, 0L, nV, nE)
+        else {
+          val deg = alive.select(col("u").as("x")).unionAll(alive.select(col("v").as("x")))
+            .groupBy("x").agg(count(lit(1)).as("deg"))
+          val weak = deg.filter(col("deg") < k).select("x")
+          val nWeak = weak.count()
+          if (nWeak == 0L) { converged = true; (r.toLong, k, 0L, nV, nE) }
+          else {
+            val next = graft.Materialize(alive
+              .join(weak.withColumnRenamed("x", "u"), Seq("u"), "left_anti")
+              .join(weak.withColumnRenamed("x", "v"), Seq("v"), "left_anti")
+              .select("u", "v"))
+            if (prev != null && !(prev eq first)) prev.unpersist()
+            prev = alive
+            alive = next
+            nE = next.count()
+            nV = vCount(next)
+            (r.toLong, k, nWeak, nV, nE)
+          }
+        }
+      }
+      profile.toDF("round", "k", "n_removed", "n_vertices", "n_edges")
+        .orderBy("round")
+    } finally {
+      alive.unpersist()
+      if (prev != null) prev.unpersist()
+      first.unpersist()
+    }
+  }
+
   /** g04 core: per-edge neighborhood Jaccard — link-strength scoring (how
     * substitutable are two co-purchased parts). |N(u)∩N(v)| for an edge is
     * exactly the number of triangles through it, so the common-neighbor
@@ -325,7 +396,16 @@ object Graph {
     // score). Common neighbors per edge = triangles through it, computed
     // by materializing g01's oriented intersections (3 credit rows per
     // triangle); all counts exact longs, one division per edge.
-    "g04_edge_jaccard" -> ((s, dir) => edgeJaccard(partEdges(s, dir), 100))
+    "g04_edge_jaccard" -> ((s, dir) => edgeJaccard(partEdges(s, dir), 100)),
+
+    // K-CORE PEEL PROFILE — the density-filter audit of graph curation:
+    // peel vertices below k = mean-degree+1 (data-derived, integer
+    // exact) round by round and report each round's removals and the
+    // surviving graph size. The standard "dense backbone" extraction
+    // (spam/fringe removal, community seeding) as iterative anti-join
+    // peeling; on this near-regular fixture the cascade collapses the
+    // graph — and the profile SHOWS it, which is the audit's job.
+    "g05_kcore" -> ((s, dir) => kCorePeel(partEdges(s, dir)))
   )
 
   def oracles: Map[String, String] = Map(
@@ -437,6 +517,50 @@ object Graph {
         |JOIN deg du ON du.x = e.u
         |JOIN deg dv ON dv.x = e.v
         |ORDER BY jaccard DESC, e.u ASC, e.v ASC
-        |LIMIT 100""".stripMargin
+        |LIMIT 100""".stripMargin,
+
+    // the peel unrolled to exactly MaxPeelRounds layers (generated, not
+    // hand-copied) — both engines run the SAME fixed round count, with
+    // converged rounds as explicit no-op rows, so the profiles align
+    // row-for-row. AS MATERIALIZED on every per-layer CTE: DuckDB
+    // inlines CTEs by default, and 12 layers each referencing the
+    // previous one several times would otherwise expand the plan tree
+    // exponentially (observed as a too-many-open-files blowup
+    // re-scanning lineitem per leaf).
+    "g05_kcore" -> {
+      val layers = (1 to MaxPeelRounds).map { i =>
+        s"""d$i AS MATERIALIZED (
+           |  SELECT x, COUNT(*) AS c
+           |  FROM (SELECT u AS x FROM e${i - 1} UNION ALL SELECT v FROM e${i - 1})
+           |  GROUP BY x
+           |), r$i AS MATERIALIZED (
+           |  SELECT x FROM d$i, kk WHERE c < kk.k
+           |), e$i AS MATERIALIZED (
+           |  SELECT u, v FROM e${i - 1}
+           |  WHERE u NOT IN (SELECT x FROM r$i) AND v NOT IN (SELECT x FROM r$i)
+           |), row$i AS MATERIALIZED (
+           |  SELECT CAST($i AS BIGINT) AS round, kk.k AS k,
+           |    (SELECT COUNT(*) FROM r$i) AS n_removed,
+           |    (SELECT COUNT(DISTINCT x)
+           |     FROM (SELECT u AS x FROM e$i UNION ALL SELECT v FROM e$i)) AS n_vertices,
+           |    (SELECT COUNT(*) FROM e$i) AS n_edges
+           |  FROM kk
+           |)""".stripMargin
+      }.mkString(",\n")
+      val unionAll = (1 to MaxPeelRounds).map(i => s"SELECT * FROM row$i").mkString("\n|", "\n|UNION ALL ", "")
+      s"""WITH li AS (
+         |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+         |), e0 AS MATERIALIZED (
+         |  SELECT DISTINCT a.pk AS u, b.pk AS v
+         |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+         |), kk AS MATERIALIZED (
+         |  SELECT 2 * (SELECT COUNT(*) FROM e0)
+         |    // (SELECT COUNT(DISTINCT x)
+         |        FROM (SELECT u AS x FROM e0 UNION ALL SELECT v FROM e0)) + 1 AS k
+         |),
+         |$layers
+         |SELECT * FROM ($unionAll
+         |) ORDER BY round""".stripMargin
+    }
   )
 }

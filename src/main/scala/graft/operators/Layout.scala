@@ -177,6 +177,47 @@ object Layout {
           (col("rows_scanned").cast("double") / col("rows_total").cast("double"))
             .as("scan_fraction"))
         .orderBy("q")
+    }),
+
+    // CLUSTERING-DEPTH AUDIT — the metric a table service watches to
+    // decide WHEN to re-cluster (z01 decides how to sort, z05 measures
+    // how far the live layout has drifted from it): for each file,
+    // depth = how many files' [min,max] clustering-key ranges overlap
+    // its own (self included). A perfectly clustered table has depth 1
+    // everywhere; an arrival-ordered table has depth ≈ n_files (every
+    // file spans the whole key domain). Both layouts are modeled
+    // deterministically from the same rows — file-by-arrival =
+    // orderkey range-bucket, file-by-key = partkey range-bucket, 64
+    // files each — and the depth math runs on the MANIFEST (≤128 range
+    // rows), never the data: the same metadata-sized discipline as
+    // z02/z03/z04. All integers + one division ⇒ exact gate.
+    "z05_overlap_depth" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir).select("l_orderkey", "l_partkey")
+      val bounds = li.agg(min("l_orderkey").as("ok0"), max("l_orderkey").as("ok1"),
+        min("l_partkey").as("pk0"), max("l_partkey").as("pk1"))
+      val assigned = li.crossJoin(broadcast(bounds))
+        .select(
+          expr("(l_orderkey - ok0) * 64 div (ok1 - ok0 + 1)").as("file_arrival"),
+          expr("(l_partkey - pk0) * 64 div (pk1 - pk0 + 1)").as("file_sorted"),
+          col("l_partkey"))
+      def manifest(fileCol: String, tag: String) =
+        assigned.groupBy(col(fileCol).as("f"))
+          .agg(min("l_partkey").as("lo"), max("l_partkey").as("hi"))
+          .select(lit(tag).as("layout"), col("f"), col("lo"), col("hi"))
+      val m = manifest("file_arrival", "arrival")
+        .unionByName(manifest("file_sorted", "sorted"))
+      val depth = m.as("a").join(m.as("b"),
+          col("a.layout") === col("b.layout") &&
+            col("a.lo") <= col("b.hi") && col("a.hi") >= col("b.lo"))
+        .groupBy(col("a.layout").as("layout"), col("a.f").as("f"))
+        .agg(count(lit(1)).as("depth"))
+      depth.groupBy("layout")
+        .agg(count(lit(1)).as("n_files"),
+          sum("depth").as("total_overlaps"),
+          max("depth").as("max_depth"))
+        .select(col("layout"), col("n_files"), col("total_overlaps"), col("max_depth"),
+          (col("total_overlaps").cast("double") / col("n_files").cast("double")).as("avg_depth"))
+        .orderBy("layout")
     })
   )
 
@@ -200,6 +241,34 @@ object Layout {
   }
 
   def oracles: Map[String, String] = Map(
+    // the same range-bucket file models and the manifest-sized interval
+    // self-join, restated; SUM cast (dtype-strict rule)
+    "z05_overlap_depth" ->
+      """WITH b AS (
+        |  SELECT MIN(l_orderkey) AS ok0, MAX(l_orderkey) AS ok1,
+        |    MIN(l_partkey) AS pk0, MAX(l_partkey) AS pk1
+        |  FROM lineitem
+        |), a AS (
+        |  SELECT (l_orderkey - ok0) * 64 // (ok1 - ok0 + 1) AS fa,
+        |         (l_partkey - pk0) * 64 // (pk1 - pk0 + 1) AS fs,
+        |         l_partkey
+        |  FROM lineitem, b
+        |), m AS (
+        |  SELECT 'arrival' AS layout, fa AS f, MIN(l_partkey) AS lo, MAX(l_partkey) AS hi
+        |  FROM a GROUP BY fa
+        |  UNION ALL
+        |  SELECT 'sorted', fs, MIN(l_partkey), MAX(l_partkey) FROM a GROUP BY fs
+        |), d AS (
+        |  SELECT x.layout, x.f, COUNT(*) AS depth
+        |  FROM m x JOIN m y ON x.layout = y.layout AND x.lo <= y.hi AND x.hi >= y.lo
+        |  GROUP BY x.layout, x.f
+        |)
+        |SELECT layout, COUNT(*) AS n_files,
+        |  CAST(SUM(depth) AS BIGINT) AS total_overlaps,
+        |  MAX(depth) AS max_depth,
+        |  CAST(SUM(depth) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_depth
+        |FROM d GROUP BY layout ORDER BY layout""".stripMargin,
+
     "z02_compaction_plan" ->
       s"""WITH files AS (
          |  SELECT strftime(date_trunc('month', l_shipdate), '%Y-%m') AS ship_month,

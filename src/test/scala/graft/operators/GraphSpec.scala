@@ -92,6 +92,31 @@ class GraphSpec extends SparkSpec {
     assert(Graph.bfsLevels(lolli, maxRounds = 10).count() === 5)
   }
 
+  test("g05 closed form: K4 + pendant tail peels the tail, keeps the clique") {
+    // K4 on {1,2,3,4} + tail 4-5-6: V=6, E=8, mean deg 16/6 = 2.67 →
+    // k = 2 + 1 = 3. Round 1 removes {5 (deg 2), 6 (deg 1)}; the K4
+    // survives (all deg 3) and every later round is an explicit no-op
+    // row with the surviving counts carried forward.
+    val prof = Graph.kCorePeel(
+        edges((1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (4, 5), (5, 6)),
+        rounds = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(prof.toSeq === Seq(
+      (1L, 3L, 2L, 4L, 6L),
+      (2L, 3L, 0L, 4L, 6L),
+      (3L, 3L, 0L, 4L, 6L),
+      (4L, 3L, 0L, 4L, 6L)))
+  }
+
+  test("g05 closed form: a regular ring collapses entirely once k exceeds its degree") {
+    // C5 ring: every degree 2, mean 2 → k = 3 → round 1 removes ALL
+    // five vertices; later rounds are no-ops on the empty graph
+    val prof = Graph.kCorePeel(edges((1, 2), (2, 3), (3, 4), (4, 5), (5, 1)),
+        rounds = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(prof.toSeq === Seq((1L, 5L, 0L, 0L), (2L, 0L, 0L, 0L), (3L, 0L, 0L, 0L)))
+  }
+
   test("g04 closed forms: K4 edges all 0.5; triangle edges 1/3; path edge 0") {
     // K4: every edge has the other 2 vertices as common neighbors,
     // deg = 3 each → jacc = 2 / (3 + 3 − 2) = 0.5
