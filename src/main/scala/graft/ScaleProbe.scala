@@ -287,7 +287,10 @@ object ScaleProbe {
       "s22_stream_dedup_ttl", "e14_knn_label_propagation", "p05_dedup_report",
       // round 8, second batch: the peel profile (per-round work ∝ the
       // shrinking survivor set) and the manifest-sized depth audit
-      "g05_kcore", "z05_overlap_depth")
+      "g05_kcore", "z05_overlap_depth",
+      // round 8, third batch: recall eval (bounded brute force + e03),
+      // pretokenizer fertility (~scan), vacuum plan (one history pass)
+      "e15_ann_recall_eval", "t26_pretokenize", "v07_vacuum_plan")
       // local iteration only: probe just a subset by name prefix
       .filter(n => sys.env.get("SPARK_GRAFT_ONLY")
         .forall(_.split(",").exists(n.startsWith)))

@@ -1004,6 +1004,32 @@ object Relational {
     // Scale shape: one token-count scan + t11's within-source window;
     // the explode is bounded by deleted docs' sequence spans, never the
     // corpus; output is |sources| rows.
+    // RETENTION / VACUUM PLANNING — the table-maintenance sibling of
+    // v02's SCD-2 history: given a retention window (7 days before the
+    // v04 snapshot instant), report per state how many superseded
+    // versions are safely vacuumable (their validity ENDED before the
+    // cutoff — current versions are never candidates) and what fraction
+    // of the history that reclaims. The plan is manifest-shaped: one
+    // pass over the history frame, |states| output rows, all integers
+    // plus one division — the arithmetic a VACUUM/retention job runs
+    // before touching any file.
+    "v07_vacuum_plan" -> ((s, dir) => {
+      val hist = scd2History(Tables.events(s, dir)
+        .withColumn("ts_sec", col("ts").cast("long"))
+        .select(col("user_id"), col("event_id"), col("ts_sec"),
+          col("event_type"), col("value")))
+      val cutoff = SnapshotSec - 7L * 86400L
+      hist.groupBy("state")
+        .agg(count(lit(1)).as("n_versions"),
+          sum(when(col("valid_to").isNotNull && col("valid_to") < cutoff, 1L)
+            .otherwise(0L)).as("n_vacuumable"),
+          min("valid_from").as("earliest_from"))
+        .select(col("state"), col("n_versions"), col("n_vacuumable"), col("earliest_from"),
+          (col("n_vacuumable").cast("double") / col("n_versions").cast("double"))
+            .as("vacuum_frac"))
+        .orderBy("state")
+    }),
+
     "v06_delete_propagation" -> ((s, dir) => {
       import graft.functions.TextFunctions.tokenCountWs
       import graft.operators.TextAnalysis.{ChunkStride, SeqBudget}
@@ -1213,6 +1239,34 @@ object Relational {
          |FROM s1 FULL OUTER JOIN s2 USING (user_id)
          |GROUP BY 1
          |ORDER BY status""".stripMargin,
+
+    // v02/v05's history fragment + the retention predicate; counts
+    // BIGINT, one division
+    "v07_vacuum_plan" ->
+      s"""WITH ch AS (
+         |  SELECT user_id, event_id, event_type, "value",
+         |    CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS ts_sec
+         |  FROM events
+         |), v AS (
+         |  SELECT *, LEAD(ts_sec) OVER (
+         |    PARTITION BY user_id ORDER BY ts_sec, event_id) AS valid_to
+         |  FROM ch
+         |), hist AS (
+         |  SELECT user_id, event_type AS state, ts_sec AS valid_from, valid_to
+         |  FROM v WHERE event_type <> 'error'
+         |)
+         |SELECT state, COUNT(*) AS n_versions,
+         |  CAST(SUM(CASE WHEN valid_to IS NOT NULL
+         |                 AND valid_to < ${SnapshotSec - 7L * 86400L}
+         |            THEN 1 ELSE 0 END) AS BIGINT) AS n_vacuumable,
+         |  MIN(valid_from) AS earliest_from,
+         |  CAST(SUM(CASE WHEN valid_to IS NOT NULL
+         |                 AND valid_to < ${SnapshotSec - 7L * 86400L}
+         |            THEN 1 ELSE 0 END) AS DOUBLE)
+         |    / CAST(COUNT(*) AS DOUBLE) AS vacuum_frac
+         |FROM hist
+         |GROUP BY state
+         |ORDER BY state""".stripMargin,
 
     // t10's chunk count + t11's window/interval arithmetic restated
     // against the same mod-53 tombstone set; every SUM/COUNT cast to

@@ -439,6 +439,31 @@ object Similarity {
         .limit(100)
     }),
 
+    // ANN RECALL EVALUATION — index quality as a first-class operator:
+    // the recall@5 of the LSH index (e03) against the exact baseline
+    // (e02), per query vector. This is the evaluation harness every
+    // vector-index deployment runs before switching retrieval paths —
+    // here it is itself deterministic (both pipelines are) and sits
+    // under the hash gate, so a geometry change that silently costs
+    // recall FAILS correctness instead of shipping. Composes the two
+    // shipped pipelines; cost is e02's bounded brute force (10 probes)
+    // + e03.
+    "e15_ann_recall_eval" -> ((s, dir) => {
+      val exact = Similarity.queries("e02_ann_bruteforce")(s, dir)
+        .filter(col("rn") <= 5).select(col("qid"), col("nid"))
+      val approx = Similarity.queries("e03_ann_lsh")(s, dir)
+        .select(col("qid"), col("nid"))
+      val hits = exact.join(approx, Seq("qid", "nid"), "left_semi")
+        .groupBy("qid").agg(count(lit(1)).as("n_hits"))
+      exact.groupBy("qid").agg(count(lit(1)).as("n_exact"))
+        .join(hits, Seq("qid"), "left")
+        .select(col("qid"), col("n_exact"),
+          coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+          (coalesce(col("n_hits"), lit(0L)).cast("double")
+            / col("n_exact").cast("double")).as("recall_at_5"))
+        .orderBy("qid")
+    }),
+
     // per-label centroids (the IVF coarse quantizer / k-means building
     // block): one narrow posexplode (×dim), one hash agg on (label, dim).
     // Sum order is pinned by sorting each group's values by vec_id and
@@ -1003,6 +1028,38 @@ object Similarity {
          |FROM pick p JOIN embeddings e ON e.vec_id = p.qid
          |WHERE pr = 1
          |ORDER BY p.qid""".stripMargin,
+
+    // e02's top-5 and e03's pipeline, joined — recall arithmetic is
+    // integer counts + one division
+    "e15_ann_recall_eval" ->
+      s"""WITH ${duckLshCtes()}, ex AS (
+         |  SELECT qid, nid FROM (
+         |    SELECT q.vec_id AS qid, e.vec_id AS nid,
+         |      ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY ${duckCos("q", "e")} DESC, e.vec_id ASC) AS rn
+         |    FROM embeddings q JOIN embeddings e ON e.vec_id <> q.vec_id
+         |    WHERE q.vec_id < 10
+         |  ) WHERE rn <= 5
+         |), cand AS (
+         |  SELECT DISTINCT q.vec_id AS qid, s.vec_id AS nid
+         |  FROM sigs q JOIN sigs s ON s.tbl = q.tbl AND s.bucket = q.bucket AND s.vec_id <> q.vec_id
+         |  WHERE q.vec_id < 10
+         |), ap AS (
+         |  SELECT qid, nid FROM (
+         |    SELECT c.qid, c.nid,
+         |      ROW_NUMBER() OVER (PARTITION BY c.qid ORDER BY ${duckCos("a", "b")} DESC, c.nid ASC) AS rn
+         |    FROM cand c JOIN embeddings a ON a.vec_id = c.qid JOIN embeddings b ON b.vec_id = c.nid
+         |  ) WHERE rn <= 5
+         |), h AS (
+         |  SELECT e.qid, COUNT(*) AS n_hits
+         |  FROM ex e JOIN ap ON ap.qid = e.qid AND ap.nid = e.nid
+         |  GROUP BY e.qid
+         |)
+         |SELECT x.qid, COUNT(*) AS n_exact,
+         |  COALESCE(MAX(h.n_hits), 0) AS n_hits,
+         |  CAST(COALESCE(MAX(h.n_hits), 0) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS recall_at_5
+         |FROM ex x LEFT JOIN h ON h.qid = x.qid
+         |GROUP BY x.qid
+         |ORDER BY x.qid""".stripMargin,
 
     "e06_ivf_ann" ->
       s"""WITH $duckIvfCtes, cand AS (

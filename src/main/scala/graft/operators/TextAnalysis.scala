@@ -425,6 +425,30 @@ object TextAnalysis {
         .orderBy("doc_id")
     }),
 
+    // PRETOKENIZER FERTILITY — the token-economics audit run before a
+    // corpus goes to a trainer: segment with a BPE-style pretokenizer
+    // (letter runs / digit runs / single punctuation — the portable
+    // core of the GPT-2 pretokenize split) and report per-doc class
+    // counts plus FERTILITY (pretokens per whitespace word — the
+    // "how many tokens does this text really cost" multiplier that
+    // drives training-budget math). Pure per-row regex counting at
+    // scan speed; the three patterns are disjoint greedy character
+    // classes, so Java regex and RE2 segment identically.
+    "t26_pretokenize" -> ((s, dir) => {
+      val t = lower(col("text"))
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          size(regexp_extract_all(t, lit("[a-z]+"), lit(0))).cast("long").as("n_alpha"),
+          size(regexp_extract_all(t, lit("[0-9]+"), lit(0))).cast("long").as("n_num"),
+          size(regexp_extract_all(t, lit("[^a-z0-9 ]"), lit(0))).cast("long").as("n_punct"),
+          tokenCountWs(col("text")).as("n_ws"))
+        .withColumn("n_pre", col("n_alpha") + col("n_num") + col("n_punct"))
+        .withColumn("fertility",
+          when(col("n_ws") === 0, 0.0)
+            .otherwise(col("n_pre").cast("double") / col("n_ws").cast("double")))
+        .orderBy("doc_id")
+    }),
+
     "t14_rare_token_ratio" -> ((s, dir) => {
       val toks = Tables.documents(s, dir)
         .select(col("doc_id"),
@@ -1093,6 +1117,25 @@ object TextAnalysis {
         |FROM s JOIN ev USING (g)
         |WHERE s.doc_id % 97 <> 0
         |GROUP BY s.doc_id
+        |ORDER BY doc_id""".stripMargin,
+
+    // same three disjoint regex classes; counts BIGINT, one division
+    "t26_pretokenize" ->
+      """SELECT doc_id,
+        |  CAST(len(regexp_extract_all(lower(text), '[a-z]+')) AS BIGINT) AS n_alpha,
+        |  CAST(len(regexp_extract_all(lower(text), '[0-9]+')) AS BIGINT) AS n_num,
+        |  CAST(len(regexp_extract_all(lower(text), '[^a-z0-9 ]')) AS BIGINT) AS n_punct,
+        |  CAST(len(list_filter(string_split(lower(text), ' '), w -> len(w) > 0)) AS BIGINT) AS n_ws,
+        |  CAST(len(regexp_extract_all(lower(text), '[a-z]+'))
+        |     + len(regexp_extract_all(lower(text), '[0-9]+'))
+        |     + len(regexp_extract_all(lower(text), '[^a-z0-9 ]')) AS BIGINT) AS n_pre,
+        |  CASE WHEN len(list_filter(string_split(lower(text), ' '), w -> len(w) > 0)) = 0 THEN 0.0
+        |       ELSE CAST(len(regexp_extract_all(lower(text), '[a-z]+'))
+        |               + len(regexp_extract_all(lower(text), '[0-9]+'))
+        |               + len(regexp_extract_all(lower(text), '[^a-z0-9 ]')) AS DOUBLE)
+        |            / CAST(len(list_filter(string_split(lower(text), ' '), w -> len(w) > 0)) AS DOUBLE)
+        |  END AS fertility
+        |FROM documents
         |ORDER BY doc_id""".stripMargin,
 
     // bitlength-stated floor-log2 (see the query's scaladoc): exact
