@@ -290,7 +290,10 @@ object ScaleProbe {
       "g05_kcore", "z05_overlap_depth",
       // round 8, third batch: recall eval (bounded brute force + e03),
       // pretokenizer fertility (~scan), vacuum plan (one history pass)
-      "e15_ann_recall_eval", "t26_pretokenize", "v07_vacuum_plan")
+      "e15_ann_recall_eval", "t26_pretokenize", "v07_vacuum_plan",
+      // round 8 capstone: the five-gate disposition log (one scoring
+      // scan, banded near-dup, hash-keyed contamination)
+      "p07_release_manifest")
       // local iteration only: probe just a subset by name prefix
       .filter(n => sys.env.get("SPARK_GRAFT_ONLY")
         .forall(_.split(",").exists(n.startsWith)))

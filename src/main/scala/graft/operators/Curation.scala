@@ -190,6 +190,79 @@ object Curation {
     // shipped kernels — hashes shuffle, text never does; every input is
     // already individually oracle-proven, and the report re-states their
     // rules per source. All counts BIGINT; dup_frac is one division.
+    // RELEASE MANIFEST — the capstone disposition log: every document
+    // in the corpus gets ONE status with first-failing-gate semantics —
+    // eval_holdout (the t07 benchmark set, held out before anything
+    // else) → low_quality → wrong_lang → exact_dup (d02's keeper rule
+    // among gate survivors) → near_dup (p01's LSH rule among exact
+    // keepers) → contaminated (t07's 4-gram overlap vs the holdout) →
+    // kept, and keepers get their t06 split assignment. This is the
+    // audit table a dataset release ships alongside the data: every
+    // dropped doc's reason, every kept doc's split, reproducible
+    // bit-for-bit. Composes five proven kernels; the expensive text
+    // scoring runs once (materialized flags frame), the near-dup stage
+    // is the banded join, and the contamination side is hash-keyed —
+    // nothing quadratic anywhere.
+    "p07_release_manifest" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val norm = regexp_replace(lower(col("text")), "[^a-z0-9 ]", "")
+      val base = graft.Materialize(docs
+        .select(col("doc_id"), col("source"), col("text"),
+          (col("doc_id") % 97 === 0).as("is_eval"),
+          (qualityScore(col("text")) >= QualityMin).as("q_ok"),
+          (langId(col("text")) === "en").as("l_ok"),
+          xxhash64(norm).as("fp")))
+      val pool = base.filter(!col("is_eval") && col("q_ok") && col("l_ok"))
+      val exactKeep = pool.groupBy("fp").agg(min("doc_id").as("keep_id"))
+      val pooled = pool.join(exactKeep, "fp")
+        .select(col("doc_id"), (col("doc_id") =!= col("keep_id")).as("exact_loser"))
+      val exactKept = base.join(pooled.filter(!col("exact_loser"))
+        .select("doc_id"), Seq("doc_id"), "left_semi")
+      val sh = graft.Materialize(exactKept
+        .select(col("doc_id"), wordShingles(col("text"), 3).as("raw"))
+        .filter(size(col("raw")) > 0)
+        .select(col("doc_id"),
+          minhash_signature(col("raw"), Dedup.MinHashK).as("sig"),
+          sort_array(transform(col("raw"), g => xxhash64(g))).as("hsh")))
+      val cand = Dedup.minhashBandCandidates(sh.select(col("doc_id"), col("sig")))
+      val nearLosers = cand
+        .join(sh.select(col("doc_id").as("id_a"), col("hsh").as("sh_a")), "id_a")
+        .join(sh.select(col("doc_id").as("id_b"), col("hsh").as("sh_b")), "id_b")
+        .filter(jaccardSorted(col("sh_a"), col("sh_b")) >= Jac)
+        .select(col("id_b").as("doc_id")).distinct()
+        .withColumn("near_loser", lit(true))
+      val grams = base
+        .select(col("doc_id"), col("is_eval"),
+          explode(wordShingles(col("text"), 4)).as("g"))
+        .select(col("doc_id"), col("is_eval"), xxhash64(col("g")).as("h"))
+      val evalH = grams.filter(col("is_eval")).select("h").distinct()
+      val contam = grams.filter(!col("is_eval")).join(evalH, "h")
+        .select("doc_id").distinct().withColumn("contam", lit(true))
+      val bucket = pmod(xxhash64(col("doc_id")), lit(100))
+      base.select(col("doc_id"), col("source"), col("is_eval"), col("q_ok"), col("l_ok"))
+        .join(pooled, Seq("doc_id"), "left")
+        .join(nearLosers, Seq("doc_id"), "left")
+        .join(contam, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("source"),
+          col("is_eval"), col("q_ok"), col("l_ok"),
+          coalesce(col("exact_loser"), lit(false)).as("x_loser"),
+          coalesce(col("near_loser"), lit(false)).as("n_loser"),
+          coalesce(col("contam"), lit(false)).as("c_hit"))
+        .select(col("doc_id"), col("source"),
+          when(col("is_eval"), "eval_holdout")
+            .when(!col("q_ok"), "low_quality")
+            .when(!col("l_ok"), "wrong_lang")
+            .when(col("x_loser"), "exact_dup")
+            .when(col("n_loser"), "near_dup")
+            .when(col("c_hit"), "contaminated")
+            .otherwise("kept").as("status"),
+          when(!col("is_eval") && col("q_ok") && col("l_ok") &&
+              !col("x_loser") && !col("n_loser") && !col("c_hit"),
+            when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test"))
+            .as("split"))
+        .orderBy("doc_id")
+    }),
+
     // SPLIT LEAKAGE AUDIT — the check a training pipeline runs after
     // carving train/val/test: a near-duplicate PAIR that straddles the
     // split boundary leaks training signal into evaluation even though
@@ -526,6 +599,88 @@ object Curation {
     // d01/d02's keeper rules + d12's window mass, each restated over the
     // raw strings (the Spark side's hashes are shuffle economy only),
     // rolled up per source
+    // the five fragments (p01's quality/lang scoring, d02's normalized
+    // keeper groups, d03's full-pair near-dup SQL, t07's 4-gram overlap
+    // on raw strings, t06's DuckHash split) composed with the same
+    // first-failing-gate CASE chain
+    "p07_release_manifest" ->
+      s"""WITH ids AS (
+         |  SELECT doc_id, doc_id AS x FROM documents
+         |), ${DuckHash.xxhash64LongCtes("doc_id")}, sp AS (
+         |  SELECT doc_id,
+         |    CASE WHEN ((hv % 100) + 100) % 100 < 80 THEN 'train'
+         |         WHEN ((hv % 100) + 100) % 100 < 90 THEN 'val' ELSE 'test' END AS split
+         |  FROM hashed
+         |), t AS (
+         |  SELECT *, list_filter(string_split(lower(text), ' '), w -> len(w) > 0) AS toks
+         |  FROM documents
+         |), scored AS (
+         |  SELECT *,
+         |    $scoreExprs,
+         |    CASE WHEN len(toks) = 0 THEN 0.0 ELSE
+         |      len(list_filter(toks, w -> list_contains($stopList, w)))::DOUBLE / len(toks)::DOUBLE END AS stop_ratio,
+         |    CASE WHEN len(text) = 0 THEN 0.0 ELSE
+         |      len(regexp_extract_all(lower(text), '[^a-z0-9 ]'))::DOUBLE / len(text)::DOUBLE END AS p_ratio
+         |  FROM t
+         |), flags AS (
+         |  SELECT doc_id, source, text, toks,
+         |    doc_id % 97 = 0 AS is_eval,
+         |    least(len(text)::DOUBLE / 400.0, 1.0) * 0.4
+         |      + least(stop_ratio * 5.0, 1.0) * 0.3
+         |      + (1.0 - least(p_ratio * 10.0, 1.0)) * 0.3 >= $QualityMin AS q_ok,
+         |    ($langCase) = 'en' AS l_ok
+         |  FROM scored
+         |), pool AS (
+         |  SELECT * FROM flags WHERE NOT is_eval AND q_ok AND l_ok
+         |), ek AS (
+         |  SELECT regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g') AS nt,
+         |    MIN(doc_id) AS keep
+         |  FROM pool GROUP BY 1
+         |), pooled AS (
+         |  SELECT p.doc_id, p.doc_id <> ek.keep AS exact_loser
+         |  FROM pool p JOIN ek ON ek.nt = regexp_replace(lower(p.text), '[^a-z0-9 ]', '', 'g')
+         |), kept1 AS (
+         |  SELECT f.* FROM flags f JOIN pooled pl ON pl.doc_id = f.doc_id AND NOT pl.exact_loser
+         |), shl AS (
+         |  SELECT doc_id,
+         |    list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] for i in range(1, len(toks) - 1)]) AS sh
+         |  FROM kept1 WHERE len(toks) >= 3
+         |), losers AS (
+         |  SELECT DISTINCT b.doc_id
+         |  FROM shl a JOIN shl b ON a.doc_id < b.doc_id
+         |  WHERE len(a.sh) > 0 AND len(b.sh) > 0
+         |    AND len(list_intersect(a.sh, b.sh))::DOUBLE / len(list_distinct(list_concat(a.sh, b.sh)))::DOUBLE >= $Jac
+         |), g4 AS (
+         |  SELECT doc_id,
+         |    unnest(list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]
+         |            for i in range(1, len(toks) - 2)])) AS g
+         |  FROM flags WHERE len(toks) >= 4
+         |), ev AS (
+         |  SELECT DISTINCT g FROM g4 JOIN flags USING (doc_id) WHERE flags.is_eval
+         |), contam AS (
+         |  SELECT DISTINCT g4.doc_id
+         |  FROM g4 JOIN flags f ON f.doc_id = g4.doc_id JOIN ev USING (g)
+         |  WHERE NOT f.is_eval
+         |)
+         |SELECT f.doc_id, f.source,
+         |  CASE WHEN f.is_eval THEN 'eval_holdout'
+         |       WHEN NOT f.q_ok THEN 'low_quality'
+         |       WHEN NOT f.l_ok THEN 'wrong_lang'
+         |       WHEN COALESCE(pl.exact_loser, FALSE) THEN 'exact_dup'
+         |       WHEN lo.doc_id IS NOT NULL THEN 'near_dup'
+         |       WHEN ct.doc_id IS NOT NULL THEN 'contaminated'
+         |       ELSE 'kept' END AS status,
+         |  CASE WHEN NOT f.is_eval AND f.q_ok AND f.l_ok
+         |        AND NOT COALESCE(pl.exact_loser, FALSE)
+         |        AND lo.doc_id IS NULL AND ct.doc_id IS NULL
+         |       THEN sp.split END AS split
+         |FROM flags f
+         |LEFT JOIN pooled pl ON pl.doc_id = f.doc_id
+         |LEFT JOIN losers lo ON lo.doc_id = f.doc_id
+         |LEFT JOIN contam ct ON ct.doc_id = f.doc_id
+         |JOIN sp ON sp.doc_id = f.doc_id
+         |ORDER BY f.doc_id""".stripMargin,
+
     // t06's split restatement (DuckHash CTEs) ⋈ d03's full-pair-space
     // near-dup SQL — the oracle states the LEAKAGE ground truth over ALL
     // pairs, so it also re-certifies d03's recall-1-at-threshold claim
