@@ -203,65 +203,7 @@ object Curation {
     // scoring runs once (materialized flags frame), the near-dup stage
     // is the banded join, and the contamination side is hash-keyed —
     // nothing quadratic anywhere.
-    "p07_release_manifest" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir)
-      val norm = regexp_replace(lower(col("text")), "[^a-z0-9 ]", "")
-      val base = graft.Materialize(docs
-        .select(col("doc_id"), col("source"), col("text"),
-          (col("doc_id") % 97 === 0).as("is_eval"),
-          (qualityScore(col("text")) >= QualityMin).as("q_ok"),
-          (langId(col("text")) === "en").as("l_ok"),
-          xxhash64(norm).as("fp")))
-      val pool = base.filter(!col("is_eval") && col("q_ok") && col("l_ok"))
-      val exactKeep = pool.groupBy("fp").agg(min("doc_id").as("keep_id"))
-      val pooled = pool.join(exactKeep, "fp")
-        .select(col("doc_id"), (col("doc_id") =!= col("keep_id")).as("exact_loser"))
-      val exactKept = base.join(pooled.filter(!col("exact_loser"))
-        .select("doc_id"), Seq("doc_id"), "left_semi")
-      val sh = graft.Materialize(exactKept
-        .select(col("doc_id"), wordShingles(col("text"), 3).as("raw"))
-        .filter(size(col("raw")) > 0)
-        .select(col("doc_id"),
-          minhash_signature(col("raw"), Dedup.MinHashK).as("sig"),
-          sort_array(transform(col("raw"), g => xxhash64(g))).as("hsh")))
-      val cand = Dedup.minhashBandCandidates(sh.select(col("doc_id"), col("sig")))
-      val nearLosers = cand
-        .join(sh.select(col("doc_id").as("id_a"), col("hsh").as("sh_a")), "id_a")
-        .join(sh.select(col("doc_id").as("id_b"), col("hsh").as("sh_b")), "id_b")
-        .filter(jaccardSorted(col("sh_a"), col("sh_b")) >= Jac)
-        .select(col("id_b").as("doc_id")).distinct()
-        .withColumn("near_loser", lit(true))
-      val grams = base
-        .select(col("doc_id"), col("is_eval"),
-          explode(wordShingles(col("text"), 4)).as("g"))
-        .select(col("doc_id"), col("is_eval"), xxhash64(col("g")).as("h"))
-      val evalH = grams.filter(col("is_eval")).select("h").distinct()
-      val contam = grams.filter(!col("is_eval")).join(evalH, "h")
-        .select("doc_id").distinct().withColumn("contam", lit(true))
-      val bucket = pmod(xxhash64(col("doc_id")), lit(100))
-      base.select(col("doc_id"), col("source"), col("is_eval"), col("q_ok"), col("l_ok"))
-        .join(pooled, Seq("doc_id"), "left")
-        .join(nearLosers, Seq("doc_id"), "left")
-        .join(contam, Seq("doc_id"), "left")
-        .select(col("doc_id"), col("source"),
-          col("is_eval"), col("q_ok"), col("l_ok"),
-          coalesce(col("exact_loser"), lit(false)).as("x_loser"),
-          coalesce(col("near_loser"), lit(false)).as("n_loser"),
-          coalesce(col("contam"), lit(false)).as("c_hit"))
-        .select(col("doc_id"), col("source"),
-          when(col("is_eval"), "eval_holdout")
-            .when(!col("q_ok"), "low_quality")
-            .when(!col("l_ok"), "wrong_lang")
-            .when(col("x_loser"), "exact_dup")
-            .when(col("n_loser"), "near_dup")
-            .when(col("c_hit"), "contaminated")
-            .otherwise("kept").as("status"),
-          when(!col("is_eval") && col("q_ok") && col("l_ok") &&
-              !col("x_loser") && !col("n_loser") && !col("c_hit"),
-            when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test"))
-            .as("split"))
-        .orderBy("doc_id")
-    }),
+    "p07_release_manifest" -> ((s, dir) => releaseManifest(Tables.documents(s, dir))),
 
     // SPLIT LEAKAGE AUDIT — the check a training pipeline runs after
     // carving train/val/test: a near-duplicate PAIR that straddles the
@@ -343,6 +285,69 @@ object Curation {
         .orderBy("source")
     })
   )
+
+  /** p07 core over any (doc_id, source, text) frame — extracted so the
+    * gate PRECEDENCE (a doc failing several gates reports the FIRST;
+    * eval holdout outranks everything) is unit-testable on crafted
+    * docs. */
+  private[operators] def releaseManifest(docs: DataFrame): DataFrame = {
+      val norm = regexp_replace(lower(col("text")), "[^a-z0-9 ]", "")
+      val base = graft.Materialize(docs
+        .select(col("doc_id"), col("source"), col("text"),
+          (col("doc_id") % 97 === 0).as("is_eval"),
+          (qualityScore(col("text")) >= QualityMin).as("q_ok"),
+          (langId(col("text")) === "en").as("l_ok"),
+          xxhash64(norm).as("fp")))
+      val pool = base.filter(!col("is_eval") && col("q_ok") && col("l_ok"))
+      val exactKeep = pool.groupBy("fp").agg(min("doc_id").as("keep_id"))
+      val pooled = pool.join(exactKeep, "fp")
+        .select(col("doc_id"), (col("doc_id") =!= col("keep_id")).as("exact_loser"))
+      val exactKept = base.join(pooled.filter(!col("exact_loser"))
+        .select("doc_id"), Seq("doc_id"), "left_semi")
+      val sh = graft.Materialize(exactKept
+        .select(col("doc_id"), wordShingles(col("text"), 3).as("raw"))
+        .filter(size(col("raw")) > 0)
+        .select(col("doc_id"),
+          minhash_signature(col("raw"), Dedup.MinHashK).as("sig"),
+          sort_array(transform(col("raw"), g => xxhash64(g))).as("hsh")))
+      val cand = Dedup.minhashBandCandidates(sh.select(col("doc_id"), col("sig")))
+      val nearLosers = cand
+        .join(sh.select(col("doc_id").as("id_a"), col("hsh").as("sh_a")), "id_a")
+        .join(sh.select(col("doc_id").as("id_b"), col("hsh").as("sh_b")), "id_b")
+        .filter(jaccardSorted(col("sh_a"), col("sh_b")) >= Jac)
+        .select(col("id_b").as("doc_id")).distinct()
+        .withColumn("near_loser", lit(true))
+      val grams = base
+        .select(col("doc_id"), col("is_eval"),
+          explode(wordShingles(col("text"), 4)).as("g"))
+        .select(col("doc_id"), col("is_eval"), xxhash64(col("g")).as("h"))
+      val evalH = grams.filter(col("is_eval")).select("h").distinct()
+      val contam = grams.filter(!col("is_eval")).join(evalH, "h")
+        .select("doc_id").distinct().withColumn("contam", lit(true))
+      val bucket = pmod(xxhash64(col("doc_id")), lit(100))
+      base.select(col("doc_id"), col("source"), col("is_eval"), col("q_ok"), col("l_ok"))
+        .join(pooled, Seq("doc_id"), "left")
+        .join(nearLosers, Seq("doc_id"), "left")
+        .join(contam, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("source"),
+          col("is_eval"), col("q_ok"), col("l_ok"),
+          coalesce(col("exact_loser"), lit(false)).as("x_loser"),
+          coalesce(col("near_loser"), lit(false)).as("n_loser"),
+          coalesce(col("contam"), lit(false)).as("c_hit"))
+        .select(col("doc_id"), col("source"),
+          when(col("is_eval"), "eval_holdout")
+            .when(!col("q_ok"), "low_quality")
+            .when(!col("l_ok"), "wrong_lang")
+            .when(col("x_loser"), "exact_dup")
+            .when(col("n_loser"), "near_dup")
+            .when(col("c_hit"), "contaminated")
+            .otherwise("kept").as("status"),
+          when(!col("is_eval") && col("q_ok") && col("l_ok") &&
+              !col("x_loser") && !col("n_loser") && !col("c_hit"),
+            when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test"))
+            .as("split"))
+        .orderBy("doc_id")
+      }
 
   private[graft] val langCase: String = {
     val langs = TextFunctions.LangMarkers.map(_._1)

@@ -191,8 +191,33 @@ object Layout {
     // files each — and the depth math runs on the MANIFEST (≤128 range
     // rows), never the data: the same metadata-sized discipline as
     // z02/z03/z04. All integers + one division ⇒ exact gate.
-    "z05_overlap_depth" -> ((s, dir) => {
-      val li = Tables.lineitem(s, dir).select("l_orderkey", "l_partkey")
+    "z05_overlap_depth" -> ((s, dir) =>
+      overlapDepth(Tables.lineitem(s, dir).select("l_orderkey", "l_partkey")))
+  )
+
+  /** z01/z03 shared core: per-z-bucket zone maps (row count + min/max of
+    * both clustering keys) over the Morton-bucketed lineitem keys.
+    */
+  private def zoneMaps(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir).select("l_partkey", "l_suppkey")
+    val bounds = li.agg(
+      min("l_partkey").as("pk0"), max("l_partkey").as("pk1"),
+      min("l_suppkey").as("sk0"), max("l_suppkey").as("sk1"))
+    li.crossJoin(broadcast(bounds))
+      .withColumn("xb", expr("(l_partkey - pk0) * 65536 div (pk1 - pk0 + 1)"))
+      .withColumn("yb", expr("(l_suppkey - sk0) * 65536 div (sk1 - sk0 + 1)"))
+      .withColumn("zval", expr(zExpr("xb", "yb")))
+      .withColumn("bucket", expr(s"zval div $ZBucketDiv"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"),
+        min("l_partkey").as("min_pk"), max("l_partkey").as("max_pk"),
+        min("l_suppkey").as("min_sk"), max("l_suppkey").as("max_sk"))
+  }
+
+  /** z05 core over any (l_orderkey, l_partkey) frame — extracted so the
+    * layout extremes (perfectly clustered ⇒ depth ≈ 1; scattered ⇒
+    * depth ≈ n_files) are property-testable on crafted key mappings. */
+  private[operators] def overlapDepth(li: DataFrame): DataFrame = {
       val bounds = li.agg(min("l_orderkey").as("ok0"), max("l_orderkey").as("ok1"),
         min("l_partkey").as("pk0"), max("l_partkey").as("pk1"))
       val assigned = li.crossJoin(broadcast(bounds))
@@ -218,27 +243,7 @@ object Layout {
         .select(col("layout"), col("n_files"), col("total_overlaps"), col("max_depth"),
           (col("total_overlaps").cast("double") / col("n_files").cast("double")).as("avg_depth"))
         .orderBy("layout")
-    })
-  )
-
-  /** z01/z03 shared core: per-z-bucket zone maps (row count + min/max of
-    * both clustering keys) over the Morton-bucketed lineitem keys.
-    */
-  private def zoneMaps(s: SparkSession, dir: String): DataFrame = {
-    val li = Tables.lineitem(s, dir).select("l_partkey", "l_suppkey")
-    val bounds = li.agg(
-      min("l_partkey").as("pk0"), max("l_partkey").as("pk1"),
-      min("l_suppkey").as("sk0"), max("l_suppkey").as("sk1"))
-    li.crossJoin(broadcast(bounds))
-      .withColumn("xb", expr("(l_partkey - pk0) * 65536 div (pk1 - pk0 + 1)"))
-      .withColumn("yb", expr("(l_suppkey - sk0) * 65536 div (sk1 - sk0 + 1)"))
-      .withColumn("zval", expr(zExpr("xb", "yb")))
-      .withColumn("bucket", expr(s"zval div $ZBucketDiv"))
-      .groupBy("bucket")
-      .agg(count(lit(1)).as("n"),
-        min("l_partkey").as("min_pk"), max("l_partkey").as("max_pk"),
-        min("l_suppkey").as("min_sk"), max("l_suppkey").as("max_sk"))
-  }
+    }
 
   def oracles: Map[String, String] = Map(
     // the same range-bucket file models and the manifest-sized interval

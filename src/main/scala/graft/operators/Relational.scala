@@ -1030,44 +1030,50 @@ object Relational {
         .orderBy("state")
     }),
 
-    "v06_delete_propagation" -> ((s, dir) => {
-      import graft.functions.TextFunctions.tokenCountWs
-      import graft.operators.TextAnalysis.{ChunkStride, SeqBudget}
-      val del = col("doc_id") % 53 === 0
-      val docs = Tables.documents(s, dir)
-      val w = Window.partitionBy("source").orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val stream = docs.select(col("doc_id"), col("source"),
-          tokenCountWs(col("text")).as("n_tokens"), del.as("deleted"))
-        .filter(col("n_tokens") > 0)
-        .withColumn("cum", sum("n_tokens").over(w))
-      val seqTotals = stream.groupBy("source")
-        .agg(expr(s"(max(cum) - 1) div $SeqBudget + 1").as("n_seqs_total"))
-      val dirty = stream.filter(col("deleted"))
-        .select(col("source"),
-          explode(expr(s"sequence((cum - n_tokens) div $SeqBudget, (cum - 1) div $SeqBudget)")).as("seq"))
-        .groupBy("source").agg(countDistinct("seq").as("n_seqs_dirty"))
-      val chunks = docs.filter(del && length(col("text")) > 0)
-        .groupBy("source")
-        .agg(sum(expr(s"(length(text) - 1) div $ChunkStride + 1")).as("n_chunks_invalidated"))
-      val deleted = docs.filter(del).groupBy("source").agg(count(lit(1)).as("n_docs_deleted"))
-      docs.select("source").distinct()
-        .join(deleted, Seq("source"), "left")
-        .join(chunks, Seq("source"), "left")
-        .join(dirty, Seq("source"), "left")
-        .join(seqTotals, Seq("source"), "left")
-        .select(col("source"),
-          coalesce(col("n_docs_deleted"), lit(0L)).as("n_docs_deleted"),
-          coalesce(col("n_chunks_invalidated"), lit(0L)).as("n_chunks_invalidated"),
-          coalesce(col("n_seqs_dirty"), lit(0L)).as("n_seqs_dirty"),
-          coalesce(col("n_seqs_total"), lit(0L)).as("n_seqs_total"),
-          when(coalesce(col("n_seqs_total"), lit(0L)) === 0, 0.0)
-            .otherwise(coalesce(col("n_seqs_dirty"), lit(0L)).cast("double")
-              / col("n_seqs_total").cast("double"))
-            .as("dirty_frac"))
-        .orderBy("source")
-    })
+    "v06_delete_propagation" -> ((s, dir) => deletePropagation(Tables.documents(s, dir)))
   )
+
+  /** v06 core over any (doc_id, source, text) frame — extracted so the
+    * interval corners the fixture may not hit (a deleted doc sharing a
+    * sequence with its neighbor, a deletion-free source, a doc ending
+    * exactly on a sequence boundary) are unit-testable on crafted rows.
+    */
+  private[operators] def deletePropagation(docs: DataFrame): DataFrame = {
+    import graft.functions.TextFunctions.tokenCountWs
+    import graft.operators.TextAnalysis.{ChunkStride, SeqBudget}
+    val del = col("doc_id") % 53 === 0
+    val w = Window.partitionBy("source").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val stream = docs.select(col("doc_id"), col("source"),
+        tokenCountWs(col("text")).as("n_tokens"), del.as("deleted"))
+      .filter(col("n_tokens") > 0)
+      .withColumn("cum", sum("n_tokens").over(w))
+    val seqTotals = stream.groupBy("source")
+      .agg(expr(s"(max(cum) - 1) div $SeqBudget + 1").as("n_seqs_total"))
+    val dirty = stream.filter(col("deleted"))
+      .select(col("source"),
+        explode(expr(s"sequence((cum - n_tokens) div $SeqBudget, (cum - 1) div $SeqBudget)")).as("seq"))
+      .groupBy("source").agg(countDistinct("seq").as("n_seqs_dirty"))
+    val chunks = docs.filter(del && length(col("text")) > 0)
+      .groupBy("source")
+      .agg(sum(expr(s"(length(text) - 1) div $ChunkStride + 1")).as("n_chunks_invalidated"))
+    val deleted = docs.filter(del).groupBy("source").agg(count(lit(1)).as("n_docs_deleted"))
+    docs.select("source").distinct()
+      .join(deleted, Seq("source"), "left")
+      .join(chunks, Seq("source"), "left")
+      .join(dirty, Seq("source"), "left")
+      .join(seqTotals, Seq("source"), "left")
+      .select(col("source"),
+        coalesce(col("n_docs_deleted"), lit(0L)).as("n_docs_deleted"),
+        coalesce(col("n_chunks_invalidated"), lit(0L)).as("n_chunks_invalidated"),
+        coalesce(col("n_seqs_dirty"), lit(0L)).as("n_seqs_dirty"),
+        coalesce(col("n_seqs_total"), lit(0L)).as("n_seqs_total"),
+        when(coalesce(col("n_seqs_total"), lit(0L)) === 0, 0.0)
+          .otherwise(coalesce(col("n_seqs_dirty"), lit(0L)).cast("double")
+            / col("n_seqs_total").cast("double"))
+          .as("dirty_frac"))
+      .orderBy("source")
+  }
 
   /** v05 core over a v02-shaped history — extracted so every status leg
     * (added, removed via tombstone, changed, unchanged) is unit-testable

@@ -150,6 +150,44 @@ object Similarity {
     if (dedup) pairs.distinct() else pairs
   }
 
+  /** e14 core over any (vec_id, embedding, label) frame — extracted so
+    * the vote mechanics the fixture can't pin (an exact 2-2-1 vote tie
+    * breaking to the LOWEST label, a probe with < 5 candidates) are
+    * unit-testable on crafted vectors.
+    */
+  private[operators] def knnLabelPropagation(e: DataFrame): DataFrame = {
+    val ex = e
+      .withColumn("buckets",
+        hyperplane_lsh_multi(col("embedding"), derivedLshBits(e.count()), 48, 64, seed = 7L))
+      .select(col("vec_id"), posexplode(col("buckets")).as(Seq("tbl", "bucket")))
+    val bounded = ex.join(
+      ex.groupBy("tbl", "bucket").agg(count(lit(1)).as("bsz"))
+        .filter(col("bsz") <= 10000L).select("tbl", "bucket"),
+      Seq("tbl", "bucket"))
+    val probe = bounded.filter(col("vec_id") % 10 === 0)
+      .select(col("vec_id").as("qid"), col("tbl"), col("bucket"))
+    val index = bounded.filter(col("vec_id") % 10 =!= 0)
+      .select(col("vec_id").as("nid"), col("tbl"), col("bucket"))
+    val cands = probe.join(index, Seq("tbl", "bucket")).select("qid", "nid").distinct()
+    val scored = cands
+      .join(e.select(col("vec_id").as("qid"), col("embedding").as("qe")), "qid")
+      .join(e.select(col("vec_id").as("nid"), col("embedding").as("ne"),
+        col("label").as("nlab")), "nid")
+      .select(col("qid"), col("nid"), col("nlab"),
+        cosine_similarity(col("qe"), col("ne")).as("cos_sim"))
+    val w = Window.partitionBy("qid").orderBy(col("cos_sim").desc, col("nid").asc)
+    val votes = scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= 5)
+      .groupBy("qid", "nlab").agg(count(lit(1)).as("votes"))
+    val pick = votes.groupBy("qid")
+      .agg(max(struct(col("votes"), (-col("nlab")).as("neg"))).as("best"))
+      .select(col("qid"), col("best.votes").as("n_votes"),
+        (-col("best.neg")).cast("long").as("predicted_label"))
+    pick.join(e.select(col("vec_id").as("qid"), col("label").cast("long").as("true_label")), "qid")
+      .select(col("qid"), col("predicted_label"), col("true_label"), col("n_votes"),
+        (col("predicted_label") === col("true_label")).as("correct"))
+      .orderBy("qid")
+  }
+
   /** Exact cosine over candidate id-pairs: embeddings fetched by two
     * equi-joins (shuffles keyed on 8-byte ids — at scale both sides hash
     * co-partition; nothing quadratic).
@@ -370,39 +408,8 @@ object Similarity {
     // whole pipeline — including accuracy per vector — sits under the
     // hash gate. Scale shape: e04b's (banded candidate join + per-qid
     // top-k window over O(candidates), one vote agg on (qid, label)).
-    "e14_knn_label_propagation" -> ((s, dir) => {
-      val e = Tables.embeddings(s, dir)
-      val ex = e
-        .withColumn("buckets",
-          hyperplane_lsh_multi(col("embedding"), derivedLshBits(e.count()), 48, 64, seed = 7L))
-        .select(col("vec_id"), posexplode(col("buckets")).as(Seq("tbl", "bucket")))
-      val bounded = ex.join(
-        ex.groupBy("tbl", "bucket").agg(count(lit(1)).as("bsz"))
-          .filter(col("bsz") <= 10000L).select("tbl", "bucket"),
-        Seq("tbl", "bucket"))
-      val probe = bounded.filter(col("vec_id") % 10 === 0)
-        .select(col("vec_id").as("qid"), col("tbl"), col("bucket"))
-      val index = bounded.filter(col("vec_id") % 10 =!= 0)
-        .select(col("vec_id").as("nid"), col("tbl"), col("bucket"))
-      val cands = probe.join(index, Seq("tbl", "bucket")).select("qid", "nid").distinct()
-      val scored = cands
-        .join(e.select(col("vec_id").as("qid"), col("embedding").as("qe")), "qid")
-        .join(e.select(col("vec_id").as("nid"), col("embedding").as("ne"),
-          col("label").as("nlab")), "nid")
-        .select(col("qid"), col("nid"), col("nlab"),
-          cosine_similarity(col("qe"), col("ne")).as("cos_sim"))
-      val w = Window.partitionBy("qid").orderBy(col("cos_sim").desc, col("nid").asc)
-      val votes = scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= 5)
-        .groupBy("qid", "nlab").agg(count(lit(1)).as("votes"))
-      val pick = votes.groupBy("qid")
-        .agg(max(struct(col("votes"), (-col("nlab")).as("neg"))).as("best"))
-        .select(col("qid"), col("best.votes").as("n_votes"),
-          (-col("best.neg")).cast("long").as("predicted_label"))
-      pick.join(e.select(col("vec_id").as("qid"), col("label").cast("long").as("true_label")), "qid")
-        .select(col("qid"), col("predicted_label"), col("true_label"), col("n_votes"),
-          (col("predicted_label") === col("true_label")).as("correct"))
-        .orderBy("qid")
-    }),
+    "e14_knn_label_propagation" -> ((s, dir) =>
+      knnLabelPropagation(Tables.embeddings(s, dir))),
 
     // e01's output shape, banded: global top-100 most-similar pairs from
     // LSH candidates only (vid < nid halves the directed pair space).

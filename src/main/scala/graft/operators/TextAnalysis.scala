@@ -64,6 +64,30 @@ object TextAnalysis {
     * can drive the flag threshold with a crafted corpus (the fixture's
     * span frequencies are emergent, not controlled).
     */
+  /** t25 core over any (doc_id, text) frame — see the catalog entry for
+    * the bitlength-as-floor-log2 exactness argument.
+    */
+  private[operators] def surprisalScore(docs: DataFrame): DataFrame = {
+    val toks = docs
+      .select(col("doc_id"),
+        explode(filter(split(lower(col("text")), " "), w => length(w) > 0)).as("tok"))
+    val freq = toks.groupBy("tok").agg(count(lit(1)).as("cf"))
+    val tot = freq.agg(sum("cf").as("n"))
+      .select((length(bin(col("n"))) - 1).cast("long").as("nb"))
+    toks.join(freq, "tok")
+      .crossJoin(broadcast(tot))
+      .select(col("doc_id"),
+        (col("nb") - (length(bin(col("cf"))) - 1)).cast("long").as("bits"), col("nb"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"), sum("bits").as("sum_bits"), max("nb").as("nb"))
+      .select(col("doc_id"), col("n_tokens"), col("sum_bits"),
+        (col("sum_bits").cast("double") / col("n_tokens").cast("double")).as("mean_bits"),
+        // mean surprisal > 3/4 of the max possible bits ⟺ integer
+        // cross-multiplication — both engines decide identically
+        (col("sum_bits") * 4 > col("nb") * 3 * col("n_tokens")).as("is_rare_heavy"))
+      .orderBy("doc_id")
+  }
+
   private[operators] def boilerplateSpans(docs: DataFrame): DataFrame = {
     val d = docs.filter(size(col("w")) >= 2)
     val sp = d.select(col("doc_id"),
@@ -404,26 +428,7 @@ object TextAnalysis {
     // arithmetic on both sides. Same scale shape as t14: token-linear,
     // one vocabulary-keyed shuffle that map-side combines, and the
     // 1-row corpus total rides a broadcast.
-    "t25_surprisal_score" -> ((s, dir) => {
-      val toks = Tables.documents(s, dir)
-        .select(col("doc_id"),
-          explode(filter(split(lower(col("text")), " "), w => length(w) > 0)).as("tok"))
-      val freq = toks.groupBy("tok").agg(count(lit(1)).as("cf"))
-      val tot = freq.agg(sum("cf").as("n"))
-        .select((length(bin(col("n"))) - 1).cast("long").as("nb"))
-      toks.join(freq, "tok")
-        .crossJoin(broadcast(tot))
-        .select(col("doc_id"),
-          (col("nb") - (length(bin(col("cf"))) - 1)).cast("long").as("bits"), col("nb"))
-        .groupBy("doc_id")
-        .agg(count(lit(1)).as("n_tokens"), sum("bits").as("sum_bits"), max("nb").as("nb"))
-        .select(col("doc_id"), col("n_tokens"), col("sum_bits"),
-          (col("sum_bits").cast("double") / col("n_tokens").cast("double")).as("mean_bits"),
-          // mean surprisal > 3/4 of the max possible bits ⟺ integer
-          // cross-multiplication — both engines decide identically
-          (col("sum_bits") * 4 > col("nb") * 3 * col("n_tokens")).as("is_rare_heavy"))
-        .orderBy("doc_id")
-    }),
+    "t25_surprisal_score" -> ((s, dir) => surprisalScore(Tables.documents(s, dir))),
 
     // PRETOKENIZER FERTILITY — the token-economics audit run before a
     // corpus goes to a trainer: segment with a BPE-style pretokenizer

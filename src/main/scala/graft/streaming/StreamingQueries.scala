@@ -291,18 +291,8 @@ object StreamingQueries {
     // FIRST event as an order-free struct-min over (ts_sec, event_id),
     // plus how many duplicates the bucket absorbed.
     "s22_stream_dedup_ttl" -> ((s, dir) => {
-      val agg = eventsStream(s, dir)
-        .withWatermark("ts", "30 minutes")
-        .select(col("ts"), col("user_id"), col("event_type"),
-          col("event_id"), col("ts").cast("long").as("ts_sec"))
-        .groupBy(window(col("ts"), "1 hour").as("win"), col("user_id"), col("event_type"))
-        .agg(min(struct(col("ts_sec"), col("event_id"))).as("first"),
-          count(lit(1)).as("n_events"))
-        .select(date_format(col("win.start"), "yyyy-MM-dd HH:mm:ss").as("win_start"),
-          col("user_id"), col("event_type"),
-          col("first.event_id").as("first_event_id"),
-          (col("n_events") - 1).as("n_dups"))
-      runToTable(agg, OutputMode.Append(), statePartitions = Some(8))
+      runToTable(ttlDedupAgg(eventsStream(s, dir)), OutputMode.Append(),
+          statePartitions = Some(8))
         .orderBy("win_start", "user_id", "event_type")
     }),
 
@@ -734,6 +724,26 @@ object StreamingQueries {
     * event, empty input) are unit-testable — the oracle gate only
     * exercises what the fixture contains.
     */
+  /** s22 core over any streaming frame with (ts: timestamp, user_id,
+    * event_type, event_id): the watermarked window-keyed dedup agg.
+    * Exposed so TtlDedupStreamSpec can drive it over a crafted
+    * multi-batch input and pin the part the oracle can't — that the
+    * watermark actually EVICTS a finalized bucket's state, so a
+    * later-batch duplicate beyond the lateness bound is dropped
+    * instead of resurrecting the bucket.
+    */
+  private[streaming] def ttlDedupAgg(src: DataFrame): DataFrame = src
+    .withWatermark("ts", "30 minutes")
+    .select(col("ts"), col("user_id"), col("event_type"),
+      col("event_id"), col("ts").cast("long").as("ts_sec"))
+    .groupBy(window(col("ts"), "1 hour").as("win"), col("user_id"), col("event_type"))
+    .agg(min(struct(col("ts_sec"), col("event_id"))).as("first"),
+      count(lit(1)).as("n_events"))
+    .select(date_format(col("win.start"), "yyyy-MM-dd HH:mm:ss").as("win_start"),
+      col("user_id"), col("event_type"),
+      col("first.event_id").as("first_event_id"),
+      (col("n_events") - 1).as("n_dups"))
+
   /** s21 streaming core: typed SessEvent stream → one Transition row per
     * consecutive per-user pair, with the last event carried in GroupState
     * across micro-batches. Exposed so TransitionStreamSpec can drive it

@@ -65,4 +65,37 @@ class CurationSpec extends SparkSpec {
       if (nWin > 0) assert(frac === nDup.toDouble / nWin.toDouble)
     }
   }
+
+  test("p07 precedence: each doc reports its FIRST failing gate; eval outranks all") {
+    import spark.implicits._
+    // S passes quality (480 chars, stopword-rich, no punctuation) and
+    // lang ('the'/'and'/'over' markers); doc 97 is the eval holdout AND
+    // would fail quality -- eval_holdout must win. Docs 1/2 are
+    // near-dups sharing an eval 4-gram: 2 (larger id) must report
+    // near_dup, NOT contaminated -- the precedence pin. Doc 5 is an
+    // exact copy of 1 -> exact_dup. Doc 4 is clean English -> kept,
+    // with a split assigned. Doc 3 is junk -> low_quality.
+    val S = Seq.fill(10)("the quick brown fox jumps over the lazy dog and").mkString(" ")
+    // en markers only (the/a/fast/slow/small), none of the other
+    // languages' marker words ("and" is a de marker in this fixture!)
+    val T = Seq.fill(8)("the small house sits near the slow river on a fast path to it").mkString(" ")
+    val docs = Seq(
+      (1L, "sA", S),
+      (2L, "sA", S + " extra"),
+      (3L, "sB", "zz qq"),
+      (4L, "sB", T),
+      (5L, "sA", S),
+      (97L, "sE", "the quick brown fox")
+    ).toDF("doc_id", "source", "text")
+    val got = Curation.releaseManifest(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getString(2), Option(r.getString(3))))).toMap
+    assert(got(97L)._1 === "eval_holdout", "holdout outranks every other gate")
+    assert(got(3L)._1 === "low_quality")
+    assert(got(5L)._1 === "exact_dup", "exact copy of doc 1 loses to the keeper")
+    assert(got(2L)._1 === "near_dup", "near-dup outranks the contamination it also has")
+    assert(got(1L)._1 === "contaminated", "the surviving twin still carries the eval 4-gram")
+    assert(got(4L)._1 === "kept" && Set("train", "val", "test")(got(4L)._2.get))
+    assert(got.filter(_._2._1 != "kept").forall(_._2._2.isEmpty),
+      "only kept docs get a split")
+  }
 }

@@ -115,4 +115,25 @@ class LayoutSpec extends SparkSpec {
     assert(rows.exists(r => r.getLong(3) > r.getLong(4)),
       "no probe shows scanned > matching — the edge-cost claim is untested")
   }
+
+  test("z05 layout extremes: clustered keys depth ~1, scattered keys depth ~n_files") {
+    import spark.implicits._
+    // clustered: partkey == orderkey -> both range-bucket layouts give
+    // 64 disjoint [lo,hi] ranges -> every file's depth is exactly 1
+    val clustered = (1L to 6400L).map(i => (i, i)).toDF("l_orderkey", "l_partkey")
+    val c = Layout.overlapDepth(clustered).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(c("arrival") === ((64L, 64L, 1L, 1.0)), "disjoint ranges -> depth 1 everywhere")
+    assert(c("sorted") === ((64L, 64L, 1L, 1.0)))
+    // scattered: a multiplicative shuffle makes every arrival file span
+    // ~the whole key domain -> all-overlap (depth = n_files); the
+    // key-sorted layout of the SAME rows stays near depth 1
+    val scattered = (1L to 6400L).map(i => (i, (i * 37L) % 6400L + 1L))
+      .toDF("l_orderkey", "l_partkey")
+    val sc = Layout.overlapDepth(scattered).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(3), r.getDouble(4)))).toMap
+    assert(sc("arrival")._2 === 64L && sc("arrival")._3 >= 32.0,
+      "scattered arrival layout must show deep overlap")
+    assert(sc("sorted")._3 <= 3.0, "re-clustering the same rows restores shallow depth")
+  }
 }

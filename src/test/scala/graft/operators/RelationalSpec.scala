@@ -152,4 +152,29 @@ class RelationalSpec extends SparkSpec {
     assert(got("B") === ((3L, 7.0, 2L)), "mixed month recomputes over base ∪ delta")
     assert(got("D") === ((2L, 12.0, 1L)), "untouched distinct-count passes through")
   }
+
+  test("v06 closed forms: shared-sequence dirty, boundary doc, deletion-free source") {
+    import spark.implicits._
+    // SeqBudget = 512, ChunkStride = 150 (TextAnalysis constants).
+    // A: deleted doc 0 (100 tokens, 199 chars) + doc 1 (500 tokens):
+    //    stream cums 100/600 -> totals (599//512)+1 = 2; doc 0 covers
+    //    seq 0 only, SHARED with doc 1's head -> 1 dirty of 2;
+    //    chunks (198//150)+1 = 2.
+    // B: one 10-token doc, nothing deleted -> all zeros, 1 sequence.
+    // C: deleted doc 53 with EXACTLY 512 tokens then doc 54 with 512:
+    //    doc 53 covers seq 0 exactly (511//512 = 0 - the boundary doc
+    //    must NOT bleed into seq 1); chunks (1022//150)+1 = 7.
+    def words(n: Int): String = Seq.fill(n)("w").mkString(" ")
+    val docs = Seq(
+      (0L, "A", words(100)), (1L, "A", words(500)),
+      (2L, "B", words(10)),
+      (53L, "C", words(512)), (54L, "C", words(512))
+    ).toDF("doc_id", "source", "text")
+    val got = Relational.deletePropagation(docs).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5))))
+      .toMap
+    assert(got("A") === ((1L, 2L, 1L, 2L, 0.5)))
+    assert(got("B") === ((0L, 0L, 0L, 1L, 0.0)))
+    assert(got("C") === ((1L, 7L, 1L, 2L, 0.5)))
+  }
 }

@@ -151,6 +151,37 @@ class SimilaritySpec extends SparkSpec {
     assert(Similarity.derivedLshBits(Long.MaxValue) === Similarity.LshMaxBits)
   }
 
+  test("e14 vote mechanics: a 2-2-1 tie breaks to the LOWEST label") {
+    import spark.implicits._
+    // identical vectors collide in every table, so probe 0's 5-NN is
+    // exactly ids 1..5 (cos ties break nid-ascending); labels 7,7,3,3,9
+    // vote 2-2-1 and the tie must go to label 3 (votes DESC, label ASC)
+    val v = Array.fill(64)(1.0f)
+    val e = Seq(
+      (0L, v, 3), (1L, v, 7), (2L, v, 7), (3L, v, 3), (4L, v, 3), (5L, v, 9))
+      .toDF("vec_id", "embedding", "label")
+    val got = Similarity.knnLabelPropagation(e).collect()
+    assert(got.length === 1)
+    val r = got(0)
+    assert(r.getLong(0) === 0L)
+    assert(r.getLong(1) === 3L, "tie must break to the lowest label")
+    assert(r.getLong(2) === 3L && r.getBoolean(4), "true label 3 -> correct")
+    assert(r.getLong(3) === 2L, "winner carries its own vote count")
+  }
+
+  test("e14 degrades to fewer-than-5 candidates and still votes") {
+    import spark.implicits._
+    val v = Array.fill(64)(0.5f)
+    val e = Seq((10L, v, 8), (11L, v, 8), (12L, v, 5))
+      .toDF("vec_id", "embedding", "label")
+    val got = Similarity.knnLabelPropagation(e).collect()
+    assert(got.length === 1)
+    val r = got(0)
+    assert(r.getLong(0) === 10L)
+    assert(r.getLong(1) === 5L, "1-1 vote tie -> lowest label")
+    assert(r.getLong(2) === 8L && !r.getBoolean(4))
+  }
+
   test("e04b/e01b plans contain no quadratic join (that's the point)") {
     for (q <- Seq("e04b_embedding_nn_dedup_lsh", "e01b_cosine_pairs_topk_lsh")) {
       val plan = Similarity.queries(q)(spark, sfDir).queryExecution.executedPlan.toString

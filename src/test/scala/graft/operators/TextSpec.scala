@@ -206,6 +206,23 @@ class TextSpec extends SparkSpec {
     assert(under === 0L, "CMS must never report less than the true count")
   }
 
+  test("t25 surprisal closed form: bit-lengths, mean, and the 3/4 rare-heavy gate") {
+    import spark.implicits._
+    // corpus: cf(a)=4, cf(b)=cf(zzz)=cf(qqq)=1, N=7 → nb = bitlen(7)−1 = 2
+    // bits: a → 2−(bitlen(4)−1) = 0; singletons → 2−0 = 2
+    val docs = Seq(
+      (1L, "a a a"),   // sum 0, mean 0.0, 0·4 > 2·3·3 ? no
+      (2L, "a b"),     // sum 2, mean 1.0, 8 > 12 ? no
+      (3L, "zzz qqq")  // sum 4, mean 2.0, 16 > 12 ? YES — rare-heavy
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.surprisalScore(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getBoolean(4))))
+      .toMap
+    assert(got(1L) === ((3L, 0L, 0.0, false)))
+    assert(got(2L) === ((2L, 2L, 1.0, false)))
+    assert(got(3L) === ((2L, 4L, 2.0, true)))
+  }
+
   test("t23 surgery geometry: edge windows mask 4; overlapping hits merge; clean docs intact") {
     import spark.implicits._
     // eval docs (id % 97 == 0) carry the contaminated 4-grams
