@@ -150,7 +150,22 @@ object Graph {
     * probe reaches the driver per round. Rounds = eccentricity of the
     * root (small-world graphs: a handful at any scale).
     */
-  private[operators] def bfsLevels(e: DataFrame, maxRounds: Int = MaxBfsRounds): DataFrame = {
+  /** g03: vertex count at which bfsLevels switches the adjacency from a
+    * memory cache to the range-bucketed storage layout. The bucketed
+    * layout's pruning is the 100×-probe win (per-round IO ∝ frontier
+    * coverage, 593 → 31.5 s), but it pays a fixed write + per-round
+    * cold-read cost that a cache-resident adjacency doesn't — measured
+    * ~+5 s at sf0.1 (20 k vertices), where the whole adjacency fits in
+    * memory and pruning buys nothing. Below the threshold the cached
+    * frame wins by construction; above it, cache residency is no longer
+    * guaranteed and pruned reads win. Same decision rule a table
+    * service applies to any index: build it when the data outgrows the
+    * cache, not before.
+    */
+  val BfsStorageMinVertices = 1000000L
+
+  private[operators] def bfsLevels(e: DataFrame, maxRounds: Int = MaxBfsRounds,
+                                   storageMinVertices: Long = BfsStorageMinVertices): DataFrame = {
     val spark = e.sparkSession
     // adjacency lists, built ONCE: the per-round expansion joins the
     // frontier against |V| adjacency rows instead of re-shuffling the
@@ -170,28 +185,37 @@ object Graph {
       // (sizes the range-bucket layout below) and the root choice (same
       // 1-scalar discipline as d07's convergence count). The first job
       // also materializes the cache.
-      val statsRow = adjBuild.agg(min(col("src")).as("lo"), max(col("src")).as("hi")).collect()(0)
+      val statsRow = adjBuild.agg(min(col("src")).as("lo"), max(col("src")).as("hi"),
+        count(lit(1)).as("nv")).collect()(0)
       require(!statsRow.isNullAt(0), "bfsLevels: empty edge input — no root to pick")
-      val (lo, hi) = (statsRow.getLong(0), statsRow.getLong(1))
+      val (lo, hi, nV) = (statsRow.getLong(0), statsRow.getLong(1), statsRow.getLong(2))
       val root = adjBuild
         .orderBy(size(col("nbrs")).desc, col("src").asc)
         .limit(1).select("src").collect()(0).getLong(0)
       // the at-scale lever (SCALING.md's 100× reading: pre-bucketing,
-      // every round scanned the FULL adjacency — rounds × |E|): write the
-      // adjacency ONCE as a range-bucketed table (bkt = (src−lo) ∕ w,
-      // ≤ BfsAdjBuckets directories), and each round scan ONLY the
-      // buckets the frontier's ids fall in. Range (not hash) bucketing is
-      // deliberate: real vertex ids have locality (a crawl segment, a
-      // tenant, one component of a partitioned graph), so a frontier
-      // confined to a region touches few ranges — a hash layout would
-      // smear any frontier across every bucket and prune nothing.
-      // Per-round IO ∝ frontier's bucket coverage, never |E|.
+      // every round scanned the FULL adjacency — rounds × |E|): past the
+      // size threshold, write the adjacency ONCE as a range-bucketed
+      // table (bkt = (src−lo) ∕ w, ≤ BfsAdjBuckets directories), and
+      // each round scan ONLY the buckets the frontier's ids fall in.
+      // Range (not hash) bucketing is deliberate: real vertex ids have
+      // locality (a crawl segment, a tenant, one component of a
+      // partitioned graph), so a frontier confined to a region touches
+      // few ranges — a hash layout would smear any frontier across every
+      // bucket and prune nothing. Per-round IO ∝ frontier's bucket
+      // coverage, never |E|. Below the threshold the cached adjacency
+      // stays resident and pruning would only add cold reads (see
+      // BfsStorageMinVertices).
+      val useStorage = nV >= storageMinVertices
       val w = math.max(1L, (hi - lo) / BfsAdjBuckets + 1L)
       def bktOf(c: org.apache.spark.sql.Column) = ((c - lit(lo)) / lit(w)).cast("int")
-      val adjPath = graft.Materialize.toStoragePathPartitioned(
-        adjBuild.withColumn("bkt", bktOf(col("src"))), "bfs_adj", "bkt")
-      adjBuild.unpersist()
-      val adj = spark.read.parquet(adjPath)
+      val adj: DataFrame =
+        if (!useStorage) adjBuild
+        else {
+          val adjPath = graft.Materialize.toStoragePathPartitioned(
+            adjBuild.withColumn("bkt", bktOf(col("src"))), "bfs_adj", "bkt")
+          adjBuild.unpersist()
+          spark.read.parquet(adjPath)
+        }
       var frontier = spark.range(1)
         .select(lit(root).as("v"), lit(0L).as("lvl")).persist()
       levels = frontier :: levels
@@ -203,9 +227,13 @@ object Graph {
         // frontier touches — bounded by the bucket-count CONSTANT, never
         // by frontier size. The isin over literal partition values is
         // what turns into planning-time directory pruning on the scan.
-        val bkts = frontier.select(bktOf(col("v")).as("bkt"))
-          .distinct().collect().map(_.getInt(0)).toSeq
-        val adjRound = adj.where(col("bkt").isin(bkts: _*))
+        val adjRound =
+          if (!useStorage) adj
+          else {
+            val bkts = frontier.select(bktOf(col("v")).as("bkt"))
+              .distinct().collect().map(_.getInt(0)).toSeq
+            adj.where(col("bkt").isin(bkts: _*))
+          }
         // no broadcast hint: a small-world frontier can be most of |V| by
         // level 2, so the join must be allowed to stay a shuffle join —
         // AQE broadcasts the early (tiny) frontiers on its own. distinct

@@ -83,6 +83,14 @@ class GraphSpec extends SparkSpec {
     assert(disc.map(_.getLong(1)).sum === 3L, "only the root's component is reached")
   }
 
+  test("g03 storage-backed (bucket-pruned) path returns the identical levels") {
+    // storageMinVertices = 0 forces the range-bucketed layout the big
+    // graphs take; the answer must be bit-identical to the cached path
+    val path = Graph.bfsLevels(edges((1, 2), (2, 3), (3, 4), (4, 5)), storageMinVertices = 0L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(path.toSeq === Seq((0L, 1L, 2L, 2L), (1L, 2L, 1L, 3L), (2L, 1L, 4L, 4L), (3L, 1L, 5L, 5L)))
+  }
+
   test("g03 throws past the round cap instead of truncating levels") {
     // a 6-path needs 5 rounds from its end... root = max-degree so use a
     // lollipop: triangle at one end forces the root into the triangle,
