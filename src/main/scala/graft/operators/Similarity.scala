@@ -67,6 +67,29 @@ object Similarity {
       .select(col("vec_id"), col("embedding"), col("cell"))
   }
 
+  /** IVF coarse-quantizer centroids as `(cell, centroid: array<float>)` —
+    * e05's order-pinned components assembled per label. Shared by e12b's
+    * vector shortlist (and the same block e06/e08 state inline).
+    */
+  private[operators] def ivfCentroids(e: DataFrame): DataFrame =
+    centroidComponents(e)
+      .groupBy("label")
+      .agg(transform(sort_array(collect_list(struct(col("dim"), col("c")))), s => s.getField("c"))
+        .cast("array<float>").as("centroid"))
+      .select(col("label").as("cell"), col("centroid"))
+
+  /** e12b's lexical df cap: a query term participates in candidate
+    * generation only if its posting list covers at most 4/5 of the corpus
+    * (df·5 ≤ n·4). Stated as an integer cross-multiplication so both
+    * engines decide identically at any corpus size. The cap is the
+    * t19/d10 discipline applied to retrieval: a term present in ~every
+    * document has a posting list proportional to the corpus — probing it
+    * re-creates the full scan the index exists to avoid, while carrying
+    * almost no ranking signal (it raises every candidate's score by ~1).
+    */
+  private[operators] val LexDfCapNum = 4L
+  private[operators] val LexDfCapDen = 5L
+
   /** Auto-derived hyperplane-signature width: the smallest b ≥ LshMinBits
     * with 2^b · LshTargetBucket ≥ n, i.e. max(floor, ⌈log₂(n / target)⌉)
     * — computed in INTEGER arithmetic (shift-and-compare, no float log)
@@ -643,6 +666,76 @@ object Similarity {
         .limit(10)
     }),
 
+    // HYBRID RETRIEVAL, AT-SCALE CANDIDATE GENERATION — e12's fusion over
+    // the access paths a 100 TB deployment actually serves from, built
+    // instead of promised (the g03/LSH-derivation pattern): the lexical
+    // channel probes an INVERTED INDEX (term → posting list, df-capped —
+    // see LexDfCapNum) so it touches only the query terms' posting lists,
+    // never a per-document array_intersect over the corpus; the vector
+    // channel takes its shortlist from e06's IVF cells (top-2 multi-
+    // assigned index, top-4 probed cells) and re-ranks ONLY the shortlist
+    // with exact cosine (e10's pattern). The RRF fusion is e12's,
+    // unchanged — integer ⌊10⁹/(60+rank)⌋ contributions, BIGINT sums.
+    // Candidate generation differs from e12's exhaustive twin in exactly
+    // two documented ways, both restated in the oracle: terms above the
+    // df cap don't score (standard stopword pruning — on this fixture the
+    // cap trims the densest term), and vector candidates outside the
+    // probed cells are invisible (IVF recall, pinned vs the exhaustive
+    // channel in SimilaritySpec). Scale shape: the posting join is keyed
+    // by term with the ≤|vocab| query-term list broadcast; the cell join
+    // is keyed by cell with the ≤nprobe cell list broadcast; both
+    // channels end in TakeOrdered top-50 — nothing global ever sorts.
+    "e12b_hybrid_rrf_indexed" -> ((s, dir) => {
+      // lexical channel: inverted index, df-capped, probed by query terms
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"),
+          array_distinct(expr("filter(split(lower(text), ' '), x -> length(x) > 0)")).as("w"))
+      val postings = docs.select(col("doc_id"), explode(col("w")).as("term"))
+      val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+      val okTerms = postings.groupBy("term").agg(count(lit(1)).as("df"))
+        .crossJoin(broadcast(nDocs))
+        .filter(col("df") * LexDfCapDen <= col("n_docs") * LexDfCapNum)
+        .select("term")
+      val qTerms = postings.filter(col("doc_id") === 0L)
+        .join(okTerms, "term").select("term")
+      val wRank = Window.orderBy(col("score").desc, col("doc_id").asc)
+      val lex = postings.filter(col("doc_id") =!= 0L)
+        .join(broadcast(qTerms), "term")
+        .groupBy("doc_id").agg(count(lit(1)).cast("long").as("score"))
+        .orderBy(col("score").desc, col("doc_id").asc).limit(50)
+        .withColumn("lex_rank", row_number().over(wRank).cast("long"))
+        .select("doc_id", "lex_rank")
+      // vector channel: IVF shortlist (e06's geometry), exact re-rank
+      val emb = Tables.embeddings(s, dir)
+      val cscored = emb.join(broadcast(ivfCentroids(emb)))
+        .select(col("vec_id"), col("embedding"), col("cell"),
+          cosine_similarity(col("embedding"), col("centroid")).as("ccos"))
+      val wAssign = Window.partitionBy("vec_id").orderBy(col("ccos").desc, col("cell").asc)
+      val ranked = cscored.withColumn("rn", row_number().over(wAssign))
+      val shard = ranked.filter(col("rn") <= 2)
+        .select(col("vec_id").as("nid"), col("embedding").as("n_emb"), col("cell"))
+      val probeCells = ranked.filter(col("vec_id") === 0L && col("rn") <= 4).select("cell")
+      val qv = emb.filter(col("vec_id") === 0L).select(col("embedding").as("q_emb"))
+      val wCos = Window.orderBy(col("cos_sim").desc, col("doc_id").asc)
+      val vec = shard.join(broadcast(probeCells), "cell")
+        .filter(col("nid") =!= 0L)
+        // a vector filed in two probed cells is one candidate
+        .select(col("nid"), col("n_emb")).distinct()
+        .crossJoin(broadcast(qv))
+        .select(col("nid").as("doc_id"),
+          cosine_similarity(col("n_emb"), col("q_emb")).as("cos_sim"))
+        .orderBy(col("cos_sim").desc, col("doc_id").asc).limit(50)
+        .withColumn("vec_rank", row_number().over(wCos).cast("long"))
+        .select("doc_id", "vec_rank")
+      // e12's fusion, verbatim
+      lex.join(vec, Seq("doc_id"), "full_outer")
+        .select(col("doc_id"), col("lex_rank"), col("vec_rank"),
+          (coalesce(expr("1000000000L div (60 + lex_rank)"), lit(0L)) +
+            coalesce(expr("1000000000L div (60 + vec_rank)"), lit(0L))).as("rrf_score"))
+        .orderBy(col("rrf_score").desc, col("doc_id").asc)
+        .limit(10)
+    }),
+
     // int8 vector quantization — the embedding-compression step an ANN
     // serving layer runs (4× smaller vectors, SIMD-friendly dot products).
     // Per-vector symmetric scheme: scale = 127 / max|x|, q_d = ⌊x_d·127 /
@@ -901,6 +994,51 @@ object Similarity {
          |), vecall AS (
          |  SELECT b.vec_id AS doc_id, ${duckCos("q", "b")} AS cos_sim
          |  FROM q, embeddings b WHERE b.vec_id <> 0
+         |), vec AS (
+         |  SELECT doc_id,
+         |    CAST(ROW_NUMBER() OVER (ORDER BY cos_sim DESC, doc_id ASC) AS BIGINT) AS vec_rank
+         |  FROM vecall
+         |  QUALIFY vec_rank <= 50
+         |)
+         |SELECT COALESCE(l.doc_id, v.doc_id) AS doc_id, l.lex_rank, v.vec_rank,
+         |  COALESCE(1000000000 // (60 + l.lex_rank), 0)
+         |    + COALESCE(1000000000 // (60 + v.vec_rank), 0) AS rrf_score
+         |FROM lex l FULL OUTER JOIN vec v ON l.doc_id = v.doc_id
+         |ORDER BY rrf_score DESC, doc_id ASC
+         |LIMIT 10""".stripMargin,
+
+    // both prefilters restated (the e03/e10 discipline): the inverted
+    // index's df cap is the same integer cross-multiplication, and the
+    // IVF shortlist reuses e06's cell CTEs (assigned/probes) filtered to
+    // query 0; ranks and the integer fusion are e12's verbatim
+    "e12b_hybrid_rrf_indexed" ->
+      s"""WITH $duckIvfCtes, words AS (
+         |  SELECT doc_id,
+         |    unnest(list_distinct(list_filter(string_split(lower(text), ' '), x -> len(x) > 0))) AS term
+         |  FROM documents
+         |), okt AS (
+         |  SELECT term FROM words, (SELECT COUNT(*) AS n FROM documents) nd
+         |  GROUP BY term, nd.n
+         |  HAVING COUNT(*) * ${Similarity.LexDfCapDen} <= nd.n * ${Similarity.LexDfCapNum}
+         |), qt AS (
+         |  SELECT w.term FROM words w JOIN okt USING (term) WHERE w.doc_id = 0
+         |), lexall AS (
+         |  SELECT w.doc_id, CAST(COUNT(*) AS BIGINT) AS score
+         |  FROM words w JOIN qt USING (term) WHERE w.doc_id <> 0
+         |  GROUP BY w.doc_id
+         |), lex AS (
+         |  SELECT doc_id,
+         |    CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id ASC) AS BIGINT) AS lex_rank
+         |  FROM lexall
+         |  QUALIFY lex_rank <= 50
+         |), q AS (
+         |  SELECT embedding FROM embeddings WHERE vec_id = 0
+         |), vcand AS (
+         |  SELECT DISTINCT a.nid FROM assigned a JOIN probes p ON p.cell = a.cell
+         |  WHERE p.qid = 0 AND a.nid <> 0
+         |), vecall AS (
+         |  SELECT b.vec_id AS doc_id, ${duckCos("q", "b")} AS cos_sim
+         |  FROM q, embeddings b JOIN vcand ON vcand.nid = b.vec_id
          |), vec AS (
          |  SELECT doc_id,
          |    CAST(ROW_NUMBER() OVER (ORDER BY cos_sim DESC, doc_id ASC) AS BIGINT) AS vec_rank

@@ -73,6 +73,31 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("e12b indexed hybrid: fused top-10 overlaps the exhaustive e12 and shape matches") {
+    // e12b swaps BOTH channels' candidate generation for the at-scale
+    // access paths (df-capped inverted index / IVF shortlist) while
+    // keeping the RRF fusion identical — this pins how much of e12's
+    // exhaustive answer the indexed form retains. The two divergence
+    // sources are bounded and documented: capped terms don't score, and
+    // vectors outside the probed cells are invisible. Measured 0.6 at
+    // sf0.001; floor at 0.5 so a broken channel (empty shortlist, wrong
+    // fusion) fails loudly without chasing the fixture's last decimal.
+    val exact = Similarity.queries("e12_hybrid_rrf")(spark, sfDir)
+      .collect().map(_.getLong(0)).toSet
+    val indexed = Similarity.queries("e12b_hybrid_rrf_indexed")(spark, sfDir).collect()
+    assert(indexed.length === 10)
+    assert(indexed.map(_.getLong(0)).distinct.length === 10)
+    val overlap = (exact & indexed.map(_.getLong(0)).toSet).size.toDouble / exact.size
+    info(s"e12b fused top-10 overlap vs exhaustive e12 = $overlap")
+    assert(overlap >= 0.5, s"indexed-hybrid overlap $overlap below 0.5")
+    // rrf arithmetic: every surfaced row re-derives its integer score
+    indexed.foreach { r =>
+      val lex = if (r.isNullAt(1)) 0L else 1000000000L / (60L + r.getLong(1))
+      val vec = if (r.isNullAt(2)) 0L else 1000000000L / (60L + r.getLong(2))
+      assert(r.getLong(3) === lex + vec, s"rrf_score mismatch for doc ${r.getLong(0)}")
+    }
+  }
+
   test("e01 top pairs are symmetric-consistent and sorted by similarity") {
     val rows = Similarity.queries("e01_cosine_pairs_topk")(spark, sfDir).collect()
     assert(rows.length > 0 && rows.length <= 100)
