@@ -108,20 +108,33 @@ object Bench {
       s"\"" + (if (codesUnique) code(k) else k) + "\":" + fmt(v, 1)
     }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).filter(_ >= 0).sum else 0.0
+    // median-of-passes alongside the min (round 8's two same-catalog runs
+    // spread ~8% on min-of-three; the median is noise-visible where the
+    // min hides which pass spiked) — a per-query map in bench_detail and
+    // ONE scalar on the printed line so the driver's window stays safe
+    def medianOf(ts: Seq[Double]): Double =
+      if (ts.exists(_ < 0)) -1.0 else ts.sorted.apply(ts.size / 2)
+    val medTotal = results.flatMap { case (n, _) => passDetail.get(n) }
+      .map(medianOf).filter(_ >= 0).sum
     val fullQs = results.map { case (k, v) => s"\"$k\":" + fmt(v, 3) }.mkString("{", ",", "}")
+    val medQs =
+      if (passDetail.isEmpty) ""
+      else results.map { case (k, _) =>
+        s"\"$k\":" + fmt(passDetail.get(k).map(medianOf).getOrElse(-1.0), 3)
+      }.mkString(""","medians":{""", ",", "}")
     val passes =
       if (passDetail.isEmpty) ""
       else passDetail.toSeq.sortBy(_._1).map { case (k, ts) =>
         s"\"$k\":[${ts.map(fmt(_, 3)).mkString(",")}]"
       }.mkString(""","passes":{""", ",", "}")
     java.nio.file.Files.write(java.nio.file.Paths.get("bench_detail.json"),
-      s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec","queries":$fullQs$passes,"sf":"$sfDir"}""".getBytes("UTF-8"))
+      s"""{"metric":"total","value":${fmt(total, 3)},"median_total":${fmt(medTotal, 3)},"unit":"sec","queries":$fullQs$medQs$passes,"sf":"$sfDir"}""".getBytes("UTF-8"))
     // stop() BEFORE the metric println: spark shutdown (and log4j's exit
     // flush of anything it buffered) must not print after the one JSON
     // line the driver scrapes from the captured tail. Rounds 2–5 recorded
     // parsed=null because flushed startup logs landed after the metric.
     spark.stop()
-    println(s"""{"metric":"total","value":${fmt(total, 1)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total, 1)},"median_total":${fmt(medTotal, 1)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     Console.out.flush()
   }
 }

@@ -38,6 +38,35 @@ object ScaleProbe {
     reps.reduce(_ unionByName _)
   }
 
+  /** documents ×F with GATE-PRESERVING perturbation — the fixture for the
+    * COMPOSED curation pipelines (p01/p07). scaledDocs suffixes EVERY
+    * word, which destroys the stopword/marker profile: its replicas fail
+    * the quality+language gates, so at 100× the post-gate stages (banded
+    * near-dup, contamination grams) saw ~1× survivors and the probe
+    * measured only the gate scans (r8 verdict). Here the gate-relevant
+    * vocabulary — the stopword list and the "en" marker lexicon — passes
+    * through unsuffixed (replicas keep the original's stopword ratio and
+    * language score, so gate survival scales ×F), while every other word
+    * is replica-suffixed, so replica pairs still share no 3-word
+    * shingles (a shingle crossing a suffixed word differs; Jaccard ≥ 0.8
+    * across replicas is impossible) and the near-dup/cluster structure
+    * stays exactly F× the original.
+    */
+  private def scaledDocsGated(s: SparkSession, dir: String, factor: Int): DataFrame = {
+    val keep = (graft.functions.TextFunctions.Stopwords ++
+      graft.functions.TextFunctions.LangMarkers.toMap.apply("en")).distinct
+    val base = Tables.documents(s, dir)
+    val reps = (0 until factor).map { r =>
+      if (r == 0) base
+      else base.select(
+        (col("doc_id") + lit(r * 10000000L)).as("doc_id"),
+        concat_ws(" ", transform(split(col("text"), " "),
+          w => when(w.isin(keep: _*), w).otherwise(concat(w, lit(r.toString))))).as("text"),
+        col("lang"), col("source"), col("n_chars"))
+    }
+    reps.reduce(_ unionByName _)
+  }
+
   /** events ×F: replica r is a disjoint user population (+10 M ids) living
     * in the SAME time window — per-user temporal structure (sessions,
     * funnels, as-of pairs) is preserved per replica, so the expected
@@ -151,6 +180,10 @@ object ScaleProbe {
 
     if (tables("documents")) scaledDocs(spark, srcDir, factor).repartition(32)
       .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
+    // the gate-preserving variant lives in its own table dir; the
+    // composed-pipeline probes (suffix "@gated") read from there
+    if (tables("documents")) scaledDocsGated(spark, srcDir, factor).repartition(32)
+      .write.mode("overwrite").parquet(s"$outDir/gated/documents.parquet")
     if (tables("embeddings")) scaledEmbeddings(spark, srcDir, factor).repartition(32)
       .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
     if (tables("events")) scaledEvents(spark, srcDir, factor).repartition(32)
@@ -293,18 +326,33 @@ object ScaleProbe {
       "e15_ann_recall_eval", "t26_pretokenize", "v07_vacuum_plan",
       // round 8 capstone: the five-gate disposition log (one scoring
       // scan, banded near-dup, hash-keyed contamination)
-      "p07_release_manifest")
+      "p07_release_manifest",
+      // round 9: the indexed hybrid (posting-list probe + IVF shortlist
+      // — both channels bounded by index geometry, never corpus scans),
+      // the 8-round damped PageRank (per-round cost claimed flat — one
+      // |V|-row join + agg per round over the once-built message edges),
+      // and the BPE merge round (corpus scan + vocab-sized pair agg)
+      "e12b_hybrid_rrf_indexed", "g02b_pagerank_profile", "t27_bpe_merge_step",
+      // round 9: the composed pipelines re-probed on the gate-preserving
+      // fixture (see scaledDocsGated) so the post-gate stages — banded
+      // near-dup, contamination grams — finally run at full corpus depth
+      "p01_curation_pipeline@gated", "p07_release_manifest@gated")
       // local iteration only: probe just a subset by name prefix
       .filter(n => sys.env.get("SPARK_GRAFT_ONLY")
         .forall(_.split(",").exists(n.startsWith)))
     // warm pass (JIT + codegen + parquet footers), then the timed pass
     for (pass <- Seq("warm", "timed"); name <- probes) {
       System.gc() // Bench's GC fence: keep predecessors' debris out of the timing
-      // streaming probes read the flat-file layout (see writeFlat)
-      val qDir = if (name.startsWith("s")) s"$outDir/stream" else outDir
+      // streaming probes read the flat-file layout (see writeFlat);
+      // "@gated" probes read the gate-preserving documents fixture
+      val qName = name.stripSuffix("@gated")
+      val qDir =
+        if (name.endsWith("@gated")) s"$outDir/gated"
+        else if (name.startsWith("s")) s"$outDir/stream"
+        else outDir
       val t0 = System.nanoTime()
       val ok =
-        try { SparkEntry.queries(name)(spark, qDir).write.format("noop").mode("overwrite").save(); true }
+        try { SparkEntry.queries(qName)(spark, qDir).write.format("noop").mode("overwrite").save(); true }
         catch { case e: Throwable => println(s"[probe] $name FAILED: ${e.getMessage}"); false }
       if (pass == "timed" && ok)
         println(f"[probe] $name: ${(System.nanoTime() - t0) / 1e9}%.2f s at ${factor}x")

@@ -291,6 +291,11 @@ object Curation {
     * eval holdout outranks everything) is unit-testable on crafted
     * docs. */
   private[operators] def releaseManifest(docs: DataFrame): DataFrame = {
+      // the two worked frames (base: scored corpus, sh: sketches) are
+      // persisted for their multiple consumers below and RELEASED before
+      // returning — the result itself goes through Materialize.toStorage
+      // (the iterative-result discipline), so the returned frame is a
+      // plain scratch-file scan with no dependence on the caches
       val norm = regexp_replace(lower(col("text")), "[^a-z0-9 ]", "")
       val base = graft.Materialize(docs
         .select(col("doc_id"), col("source"), col("text"),
@@ -298,13 +303,15 @@ object Curation {
           (qualityScore(col("text")) >= QualityMin).as("q_ok"),
           (langId(col("text")) === "en").as("l_ok"),
           xxhash64(norm).as("fp")))
+      var sh: DataFrame = null
+      try {
       val pool = base.filter(!col("is_eval") && col("q_ok") && col("l_ok"))
       val exactKeep = pool.groupBy("fp").agg(min("doc_id").as("keep_id"))
       val pooled = pool.join(exactKeep, "fp")
         .select(col("doc_id"), (col("doc_id") =!= col("keep_id")).as("exact_loser"))
       val exactKept = base.join(pooled.filter(!col("exact_loser"))
         .select("doc_id"), Seq("doc_id"), "left_semi")
-      val sh = graft.Materialize(exactKept
+      sh = graft.Materialize(exactKept
         .select(col("doc_id"), wordShingles(col("text"), 3).as("raw"))
         .filter(size(col("raw")) > 0)
         .select(col("doc_id"),
@@ -325,7 +332,7 @@ object Curation {
       val contam = grams.filter(!col("is_eval")).join(evalH, "h")
         .select("doc_id").distinct().withColumn("contam", lit(true))
       val bucket = pmod(xxhash64(col("doc_id")), lit(100))
-      base.select(col("doc_id"), col("source"), col("is_eval"), col("q_ok"), col("l_ok"))
+      val manifest = base.select(col("doc_id"), col("source"), col("is_eval"), col("q_ok"), col("l_ok"))
         .join(pooled, Seq("doc_id"), "left")
         .join(nearLosers, Seq("doc_id"), "left")
         .join(contam, Seq("doc_id"), "left")
@@ -347,7 +354,12 @@ object Curation {
             when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test"))
             .as("split"))
         .orderBy("doc_id")
+      graft.Materialize.toStorage(manifest, "p07_manifest")
+      } finally {
+        if (sh != null) sh.unpersist()
+        base.unpersist()
       }
+    }
 
   private[graft] val langCase: String = {
     val langs = TextFunctions.LangMarkers.map(_._1)

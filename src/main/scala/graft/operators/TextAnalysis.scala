@@ -88,6 +88,41 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** t27 core over any (text) frame — one BPE merge round, the
+    * tokenizer-TRAINING kernel t26's pretokenizer feeds. The trainer
+    * trick that makes BPE tractable at corpus scale is applied literally:
+    * pair statistics are computed over the VOCABULARY (distinct word →
+    * corpus frequency), not the corpus — the corpus is scanned once into
+    * a word-frequency table (map-side combined, vocabulary-sized), and
+    * the adjacent-symbol pair explode runs over |vocab| rows with each
+    * pair weighted by its word's frequency. The merge winner is the
+    * max-count pair with the standard deterministic tie-break
+    * (count DESC, pair ASC); everything is integer counts over exact
+    * strings, so the whole round sits under the hash gate.
+    */
+  private[operators] def bpeMergeStep(docs: DataFrame, topK: Int): DataFrame = {
+    val vocab = docs
+      .select(explode(regexp_extract_all(lower(col("text")), lit("[a-z]+"), lit(0))).as("w"))
+      .filter(length(col("w")) >= 2)
+      .groupBy("w").agg(count(lit(1)).as("wf"))
+    val pairs = vocab
+      .select(col("wf"),
+        explode(transform(sequence(lit(1), length(col("w")) - 1),
+          i => struct(col("w").substr(i, lit(1)).as("l"),
+            col("w").substr(i + lit(1), lit(1)).as("r")))).as("p"))
+      .groupBy(col("p.l").as("left_sym"), col("p.r").as("right_sym"))
+      .agg(sum("wf").as("pair_count"))
+    // ≤ |alphabet|² rows reach the rank — the unpartitioned window is
+    // over a metadata-sized frame (the documented benign class)
+    val wTop = Window.orderBy(col("pair_count").desc, col("left_sym").asc, col("right_sym").asc)
+    pairs
+      .orderBy(col("pair_count").desc, col("left_sym").asc, col("right_sym").asc)
+      .limit(topK)
+      .withColumn("merge_rank", row_number().over(wTop).cast("long"))
+      .withColumn("is_merge_winner", col("merge_rank") === 1L)
+      .orderBy("merge_rank")
+  }
+
   private[operators] def boilerplateSpans(docs: DataFrame): DataFrame = {
     val d = docs.filter(size(col("w")) >= 2)
     val sp = d.select(col("doc_id"),
@@ -453,6 +488,19 @@ object TextAnalysis {
             .otherwise(col("n_pre").cast("double") / col("n_ws").cast("double")))
         .orderBy("doc_id")
     }),
+
+    // ONE BPE MERGE ROUND — the tokenizer-training kernel and the last
+    // piece of the token-economics story (t25 scores token cost, t26
+    // audits pretoken fertility, t27 trains the vocabulary that sets
+    // both): adjacent-symbol pair frequencies over the pretokenized
+    // corpus, top merge by (count DESC, pair ASC). Computed over the
+    // word-frequency VOCABULARY, not the corpus (see bpeMergeStep) — the
+    // scan is corpus-linear, the pair work vocabulary-sized, the output
+    // ≤ |alphabet|². Training a full tokenizer = re-running this round
+    // on re-segmented words (driver loop, d07's shape); one round is the
+    // verifiable unit, exactly like e08's Lloyd step.
+    "t27_bpe_merge_step" -> ((s, dir) =>
+      bpeMergeStep(Tables.documents(s, dir), 20)),
 
     "t14_rare_token_ratio" -> ((s, dir) => {
       val toks = Tables.documents(s, dir)
@@ -1142,6 +1190,32 @@ object TextAnalysis {
         |  END AS fertility
         |FROM documents
         |ORDER BY doc_id""".stripMargin,
+
+    // same vocabulary-weighted pair counting: word frequencies first,
+    // pairs exploded per distinct word via the list-comprehension unnest,
+    // counts BIGINT, the identical (count DESC, pair ASC) tie-break
+    "t27_bpe_merge_step" ->
+      """WITH words AS (
+        |  SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w FROM documents
+        |), vocab AS (
+        |  SELECT w, COUNT(*) AS wf FROM words WHERE len(w) >= 2 GROUP BY w
+        |), pairs AS (
+        |  SELECT wf, unnest([{'l': w[i], 'r': w[i+1]} for i in range(1, len(w))]) AS u
+        |  FROM vocab
+        |), pc AS (
+        |  SELECT u.l AS left_sym, u.r AS right_sym, CAST(SUM(wf) AS BIGINT) AS pair_count
+        |  FROM pairs GROUP BY u.l, u.r
+        |), ranked AS (
+        |  SELECT left_sym, right_sym, pair_count,
+        |    CAST(ROW_NUMBER() OVER (ORDER BY pair_count DESC, left_sym ASC, right_sym ASC) AS BIGINT)
+        |      AS merge_rank
+        |  FROM pc
+        |  QUALIFY merge_rank <= 20
+        |)
+        |SELECT left_sym, right_sym, pair_count, merge_rank,
+        |  merge_rank = 1 AS is_merge_winner
+        |FROM ranked
+        |ORDER BY merge_rank""".stripMargin,
 
     // bitlength-stated floor-log2 (see the query's scaladoc): exact
     // integer surprisal in both engines, no float log anywhere

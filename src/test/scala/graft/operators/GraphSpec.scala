@@ -66,6 +66,33 @@ class GraphSpec extends SparkSpec {
     assert(got.tail.map(_._1).toSeq === Seq(2L, 3L, 4L, 5L), "ties break by id")
   }
 
+  test("g02b closed form: 2-round damped profile on the 3-star, hand-computed") {
+    // S = 1e12, base = 0.15S. Star 1-2, 1-3: deg(1)=2, leaves 1.
+    // r1: hub 0.15S + 0.85·2S = 1.85e12; leaves 0.15S + 0.85·S/2 = 5.75e11
+    //     move = 8.5e11 + 2·4.25e11 = 1.7e12; mass stays 3e12 (no floor loss)
+    // r2: hub 0.15S + 85·(2·5.75e11) div 100 = 1.1275e12
+    //     leaves 0.15S + 85·(1.85e12 div 2) div 100 = 9.3625e11
+    //     move = 7.225e11 + 2·3.6125e11 = 1.445e12; mass 3e12
+    val got = Graph.pagerankProfile(edges((1L, 2L), (1L, 3L)), rounds = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(got === Array(
+      (1L, 1700000000000L, 1850000000000L, 575000000000L, 3000000000000L),
+      (2L, 1445000000000L, 1127500000000L, 936250000000L, 3000000000000L)))
+  }
+
+  test("g02b: a vertex-transitive graph is its own fixed point — zero movement every round") {
+    // on C4 every vertex has deg 2 and rank S: contribs S/2, damped sum
+    // = 0.15S + 0.85S = S — the uniform state is stationary, so the
+    // profile must show total_move = 0 at every round
+    val got = Graph.pagerankProfile(edges((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L)), rounds = 3)
+      .collect()
+    assert(got.length === 3)
+    got.foreach { r =>
+      assert(r.getLong(1) === 0L, s"round ${r.getLong(0)} moved")
+      assert(r.getLong(2) === Graph.RankScale && r.getLong(3) === Graph.RankScale)
+    }
+  }
+
   test("g03 closed forms: path levels from the max-degree root; star; disconnection") {
     // path 1-2-3-4-5: degrees (1,2,2,2,1) → root = 2 (max deg, min id).
     // levels: 0:{2}, 1:{1,3}, 2:{4}, 3:{5}

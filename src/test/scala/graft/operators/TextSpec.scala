@@ -223,6 +223,32 @@ class TextSpec extends SparkSpec {
     assert(got(3L) === ((2L, 4L, 2.0, true)))
   }
 
+  test("t27 BPE merge closed form: vocabulary-weighted pair counts, winner by count then pair") {
+    import spark.implicits._
+    // vocab: aaab wf=3 (pairs aa×2, ab×1), ab wf=2 (ab×1); "x" too short;
+    // digits/punct are not pretokens → pair counts aa=6, ab=3+2=5
+    val docs = Seq(
+      "aaab aaab x 7",
+      "aaab ab.ab"
+    ).toDF("text")
+    val got = TextAnalysis.bpeMergeStep(docs, 20).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3), r.getBoolean(4)))
+    assert(got === Array(
+      ("a", "a", 6L, 1L, true),
+      ("a", "b", 5L, 2L, false)))
+  }
+
+  test("t27 tie-break: equal counts rank left-sym then right-sym ascending") {
+    import spark.implicits._
+    // zz and ab both count 1 — ab wins the merge on the pair tie-break
+    val docs = Seq("zz ab").toDF("text")
+    val got = TextAnalysis.bpeMergeStep(docs, 20).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3), r.getBoolean(4)))
+    assert(got === Array(
+      ("a", "b", 1L, 1L, true),
+      ("z", "z", 1L, 2L, false)))
+  }
+
   test("t23 surgery geometry: edge windows mask 4; overlapping hits merge; clean docs intact") {
     import spark.implicits._
     // eval docs (id % 97 == 0) carry the contaminated 4-grams

@@ -75,6 +75,14 @@ def main():
                 mism.append(f"{c}: dtype kind mismatch spark={av.dtype} duck={bv.dtype} "
                             f"(int-vs-float — cast the oracle column)")
                 continue
+            # Round 9: FULL dtype equality for non-float columns (not just the
+            # int/float cross) — int32 vs int64, bool vs int, etc. are equally
+            # type-sensitive under the driver's hash. Floats keep the kind-level
+            # check above (both engines emit float64 through Arrow anyway).
+            if ka != 'f' and kb != 'f' and av.dtype != bv.dtype:
+                mism.append(f"{c}: dtype mismatch spark={av.dtype} duck={bv.dtype} "
+                            f"(cast both sides to the same type)")
+                continue
             if av.dtype.kind == 'f' or bv.dtype.kind == 'f':
                 ok = np.allclose(av.astype(float), bv.astype(float), rtol=0, atol=0, equal_nan=True)
                 exact = ok
