@@ -205,6 +205,23 @@ object Curation {
     // nothing quadratic anywhere.
     "p07_release_manifest" -> ((s, dir) => releaseManifest(Tables.documents(s, dir))),
 
+    // SOURCE-CAPPED MIXTURE SAMPLE — the rebalancing step a pretraining
+    // mix runs over a crawl whose sources are wildly skewed: cap every
+    // source at a data-derived per-source budget (half the uniform
+    // share: total div (2·sources)), keeping small sources whole. The
+    // at-scale form deliberately: selection is HASH-THRESHOLD
+    // (keep iff pmod(xxhash64(doc_id), n_source) < cap), not
+    // rank-under-a-window — a per-source row_number needs a per-source
+    // sort that one giant source turns into a skew wall at 100 TB,
+    // while the threshold is a scan-level predicate (expected kept ≈
+    // cap, exact for sources under the cap), deterministic under task
+    // retry because the hash is row identity, never rand(). One
+    // scan + a broadcast source-count dim + one final agg; the
+    // kept_id_sum pins the SELECTION under the hash gate, not just the
+    // counts.
+    "p08_source_cap_sample" -> ((s, dir) =>
+      sourceCapSample(Tables.documents(s, dir))),
+
     // SPLIT LEAKAGE AUDIT — the check a training pipeline runs after
     // carving train/val/test: a near-duplicate PAIR that straddles the
     // split boundary leaks training signal into evaluation even though
@@ -285,6 +302,25 @@ object Curation {
         .orderBy("source")
     })
   )
+
+  /** p08 core over any (doc_id, source) frame — extracted so the cap
+    * arithmetic and the under-cap-kept-whole property are unit-testable
+    * on crafted docs. */
+  private[operators] def sourceCapSample(docs: DataFrame): DataFrame = {
+    val d = docs.select(col("doc_id"), col("source"))
+    val srcN = d.groupBy("source").agg(count(lit(1)).as("n_docs"))
+    val capF = srcN.agg(sum("n_docs").as("nt"), count(lit(1)).as("ns"))
+      .select(greatest(lit(1L), expr("nt div (2 * ns)")).as("cap"))
+    d.join(broadcast(srcN), "source")
+      .crossJoin(broadcast(capF))
+      .select(col("source"), col("doc_id"), col("n_docs"), col("cap"),
+        (pmod(xxhash64(col("doc_id")), col("n_docs")) < col("cap")).as("keep"))
+      .groupBy("source")
+      .agg(max("n_docs").as("n_docs"), max("cap").as("cap"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+        coalesce(sum(when(col("keep"), col("doc_id"))), lit(0L)).as("kept_id_sum"))
+      .orderBy("source")
+  }
 
   /** p07 core over any (doc_id, source, text) frame — extracted so the
     * gate PRECEDENCE (a doc failing several gates reports the FIRST;
@@ -617,6 +653,31 @@ object Curation {
     // raw strings (the Spark side's hashes are shuffle economy only),
     // rolled up per source
     // the five fragments (p01's quality/lang scoring, d02's normalized
+    // same hash-threshold predicate with the xxhash64 arithmetic
+    // restated (DuckHash CTEs); DuckDB's SUM widens to HUGEINT, so the
+    // cap and every aggregate CAST back to BIGINT
+    "p08_source_cap_sample" ->
+      s"""WITH ids AS (
+         |  SELECT doc_id, doc_id AS x FROM documents
+         |), ${DuckHash.xxhash64LongCtes("doc_id")}, sn AS (
+         |  SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source
+         |), cp AS (
+         |  SELECT CAST(GREATEST(1, SUM(n_docs) // (2 * COUNT(*))) AS BIGINT) AS cap FROM sn
+         |), k AS (
+         |  SELECT d.source, d.doc_id, sn.n_docs, cp.cap,
+         |    ((h.hv % sn.n_docs) + sn.n_docs) % sn.n_docs < cp.cap AS keep
+         |  FROM documents d
+         |  JOIN hashed h USING (doc_id)
+         |  JOIN sn USING (source)
+         |  CROSS JOIN cp
+         |)
+         |SELECT source,
+         |  CAST(MAX(n_docs) AS BIGINT) AS n_docs,
+         |  CAST(MAX(cap) AS BIGINT) AS cap,
+         |  CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         |  CAST(COALESCE(SUM(CASE WHEN keep THEN doc_id END), 0) AS BIGINT) AS kept_id_sum
+         |FROM k GROUP BY source ORDER BY source""".stripMargin,
+
     // keeper groups, d03's full-pair near-dup SQL, t07's 4-gram overlap
     // on raw strings, t06's DuckHash split) composed with the same
     // first-failing-gate CASE chain

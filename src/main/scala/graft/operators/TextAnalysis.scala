@@ -123,6 +123,51 @@ object TextAnalysis {
       .orderBy("merge_rank")
   }
 
+  /** t28 core over any (source, text) frame — APPLY the BPE merge t27
+    * trains, and audit what it bought: per source, the corpus token count
+    * before (char-level init: Σ wf·len(w)) and after one merge, with the
+    * merge count in between. Same vocabulary trick as t27 — the corpus is
+    * scanned ONCE into a (source, word → frequency) table (materialized:
+    * both the winner derivation and the apply consume it), the global
+    * winner re-aggregates it source-free, and the apply runs `replace`
+    * over |vocab × sources| rows, never the corpus. `replace` is
+    * leftmost-non-overlapping in both engines ("aaa" under merge "aa" →
+    * one merge), which is exactly BPE's simultaneous-application rule;
+    * chr(1) as the stand-in symbol can't collide with [a-z]+ pretokens.
+    * Result lands in scratch storage (the p07 discipline) so the vocab
+    * cache is released before return.
+    */
+  private[operators] def bpeApplyStep(docs: DataFrame): DataFrame = {
+    val vocab = graft.Materialize(docs
+      .select(col("source"),
+        explode(regexp_extract_all(lower(col("text")), lit("[a-z]+"), lit(0))).as("w"))
+      .groupBy("source", "w").agg(count(lit(1)).as("wf")))
+    try {
+      val win = vocab
+        .groupBy("w").agg(sum("wf").as("gwf"))
+        .filter(length(col("w")) >= 2)
+        .select(col("gwf"),
+          explode(transform(sequence(lit(1), length(col("w")) - 1),
+            i => struct(col("w").substr(i, lit(1)).as("l"),
+              col("w").substr(i + lit(1), lit(1)).as("r")))).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum("gwf").as("cnt"))
+        .orderBy(col("cnt").desc, col("l").asc, col("r").asc).limit(1)
+        .select(concat(col("l"), col("r")).as("pair"))
+      val out = vocab.crossJoin(broadcast(win))
+        .select(col("source"), col("wf"),
+          length(col("w")).cast("long").as("lw"),
+          (length(col("w")) - length(expr("replace(w, pair, chr(1))"))).cast("long").as("m"))
+        .groupBy("source")
+        .agg(sum("wf").as("n_words"),
+          sum(col("wf") * col("lw")).as("tokens_before"),
+          sum(col("wf") * col("m")).as("merges_applied"))
+        .withColumn("tokens_after", col("tokens_before") - col("merges_applied"))
+        .orderBy("source")
+      graft.Materialize.toStorage(out, "t28_bpe_apply")
+    } finally vocab.unpersist()
+  }
+
   private[operators] def boilerplateSpans(docs: DataFrame): DataFrame = {
     val d = docs.filter(size(col("w")) >= 2)
     val sp = d.select(col("doc_id"),
@@ -501,6 +546,15 @@ object TextAnalysis {
     // verifiable unit, exactly like e08's Lloyd step.
     "t27_bpe_merge_step" -> ((s, dir) =>
       bpeMergeStep(Tables.documents(s, dir), 20)),
+
+    // APPLY the merge t27 trains — the compression audit a tokenizer
+    // team reads per source: init token count, merges bought by the top
+    // pair, resulting count. One corpus scan into the per-source
+    // vocabulary; winner + apply both run vocabulary-sized (see
+    // bpeApplyStep). Full BPE training = alternate t27 (pick) and this
+    // (apply) in a driver loop, each round vocabulary-sized.
+    "t28_bpe_apply" -> ((s, dir) =>
+      bpeApplyStep(Tables.documents(s, dir))),
 
     "t14_rare_token_ratio" -> ((s, dir) => {
       val toks = Tables.documents(s, dir)
@@ -1216,6 +1270,33 @@ object TextAnalysis {
         |  merge_rank = 1 AS is_merge_winner
         |FROM ranked
         |ORDER BY merge_rank""".stripMargin,
+
+    // same one-vocab shape: per-source word frequencies first, the global
+    // winner re-aggregated from them, leftmost-non-overlapping replace
+    // (identical semantics both engines), all counts BIGINT
+    "t28_bpe_apply" ->
+      """WITH words AS (
+        |  SELECT source, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w FROM documents
+        |), vocab AS MATERIALIZED (
+        |  SELECT source, w, COUNT(*) AS wf FROM words GROUP BY source, w
+        |), gv AS (
+        |  SELECT w, SUM(wf) AS gwf FROM vocab WHERE len(w) >= 2 GROUP BY w
+        |), pr AS (
+        |  SELECT gwf, unnest([{'l': w[i], 'r': w[i+1]} for i in range(1, len(w))]) AS u
+        |  FROM gv
+        |), pc AS (
+        |  SELECT u.l AS l, u.r AS r, SUM(gwf) AS cnt FROM pr GROUP BY u.l, u.r
+        |), win AS (
+        |  SELECT l || r AS pair FROM pc ORDER BY cnt DESC, l ASC, r ASC LIMIT 1
+        |)
+        |SELECT source,
+        |  CAST(SUM(wf) AS BIGINT) AS n_words,
+        |  CAST(SUM(wf * len(w)) AS BIGINT) AS tokens_before,
+        |  CAST(SUM(wf * (len(w) - len(replace(w, pair, chr(1))))) AS BIGINT) AS merges_applied,
+        |  CAST(SUM(wf * len(w)) - SUM(wf * (len(w) - len(replace(w, pair, chr(1))))) AS BIGINT)
+        |    AS tokens_after
+        |FROM vocab CROSS JOIN win
+        |GROUP BY source ORDER BY source""".stripMargin,
 
     // bitlength-stated floor-log2 (see the query's scaladoc): exact
     // integer surprisal in both engines, no float log anywhere

@@ -98,4 +98,22 @@ class CurationSpec extends SparkSpec {
     assert(got.filter(_._2._1 != "kept").forall(_._2._2.isEmpty),
       "only kept docs get a split")
   }
+
+  test("p08: cap arithmetic closed-form; under-cap sources kept whole; selection self-consistent") {
+    import spark.implicits._
+    // sources: a = 40 docs (1..40), b = 4 docs (101..104). total 44,
+    // 2 sources → cap = max(1, 44 div 4) = 11. For b, pmod(hv, 4) < 11
+    // always holds → kept WHOLE (count and id-sum exact); for a, the
+    // kept set must equal the hash-threshold set recomputed here with
+    // the same spark hash.
+    val docs = ((1L to 40L).map(i => (i, "a")) ++ (101L to 104L).map(i => (i, "b")))
+      .toDF("doc_id", "source")
+    val bySrc = Curation.sourceCapSample(docs).collect().map(r =>
+      r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(bySrc("b") === ((4L, 11L, 4L, 101L + 102L + 103L + 104L)))
+    val expA = docs.filter(col("source") === "a" &&
+        pmod(xxhash64(col("doc_id")), lit(40L)) < lit(11L))
+      .agg(count(lit(1)), coalesce(sum("doc_id"), lit(0L))).collect()(0)
+    assert(bySrc("a") === ((40L, 11L, expA.getLong(0), expA.getLong(1))))
+  }
 }

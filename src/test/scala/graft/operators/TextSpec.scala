@@ -249,6 +249,32 @@ class TextSpec extends SparkSpec {
       ("z", "z", 1L, 2L, false)))
   }
 
+  test("t28 BPE apply closed form: per-source token counts before/after the global winner") {
+    import spark.implicits._
+    // global vocab: aaab wf=3 (aa=6, ab=3), ab wf=2 (ab=2) → winner aa.
+    // s1: aaab×2 + x → 3 words, before 9, merges 2 ("aaab"→chr1+"ab"), after 7
+    // s2: aaab×1 + ab×2 → 3 words, before 8, merges 1, after 7
+    val docs = Seq(
+      ("s1", "aaab aaab x"),
+      ("s2", "aaab ab.ab")
+    ).toDF("source", "text")
+    val got = TextAnalysis.bpeApplyStep(docs).orderBy("source").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(got === Array(
+      ("s1", 3L, 9L, 2L, 7L),
+      ("s2", 3L, 8L, 1L, 7L)))
+  }
+
+  test("t28 overlap rule: merges apply leftmost non-overlapping (aaa yields one aa merge)") {
+    import spark.implicits._
+    // vocab: aaa wf=2 → pair aa counts 2 per word = 4; winner aa; each
+    // "aaa" admits ONE merge (the overlapping second aa is consumed)
+    val docs = Seq(("s", "aaa aaa")).toDF("source", "text")
+    val got = TextAnalysis.bpeApplyStep(docs).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(got === Array(("s", 2L, 6L, 2L, 4L)))
+  }
+
   test("t23 surgery geometry: edge windows mask 4; overlapping hits merge; clean docs intact") {
     import spark.implicits._
     // eval docs (id % 97 == 0) carry the contaminated 4-grams
