@@ -173,10 +173,17 @@ object Graph {
     val spark = e.sparkSession
     import spark.implicits._
     val deg = degrees(e)
-    val msgs = graft.Materialize(
+    val spark2 = e.sparkSession
+    // the degree-annotated message edges are built ONCE and consumed
+    // once per round — scratch PARQUET, not cache: at 100× the cached
+    // 2|E|-row frame and each round's shuffle fight over the same
+    // unified memory (measured: round ~6 evicts the cache mid-task and
+    // the executor dies UNABLE_TO_ACQUIRE_MEMORY), while a columnar
+    // scan per round costs disk IO the OS page cache mostly absorbs
+    val msgs = spark2.read.parquet(graft.Materialize.toStoragePath(
       e.select(col("u").as("src"), col("v").as("dst"))
         .unionAll(e.select(col("v").as("src"), col("u").as("dst")))
-        .join(deg.select(col("x").as("src"), col("deg")), "src"))
+        .join(deg.select(col("x").as("src"), col("deg")), "src"), "pr_msgs"))
     // Each round's rank table goes to SCRATCH STORAGE, not cache: the
     // carried frame is referenced twice per round (message join + the
     // prev-rank self rows below), and persist does NOT truncate logical
@@ -186,13 +193,11 @@ object Graph {
     // re-read parquet scratch table is a constant-size scan plan, the
     // same iterative-state discipline as bfsLevels/toStorage, and on a
     // real cluster (scratchDir on HDFS/S3) it survives executor loss.
-    try {
-      val spark2 = e.sparkSession
-      var rank = spark2.read.parquet(graft.Materialize.toStoragePath(
-        deg.select(col("x"), lit(RankScale).as("rank")), "pr_r0"))
-      val base = RankScale * (DampDen - DampNum) / DampDen
-      val profile = (1 to rounds).map { r =>
-        // the previous rank rides the same shuffle as the contributions
+    var rank = spark2.read.parquet(graft.Materialize.toStoragePath(
+      deg.select(col("x"), lit(RankScale).as("rank")), "pr_r0"))
+    val base = RankScale * (DampDen - DampNum) / DampDen
+    val profile = (1 to rounds).map { r =>
+      // the previous rank rides the same shuffle as the contributions
         // (a zero-contribution self row per vertex, max-folded back out
         // by the agg — every vertex has deg ≥ 1 on an undirected edge
         // set, so the union covers all of them). Per round: one |E|-row
@@ -218,11 +223,8 @@ object Graph {
         rank = next.select(col("x"), col("rank"))
         (r.toLong, row.getLong(0), row.getLong(1), row.getLong(2), row.getLong(3))
       }
-      profile.toDF("round", "total_move", "max_rank", "min_rank", "rank_mass")
-        .orderBy("round")
-    } finally {
-      msgs.unpersist()
-    }
+    val profDf = profile.toDF("round", "total_move", "max_rank", "min_rank", "rank_mass")
+    profDf.orderBy("round")
   }
 
   /** g03 core: single-source BFS by iterative frontier expansion — the
@@ -398,7 +400,7 @@ object Graph {
       val k = 2L * e0 / v0 + 1L
       var nV = v0; var nE = e0
       var converged = false
-      val profile = (1 to rounds).map { r =>
+    val profile = (1 to rounds).map { r =>
         if (converged) (r.toLong, k, 0L, nV, nE)
         else {
           val deg = alive.select(col("u").as("x")).unionAll(alive.select(col("v").as("x")))
