@@ -333,6 +333,13 @@ object ScaleProbe {
       // |V|-row join + agg per round over the once-built message edges),
       // and the BPE merge round (corpus scan + vocab-sized pair agg)
       "e12b_hybrid_rrf_indexed", "g02b_pagerank_profile", "t27_bpe_merge_step",
+      // round 9, second batch: BPE apply (one corpus scan + vocab-sized
+      // replace) and the hash-threshold mixture sample (scan-level
+      // predicate + broadcast source dim — no per-source sort anywhere)
+      "t28_bpe_apply", "p08_source_cap_sample",
+      // retrieve-then-diversify: e12b's indexed candidate generation +
+      // 5 metadata-sized greedy layers — costs what e12b costs
+      "e16_coverage_select",
       // round 9: the composed pipelines re-probed on the gate-preserving
       // fixture (see scaledDocsGated) so the post-gate stages — banded
       // near-dup, contamination grams — finally run at full corpus depth

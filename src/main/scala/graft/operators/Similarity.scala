@@ -90,6 +90,113 @@ object Similarity {
   private[operators] val LexDfCapNum = 4L
   private[operators] val LexDfCapDen = 5L
 
+  /** e12b core, factored so e16's greedy selection consumes the same
+    * fused shortlist: indexed hybrid retrieval — inverted-index lexical
+    * channel (df-capped) + IVF vector shortlist (e06 geometry, exact
+    * re-rank), fused by e12's integer RRF, top-`k`. See the e12b query
+    * scaladoc for the at-scale argument.
+    */
+  /** Distinct lowercase whitespace tokens per document — the shared
+    * lexical-channel input of e12/e12b/e16. */
+  private[operators] def docTokens(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        array_distinct(expr("filter(split(lower(text), ' '), x -> length(x) > 0)")).as("w"))
+
+  /** The query's df-capped term set (doc 0's tokens minus terms above
+    * LexDfCap) — one row per term. Shared by e12b's posting probe and
+    * e16's coverage universe. */
+  private[operators] def dfCappedQueryTerms(docs: DataFrame): DataFrame = {
+    val postings = docs.select(col("doc_id"), explode(col("w")).as("term"))
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val okTerms = postings.groupBy("term").agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(nDocs))
+      .filter(col("df") * LexDfCapDen <= col("n_docs") * LexDfCapNum)
+      .select("term")
+    postings.filter(col("doc_id") === 0L).join(okTerms, "term").select("term")
+  }
+
+  private[operators] def hybridFusedTop(s: SparkSession, dir: String,
+                                        k: Int = 10): DataFrame = {
+    // lexical channel: inverted index, df-capped, probed by query terms
+    val docs = docTokens(s, dir)
+    val postings = docs.select(col("doc_id"), explode(col("w")).as("term"))
+    val qTerms = dfCappedQueryTerms(docs)
+    val wRank = Window.orderBy(col("score").desc, col("doc_id").asc)
+    val lex = postings.filter(col("doc_id") =!= 0L)
+      .join(broadcast(qTerms), "term")
+      .groupBy("doc_id").agg(count(lit(1)).cast("long").as("score"))
+      .orderBy(col("score").desc, col("doc_id").asc).limit(50)
+      .withColumn("lex_rank", row_number().over(wRank).cast("long"))
+      .select("doc_id", "lex_rank")
+    // vector channel: IVF shortlist (e06's geometry), exact re-rank
+    val emb = Tables.embeddings(s, dir)
+    val cscored = emb.join(broadcast(ivfCentroids(emb)))
+      .select(col("vec_id"), col("embedding"), col("cell"),
+        cosine_similarity(col("embedding"), col("centroid")).as("ccos"))
+    val wAssign = Window.partitionBy("vec_id").orderBy(col("ccos").desc, col("cell").asc)
+    val ranked = cscored.withColumn("rn", row_number().over(wAssign))
+    val shard = ranked.filter(col("rn") <= 2)
+      .select(col("vec_id").as("nid"), col("embedding").as("n_emb"), col("cell"))
+    val probeCells = ranked.filter(col("vec_id") === 0L && col("rn") <= 4).select("cell")
+    val qv = emb.filter(col("vec_id") === 0L).select(col("embedding").as("q_emb"))
+    val wCos = Window.orderBy(col("cos_sim").desc, col("doc_id").asc)
+    val vec = shard.join(broadcast(probeCells), "cell")
+      .filter(col("nid") =!= 0L)
+      // a vector filed in two probed cells is one candidate
+      .select(col("nid"), col("n_emb")).distinct()
+      .crossJoin(broadcast(qv))
+      .select(col("nid").as("doc_id"),
+        cosine_similarity(col("n_emb"), col("q_emb")).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("doc_id").asc).limit(50)
+      .withColumn("vec_rank", row_number().over(wCos).cast("long"))
+      .select("doc_id", "vec_rank")
+    // e12's fusion, verbatim
+    lex.join(vec, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"), col("lex_rank"), col("vec_rank"),
+        (coalesce(expr("1000000000L div (60 + lex_rank)"), lit(0L)) +
+          coalesce(expr("1000000000L div (60 + vec_rank)"), lit(0L))).as("rrf_score"))
+      .orderBy(col("rrf_score").desc, col("doc_id").asc)
+      .limit(k)
+  }
+
+  /** e16: number of greedy coverage picks — both engines unroll exactly
+    * this many selection layers (the g05/g02b fixed-layer discipline). */
+  val CoveragePicks = 5
+
+  /** e16 core over a (doc_id, ct: array<string>) candidate frame — the
+    * greedy max-coverage selection (the submodular data-selection
+    * kernel): each layer picks the candidate with the largest MARGINAL
+    * coverage of the term universe (tie → min doc_id), adds its terms to
+    * the covered set, and removes it from the pool. `cand` must be a
+    * CHEAP frame (a scratch-table scan or a local relation): each of the
+    * K fixed layers references the previous layer twice (argmax + the
+    * anti-join), so the unrolled plan holds 2^K copies of `cand`'s plan
+    * — constant-bounded only because K is a constant and `cand` is a
+    * scan (the g02b analyzer-blow-up lesson, applied at design time).
+    * All arithmetic is set sizes — integers, hash-exact.
+    */
+  private[operators] def greedyCoverage(cand: DataFrame, picks: Int): DataFrame = {
+    val s = cand.sparkSession
+    var remaining = cand
+    var coveredF = s.range(1).select(expr("CAST(array() AS array<string>)").as("cov"))
+    val layers = (1 to picks).map { r =>
+      val pick = remaining.crossJoin(broadcast(coveredF))
+        .select(col("doc_id"), col("ct"),
+          size(array_except(col("ct"), col("cov"))).cast("long").as("gain"))
+        .orderBy(col("gain").desc, col("doc_id").asc).limit(1)
+        .select(lit(r.toLong).as("sel_rank"), col("doc_id"), col("gain"), col("ct"))
+      coveredF = pick.crossJoin(coveredF)
+        .select(array_union(col("cov"), col("ct")).as("cov"))
+      remaining = remaining.join(pick.select("doc_id"), Seq("doc_id"), "left_anti")
+      pick.select("sel_rank", "doc_id", "gain")
+    }
+    val wCum = Window.orderBy("sel_rank") // ≤ picks rows — metadata-sized
+    layers.reduce(_ unionAll _)
+      .withColumn("covered_after", sum("gain").over(wCum))
+      .orderBy("sel_rank")
+  }
+
   /** Auto-derived hyperplane-signature width: the smallest b ≥ LshMinBits
     * with 2^b · LshTargetBucket ≥ n, i.e. max(floor, ⌈log₂(n / target)⌉)
     * — computed in INTEGER arithmetic (shift-and-compare, no float log)
@@ -685,55 +792,30 @@ object Similarity {
     // by term with the ≤|vocab| query-term list broadcast; the cell join
     // is keyed by cell with the ≤nprobe cell list broadcast; both
     // channels end in TakeOrdered top-50 — nothing global ever sorts.
-    "e12b_hybrid_rrf_indexed" -> ((s, dir) => {
-      // lexical channel: inverted index, df-capped, probed by query terms
-      val docs = Tables.documents(s, dir)
-        .select(col("doc_id"),
-          array_distinct(expr("filter(split(lower(text), ' '), x -> length(x) > 0)")).as("w"))
-      val postings = docs.select(col("doc_id"), explode(col("w")).as("term"))
-      val nDocs = docs.agg(count(lit(1)).as("n_docs"))
-      val okTerms = postings.groupBy("term").agg(count(lit(1)).as("df"))
-        .crossJoin(broadcast(nDocs))
-        .filter(col("df") * LexDfCapDen <= col("n_docs") * LexDfCapNum)
-        .select("term")
-      val qTerms = postings.filter(col("doc_id") === 0L)
-        .join(okTerms, "term").select("term")
-      val wRank = Window.orderBy(col("score").desc, col("doc_id").asc)
-      val lex = postings.filter(col("doc_id") =!= 0L)
-        .join(broadcast(qTerms), "term")
-        .groupBy("doc_id").agg(count(lit(1)).cast("long").as("score"))
-        .orderBy(col("score").desc, col("doc_id").asc).limit(50)
-        .withColumn("lex_rank", row_number().over(wRank).cast("long"))
-        .select("doc_id", "lex_rank")
-      // vector channel: IVF shortlist (e06's geometry), exact re-rank
-      val emb = Tables.embeddings(s, dir)
-      val cscored = emb.join(broadcast(ivfCentroids(emb)))
-        .select(col("vec_id"), col("embedding"), col("cell"),
-          cosine_similarity(col("embedding"), col("centroid")).as("ccos"))
-      val wAssign = Window.partitionBy("vec_id").orderBy(col("ccos").desc, col("cell").asc)
-      val ranked = cscored.withColumn("rn", row_number().over(wAssign))
-      val shard = ranked.filter(col("rn") <= 2)
-        .select(col("vec_id").as("nid"), col("embedding").as("n_emb"), col("cell"))
-      val probeCells = ranked.filter(col("vec_id") === 0L && col("rn") <= 4).select("cell")
-      val qv = emb.filter(col("vec_id") === 0L).select(col("embedding").as("q_emb"))
-      val wCos = Window.orderBy(col("cos_sim").desc, col("doc_id").asc)
-      val vec = shard.join(broadcast(probeCells), "cell")
-        .filter(col("nid") =!= 0L)
-        // a vector filed in two probed cells is one candidate
-        .select(col("nid"), col("n_emb")).distinct()
-        .crossJoin(broadcast(qv))
-        .select(col("nid").as("doc_id"),
-          cosine_similarity(col("n_emb"), col("q_emb")).as("cos_sim"))
-        .orderBy(col("cos_sim").desc, col("doc_id").asc).limit(50)
-        .withColumn("vec_rank", row_number().over(wCos).cast("long"))
-        .select("doc_id", "vec_rank")
-      // e12's fusion, verbatim
-      lex.join(vec, Seq("doc_id"), "full_outer")
-        .select(col("doc_id"), col("lex_rank"), col("vec_rank"),
-          (coalesce(expr("1000000000L div (60 + lex_rank)"), lit(0L)) +
-            coalesce(expr("1000000000L div (60 + vec_rank)"), lit(0L))).as("rrf_score"))
-        .orderBy(col("rrf_score").desc, col("doc_id").asc)
-        .limit(10)
+    "e12b_hybrid_rrf_indexed" -> ((s, dir) => hybridFusedTop(s, dir)),
+
+    // RETRIEVE-THEN-DIVERSIFY — the data-selection step after hybrid
+    // retrieval: from e12b's fused top-10, greedily pick 5 docs
+    // maximizing MARGINAL coverage of the query's df-capped term set
+    // (greedy max-coverage, the submodular selection kernel; the
+    // integer-exact cousin of MMR — diversity enters as "terms already
+    // covered score zero", so near-duplicate candidates are skipped
+    // without any float similarity). Selection order, per-pick marginal
+    // gain, and the running covered count are the output — the audit a
+    // curriculum/dedup-aware sampler reads. The candidate table (10
+    // rows + term arrays) goes to scratch so the K unrolled layers
+    // reference a file scan, not the retrieval pipeline (see
+    // greedyCoverage's plan-growth note); the oracle unrolls the same
+    // 5 layers over e12b's full restated SQL.
+    "e16_coverage_select" -> ((s, dir) => {
+      val docs = docTokens(s, dir)
+      val qts = dfCappedQueryTerms(docs)
+        .agg(sort_array(collect_set("term")).as("qts"))
+      val cand = graft.Materialize.toStorage(
+        hybridFusedTop(s, dir).join(docs, "doc_id").crossJoin(broadcast(qts))
+          .select(col("doc_id"), array_intersect(col("w"), col("qts")).as("ct")),
+        "e16_cand")
+      greedyCoverage(cand, CoveragePicks)
     }),
 
     // int8 vector quantization — the embedding-compression step an ANN
@@ -971,6 +1053,47 @@ object Similarity {
       |  SELECT vec_id AS qid, cell FROM cranked WHERE rn <= 4 AND vec_id < 10
       |)""".stripMargin
 
+  private val e12bOracle: String =
+    s"""WITH $duckIvfCtes, words AS (
+         |  SELECT doc_id,
+         |    unnest(list_distinct(list_filter(string_split(lower(text), ' '), x -> len(x) > 0))) AS term
+         |  FROM documents
+         |), okt AS (
+         |  SELECT term FROM words, (SELECT COUNT(*) AS n FROM documents) nd
+         |  GROUP BY term, nd.n
+         |  HAVING COUNT(*) * ${Similarity.LexDfCapDen} <= nd.n * ${Similarity.LexDfCapNum}
+         |), qt AS (
+         |  SELECT w.term FROM words w JOIN okt USING (term) WHERE w.doc_id = 0
+         |), lexall AS (
+         |  SELECT w.doc_id, CAST(COUNT(*) AS BIGINT) AS score
+         |  FROM words w JOIN qt USING (term) WHERE w.doc_id <> 0
+         |  GROUP BY w.doc_id
+         |), lex AS (
+         |  SELECT doc_id,
+         |    CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id ASC) AS BIGINT) AS lex_rank
+         |  FROM lexall
+         |  QUALIFY lex_rank <= 50
+         |), q AS (
+         |  SELECT embedding FROM embeddings WHERE vec_id = 0
+         |), vcand AS (
+         |  SELECT DISTINCT a.nid FROM assigned a JOIN probes p ON p.cell = a.cell
+         |  WHERE p.qid = 0 AND a.nid <> 0
+         |), vecall AS (
+         |  SELECT b.vec_id AS doc_id, ${duckCos("q", "b")} AS cos_sim
+         |  FROM q, embeddings b JOIN vcand ON vcand.nid = b.vec_id
+         |), vec AS (
+         |  SELECT doc_id,
+         |    CAST(ROW_NUMBER() OVER (ORDER BY cos_sim DESC, doc_id ASC) AS BIGINT) AS vec_rank
+         |  FROM vecall
+         |  QUALIFY vec_rank <= 50
+         |)
+         |SELECT COALESCE(l.doc_id, v.doc_id) AS doc_id, l.lex_rank, v.vec_rank,
+         |  COALESCE(1000000000 // (60 + l.lex_rank), 0)
+         |    + COALESCE(1000000000 // (60 + v.vec_rank), 0) AS rrf_score
+         |FROM lex l FULL OUTER JOIN vec v ON l.doc_id = v.doc_id
+         |ORDER BY rrf_score DESC, doc_id ASC
+         |LIMIT 10""".stripMargin
+
   def oracles: Map[String, String] = Map(
     // identical channel ranks (integer overlap / the duckCos double),
     // identical integer fusion — 10⁹ // (60+rank) in BIGINT
@@ -1011,46 +1134,60 @@ object Similarity {
     // index's df cap is the same integer cross-multiplication, and the
     // IVF shortlist reuses e06's cell CTEs (assigned/probes) filtered to
     // query 0; ranks and the integer fusion are e12's verbatim
-    "e12b_hybrid_rrf_indexed" ->
-      s"""WITH $duckIvfCtes, words AS (
+    "e12b_hybrid_rrf_indexed" -> e12bOracle,
+
+    // e12b's full SQL nested as the `fused` CTE, the same df-capped term
+    // universe rebuilt (suffix-2 CTEs to dodge shadowing), then the 5
+    // greedy layers generated exactly like g05/g02b's: argmax by
+    // (marginal gain DESC, doc_id ASC), covered set accumulated by
+    // list concat, earlier picks excluded by NOT IN
+    "e16_coverage_select" -> {
+      val layers = (1 to CoveragePicks).map { i =>
+        val exclude =
+          if (i == 1) ""
+          else (1 until i).map(j => s"SELECT doc_id FROM l$j")
+            .mkString("  WHERE cand.doc_id NOT IN (", " UNION ALL ", ")\n|")
+        val gain =
+          if (i == 1) "CAST(len(ct) AS BIGINT)"
+          else s"CAST(len(list_filter(ct, t -> NOT list_contains(c${i - 1}.cov, t))) AS BIGINT)"
+        val from = if (i == 1) "FROM cand" else s"FROM cand CROSS JOIN c${i - 1}"
+        val cov =
+          if (i == 1) s"c1 AS (SELECT list_distinct(ct) AS cov FROM l1)"
+          else s"c$i AS (SELECT list_distinct(list_concat(cov, ct)) AS cov FROM l$i)"
+        s"""l$i AS MATERIALIZED (
+           |  SELECT cand.doc_id, $gain AS gain, ct${if (i == 1) "" else ", cov"}
+           |  $from
+           |$exclude  ORDER BY gain DESC, cand.doc_id ASC LIMIT 1
+           |), $cov""".stripMargin
+      }.mkString(",\n")
+      val sel = (1 to CoveragePicks)
+        .map(i => s"SELECT CAST($i AS BIGINT) AS sel_rank, doc_id, gain FROM l$i")
+        .mkString("\n|UNION ALL ")
+      s"""WITH fused AS (
+         |$e12bOracle
+         |), docs2 AS (
          |  SELECT doc_id,
-         |    unnest(list_distinct(list_filter(string_split(lower(text), ' '), x -> len(x) > 0))) AS term
+         |    list_distinct(list_filter(string_split(lower(text), ' '), x -> len(x) > 0)) AS w
          |  FROM documents
-         |), okt AS (
-         |  SELECT term FROM words, (SELECT COUNT(*) AS n FROM documents) nd
-         |  GROUP BY term, nd.n
-         |  HAVING COUNT(*) * ${Similarity.LexDfCapDen} <= nd.n * ${Similarity.LexDfCapNum}
-         |), qt AS (
-         |  SELECT w.term FROM words w JOIN okt USING (term) WHERE w.doc_id = 0
-         |), lexall AS (
-         |  SELECT w.doc_id, CAST(COUNT(*) AS BIGINT) AS score
-         |  FROM words w JOIN qt USING (term) WHERE w.doc_id <> 0
-         |  GROUP BY w.doc_id
-         |), lex AS (
-         |  SELECT doc_id,
-         |    CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id ASC) AS BIGINT) AS lex_rank
-         |  FROM lexall
-         |  QUALIFY lex_rank <= 50
-         |), q AS (
-         |  SELECT embedding FROM embeddings WHERE vec_id = 0
-         |), vcand AS (
-         |  SELECT DISTINCT a.nid FROM assigned a JOIN probes p ON p.cell = a.cell
-         |  WHERE p.qid = 0 AND a.nid <> 0
-         |), vecall AS (
-         |  SELECT b.vec_id AS doc_id, ${duckCos("q", "b")} AS cos_sim
-         |  FROM q, embeddings b JOIN vcand ON vcand.nid = b.vec_id
-         |), vec AS (
-         |  SELECT doc_id,
-         |    CAST(ROW_NUMBER() OVER (ORDER BY cos_sim DESC, doc_id ASC) AS BIGINT) AS vec_rank
-         |  FROM vecall
-         |  QUALIFY vec_rank <= 50
-         |)
-         |SELECT COALESCE(l.doc_id, v.doc_id) AS doc_id, l.lex_rank, v.vec_rank,
-         |  COALESCE(1000000000 // (60 + l.lex_rank), 0)
-         |    + COALESCE(1000000000 // (60 + v.vec_rank), 0) AS rrf_score
-         |FROM lex l FULL OUTER JOIN vec v ON l.doc_id = v.doc_id
-         |ORDER BY rrf_score DESC, doc_id ASC
-         |LIMIT 10""".stripMargin,
+         |), posts2 AS (
+         |  SELECT doc_id, unnest(w) AS term FROM docs2
+         |), ok2 AS (
+         |  SELECT term FROM posts2, (SELECT COUNT(*) AS n FROM documents) nd2
+         |  GROUP BY term, nd2.n
+         |  HAVING COUNT(*) * ${LexDfCapDen} <= nd2.n * ${LexDfCapNum}
+         |), qt2 AS (
+         |  SELECT COALESCE(list(term ORDER BY term), []) AS qts
+         |  FROM posts2 JOIN ok2 USING (term) WHERE doc_id = 0
+         |), cand AS MATERIALIZED (
+         |  SELECT f.doc_id, list_intersect(d.w, q.qts) AS ct
+         |  FROM fused f JOIN docs2 d USING (doc_id) CROSS JOIN qt2 q
+         |),
+         |$layers
+         |SELECT sel_rank, doc_id, gain,
+         |  CAST(SUM(gain) OVER (ORDER BY sel_rank) AS BIGINT) AS covered_after
+         |FROM ($sel
+         |) ORDER BY sel_rank""".stripMargin
+    },
 
     "e01_cosine_pairs_topk" ->
       s"""SELECT a.vec_id AS id_a, b.vec_id AS id_b,

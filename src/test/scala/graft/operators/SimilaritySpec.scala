@@ -98,6 +98,27 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("e16 greedy coverage closed form: marginal-gain argmax, tie by id, pool exhaustion") {
+    import spark.implicits._
+    // A{t1,t2,t3} B{t1,t2,t4} C{t5} D{t4,t5}:
+    // L1 gains (3,3,1,2) → tie A/B → A (min id), covered {t1,t2,t3}
+    // L2 gains (B:1, C:1, D:2) → D, covered {t1..t5}
+    // L3 gains 0 → B (min id); L4 → C; L5: pool empty → no row
+    val cand = Seq(
+      (1L, Seq("t1", "t2", "t3")),
+      (2L, Seq("t1", "t2", "t4")),
+      (3L, Seq("t5")),
+      (4L, Seq("t4", "t5"))
+    ).toDF("doc_id", "ct")
+    val got = Similarity.greedyCoverage(cand, Similarity.CoveragePicks).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got === Array(
+      (1L, 1L, 3L, 3L),
+      (2L, 4L, 2L, 5L),
+      (3L, 2L, 0L, 5L),
+      (4L, 3L, 0L, 5L)))
+  }
+
   test("e01 top pairs are symmetric-consistent and sorted by similarity") {
     val rows = Similarity.queries("e01_cosine_pairs_topk")(spark, sfDir).collect()
     assert(rows.length > 0 && rows.length <= 100)
