@@ -360,12 +360,19 @@ object Curation {
         .filter(jaccardSorted(col("sh_a"), col("sh_b")) >= Jac)
         .select(col("id_b").as("doc_id")).distinct()
         .withColumn("near_loser", lit(true))
-      val grams = base
-        .select(col("doc_id"), col("is_eval"),
-          explode(wordShingles(col("text"), 4)).as("g"))
-        .select(col("doc_id"), col("is_eval"), xxhash64(col("g")).as("h"))
-      val evalH = grams.filter(col("is_eval")).select("h").distinct()
-      val contam = grams.filter(!col("is_eval")).join(evalH, "h")
+      // gram universe = eval docs (the contamination REFERENCE) + the
+      // exact-dup survivors (the only docs whose status can still reach
+      // the contamination gate — every other doc already reported an
+      // earlier gate by CASE precedence, so hashing its grams is pure
+      // waste; at the 100× probe this cut the explode from the full
+      // corpus to the survivor set)
+      val evalH = base.filter(col("is_eval"))
+        .select(explode(wordShingles(col("text"), 4)).as("g"))
+        .select(xxhash64(col("g")).as("h")).distinct()
+      val contam = exactKept
+        .select(col("doc_id"), explode(wordShingles(col("text"), 4)).as("g"))
+        .select(col("doc_id"), xxhash64(col("g")).as("h"))
+        .join(evalH, "h")
         .select("doc_id").distinct().withColumn("contam", lit(true))
       val bucket = pmod(xxhash64(col("doc_id")), lit(100))
       val manifest = base.select(col("doc_id"), col("source"), col("is_eval"), col("q_ok"), col("l_ok"))
