@@ -340,6 +340,8 @@ object ScaleProbe {
       // retrieve-then-diversify: e12b's indexed candidate generation +
       // 5 metadata-sized greedy layers — costs what e12b costs
       "e16_coverage_select",
+      // one degree join + one agg over the directed endpoint list
+      "g06_assortativity",
       // round 9: the composed pipelines re-probed on the gate-preserving
       // fixture (see scaledDocsGated) so the post-gate stages — banded
       // near-dup, contamination grams — finally run at full corpus depth

@@ -227,6 +227,33 @@ object Graph {
     profDf.orderBy("round")
   }
 
+  /** g06 core over undirected (u < v) edges — integer moment sums over
+    * the directed endpoint list plus the closed-form Pearson ratio (see
+    * the query scaladoc for why symmetry eliminates the square root).
+    */
+  private[operators] def degreeAssortativity(e: DataFrame): DataFrame = {
+    val deg = degrees(e)
+    val directed = e.select(col("u").as("i"), col("v").as("j"))
+      .unionAll(e.select(col("v").as("i"), col("u").as("j")))
+      .join(deg.select(col("x").as("i"), col("deg").as("dx")), "i")
+      .join(deg.select(col("x").as("j"), col("deg").as("dy")), "j")
+    directed
+      .agg(count(lit(1)).as("m_directed"),
+        sum("dx").as("sum_x"),
+        sum(col("dx") * col("dy")).as("sum_xy"),
+        sum(col("dx") * col("dx")).as("sum_x2"))
+      .select(col("m_directed"), col("sum_x"), col("sum_xy"), col("sum_x2"),
+        // a REGULAR graph has zero degree variance — r is undefined
+        // (0/0), reported as NULL in both engines (ANSI throws on the
+        // bare division)
+        when(col("m_directed") * col("sum_x2") === col("sum_x") * col("sum_x"),
+          lit(null).cast("double"))
+          .otherwise(
+            (col("m_directed") * col("sum_xy") - col("sum_x") * col("sum_x")).cast("double") /
+              (col("m_directed") * col("sum_x2") - col("sum_x") * col("sum_x")).cast("double"))
+          .as("assortativity"))
+  }
+
   /** g03 core: single-source BFS by iterative frontier expansion — the
     * third canonical Pregel shape after label propagation (d07) and one
     * message round (g02). Root = the max-degree vertex (tie-break min
@@ -533,7 +560,18 @@ object Graph {
     // (spam/fringe removal, community seeding) as iterative anti-join
     // peeling; on this near-regular fixture the cascade collapses the
     // graph — and the profile SHOWS it, which is the audit's job.
-    "g05_kcore" -> ((s, dir) => kCorePeel(partEdges(s, dir)))
+    "g05_kcore" -> ((s, dir) => kCorePeel(partEdges(s, dir))),
+
+    // DEGREE ASSORTATIVITY — do hubs link to hubs (r > 0) or to leaves
+    // (r < 0)? The one-number mixing audit a graph-curation pipeline
+    // reads before trusting degree-based sampling. Over the DIRECTED
+    // endpoint list (each undirected edge both ways) the x and y
+    // marginals coincide, so Newman's r needs NO square root:
+    // r = (M·Σxy − (Σx)²) / (M·Σx² − (Σx)²) — every term an integer
+    // sum, the single final division double-exact in both engines (the
+    // g01 clustering_coeff discipline). One degree join + one agg;
+    // work-linear in |E| at any scale.
+    "g06_assortativity" -> ((s, dir) => degreeAssortativity(partEdges(s, dir)))
   )
 
   def oracles: Map[String, String] = Map(
@@ -730,6 +768,33 @@ object Graph {
          |$layers
          |SELECT * FROM ($unionAll
          |) ORDER BY round""".stripMargin
-    }
+    },
+
+    // same directed endpoint list; DuckDB sums in HUGEINT and casts back
+    // — the values themselves fit BIGINT, so both engines' doubles come
+    // from identical integers
+    "g06_assortativity" ->
+      """WITH li AS (
+        |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+        |), e AS MATERIALIZED (
+        |  SELECT DISTINCT a.pk AS u, b.pk AS v
+        |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+        |), nb AS (
+        |  SELECT u AS i, v AS j FROM e UNION ALL SELECT v, u FROM e
+        |), deg AS (
+        |  SELECT i AS x, COUNT(*) AS deg FROM nb GROUP BY i
+        |), d AS (
+        |  SELECT di.deg AS dx, dj.deg AS dy
+        |  FROM nb JOIN deg di ON di.x = nb.i JOIN deg dj ON dj.x = nb.j
+        |)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS m_directed,
+        |  CAST(SUM(dx) AS BIGINT) AS sum_x,
+        |  CAST(SUM(dx * dy) AS BIGINT) AS sum_xy,
+        |  CAST(SUM(dx * dx) AS BIGINT) AS sum_x2,
+        |  CASE WHEN COUNT(*) * SUM(dx * dx) = SUM(dx) * SUM(dx) THEN NULL
+        |    ELSE CAST(COUNT(*) * SUM(dx * dy) - SUM(dx) * SUM(dx) AS BIGINT)::DOUBLE
+        |      / CAST(COUNT(*) * SUM(dx * dx) - SUM(dx) * SUM(dx) AS BIGINT)::DOUBLE
+        |  END AS assortativity
+        |FROM d""".stripMargin
   )
 }

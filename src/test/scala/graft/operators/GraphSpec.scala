@@ -93,6 +93,20 @@ class GraphSpec extends SparkSpec {
     }
   }
 
+  test("g06 closed forms: star is perfectly disassortative; cycle degenerate-regular") {
+    // 3-star (hub 1): directed endpoints (3,1)x3 + (1,3)x3 → M=6,
+    // Σx = 12, Σxy = 18, Σx² = 30 → r = (108-144)/(180-144) = -1
+    val star = Graph.degreeAssortativity(
+      edges((1L, 2L), (1L, 3L), (1L, 4L))).collect()(0)
+    assert((star.getLong(0), star.getLong(1), star.getLong(2), star.getLong(3))
+      === ((6L, 12L, 18L, 30L)))
+    assert(star.getDouble(4) === -1.0)
+    // C4: all degrees 2 → zero degree variance → r undefined → NULL
+    val c4 = Graph.degreeAssortativity(
+      edges((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L))).collect()(0)
+    assert(c4.isNullAt(4))
+  }
+
   test("g03 closed forms: path levels from the max-degree root; star; disconnection") {
     // path 1-2-3-4-5: degrees (1,2,2,2,1) → root = 2 (max deg, min id).
     // levels: 0:{2}, 1:{1,3}, 2:{4}, 3:{5}
