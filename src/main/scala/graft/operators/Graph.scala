@@ -237,6 +237,14 @@ object Graph {
       .unionAll(e.select(col("v").as("i"), col("u").as("j")))
       .join(deg.select(col("x").as("i"), col("deg").as("dx")), "i")
       .join(deg.select(col("x").as("j"), col("deg").as("dy")), "j")
+    // M·Σxy and (Σx)² overflow int64 at the 10× graph (M ~ 10⁶·Σxy ~
+    // 10¹²), so the ratio terms are computed in DECIMAL(38,0) — exact,
+    // the same integers DuckDB's HUGEINT carries — and each side casts
+    // to DOUBLE before the one division: both engines round the same
+    // exact integer to the same double. The published moment sums
+    // themselves fit BIGINT at any realistic scale.
+    val dec = "decimal(38,0)"
+    def d(c: org.apache.spark.sql.Column) = c.cast(dec)
     directed
       .agg(count(lit(1)).as("m_directed"),
         sum("dx").as("sum_x"),
@@ -246,11 +254,11 @@ object Graph {
         // a REGULAR graph has zero degree variance — r is undefined
         // (0/0), reported as NULL in both engines (ANSI throws on the
         // bare division)
-        when(col("m_directed") * col("sum_x2") === col("sum_x") * col("sum_x"),
+        when(d(col("m_directed")) * d(col("sum_x2")) === d(col("sum_x")) * d(col("sum_x")),
           lit(null).cast("double"))
           .otherwise(
-            (col("m_directed") * col("sum_xy") - col("sum_x") * col("sum_x")).cast("double") /
-              (col("m_directed") * col("sum_x2") - col("sum_x") * col("sum_x")).cast("double"))
+            (d(col("m_directed")) * d(col("sum_xy")) - d(col("sum_x")) * d(col("sum_x"))).cast("double") /
+              (d(col("m_directed")) * d(col("sum_x2")) - d(col("sum_x")) * d(col("sum_x"))).cast("double"))
           .as("assortativity"))
   }
 
@@ -792,8 +800,8 @@ object Graph {
         |  CAST(SUM(dx * dy) AS BIGINT) AS sum_xy,
         |  CAST(SUM(dx * dx) AS BIGINT) AS sum_x2,
         |  CASE WHEN COUNT(*) * SUM(dx * dx) = SUM(dx) * SUM(dx) THEN NULL
-        |    ELSE CAST(COUNT(*) * SUM(dx * dy) - SUM(dx) * SUM(dx) AS BIGINT)::DOUBLE
-        |      / CAST(COUNT(*) * SUM(dx * dx) - SUM(dx) * SUM(dx) AS BIGINT)::DOUBLE
+        |    ELSE (COUNT(*) * SUM(dx * dy) - SUM(dx) * SUM(dx))::DOUBLE
+        |      / (COUNT(*) * SUM(dx * dx) - SUM(dx) * SUM(dx))::DOUBLE
         |  END AS assortativity
         |FROM d""".stripMargin
   )
