@@ -143,6 +143,28 @@ object Skew {
           sum((col("l_extendedprice").cast("decimal(38,6)") * col("p_size").cast("long"))
             .cast("decimal(38,6)")).cast("double").as("weighted_price"))
         .orderBy("p_partkey")
+    }),
+
+    // SALT PLANNING — the audit that produces the `salts` number k01/k02
+    // consume, instead of a hand-picked constant: per-key row counts,
+    // a data-derived per-reducer target (total div 256 — ~8 waves on 32
+    // reducers, the spill-free sizing rule from the module scaladoc),
+    // and for each of the 10 hottest keys its ceil-division salt factor
+    // and the projected post-salt max reducer load. All integer
+    // arithmetic ((n + t − 1) div t, no floats); one scan + one hash
+    // agg + a broadcast 1-row total + TakeOrdered(10) — nothing global
+    // sorts, corpus-linear at any scale.
+    "k04_salt_plan" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val byKey = li.groupBy(col("l_suppkey").as("key")).agg(count(lit(1)).as("n_rows"))
+      val tgt = byKey.agg(sum("n_rows").as("total"))
+        .select(col("total"), greatest(lit(1L), expr("total div 256")).as("target"))
+      byKey.crossJoin(broadcast(tgt))
+        .select(col("key"), col("n_rows"), col("target"),
+          expr("(n_rows + target - 1) div target").as("salt_factor"))
+        .withColumn("post_salt_load", expr("(n_rows + salt_factor - 1) div salt_factor"))
+        .orderBy(col("n_rows").desc, col("key").asc)
+        .limit(10)
     })
   )
 
@@ -176,6 +198,24 @@ object Skew {
         |    AS weighted_price
         |FROM lineitem li JOIN part p ON li.l_partkey = p.p_partkey
         |GROUP BY p.p_partkey
-        |ORDER BY p.p_partkey""".stripMargin
+        |ORDER BY p.p_partkey""".stripMargin,
+
+    // same ceil-division plan; DuckDB's SUM widens to HUGEINT so the
+    // total and every derived integer CAST back to BIGINT
+    "k04_salt_plan" ->
+      """WITH byk AS (
+        |  SELECT l_suppkey AS key, COUNT(*) AS n_rows FROM lineitem GROUP BY l_suppkey
+        |), tg AS (
+        |  SELECT CAST(SUM(n_rows) AS BIGINT) AS total,
+        |    CAST(GREATEST(1, SUM(n_rows) // 256) AS BIGINT) AS target
+        |  FROM byk
+        |)
+        |SELECT key, n_rows, target,
+        |  CAST((n_rows + target - 1) // target AS BIGINT) AS salt_factor,
+        |  CAST((n_rows + ((n_rows + target - 1) // target) - 1)
+        |    // ((n_rows + target - 1) // target) AS BIGINT) AS post_salt_load
+        |FROM byk CROSS JOIN tg
+        |ORDER BY n_rows DESC, key ASC
+        |LIMIT 10""".stripMargin
   )
 }

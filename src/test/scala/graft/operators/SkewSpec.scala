@@ -147,4 +147,18 @@ class SkewSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2))).toSet
     assert(salted === plain)
   }
+
+  test("k04 salt plan: ceil arithmetic bounds the post-salt load by the target") {
+    // mathematical contract of the plan: salt_factor = ceil(n/target) ≥ 1
+    // and the projected per-reducer load ceil(n/salt_factor) ≤ target
+    // whenever n ≥ 1 (and equals n when n ≤ target → factor 1)
+    val got = Skew.queries("k04_salt_plan")(spark, sfDir).collect()
+    assert(got.nonEmpty && got.length <= 10)
+    got.foreach { r =>
+      val (n, t, f, load) = (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(f >= 1L && f === (n + t - 1) / t)
+      assert(load <= t, s"post-salt load $load exceeds target $t")
+      if (n <= t) assert(f === 1L && load === n)
+    }
+  }
 }
