@@ -342,6 +342,9 @@ object ScaleProbe {
       "e16_coverage_select",
       // one degree join + one agg over the directed endpoint list
       "g06_assortativity",
+      // one scan + hash agg + broadcast total; and the streaming gate
+      // scan (stateless expressions, per-source counter state only)
+      "k04_salt_plan", "s23_stream_gate_counts",
       // round 9: the composed pipelines re-probed on the gate-preserving
       // fixture (see scaledDocsGated) so the post-gate stages — banded
       // near-dup, contamination grams — finally run at full corpus depth

@@ -676,6 +676,30 @@ object StreamingQueries {
     // the batch sample and t21's window-form oracle gates it exactly.
     // The posexplode runs on the materialized result, batch-side — the
     // streaming plan is pure bounded-state agg.
+    // STREAM/BATCH GATE PARITY — p01's quality + language gates run
+    // under Structured Streaming, per-source disposition counts in
+    // Complete mode. The gates are stateless scan expressions, so the
+    // only state is the per-source counter row — micro-batching must be
+    // answer-invisible, and the oracle states the gates in batch SQL
+    // (the same scoreExprs/langCase text p01's oracle uses). This is
+    // the ingest-time shape of curation: score at the edge, admit
+    // counts per source, leave the corpus-level stages (dedup,
+    // contamination) to the batch pipeline.
+    "s23_stream_gate_counts" -> ((s, dir) => {
+      import graft.functions.TextFunctions.{langId, qualityScore}
+      val q = graft.operators.Curation.QualityMin
+      val g = documentsStream(s, dir)
+        .select(col("source"),
+          (qualityScore(col("text")) >= q).as("q_ok"),
+          (langId(col("text")) === "en").as("l_ok"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("q_ok"), 1L).otherwise(0L)).as("n_q_ok"),
+          sum(when(col("l_ok"), 1L).otherwise(0L)).as("n_l_ok"),
+          sum(when(col("q_ok") && col("l_ok"), 1L).otherwise(0L)).as("n_pass"))
+      runToTable(g, OutputMode.Complete()).orderBy("source")
+    }),
+
     "s20_stream_quota_sample" -> ((s, dir) => {
       import graft.functions.TopKAggregator.top_k
       import graft.operators.TextAnalysis.SampleK
@@ -1059,6 +1083,34 @@ object StreamingQueries {
          |  FROM documents
          |)
          |WHERE rank <= ${graft.operators.TextAnalysis.SampleK}
-         |ORDER BY source, rank""".stripMargin
+         |ORDER BY source, rank""".stripMargin,
+
+    // p01's gate SQL verbatim (the shared scoreExprs/langCase text) —
+    // the stream's per-source counters must equal the batch gates
+    "s23_stream_gate_counts" ->
+      s"""WITH t AS (
+         |  SELECT *, list_filter(string_split(lower(text), ' '), w -> len(w) > 0) AS toks
+         |  FROM documents
+         |), scored AS (
+         |  SELECT *,
+         |    ${graft.operators.Curation.scoreExprs},
+         |    CASE WHEN len(toks) = 0 THEN 0.0 ELSE
+         |      len(list_filter(toks, w -> list_contains(${graft.operators.Curation.stopList}, w)))::DOUBLE / len(toks)::DOUBLE END AS stop_ratio,
+         |    CASE WHEN len(text) = 0 THEN 0.0 ELSE
+         |      len(regexp_extract_all(lower(text), '[^a-z0-9 ]'))::DOUBLE / len(text)::DOUBLE END AS p_ratio
+         |  FROM t
+         |), quality AS (
+         |  SELECT *,
+         |    least(len(text)::DOUBLE / 400.0, 1.0) * 0.4
+         |      + least(stop_ratio * 5.0, 1.0) * 0.3
+         |      + (1.0 - least(p_ratio * 10.0, 1.0)) * 0.3 AS q
+         |  FROM scored
+         |)
+         |SELECT source, COUNT(*) AS n_docs,
+         |  CAST(SUM(CASE WHEN q >= ${graft.operators.Curation.QualityMin} THEN 1 ELSE 0 END) AS BIGINT) AS n_q_ok,
+         |  CAST(SUM(CASE WHEN (${graft.operators.Curation.langCase}) = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_l_ok,
+         |  CAST(SUM(CASE WHEN q >= ${graft.operators.Curation.QualityMin}
+         |    AND (${graft.operators.Curation.langCase}) = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_pass
+         |FROM quality GROUP BY source ORDER BY source""".stripMargin
   )
 }
