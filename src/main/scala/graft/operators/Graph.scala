@@ -476,7 +476,16 @@ object Graph {
     * t / (du + dv − t) — one IEEE division of exact longs per edge, so
     * ordering and values gate exactly.
     */
-  private[operators] def edgeJaccard(e: DataFrame, topK: Int): DataFrame = {
+  /** One row per triangle {a, b, c}, each found exactly once on its
+    * degree-lowest edge (a, b) — g01's degree-oriented adjacency-array
+    * intersection with the intersection MATERIALIZED (explode) instead of
+    * counted. Shared by g04 (per-edge credits) and g07 (per-vertex
+    * credits). shuffle_hash, not sort-merge: the probe side carries two
+    * ~O(√E) LONG-array payloads per row, and sorting those heavy rows is
+    * the dominant 10×-probe cost; hashing builds on the (|V|-row)
+    * adjacency side and streams the edges unsorted.
+    */
+  private[operators] def orientedTriangles(e: DataFrame): DataFrame = {
     val deg = degrees(e)
     val withDeg = e
       .join(deg.select(col("x").as("u"), col("deg").as("du")), "u")
@@ -487,17 +496,17 @@ object Graph {
       when(lower, col("v")).otherwise(col("u")).as("b"))
     val adj = oriented.groupBy(col("a").as("x"))
       .agg(sort_array(collect_list(col("b"))).as("nbrs"))
-    // one row per triangle {a, b, c}: found once, on its degree-lowest
-    // edge (a, b); then 3 undirected edge credits per triangle
-    // shuffle_hash, not sort-merge: the probe side carries two ~O(√E)
-    // LONG-array payloads per row, and sorting those heavy rows is the
-    // dominant 10×-probe cost; hashing builds on the (|V|-row) adjacency
-    // side and streams the edges unsorted
-    val tris = oriented
+    oriented
       .join(adj.select(col("x").as("a"), col("nbrs").as("na")).hint("shuffle_hash"), "a")
       .join(adj.select(col("x").as("b"), col("nbrs").as("nb")).hint("shuffle_hash"), "b")
       .select(col("a"), col("b"),
         explode(graft.functions.ArrayFunctions.sorted_intersect(col("na"), col("nb"))).as("c"))
+  }
+
+  private[operators] def edgeJaccard(e: DataFrame, topK: Int): DataFrame = {
+    val deg = degrees(e)
+    // 3 undirected edge credits per triangle
+    val tris = orientedTriangles(e)
     val credits = tris.select(
       array(
         struct(least(col("a"), col("b")).as("u"), greatest(col("a"), col("b")).as("v")),
@@ -516,6 +525,30 @@ object Graph {
         (col("deg_u") + col("deg_v") - col("common_nbrs")).cast("double"))
       .orderBy(col("jaccard").desc, col("u").asc, col("v").asc)
       .limit(topK)
+  }
+
+  /** g07 core: the LOCAL clustering-coefficient HISTOGRAM — per-vertex
+    * triangle counts from the shared orientedTriangles rows (3 vertex
+    * credits per triangle), bucketed by the integer floor of
+    * 10·cc(v) = (2·t·10) div (deg·(deg−1)) over the deg ≥ 2 vertices
+    * (cc is undefined below that), so the 11-bucket histogram is exact
+    * integer arithmetic end to end — no per-vertex double ever crosses
+    * the gate. Buckets keep the output metadata-sized where the raw
+    * per-vertex frame is |V| rows; zero-triangle vertices land in bucket
+    * 0 via the left join (they are the signal — g01's GLOBAL coefficient
+    * can't see a bimodal local structure, this histogram can).
+    */
+  private[operators] def localClusteringHistogram(e: DataFrame): DataFrame = {
+    val tv = orientedTriangles(e)
+      .select(explode(array(col("a"), col("b"), col("c"))).as("z"))
+      .groupBy("z").agg(count(lit(1)).as("t"))
+    degrees(e).filter(col("deg") >= 2)
+      .join(tv.withColumnRenamed("z", "x"), Seq("x"), "left")
+      .select(col("deg"), coalesce(col("t"), lit(0L)).as("t"))
+      .select(expr("(2 * t * 10) div (deg * (deg - 1))").as("cc_bucket"), col("t"))
+      .groupBy("cc_bucket")
+      .agg(count(lit(1)).as("n_vertices"), sum("t").as("sum_triangles"))
+      .orderBy("cc_bucket")
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -579,7 +612,18 @@ object Graph {
     // sum, the single final division double-exact in both engines (the
     // g01 clustering_coeff discipline). One degree join + one agg;
     // work-linear in |E| at any scale.
-    "g06_assortativity" -> ((s, dir) => degreeAssortativity(partEdges(s, dir)))
+    "g06_assortativity" -> ((s, dir) => degreeAssortativity(partEdges(s, dir))),
+
+    // LOCAL CLUSTERING HISTOGRAM — the distributional companion to g01's
+    // single global coefficient: how many vertices live at each tenth of
+    // cc(v) = 2·t(v)/(deg·(deg−1)). The community-structure audit a graph
+    // curation pipeline reads (a spam farm shows as a mass at bucket 10;
+    // a star/bipartite core as a mass at 0) — g01's one number averages
+    // both away. Triangle credits come from the same materialized
+    // oriented intersection as g04 (3 vertex credits per triangle, never
+    // the wedge space); the bucket floor is integer cross-multiplication,
+    // so the whole histogram is hash-exact.
+    "g07_local_clustering" -> ((s, dir) => localClusteringHistogram(partEdges(s, dir)))
   )
 
   def oracles: Map[String, String] = Map(
@@ -803,6 +847,44 @@ object Graph {
         |    ELSE (COUNT(*) * SUM(dx * dy) - SUM(dx) * SUM(dx))::DOUBLE
         |      / (COUNT(*) * SUM(dx * dx) - SUM(dx) * SUM(dx))::DOUBLE
         |  END AS assortativity
-        |FROM d""".stripMargin
+        |FROM d""".stripMargin,
+
+    // g01's wedge-join triangle enumeration with the APEX KEPT, so each
+    // triangle credits its three vertices once; the bucket floor is the
+    // same integer cross-multiplication (2·t·10) // (deg·(deg−1))
+    "g07_local_clustering" ->
+      """WITH li AS (
+        |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+        |), e AS MATERIALIZED (
+        |  SELECT DISTINCT a.pk AS u, b.pk AS v
+        |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+        |), deg AS (
+        |  SELECT x, COUNT(*) AS deg
+        |  FROM (SELECT u AS x FROM e UNION ALL SELECT v AS x FROM e)
+        |  GROUP BY x
+        |), o AS (
+        |  SELECT CASE WHEN (du.deg, e.u) < (dv.deg, e.v) THEN e.u ELSE e.v END AS a,
+        |         CASE WHEN (du.deg, e.u) < (dv.deg, e.v) THEN e.v ELSE e.u END AS b
+        |  FROM e JOIN deg du ON du.x = e.u JOIN deg dv ON dv.x = e.v
+        |), wedge AS (
+        |  SELECT e1.a AS a, e1.b AS x, e2.b AS y
+        |  FROM o e1 JOIN o e2 ON e1.a = e2.a AND e1.b < e2.b
+        |), tri AS (
+        |  SELECT a, x, y FROM wedge JOIN e ON x = u AND y = v
+        |), tv AS (
+        |  SELECT z, COUNT(*) AS t
+        |  FROM (SELECT a AS z FROM tri UNION ALL SELECT x FROM tri
+        |        UNION ALL SELECT y FROM tri)
+        |  GROUP BY z
+        |), verts AS (
+        |  SELECT d.deg, COALESCE(tv.t, 0) AS t
+        |  FROM deg d LEFT JOIN tv ON tv.z = d.x
+        |  WHERE d.deg >= 2
+        |)
+        |SELECT CAST((2 * t * 10) // (deg * (deg - 1)) AS BIGINT) AS cc_bucket,
+        |  COUNT(*) AS n_vertices, CAST(SUM(t) AS BIGINT) AS sum_triangles
+        |FROM verts
+        |GROUP BY 1
+        |ORDER BY 1""".stripMargin
   )
 }

@@ -818,6 +818,33 @@ object Similarity {
       greedyCoverage(cand, CoveragePicks)
     }),
 
+    // IVF INDEX BALANCE AUDIT — the health check a serving layer runs
+    // before trusting e06/e12b's shortlists: per-cell posting counts of
+    // the multi-assigned (top-2) index, reduced to the occupancy extremes
+    // and the max/mean imbalance ratio. Probing cost is bounded by the
+    // HOTTEST probed cell, so a skewed quantizer silently turns
+    // nprobe/ncells into max_occ·nprobe work — this one row is the number
+    // that says whether the e08 retrain is due. All counts integer; the
+    // ratio is one division of exact longs; `is_balanced` is the integer
+    // cross-multiplication max·cells ≤ 2·postings. One broadcast-centroid
+    // scan + two hash aggs — corpus-linear at any scale.
+    "e17_ivf_balance" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val wAssign = Window.partitionBy("vec_id").orderBy(col("ccos").desc, col("cell").asc)
+      val occ = e.join(broadcast(ivfCentroids(e)))
+        .select(col("vec_id"), col("cell"),
+          cosine_similarity(col("embedding"), col("centroid")).as("ccos"))
+        .withColumn("rn", row_number().over(wAssign))
+        .filter(col("rn") <= 2)
+        .groupBy("cell").agg(count(lit(1)).as("occ"))
+      occ.agg(count(lit(1)).as("n_cells"), sum("occ").as("n_postings"),
+          min("occ").as("min_occ"), max("occ").as("max_occ"))
+        .select(col("n_cells"), col("n_postings"), col("min_occ"), col("max_occ"),
+          ((col("max_occ") * col("n_cells")).cast("double")
+            / col("n_postings").cast("double")).as("imbalance"),
+          (col("max_occ") * col("n_cells") <= col("n_postings") * 2).as("is_balanced"))
+    }),
+
     // int8 vector quantization — the embedding-compression step an ANN
     // serving layer runs (4× smaller vectors, SIMD-friendly dot products).
     // Per-vector symmetric scheme: scale = 127 / max|x|, q_d = ⌊x_d·127 /
@@ -1135,6 +1162,20 @@ object Similarity {
     // IVF shortlist reuses e06's cell CTEs (assigned/probes) filtered to
     // query 0; ranks and the integer fusion are e12's verbatim
     "e12b_hybrid_rrf_indexed" -> e12bOracle,
+
+    // the index side of duckIvfCtes verbatim (assigned = top-2 cells per
+    // vector), reduced to the same integer occupancy stats; SUM widens to
+    // HUGEINT in DuckDB, so n_postings is cast back to BIGINT (the r7
+    // widening lesson)
+    "e17_ivf_balance" ->
+      s"""WITH $duckIvfCtes, occ AS (
+         |  SELECT cell, COUNT(*) AS occ FROM assigned GROUP BY cell
+         |)
+         |SELECT COUNT(*) AS n_cells, CAST(SUM(occ) AS BIGINT) AS n_postings,
+         |  CAST(MIN(occ) AS BIGINT) AS min_occ, CAST(MAX(occ) AS BIGINT) AS max_occ,
+         |  (MAX(occ) * COUNT(*))::DOUBLE / SUM(occ)::DOUBLE AS imbalance,
+         |  MAX(occ) * COUNT(*) <= SUM(occ) * 2 AS is_balanced
+         |FROM occ""".stripMargin,
 
     // e12b's full SQL nested as the `fused` CTE, the same df-capped term
     // universe rebuilt (suffix-2 CTEs to dodge shadowing), then the 5

@@ -168,6 +168,71 @@ object TextAnalysis {
     } finally vocab.unpersist()
   }
 
+  /** t29: the fixed merge-round count of the BPE training loop — both
+    * engines unroll exactly this many layers (the g05/g02b discipline).
+    */
+  val BpeRounds = 6
+
+  /** t29 core over any (text) frame — the BPE TRAINING LOOP: t27's merge
+    * pick and t28's apply alternated for K fixed rounds, emitting the
+    * learned merge list with the per-round corpus token count (the curve
+    * a tokenizer trainer actually watches). State is the VOCABULARY as a
+    * symbol-sequence table: each word rendered with every symbol wrapped
+    * chr(1)·sym·chr(2), so a merge is ONE literal `replace` — the
+    * delimiters make cross-symbol false matches impossible (a pattern
+    * can only match whole adjacent symbols) and `replace`'s
+    * leftmost-non-overlapping scan is exactly BPE's simultaneous-
+    * application rule, identical in both engines ("aaaa" under merge
+    * (a,a) → two merges, "aaa" → one). Each round's vocabulary goes to
+    * SCRATCH PARQUET (the g02b carry discipline — it is referenced by
+    * both the next pick and the apply, and a cached carry doubles the
+    * analyzed plan per round); per-round driver traffic is the winner
+    * pair + two audit scalars. The corpus is scanned ONCE (round cost is
+    * |vocab|-bounded), and every count is an exact integer — the whole
+    * K-round training run sits under the hash gate against K generated
+    * MATERIALIZED oracle layers.
+    */
+  private[operators] def bpeTrainProfile(docs: DataFrame,
+                                         rounds: Int = BpeRounds): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val S = "\u0001"
+    val E = "\u0002"
+    var vocab = s.read.parquet(graft.Materialize.toStoragePath(
+      docs.select(explode(regexp_extract_all(lower(col("text")), lit("[a-z]+"), lit(0))).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("wf"))
+        .select(regexp_replace(col("w"), "(.)", S + "$1" + E).as("ws"), col("wf")),
+      "bpe_v0"))
+    val prof = (1 to rounds).map { r =>
+      val pairs = vocab
+        .select(col("wf"), split(expr("substring(ws, 2, length(ws) - 2)"), E + S).as("sy"))
+        .filter(size(col("sy")) >= 2)
+        .select(col("wf"), explode(expr(
+          "transform(sequence(1, size(sy) - 1)," +
+            " i -> struct(element_at(sy, i) AS l, element_at(sy, i + 1) AS r))")).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum("wf").as("cnt"))
+      val win = pairs.orderBy(col("cnt").desc, col("l").asc, col("r").asc)
+        .limit(1).collect()(0)
+      val (wl, wr, cnt) = (win.getString(0), win.getString(1), win.getLong(2))
+      // `replace` with lit() patterns — corpus-derived symbols never touch
+      // SQL text (and [a-z]+ symbols can't collide with the delimiters)
+      val next = s.read.parquet(graft.Materialize.toStoragePath(
+        vocab.select(
+          replace(col("ws"), lit(S + wl + E + S + wr + E),
+            lit(S + wl + wr + E)).as("ws"),
+          col("wf")), s"bpe_v$r"))
+      val tokensAfter = next
+        .agg(sum(col("wf") *
+          (length(col("ws")) - length(replace(col("ws"), lit(S), lit(""))))).as("ta"))
+        .collect()(0).getLong(0)
+      vocab = next
+      (r.toLong, wl, wr, cnt, tokensAfter)
+    }
+    prof.toDF("round", "left_sym", "right_sym", "pair_count", "tokens_after")
+      .orderBy("round")
+  }
+
   private[operators] def boilerplateSpans(docs: DataFrame): DataFrame = {
     val d = docs.filter(size(col("w")) >= 2)
     val sp = d.select(col("doc_id"),
@@ -555,6 +620,18 @@ object TextAnalysis {
     // (apply) in a driver loop, each round vocabulary-sized.
     "t28_bpe_apply" -> ((s, dir) =>
       bpeApplyStep(Tables.documents(s, dir))),
+
+    // THE BPE TRAINING LOOP — t27's pick and t28's apply alternated for 6
+    // fixed rounds: the learned merge list (what a real tokenizer ships)
+    // with the per-round corpus token count. The iterative-state
+    // discipline is g02b's (scratch-parquet carry, bounded driver
+    // scalars); the symbol delimiters make each merge one literal
+    // `replace` with BPE's exact simultaneous-application semantics in
+    // both engines (see bpeTrainProfile). Corpus scanned once; every
+    // round is vocabulary-sized — at 100 TB the vocab table is the only
+    // thing the loop touches.
+    "t29_bpe_train" -> ((s, dir) =>
+      bpeTrainProfile(Tables.documents(s, dir))),
 
     "t14_rare_token_ratio" -> ((s, dir) => {
       val toks = Tables.documents(s, dir)
@@ -1297,6 +1374,45 @@ object TextAnalysis {
         |    AS tokens_after
         |FROM vocab CROSS JOIN win
         |GROUP BY source ORDER BY source""".stripMargin,
+
+    // the 6 training rounds unrolled as generated MATERIALIZED layers
+    // (g05/g02b's template): each layer re-counts adjacent-symbol pairs
+    // from the previous vocabulary, picks the (count DESC, pair ASC)
+    // winner, and applies it with the same delimiter-wrapped literal
+    // replace; chr(1)/chr(2) are the Scala side's \u0001/\u0002
+    "t29_bpe_train" -> {
+      val layers = (1 to BpeRounds).map { r =>
+        s"""p$r AS (
+           |  SELECT wf, unnest([{'l': sy[i], 'r': sy[i+1]} for i in range(1, len(sy))]) AS u
+           |  FROM (SELECT string_split(substring(ws, 2, length(ws) - 2), chr(2) || chr(1)) AS sy, wf
+           |        FROM v${r - 1})
+           |), w$r AS (
+           |  SELECT u.l AS l, u.r AS r, CAST(SUM(wf) AS BIGINT) AS cnt
+           |  FROM p$r GROUP BY u.l, u.r
+           |  ORDER BY cnt DESC, l ASC, r ASC LIMIT 1
+           |), v$r AS MATERIALIZED (
+           |  SELECT replace(ws, chr(1) || w$r.l || chr(2) || chr(1) || w$r.r || chr(2),
+           |                 chr(1) || w$r.l || w$r.r || chr(2)) AS ws, wf
+           |  FROM v${r - 1}, w$r
+           |), t$r AS (
+           |  SELECT CAST(SUM(wf * (length(ws) - length(replace(ws, chr(1), '')))) AS BIGINT) AS ta
+           |  FROM v$r
+           |)""".stripMargin
+      }.mkString(",\n")
+      val rows = (1 to BpeRounds).map { r =>
+        s"SELECT CAST($r AS BIGINT) AS round, l AS left_sym, r AS right_sym," +
+          s" cnt AS pair_count, (SELECT ta FROM t$r) AS tokens_after FROM w$r"
+      }.mkString("\nUNION ALL\n")
+      s"""WITH words AS (
+         |  SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w FROM documents
+         |), v0 AS MATERIALIZED (
+         |  SELECT regexp_replace(w, '(.)', chr(1) || '\\1' || chr(2), 'g') AS ws, COUNT(*) AS wf
+         |  FROM words GROUP BY w
+         |),
+         |$layers
+         |$rows
+         |ORDER BY round""".stripMargin
+    },
 
     // bitlength-stated floor-log2 (see the query's scaladoc): exact
     // integer surprisal in both engines, no float log anywhere

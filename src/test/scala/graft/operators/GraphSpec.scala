@@ -107,6 +107,31 @@ class GraphSpec extends SparkSpec {
     assert(c4.isNullAt(4))
   }
 
+  test("g07 closed forms: K4 all-closed, C4 all-open, star hub-only, bimodal pair") {
+    def hist(e: DataFrame): Seq[(Long, Long, Long)] =
+      Graph.localClusteringHistogram(e).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    // K4: every vertex closes all 3 of its wedges → bucket 10, 3 triangles each
+    assert(hist(edges((1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)))
+      === Seq((10L, 4L, 12L)))
+    // C4: deg 2 everywhere, zero triangles → all mass at bucket 0
+    assert(hist(edges((1, 2), (2, 3), (3, 4), (4, 1))) === Seq((0L, 4L, 0L)))
+    // star: only the hub has deg ≥ 2 (leaves are cc-undefined), 0 triangles
+    assert(hist(edges((1, 2), (1, 3), (1, 4), (1, 5))) === Seq((0L, 1L, 0L)))
+    // two triangles on shared edge (1,2): v1/v2 close 2 of 3 wedges
+    // (bucket ⌊40/6⌋ = 6), v3/v4 are fully closed (bucket 10)
+    assert(hist(edges((1, 2), (1, 3), (2, 3), (1, 4), (2, 4)))
+      === Seq((6L, 2L, 4L), (10L, 2L, 2L)))
+  }
+
+  test("g07 bucket mass reconciles with g01's global triangle count") {
+    val pairs = (1 to 120).map(i => ((i * 7919L) % 23, (i * 104729L) % 23))
+      .filter { case (a, b) => a != b }
+    val e = edges(pairs: _*)
+    val sumT = Graph.localClusteringHistogram(e).collect().map(_.getLong(2)).sum
+    assert(sumT === 3L * triCount(e), "3 vertex credits per triangle")
+  }
+
   test("g03 closed forms: path levels from the max-degree root; star; disconnection") {
     // path 1-2-3-4-5: degrees (1,2,2,2,1) → root = 2 (max deg, min id).
     // levels: 0:{2}, 1:{1,3}, 2:{4}, 3:{5}

@@ -342,4 +342,19 @@ class SimilaritySpec extends SparkSpec {
     // the query doc itself never retrieves
     assert(rows.forall(_.getLong(0) != 0L))
   }
+
+  test("e17 IVF balance: postings = 2·n (top-2 spill), internally consistent stats") {
+    val n = graft.Tables.embeddings(spark, sfDir).count()
+    val r = Similarity.queries("e17_ivf_balance")(spark, sfDir).collect()(0)
+    val (cells, postings, minOcc, maxOcc) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    // every vector files under exactly its top-2 cells (ncells > 2 on the
+    // label-seeded quantizer), so the posting count is pinned
+    assert(postings === 2L * n)
+    assert(cells >= 2L && minOcc >= 1L && maxOcc >= minOcc)
+    // the ratio and the flag are functions of the integer stats
+    assert(r.getDouble(4) === maxOcc.toDouble * cells.toDouble / postings.toDouble)
+    assert(r.getBoolean(5) === (maxOcc * cells <= 2L * postings))
+    assert(r.getDouble(4) >= 1.0, "max occupancy is at least the mean")
+  }
 }

@@ -275,6 +275,44 @@ class TextSpec extends SparkSpec {
     assert(got === Array(("s", 2L, 6L, 2L, 4L)))
   }
 
+  test("t29 BPE training loop: 2 hand-computed rounds, multi-char symbols compound") {
+    import spark.implicits._
+    // vocab: abab wf=2 (pairs ab×2, ba×1), cd wf=1.
+    // r1: counts ab=4, ba=2, cd=1 → winner (a,b,4); abab → [ab][ab],
+    //     tokens = 2·2 + 2·1 = 6
+    // r2: counts (ab,ab)=2, (c,d)=1 → winner (ab,ab,2); abab → [abab],
+    //     tokens = 1·2 + 2·1 = 4 — the round-2 winner is a MULTI-CHAR
+    //     pair, which is what separates training from t27's single round
+    val docs = Seq("abab abab cd").toDF("text")
+    val got = TextAnalysis.bpeTrainProfile(docs, rounds = 2).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3), r.getLong(4)))
+    assert(got === Array(
+      (1L, "a", "b", 4L, 6L),
+      (2L, "ab", "ab", 2L, 4L)))
+  }
+
+  test("t29 overlap rule holds round over round: aaa merges once, then closes") {
+    import spark.implicits._
+    // r1: (a,a) counts 2 per "aaa" ×2 = 4; leftmost-non-overlapping →
+    //     [aa][a], tokens 2·2 = 4
+    // r2: (aa,a) = 2 → [aaa], tokens 2
+    val docs = Seq("aaa aaa").toDF("text")
+    val got = TextAnalysis.bpeTrainProfile(docs, rounds = 2).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3), r.getLong(4)))
+    assert(got === Array(
+      (1L, "a", "a", 4L, 4L),
+      (2L, "aa", "a", 2L, 2L)))
+  }
+
+  test("t29 round 1 winner agrees with t27's top merge on the same corpus") {
+    import spark.implicits._
+    val docs = Seq("aaab aaab x 7", "aaab ab.ab").toDF("text")
+    val t27 = TextAnalysis.bpeMergeStep(docs, 1).collect()(0)
+    val t29 = TextAnalysis.bpeTrainProfile(docs, rounds = 1).collect()(0)
+    assert((t29.getString(1), t29.getString(2), t29.getLong(3))
+      === ((t27.getString(0), t27.getString(1), t27.getLong(2))))
+  }
+
   test("t23 surgery geometry: edge windows mask 4; overlapping hits merge; clean docs intact") {
     import spark.implicits._
     // eval docs (id % 97 == 0) carry the contaminated 4-grams
