@@ -348,7 +348,20 @@ object ScaleProbe {
       // round 9: the composed pipelines re-probed on the gate-preserving
       // fixture (see scaledDocsGated) so the post-gate stages — banded
       // near-dup, contamination grams — finally run at full corpus depth
-      "p01_curation_pipeline@gated", "p07_release_manifest@gated")
+      "p01_curation_pipeline@gated", "p07_release_manifest@gated",
+      // round 9, third batch: the 6-round BPE training loop (corpus
+      // scanned once, every round vocab-sized — suffixed replicas grow
+      // the vocab ~×F but the corpus scan should dominate), the
+      // per-vertex clustering histogram (triangle-credit-linear, same
+      // machinery as g04), and the IVF occupancy audit (one
+      // broadcast-centroid scan + two aggs)
+      "t29_bpe_train", "g07_local_clustering", "e17_ivf_balance",
+      // round 9, fourth batch: the bigram freq aggs (t05's
+      // high-cardinality-agg class — suffixed replicas multiply distinct
+      // bigrams ×F, so the shuffle is the linear term), the token-count
+      // scan + broadcast plan arithmetic, and the fingerprint-keyed
+      // source matrix (per-fp fanout ≤ |sources|)
+      "t30_bigram_surprisal", "p09_epoch_plan", "d13_cross_source_dup_matrix")
       // local iteration only: probe just a subset by name prefix
       .filter(n => sys.env.get("SPARK_GRAFT_ONLY")
         .forall(_.split(",").exists(n.startsWith)))

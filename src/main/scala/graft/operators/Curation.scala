@@ -222,6 +222,18 @@ object Curation {
     "p08_source_cap_sample" -> ((s, dir) =>
       sourceCapSample(Tables.documents(s, dir))),
 
+    // EPOCH / REPEAT PLAN — the other half of mixture planning: p08 caps
+    // what each source CONTRIBUTES per pass; this plans how many PASSES
+    // (epochs) each source makes to fill a token budget. Target = equal
+    // token share of a 2× budget; a small source repeats up to the
+    // 4-epoch cap (repeating further degrades a training run — the
+    // standard data-constrained-scaling rule), a large one truncates to
+    // target in a single pass; the deficit column is the shortfall the
+    // cap leaves unfilled (what you'd have to buy/crawl). One token-count
+    // scan + a broadcast total — all the plan arithmetic is integer
+    // ceil/floor division, so the whole manifest is hash-exact.
+    "p09_epoch_plan" -> ((s, dir) => epochPlan(Tables.documents(s, dir))),
+
     // SPLIT LEAKAGE AUDIT — the check a training pipeline runs after
     // carving train/val/test: a near-duplicate PAIR that straddles the
     // split boundary leaks training signal into evaluation even though
@@ -319,6 +331,39 @@ object Curation {
       .agg(max("n_docs").as("n_docs"), max("cap").as("cap"),
         sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
         coalesce(sum(when(col("keep"), col("doc_id"))), lit(0L)).as("kept_id_sum"))
+      .orderBy("source")
+  }
+
+  /** p09: the plan's knobs — budget = EpochBudgetFactor × corpus tokens
+    * (2× forces BOTH plan branches on any fixture: small sources repeat,
+    * large ones truncate), repeats capped at MaxEpochs. */
+  private[operators] val EpochBudgetFactor = 2L
+  private[operators] val MaxEpochs = 4L
+
+  /** p09 core over any (source, text) frame — extracted so the ceil/cap/
+    * truncate arithmetic is unit-testable on crafted token counts (the
+    * cap-bound source, the exactly-at-target source, the truncated
+    * giant). target = (2·total) div n_sources; epochs = min(MaxEpochs,
+    * ⌈target∕tokens⌉); planned = min(target, epochs·tokens); deficit =
+    * target − planned (> 0 iff the epoch cap binds). All floor/ceil
+    * divisions of exact longs.
+    */
+  private[operators] def epochPlan(docs: DataFrame): DataFrame = {
+    val src = docs
+      .select(col("source"), tokenCountWs(col("text")).as("nt"))
+      .filter(col("nt") > 0)
+      .groupBy("source").agg(sum("nt").as("n_tokens"))
+    val tgt = src.agg(sum("n_tokens").as("tot"), count(lit(1)).as("ns"))
+      .select(expr(s"(tot * $EpochBudgetFactor) div ns").as("target_tokens"))
+    src.crossJoin(broadcast(tgt))
+      .select(col("source"), col("n_tokens"), col("target_tokens"),
+        least(lit(MaxEpochs),
+          expr("(target_tokens + n_tokens - 1) div n_tokens")).as("epochs"))
+      .withColumn("planned_tokens",
+        least(col("target_tokens"), col("epochs") * col("n_tokens")))
+      .withColumn("deficit_tokens", col("target_tokens") - col("planned_tokens"))
+      .withColumn("utilization",
+        col("planned_tokens").cast("double") / col("target_tokens").cast("double"))
       .orderBy("source")
   }
 
@@ -684,6 +729,30 @@ object Curation {
          |  CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
          |  CAST(COALESCE(SUM(CASE WHEN keep THEN doc_id END), 0) AS BIGINT) AS kept_id_sum
          |FROM k GROUP BY source ORDER BY source""".stripMargin,
+
+    // the same integer ceil/floor plan arithmetic over the t01-restated
+    // whitespace token counts; SUMs cast back to BIGINT
+    "p09_epoch_plan" ->
+      s"""WITH st AS (
+         |  SELECT source,
+         |    CAST(SUM(len(list_filter(string_split(lower(text), ' '), w -> len(w) > 0))) AS BIGINT)
+         |      AS n_tokens
+         |  FROM documents
+         |  GROUP BY source
+         |  HAVING SUM(len(list_filter(string_split(lower(text), ' '), w -> len(w) > 0))) > 0
+         |), tg AS (
+         |  SELECT CAST((SUM(n_tokens) * $EpochBudgetFactor) // COUNT(*) AS BIGINT) AS target_tokens
+         |  FROM st
+         |), pl AS (
+         |  SELECT source, n_tokens, target_tokens,
+         |    LEAST($MaxEpochs, (target_tokens + n_tokens - 1) // n_tokens) AS epochs
+         |  FROM st CROSS JOIN tg
+         |)
+         |SELECT source, n_tokens, target_tokens, epochs,
+         |  LEAST(target_tokens, epochs * n_tokens) AS planned_tokens,
+         |  target_tokens - LEAST(target_tokens, epochs * n_tokens) AS deficit_tokens,
+         |  LEAST(target_tokens, epochs * n_tokens)::DOUBLE / target_tokens::DOUBLE AS utilization
+         |FROM pl ORDER BY source""".stripMargin,
 
     // keeper groups, d03's full-pair near-dup SQL, t07's 4-gram overlap
     // on raw strings, t06's DuckHash split) composed with the same

@@ -357,6 +357,37 @@ object Dedup {
     }
   }
 
+  /** d13 core over any (source, text) frame — extracted so the
+    * normalization collapse, the within-source distinct (n_copies inside
+    * one source count once), and the pair containment arithmetic are
+    * unit-testable on crafted rows. The matrix is FULL: every unordered
+    * source pair gets a row, zero cells included — a provenance audit's
+    * "these sources share nothing" is a finding, not an absence (and the
+    * all-pairs frame is |sources|², metadata-sized at any corpus scale).
+    */
+  private[operators] def crossSourceDupMatrix(docs: DataFrame): DataFrame = {
+    val norm = regexp_replace(lower(col("text")), "[^a-z0-9 ]", "")
+    val fp = docs
+      .select(col("source"), rolling_fingerprint(norm).as("fp"))
+      .distinct()
+    val sizes = fp.groupBy("source").agg(count(lit(1)).as("n_texts"))
+    val shared = fp.select(col("fp"), col("source").as("src_a"))
+      .join(fp.select(col("fp"), col("source").as("src_b")), "fp")
+      .filter(col("src_a") < col("src_b"))
+      .groupBy("src_a", "src_b")
+      .agg(count(lit(1)).as("n_shared"))
+    sizes.select(col("source").as("src_a"), col("n_texts").as("n_texts_a"))
+      .crossJoin(broadcast(sizes.select(col("source").as("src_b"), col("n_texts").as("n_texts_b"))))
+      .filter(col("src_a") < col("src_b"))
+      .join(shared, Seq("src_a", "src_b"), "left")
+      .select(col("src_a"), col("src_b"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+        col("n_texts_a"), col("n_texts_b"),
+        (coalesce(col("n_shared"), lit(0L)).cast("double")
+          / least(col("n_texts_a"), col("n_texts_b")).cast("double")).as("containment"))
+      .orderBy("src_a", "src_b")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // exact dedup: group identical text, keep lowest doc_id. The heavy
     // variant would group by fingerprint first to avoid shuffling raw text
@@ -381,6 +412,19 @@ object Dedup {
         .select("keep_id", "n_copies")
         .orderBy("keep_id")
     }),
+
+    // CROSS-SOURCE DUPLICATE MATRIX — the provenance audit behind a
+    // licensing/attribution review: which sources carry the SAME
+    // (normalized-exact) texts, pairwise. d06 answers "how similar are
+    // two sources' vocabularies" (shingle Jaccard); this answers "who
+    // copies whom" at document granularity. (source, fingerprint) is
+    // deduped FIRST, so the per-fingerprint self-join fans out at most
+    // |sources| ways per distinct text — never n_copies² — and the
+    // shuffle carries 8-byte fingerprints (d02's discipline). Output is
+    // ≤ |sources|² rows with the shared-text count and the containment
+    // fraction against the smaller side.
+    "d13_cross_source_dup_matrix" -> ((s, dir) =>
+      crossSourceDupMatrix(Tables.documents(s, dir))),
 
     // MinHash+LSH near-dup pairs, exact-verified. Stages:
     //   sketch (map, once) → band explode (map, ×32) → bucket group →
@@ -684,6 +728,28 @@ object Dedup {
         |FROM documents
         |GROUP BY regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')
         |ORDER BY keep_id""".stripMargin,
+
+    // the normalized text itself is the oracle's group key (the Spark
+    // side's 64-bit fingerprint is shuffle economy, same as d02)
+    "d13_cross_source_dup_matrix" ->
+      """WITH fp AS (
+        |  SELECT DISTINCT source, regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g') AS nt
+        |  FROM documents
+        |), sizes AS (
+        |  SELECT source, COUNT(*) AS n_texts FROM fp GROUP BY source
+        |), pairs AS (
+        |  SELECT a.source AS src_a, b.source AS src_b, COUNT(*) AS n_shared
+        |  FROM fp a JOIN fp b ON a.nt = b.nt AND a.source < b.source
+        |  GROUP BY a.source, b.source
+        |)
+        |SELECT sa.source AS src_a, sb.source AS src_b,
+        |  CAST(COALESCE(p.n_shared, 0) AS BIGINT) AS n_shared,
+        |  sa.n_texts AS n_texts_a, sb.n_texts AS n_texts_b,
+        |  COALESCE(p.n_shared, 0)::DOUBLE / LEAST(sa.n_texts, sb.n_texts)::DOUBLE AS containment
+        |FROM sizes sa
+        |JOIN sizes sb ON sa.source < sb.source
+        |LEFT JOIN pairs p ON p.src_a = sa.source AND p.src_b = sb.source
+        |ORDER BY src_a, src_b""".stripMargin,
 
     "d03_minhash_lsh" ->
       """WITH t AS (

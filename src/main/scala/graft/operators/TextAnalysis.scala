@@ -233,6 +233,42 @@ object TextAnalysis {
       .orderBy("round")
   }
 
+  /** t30 core over any (doc_id, text) frame — per-document BIGRAM
+    * surprisal under the corpus bigram model, t25's floor-log2 discipline
+    * one order up: bits(w | prev) = bitlen(cf(prev)) − bitlen(cf(prev,w))
+    * (both counts over the corpus bigram stream, so bf ≤ pf and bits ≥ 0
+    * always), where bitlen = length(bin(n)) − 1 = ⌊log₂ n⌋ — exact
+    * integers, no float log. What the unigram t25 cannot see: a doc made
+    * of COMMON words in IMPROBABLE order scores high here, while looped /
+    * templated text (every transition deterministic: bf = pf, 0 bits)
+    * pins to the `is_low_entropy` flag — the cheap babble detector a
+    * quality pipeline runs before paying for a real LM. Shape: one token
+    * scan → bigram explode → two map-side-combined freq aggs (the t05
+    * high-cardinality-agg class) → hash join back on (prev, w).
+    */
+  private[operators] def bigramSurprisal(docs: DataFrame): DataFrame = {
+    val bi = docs
+      .select(col("doc_id"),
+        filter(split(lower(col("text")), " "), w => length(w) > 0).as("toks"))
+      .filter(size(col("toks")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(toks) - 1)," +
+          " i -> struct(element_at(toks, i) AS p, element_at(toks, i + 1) AS w))")).as("b"))
+      .select(col("doc_id"), col("b.p").as("p"), col("b.w").as("w"))
+    val bfreq = bi.groupBy("p", "w").agg(count(lit(1)).as("bf"))
+    val pfreq = bi.groupBy("p").agg(count(lit(1)).as("pf"))
+    bi.join(bfreq, Seq("p", "w")).join(pfreq, Seq("p"))
+      .select(col("doc_id"),
+        (length(bin(col("pf"))) - length(bin(col("bf")))).cast("long").as("bits"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum("bits").as("sum_bits"))
+      .select(col("doc_id"), col("n_bigrams"), col("sum_bits"),
+        (col("sum_bits").cast("double") / col("n_bigrams").cast("double")).as("mean_bits"),
+        // mean conditional surprisal < 2 bits ⟺ integer cross-mult
+        (col("sum_bits") < col("n_bigrams") * 2).as("is_low_entropy"))
+      .orderBy("doc_id")
+  }
+
   private[operators] def boilerplateSpans(docs: DataFrame): DataFrame = {
     val d = docs.filter(size(col("w")) >= 2)
     val sp = d.select(col("doc_id"),
@@ -632,6 +668,14 @@ object TextAnalysis {
     // thing the loop touches.
     "t29_bpe_train" -> ((s, dir) =>
       bpeTrainProfile(Tables.documents(s, dir))),
+
+    // BIGRAM SURPRISAL — t25's integer floor-log2 surprisal lifted to the
+    // corpus bigram model: per-doc mean conditional bits, with the
+    // zero-entropy (looped/templated text) flag a quality pipeline uses
+    // as its cheap babble detector. See bigramSurprisal for the
+    // bitlength identity and why the unigram score can't see word ORDER.
+    "t30_bigram_surprisal" -> ((s, dir) =>
+      bigramSurprisal(Tables.documents(s, dir))),
 
     "t14_rare_token_ratio" -> ((s, dir) => {
       val toks = Tables.documents(s, dir)
@@ -1413,6 +1457,33 @@ object TextAnalysis {
          |$rows
          |ORDER BY round""".stripMargin
     },
+
+    // the same bitlength identity over the bigram stream: bits =
+    // (length(bin(pf)) − 1) − (length(bin(bf)) − 1), the −1s cancel
+    "t30_bigram_surprisal" ->
+      """WITH tk AS (
+        |  SELECT doc_id, list_filter(string_split(lower(text), ' '), w -> len(w) > 0) AS toks
+        |  FROM documents
+        |), bi AS (
+        |  SELECT doc_id, u.p AS p, u.w AS w
+        |  FROM (SELECT doc_id,
+        |          unnest([{'p': toks[i], 'w': toks[i+1]} for i in range(1, len(toks))]) AS u
+        |        FROM tk WHERE len(toks) >= 2)
+        |), bf AS (
+        |  SELECT p, w, COUNT(*) AS bf FROM bi GROUP BY p, w
+        |), pf AS (
+        |  SELECT p, COUNT(*) AS pf FROM bi GROUP BY p
+        |), sc AS (
+        |  SELECT doc_id, CAST(length(bin(pf.pf)) - length(bin(bf.bf)) AS BIGINT) AS bits
+        |  FROM bi JOIN bf USING (p, w) JOIN pf USING (p)
+        |)
+        |SELECT doc_id, COUNT(*) AS n_bigrams,
+        |  CAST(SUM(bits) AS BIGINT) AS sum_bits,
+        |  CAST(SUM(bits) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mean_bits,
+        |  SUM(bits) < COUNT(*) * 2 AS is_low_entropy
+        |FROM sc
+        |GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin,
 
     // bitlength-stated floor-log2 (see the query's scaladoc): exact
     // integer surprisal in both engines, no float log anywhere

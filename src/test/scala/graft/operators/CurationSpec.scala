@@ -116,4 +116,42 @@ class CurationSpec extends SparkSpec {
       .agg(count(lit(1)), coalesce(sum("doc_id"), lit(0L))).collect()(0)
     assert(bySrc("a") === ((40L, 11L, expA.getLong(0), expA.getLong(1))))
   }
+
+  test("p09 epoch plan closed form: truncated giant, cap-bound dwarf, exact two-pass") {
+    import spark.implicits._
+    def txt(n: Int) = Seq.fill(n)("tok").mkString(" ")
+    // tokens: A=100, B=10, C=2 → total 112, target = 224 div 3 = 74
+    // A: 1 epoch (truncates to 74), util 1.0
+    // B: ceil(74/10)=8 → capped at 4 → planned 40, deficit 34
+    // C: ceil(74/2)=37 → capped at 4 → planned 8, deficit 66
+    val got = Curation.epochPlan(Seq(
+      ("A", txt(100)), ("B", txt(10)), ("C", txt(2))
+    ).toDF("source", "text")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    assert(got === Seq(
+      ("A", 100L, 74L, 1L, 74L, 0L),
+      ("B", 10L, 74L, 4L, 40L, 34L),
+      ("C", 2L, 74L, 4L, 8L, 66L)))
+
+    // two equal sources: target = 2·total/2 = total → exactly 2 epochs
+    // each, zero deficit, utilization 1.0
+    val even = Curation.epochPlan(Seq(
+      ("X", txt(50)), ("Y", txt(50))
+    ).toDF("source", "text")).collect()
+    even.foreach { r =>
+      assert((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+        === ((100L, 2L, 100L, 0L)))
+      assert(r.getDouble(6) === 1.0)
+    }
+  }
+
+  test("p09: zero-token docs don't create a source; all-empty source absent") {
+    import spark.implicits._
+    val got = Curation.epochPlan(Seq(
+      ("A", "one two three"), ("A", ""), ("B", "")
+    ).toDF("source", "text")).collect()
+    assert(got.map(_.getString(0)).toSeq === Seq("A"))
+    assert(got(0).getLong(1) === 3L)
+  }
 }

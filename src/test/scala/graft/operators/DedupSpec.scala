@@ -243,6 +243,35 @@ class DedupSpec extends SparkSpec {
       10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L))
   }
 
+  test("d13 cross-source matrix: normalization collapse, within-source distinct, zero cells present") {
+    import spark.implicits._
+    // s1 {abc, def}; s2 {ABC! → abc, ghi, ghi again (counts once)};
+    // s3 {zzz} shares nothing — and still gets its zero rows (the FULL
+    // matrix: "shares nothing" is a finding)
+    val docs = Seq(
+      ("s1", "abc"), ("s1", "def"),
+      ("s2", "ABC!"), ("s2", "ghi"), ("s2", "ghi"),
+      ("s3", "zzz")
+    ).toDF("source", "text")
+    val got = Dedup.crossSourceDupMatrix(docs).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5)))
+    assert(got === Array(
+      ("s1", "s2", 1L, 2L, 2L, 0.5),
+      ("s1", "s3", 0L, 2L, 1L, 0.0),
+      ("s2", "s3", 0L, 2L, 1L, 0.0)))
+  }
+
+  test("d13: a text shared by three sources yields all three pairs, ordered") {
+    import spark.implicits._
+    val docs = Seq(("a", "x"), ("b", "x"), ("c", "x"), ("c", "y"))
+      .toDF("source", "text")
+    val got = Dedup.crossSourceDupMatrix(docs).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(5)))
+    assert(got === Array(
+      ("a", "b", 1L, 1.0), ("a", "c", 1L, 1.0), ("b", "c", 1L, 1.0)))
+  }
+
   test("d10 containment: directional semantics, df-cap exclusion, denominator floor") {
     import spark.implicits._
     // doc 1 = {t1..t10} (the quote), doc 2 = doc 1 ∪ {u1..u90} (the

@@ -313,6 +313,36 @@ class TextSpec extends SparkSpec {
       === ((t27.getString(0), t27.getString(1), t27.getLong(2))))
   }
 
+  test("t30 bigram surprisal closed form: looped text pins to 0 bits, rare transition scores") {
+    import spark.implicits._
+    // corpus bigrams: d1 → (a,b)×4, (b,a)×4; d2 → (a,z)×1
+    // pf(a) = 5, pf(b) = 4; bitlens: 5→3, 4→3, 1→1
+    // d1: bits(a,b) = 3−3 = 0, bits(b,a) = 3−3 = 0 → sum 0 over 8,
+    //     mean 0.0, low-entropy (the loop detector firing)
+    // d2: bits(a,z) = 3−1 = 2 → mean 2.0, NOT low-entropy
+    val docs = Seq(
+      (1L, "a b a b a b a b a"),
+      (2L, "a z"),
+      (3L, "solo")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.bigramSurprisal(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getBoolean(4)))
+    assert(got === Array(
+      (1L, 8L, 0L, 0.0, true),
+      (2L, 1L, 2L, 2.0, false)))
+    // single-token docs have no bigrams and never appear
+    assert(!got.exists(_._1 == 3L))
+  }
+
+  test("t30: bits are never negative (bf ≤ pf by construction)") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "x y x z y x"), (2L, "y x y"), (3L, "z z z y")
+    ).toDF("doc_id", "text")
+    val rows = TextAnalysis.bigramSurprisal(docs).collect()
+    rows.foreach(r => assert(r.getLong(2) >= 0L && r.getLong(2) <= 63L * r.getLong(1)))
+  }
+
   test("t23 surgery geometry: edge windows mask 4; overlapping hits merge; clean docs intact") {
     import spark.implicits._
     // eval docs (id % 97 == 0) carry the contaminated 4-grams
