@@ -361,7 +361,10 @@ object ScaleProbe {
       // bigrams ×F, so the shuffle is the linear term), the token-count
       // scan + broadcast plan arithmetic, and the fingerprint-keyed
       // source matrix (per-fp fanout ≤ |sources|)
-      "t30_bigram_surprisal", "p09_epoch_plan", "d13_cross_source_dup_matrix")
+      "t30_bigram_surprisal", "p09_epoch_plan", "d13_cross_source_dup_matrix",
+      // 12 min-label rounds, g02b's per-round shape (one |E|-row join +
+      // |V|-row agg per unconverged round, converged rounds job-free)
+      "g08_cc_profile")
       // local iteration only: probe just a subset by name prefix
       .filter(n => sys.env.get("SPARK_GRAFT_ONLY")
         .forall(_.split(",").exists(n.startsWith)))

@@ -262,6 +262,67 @@ object Graph {
           .as("assortativity"))
   }
 
+  /** g08: fixed label-propagation round count — both engines unroll
+    * exactly this many layers (the g02b/g05 discipline), so convergence
+    * needs no cross-engine agreement: converged rounds just show zero
+    * movement, and the profile says WHEN that happened.
+    */
+  val CcRounds = 12
+
+  /** g08 core over undirected (u < v) edges — the CONNECTED-COMPONENTS
+    * CONVERGENCE PROFILE by min-label propagation: every vertex starts
+    * labeled with its own id; each round it takes the min of its own and
+    * its neighbors' labels; the per-round row reports how many labels
+    * moved, the distinct-label count (an upper bound on components that
+    * becomes exact at convergence), and the label-mass checksum. The
+    * connectivity audit of graph curation — "is the co-purchase graph one
+    * blob or many islands, and how fast does it mix". Iterative-state
+    * discipline is g02b's verbatim: message edges built once into scratch
+    * parquet, each round's label table materialized to scratch (the
+    * carried frame is referenced twice per round), the previous label
+    * rides the contribution shuffle as flagged self rows, driver traffic
+    * = 3 audit scalars per round; once a round moves nothing the
+    * remaining rounds are synthesized job-free (the labels are a fixed
+    * point, so their stats are the converged round's verbatim — g05's
+    * converged-round rule).
+    */
+  private[operators] def ccProfile(e: DataFrame,
+                                   rounds: Int = CcRounds): DataFrame = {
+    val spark = e.sparkSession
+    import spark.implicits._
+    val msgs = spark.read.parquet(graft.Materialize.toStoragePath(
+      e.select(col("u").as("src"), col("v").as("dst"))
+        .unionAll(e.select(col("v").as("src"), col("u").as("dst"))), "cc_msgs"))
+    var lab = spark.read.parquet(graft.Materialize.toStoragePath(
+      e.select(col("u").as("x")).unionAll(e.select(col("v").as("x"))).distinct()
+        .select(col("x"), col("x").as("lab")), "cc_l0"))
+    var converged = false
+    var lastRow: (Long, Long, Long) = null
+    val prof = (1 to rounds).map { r =>
+      if (converged) (r.toLong, 0L, lastRow._2, lastRow._3)
+      else {
+        val nextPath = graft.Materialize.toStoragePath(msgs
+          .join(lab.select(col("x").as("src"), col("lab").as("slab")), "src")
+          .select(col("dst"), col("slab"), lit(0).as("own"))
+          .unionAll(lab.select(col("x").as("dst"), col("lab").as("slab"), lit(1).as("own")))
+          .groupBy(col("dst").as("x"))
+          .agg(min("slab").as("lab"),
+            max(when(col("own") === 1, col("slab"))).as("prev_lab")), s"cc_l$r")
+        val next = spark.read.parquet(nextPath)
+        val row = next.agg(
+          sum(when(col("lab") =!= col("prev_lab"), 1L).otherwise(0L)).as("n_changed"),
+          countDistinct("lab").as("n_labels"),
+          sum("lab").as("label_sum")).collect()(0)
+        val t = (row.getLong(0), row.getLong(1), row.getLong(2))
+        lab = next.select(col("x"), col("lab"))
+        if (t._1 == 0L) converged = true
+        lastRow = t
+        (r.toLong, t._1, t._2, t._3)
+      }
+    }
+    prof.toDF("round", "n_changed", "n_labels", "label_sum").orderBy("round")
+  }
+
   /** g03 core: single-source BFS by iterative frontier expansion — the
     * third canonical Pregel shape after label propagation (d07) and one
     * message round (g02). Root = the max-degree vertex (tie-break min
@@ -623,7 +684,18 @@ object Graph {
     // oriented intersection as g04 (3 vertex credits per triangle, never
     // the wedge space); the bucket floor is integer cross-multiplication,
     // so the whole histogram is hash-exact.
-    "g07_local_clustering" -> ((s, dir) => localClusteringHistogram(partEdges(s, dir)))
+    "g07_local_clustering" -> ((s, dir) => localClusteringHistogram(partEdges(s, dir))),
+
+    // CONNECTED-COMPONENTS CONVERGENCE PROFILE — min-label propagation
+    // for 12 fixed rounds: per-round label movement, distinct-label
+    // count (= component count once movement hits zero), label-mass
+    // checksum. The connectivity audit of graph curation, and the
+    // fourth canonical Pregel shape in the family (d07 propagates to
+    // convergence on sparse dup graphs; this PROFILES the mixing on the
+    // dense co-purchase graph, where the convergence curve itself is
+    // the answer). All integers — 12 compounded min-folds sit under the
+    // hash gate against 12 generated MATERIALIZED oracle layers.
+    "g08_cc_profile" -> ((s, dir) => ccProfile(partEdges(s, dir)))
   )
 
   def oracles: Map[String, String] = Map(
@@ -885,6 +957,44 @@ object Graph {
         |  COUNT(*) AS n_vertices, CAST(SUM(t) AS BIGINT) AS sum_triangles
         |FROM verts
         |GROUP BY 1
-        |ORDER BY 1""".stripMargin
+        |ORDER BY 1""".stripMargin,
+
+    // the 12 min-label rounds unrolled as generated MATERIALIZED layers
+    // (g02b's template): neighbor labels + a flagged self row per vertex,
+    // one MIN fold per layer; converged layers keep computing the same
+    // fixed point the Spark side synthesizes job-free
+    "g08_cc_profile" -> {
+      val layers = (1 to CcRounds).map { i =>
+        s"""l$i AS MATERIALIZED (
+           |  SELECT dst AS x, MIN(slab) AS lab,
+           |    MAX(CASE WHEN own = 1 THEN slab END) AS prev_lab
+           |  FROM (SELECT nb.dst, l.lab AS slab, 0 AS own
+           |        FROM nb JOIN l${i - 1} l ON l.x = nb.src
+           |        UNION ALL SELECT x, lab, 1 FROM l${i - 1})
+           |  GROUP BY dst
+           |), row$i AS MATERIALIZED (
+           |  SELECT CAST($i AS BIGINT) AS round,
+           |    CAST(SUM(CASE WHEN lab <> prev_lab THEN 1 ELSE 0 END) AS BIGINT) AS n_changed,
+           |    CAST(COUNT(DISTINCT lab) AS BIGINT) AS n_labels,
+           |    CAST(SUM(lab) AS BIGINT) AS label_sum
+           |  FROM l$i
+           |)""".stripMargin
+      }.mkString(",\n")
+      val unionAll = (1 to CcRounds).map(i => s"SELECT * FROM row$i")
+        .mkString("\n|", "\n|UNION ALL ", "")
+      s"""WITH li AS (
+         |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+         |), e AS MATERIALIZED (
+         |  SELECT DISTINCT a.pk AS u, b.pk AS v
+         |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+         |), nb AS MATERIALIZED (
+         |  SELECT u AS src, v AS dst FROM e UNION ALL SELECT v, u FROM e
+         |), l0 AS MATERIALIZED (
+         |  SELECT src AS x, src AS lab FROM nb GROUP BY src
+         |),
+         |$layers
+         |SELECT * FROM ($unionAll
+         |) ORDER BY round""".stripMargin
+    }
   )
 }

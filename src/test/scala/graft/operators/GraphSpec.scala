@@ -132,6 +132,29 @@ class GraphSpec extends SparkSpec {
     assert(sumT === 3L * triCount(e), "3 vertex credits per triangle")
   }
 
+  test("g08 closed form: P4 min-label wavefront, hand-computed per round") {
+    // path 1-2-3-4: labels [1,2,3,4] → [1,1,2,3] → [1,1,1,2] → [1,1,1,1]
+    // changed: 3, 2, 1, then converged (round 4 synthesized: 0 moves)
+    val got = Graph.ccProfile(edges((1, 2), (2, 3), (3, 4)), rounds = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got === Array(
+      (1L, 3L, 3L, 7L),
+      (2L, 2L, 2L, 5L),
+      (3L, 1L, 1L, 4L),
+      (4L, 0L, 1L, 4L)))
+  }
+
+  test("g08: two components keep two labels forever; label_sum pins WHICH labels") {
+    // triangle {1,2,3} + edge {10,11}: round 1 collapses both (changed
+    // 2 + 1), labels {1, 10}, sum 1·3 + 10·2 = 23; then fixed point
+    val got = Graph.ccProfile(edges((1, 2), (2, 3), (1, 3), (10, 11)), rounds = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got === Array(
+      (1L, 3L, 2L, 23L),
+      (2L, 0L, 2L, 23L),
+      (3L, 0L, 2L, 23L)))
+  }
+
   test("g03 closed forms: path levels from the max-degree root; star; disconnection") {
     // path 1-2-3-4-5: degrees (1,2,2,2,1) → root = 2 (max deg, min id).
     // levels: 0:{2}, 1:{1,3}, 2:{4}, 3:{5}
