@@ -364,7 +364,10 @@ object ScaleProbe {
       "t30_bigram_surprisal", "p09_epoch_plan", "d13_cross_source_dup_matrix",
       // 12 min-label rounds, g02b's per-round shape (one |E|-row join +
       // |V|-row agg per unconverged round, converged rounds job-free)
-      "g08_cc_profile")
+      "g08_cc_profile",
+      // the NN-descent local join: candidate volume O(k²·N) by
+      // construction — the claim is corpus-LINEAR round cost
+      "e18_nn_descent_round")
       // local iteration only: probe just a subset by name prefix
       .filter(n => sys.env.get("SPARK_GRAFT_ONLY")
         .forall(_.split(",").exists(n.startsWith)))

@@ -286,7 +286,7 @@ object Graph {
     * point, so their stats are the converged round's verbatim — g05's
     * converged-round rule).
     */
-  private[operators] def ccProfile(e: DataFrame,
+  private[graft] def ccProfile(e: DataFrame,
                                    rounds: Int = CcRounds): DataFrame = {
     val spark = e.sparkSession
     import spark.implicits._

@@ -192,7 +192,7 @@ object TextAnalysis {
     * K-round training run sits under the hash gate against K generated
     * MATERIALIZED oracle layers.
     */
-  private[operators] def bpeTrainProfile(docs: DataFrame,
+  private[graft] def bpeTrainProfile(docs: DataFrame,
                                          rounds: Int = BpeRounds): DataFrame = {
     val s = docs.sparkSession
     import s.implicits._

@@ -189,4 +189,44 @@ class PropertySpec extends SparkSpec {
       java.lang.Double.doubleToRawLongBits(r.getDouble(1)),
       s"diverged: classic=${r.getDouble(0)} merged=${r.getDouble(1)}"))
   }
+
+  test("g08 monotone laws on random graphs: labels and label mass never increase") {
+    import graft.operators.Graph
+    val s = spark
+    import s.implicits._
+    // three deterministic pseudo-random graphs of different densities
+    for (m <- Seq(13, 29, 61)) {
+      val edges = (1 to 80)
+        .map(i => ((i * 7919L) % m, (i * 104729L) % m))
+        .filter { case (a, b) => a != b }
+        .map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+        .distinct.toDF("u", "v")
+      val prof = Graph.ccProfile(edges, rounds = 6).collect()
+        .map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+      // min-label propagation: distinct labels and label mass are
+      // non-increasing; once movement stops both freeze
+      prof.sliding(2).foreach { case Array((_, l1, s1), (c2, l2, s2)) =>
+        assert(l2 <= l1 && s2 <= s1, s"labels/mass grew on m=$m")
+        if (c2 == 0L) assert(l2 == l1 && s2 == s1, s"converged round moved on m=$m")
+      }
+    }
+  }
+
+  test("t29 monotone law: corpus token count never increases across merge rounds") {
+    import graft.operators.TextAnalysis
+    val s = spark
+    import s.implicits._
+    val docs = Tables.documents(spark, sfDir).limit(60).select("text")
+    val prof = TextAnalysis.bpeTrainProfile(docs, rounds = 4).collect()
+      .map(r => (r.getLong(3), r.getLong(4)))
+    assert(prof.length === 4)
+    prof.sliding(2).foreach { case Array((_, t1), (c2, t2)) =>
+      // a winning pair with count > 0 applies at least once, and never
+      // more times than it was counted (overlapping self-pairs — "aaa"
+      // under (a,a) — are counted twice but merge once, so equality
+      // would be WRONG as a law)
+      assert(t2 < t1, "a counted winner must merge at least once")
+      assert(t1 - t2 <= c2, "more merges than counted occurrences")
+    }
+  }
 }

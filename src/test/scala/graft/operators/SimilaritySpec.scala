@@ -343,6 +343,38 @@ class SimilaritySpec extends SparkSpec {
     assert(rows.forall(_.getLong(0) != 0L))
   }
 
+  test("e18 NN-descent closed form: the local join recovers a neighbor the base missed") {
+    import spark.implicits._
+    // v1=(1,0), v2=(.6,.8), v3=(.8,.6): cos(1,2)=.6, cos(1,3)=.8,
+    // cos(2,3)=.96. Base graph is the CHAIN 1-2, 2-3 (v1 can't see v3).
+    // k=1: knn0 = 1→2, 2→3, 3→2 (the base pair 2→1 is pruned by the
+    // top-1 fold). Local join at u=2 proposes (1,3)/(3,1); re-rank:
+    // v1→3 (.8 > .6) IMPROVES, v2/v3 keep their best. Audit: 3 vectors,
+    // cand1 = 3 kept + 2 proposed = 5, 1 improved, 0 grown, 1 new edge.
+    val e = Seq(
+      (1L, Array(1.0f, 0.0f)), (2L, Array(0.6f, 0.8f)), (3L, Array(0.8f, 0.6f))
+    ).toDF("vec_id", "embedding")
+    val base = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L)).toDF("vid", "nid")
+    val got = Similarity.nnDescentRound(e, Similarity.scorePairs(e, base), k = 1).collect()(0)
+    assert((got.getLong(0), got.getLong(1), got.getLong(2), got.getLong(3), got.getLong(4))
+      === ((3L, 5L, 1L, 0L, 1L)))
+  }
+
+  test("e18: an already-exact kNN graph is a fixed point (no improvement, no new edges)") {
+    import spark.implicits._
+    // complete base graph on 3 vectors → knn0 is exact → the round can
+    // propose nothing new and improve nothing
+    val e = Seq(
+      (1L, Array(1.0f, 0.0f)), (2L, Array(0.6f, 0.8f)), (3L, Array(0.8f, 0.6f))
+    ).toDF("vec_id", "embedding")
+    val base = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L), (1L, 3L), (3L, 1L))
+      .toDF("vid", "nid")
+    val got = Similarity.nnDescentRound(e, Similarity.scorePairs(e, base), k = 2).collect()(0)
+    assert(got.getLong(0) === 3L)
+    assert(got.getLong(2) === 0L, "nothing to improve")
+    assert(got.getLong(4) === 0L, "no new edges at the fixed point")
+  }
+
   test("e17 IVF balance: postings = 2·n (top-2 spill), internally consistent stats") {
     val n = graft.Tables.embeddings(spark, sfDir).count()
     val r = Similarity.queries("e17_ivf_balance")(spark, sfDir).collect()(0)
