@@ -234,6 +234,21 @@ object Curation {
     // ceil/floor division, so the whole manifest is hash-exact.
     "p09_epoch_plan" -> ((s, dir) => epochPlan(Tables.documents(s, dir))),
 
+    // CURRICULUM PLAN — the ORDERING complement to p08 (per-pass caps)
+    // and p09 (epoch counts): phase the corpus easy → hard by per-token
+    // surprisal so a scheduler can front-load predictable text. Phases
+    // are integer cross-multiplications against t25's corpus-max bits nb
+    // (easy: mean ≤ nb/4; hard: mean > 3nb/4 — exactly t25's rare-heavy
+    // gate; middle otherwise), computed on the SAME shared per-doc frame
+    // as t25 (TextAnalysis.surprisalPerDoc — one definition, no drift).
+    // Output = per (phase, source) doc count, token mass, bits mass: the
+    // schedule a trainer's sampler consumes phase by phase. Scale shape
+    // is t25's (token scan + vocab join); the rollup adds one ≤
+    // 3·|sources|-row agg. Zero-token docs never enter the token frame —
+    // absent from the plan in both engines.
+    "p10_curriculum_plan" -> ((s, dir) =>
+      curriculumPlan(Tables.documents(s, dir))),
+
     // SPLIT LEAKAGE AUDIT — the check a training pipeline runs after
     // carving train/val/test: a near-duplicate PAIR that straddles the
     // split boundary leaks training signal into evaluation even though
@@ -348,6 +363,26 @@ object Curation {
     * target − planned (> 0 iff the epoch cap binds). All floor/ceil
     * divisions of exact longs.
     */
+  /** p10 core over (doc_id, source, text) rows — see the catalog entry.
+    * Phase boundaries are integer cross-multiplications against t25's
+    * corpus-max bits nb: easy ⟺ sum_bits·4 ≤ nb·n_tokens (mean ≤ nb/4),
+    * hard ⟺ sum_bits·4 > nb·3·n_tokens (t25's rare-heavy gate verbatim),
+    * middle otherwise.
+    */
+  private[operators] def curriculumPlan(docs: DataFrame): DataFrame =
+    TextAnalysis.surprisalPerDoc(docs)
+      .join(docs.select(col("doc_id"), col("source")), "doc_id")
+      .withColumn("phase",
+        when(col("sum_bits") * 4 <= col("nb") * col("n_tokens"), 0L)
+          .when(col("sum_bits") * 4 > col("nb") * 3 * col("n_tokens"), 2L)
+          .otherwise(1L))
+      .groupBy("phase", "source")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("tok_mass"),
+        sum("sum_bits").as("bits_mass"))
+      .withColumn("mean_bits",
+        col("bits_mass").cast("double") / col("tok_mass").cast("double"))
+      .orderBy("phase", "source")
+
   private[operators] def epochPlan(docs: DataFrame): DataFrame = {
     val src = docs
       .select(col("source"), tokenCountWs(col("text")).as("nt"))
@@ -753,6 +788,40 @@ object Curation {
          |  target_tokens - LEAST(target_tokens, epochs * n_tokens) AS deficit_tokens,
          |  LEAST(target_tokens, epochs * n_tokens)::DOUBLE / target_tokens::DOUBLE AS utilization
          |FROM pl ORDER BY source""".stripMargin,
+
+    // t25's bitlength CTEs restated per-doc, then the phase CASE (the
+    // same integer cross-multiplications) and the per-(phase, source)
+    // rollup; SUMs cast back to BIGINT
+    "p10_curriculum_plan" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(list_filter(string_split(lower(text), ' '), w -> len(w) > 0)) AS tok
+        |  FROM documents
+        |), freq AS (
+        |  SELECT tok, COUNT(*) AS cf FROM toks GROUP BY tok
+        |), tot AS (
+        |  SELECT length(bin(CAST(SUM(cf) AS BIGINT))) - 1 AS nb FROM freq
+        |), sc AS (
+        |  SELECT t.doc_id, CAST(tot.nb - (length(bin(f.cf)) - 1) AS BIGINT) AS bits, tot.nb
+        |  FROM toks t JOIN freq f USING (tok) CROSS JOIN tot
+        |), perdoc AS (
+        |  SELECT doc_id, COUNT(*) AS n_tokens, CAST(SUM(bits) AS BIGINT) AS sum_bits,
+        |    MAX(nb) AS nb
+        |  FROM sc GROUP BY doc_id
+        |), phased AS (
+        |  SELECT d.source,
+        |    CASE WHEN p.sum_bits * 4 <= p.nb * p.n_tokens THEN 0
+        |         WHEN p.sum_bits * 4 > p.nb * 3 * p.n_tokens THEN 2
+        |         ELSE 1 END AS phase,
+        |    p.n_tokens, p.sum_bits
+        |  FROM perdoc p JOIN documents d USING (doc_id)
+        |)
+        |SELECT CAST(phase AS BIGINT) AS phase, source, COUNT(*) AS n_docs,
+        |  CAST(SUM(n_tokens) AS BIGINT) AS tok_mass,
+        |  CAST(SUM(sum_bits) AS BIGINT) AS bits_mass,
+        |  CAST(SUM(sum_bits) AS DOUBLE) / CAST(SUM(n_tokens) AS DOUBLE) AS mean_bits
+        |FROM phased
+        |GROUP BY phase, source
+        |ORDER BY phase, source""".stripMargin,
 
     // keeper groups, d03's full-pair near-dup SQL, t07's 4-gram overlap
     // on raw strings, t06's DuckHash split) composed with the same

@@ -1,8 +1,10 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, Encoders, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
+import graft.functions.TextFunctions
 import graft.functions.VectorFunctions
 
 /** Multimodal-column plumbing: opaque `binary` payloads + typed metadata,
@@ -285,6 +287,45 @@ object Multimodal {
     Decoded(b.doc_id, b.payload.length.toLong, w, h, 3, frames.sorted)
   }
 
+  /** m13 packing geometry: one media "patch" token per `PatchBytes` of
+    * payload (ceil), text at one token per whitespace word, packed
+    * sequences of `MmBudget` combined tokens.
+    */
+  val PatchBytes = 32
+  val MmBudget = 1024
+
+  /** m13 core — interleaved text+media sequence packing: the
+    * vision-language analog of t11's text-only packer. Each document
+    * costs txt_tokens (whitespace words) + media_tokens (payload patches,
+    * ceil-divided — the ViT-style "an image costs ⌈bytes/patch⌉ tokens"
+    * budget rule), and documents are packed greedily in doc_id order per
+    * source into fixed combined-token sequences. Every number is integer
+    * arithmetic on both engines (ceil stated as (n + P − 1) div P); the
+    * cumulative offset is t11's prefix-sum window — one scan, one
+    * source-partitioned window, no shuffle beyond it, corpus-linear at
+    * 100 TB. Payload bytes = octet_length(text) (the m01 stand-in; a
+    * production table reads a real binary column's length the same way).
+    */
+  private[operators] def multimodalPack(docs: DataFrame, patchBytes: Int,
+      budget: Int): DataFrame = {
+    val w = Window.partitionBy("source").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs
+      .select(col("doc_id"), col("source"),
+        TextFunctions.tokenCountWs(col("text")).as("txt_tokens"),
+        expr(s"(octet_length(text) + ${patchBytes - 1}) div $patchBytes")
+          .cast("long").as("media_tokens"))
+      .withColumn("cost", col("txt_tokens") + col("media_tokens"))
+      .filter(col("cost") > 0)
+      .withColumn("cum", sum("cost").over(w))
+      .select(col("doc_id"), col("source"), col("txt_tokens"), col("media_tokens"),
+        col("cost"), (col("cum") - col("cost")).as("start_off"),
+        expr(s"(cum - cost) div $budget").as("first_seq"),
+        expr(s"(cum - 1) div $budget").as("last_seq"))
+      .withColumn("n_seqs", col("last_seq") - col("first_seq") + 1)
+      .orderBy("doc_id")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // binary ingestion + partition-local batched stats. Exact byte math →
     // oracle-checkable (DuckDB recomputes from the string bytes).
@@ -563,7 +604,15 @@ object Multimodal {
           count(when(col("doc_id").isNull, 1)).as("n_orphan_vecs"),
           coalesce(sum(when(col("vec_id").isNull, col("n_chars"))), lit(0L)).as("unembedded_chars"))
         .orderBy("source")
-    })
+    }),
+
+    // INTERLEAVED MULTIMODAL PACKING — see multimodalPack: text tokens +
+    // ceil-divided payload-patch tokens packed per source into fixed
+    // combined budgets, the sequence-assembly plan a vision-language
+    // trainer consumes. ASCII-fixture precondition as m01 (strlen ⇔
+    // octet_length), asserted in MultimodalSpec.
+    "m13_multimodal_pack" -> ((s, dir) =>
+      multimodalPack(Tables.documents(s, dir), PatchBytes, MmBudget))
   )
 
   case class Resized(
@@ -595,6 +644,30 @@ object Multimodal {
         |FROM documents FULL OUTER JOIN embeddings ON doc_id = vec_id
         |GROUP BY COALESCE(source, '<no_doc>')
         |ORDER BY source""".stripMargin,
+
+    // t11's prefix-sum restatement with the two-modality cost: strlen ⇔
+    // octet_length under the ASCII-fixture precondition (m01's note);
+    // window SUM widens to HUGEINT → cast back to BIGINT
+    "m13_multimodal_pack" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, source,
+         |    CAST(len(list_filter(string_split(lower(text), ' '), w -> len(w) > 0)) AS BIGINT) AS txt_tokens,
+         |    (strlen(text) + ${PatchBytes - 1}) // $PatchBytes AS media_tokens
+         |  FROM documents
+         |), c AS (
+         |  SELECT doc_id, source, txt_tokens, media_tokens,
+         |    txt_tokens + media_tokens AS cost,
+         |    CAST(SUM(txt_tokens + media_tokens) OVER (PARTITION BY source ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+         |  FROM t WHERE txt_tokens + media_tokens > 0
+         |)
+         |SELECT doc_id, source, txt_tokens, media_tokens, cost,
+         |  cum - cost AS start_off,
+         |  (cum - cost) // $MmBudget AS first_seq,
+         |  (cum - 1) // $MmBudget AS last_seq,
+         |  (cum - 1) // $MmBudget - (cum - cost) // $MmBudget + 1 AS n_seqs
+         |FROM c
+         |ORDER BY doc_id""".stripMargin,
 
     // NOTE: this oracle iterates CHARACTERS (ascii(text[i]), strlen) while
     // the Spark side sums UTF-8 BYTES — identical only because the fixture

@@ -67,7 +67,11 @@ object TextAnalysis {
   /** t25 core over any (doc_id, text) frame — see the catalog entry for
     * the bitlength-as-floor-log2 exactness argument.
     */
-  private[operators] def surprisalScore(docs: DataFrame): DataFrame = {
+  /** Per-doc (n_tokens, sum_bits, nb) frame t25 finalizes and p10's
+    * curriculum planner phases on — one definition so the two operators
+    * cannot drift (the s23 shared-gate lesson applied to Scala).
+    */
+  private[operators] def surprisalPerDoc(docs: DataFrame): DataFrame = {
     val toks = docs
       .select(col("doc_id"),
         explode(filter(split(lower(col("text")), " "), w => length(w) > 0)).as("tok"))
@@ -80,6 +84,10 @@ object TextAnalysis {
         (col("nb") - (length(bin(col("cf"))) - 1)).cast("long").as("bits"), col("nb"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_tokens"), sum("bits").as("sum_bits"), max("nb").as("nb"))
+  }
+
+  private[operators] def surprisalScore(docs: DataFrame): DataFrame = {
+    surprisalPerDoc(docs)
       .select(col("doc_id"), col("n_tokens"), col("sum_bits"),
         (col("sum_bits").cast("double") / col("n_tokens").cast("double")).as("mean_bits"),
         // mean surprisal > 3/4 of the max possible bits ⟺ integer
@@ -267,6 +275,45 @@ object TextAnalysis {
         // mean conditional surprisal < 2 bits ⟺ integer cross-mult
         (col("sum_bits") < col("n_bigrams") * 2).as("is_low_entropy"))
       .orderBy("doc_id")
+  }
+
+  /** t31 core over (doc_id, text) rows — the corpus frequency SPECTRUM:
+    * vocabulary types bucketed by floor(log2 cf) (stated as bit lengths —
+    * t25's no-float-log discipline), with each bucket's type count, token
+    * mass, and the RANK RANGE its types occupy when the vocabulary is
+    * ordered by descending frequency. This is the Zipf/Heaps audit a
+    * corpus team reads before trusting token-budget math: under Zipf,
+    * mass per log-frequency bucket is ~flat and n_types ~doubles per
+    * bucket downward; a scraped corpus whose spectrum bulges at fb=0
+    * (hapax flood — boilerplate IDs, OCR noise) or at the top (template
+    * spam) fails both.
+    *
+    * Scale shape: one corpus-linear token scan into a vocabulary-keyed
+    * hash agg (map-side combines), then everything downstream is
+    * vocabulary-sized → ≤ 63 bucket rows. The rank range needs NO global
+    * vocabulary sort: ranks are recovered per-bucket from the descending
+    * cumulative type count — the unpartitioned window runs over the ≤ 63
+    * bucket rows (metadata-sized, the Temporal daily-totals precedent),
+    * never the vocabulary.
+    */
+  private[operators] def zipfSpectrum(docs: DataFrame): DataFrame = {
+    val freq = docs
+      .select(explode(filter(split(lower(col("text")), " "), w => length(w) > 0)).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("cf"))
+    val tot = freq.agg(sum("cf").as("t"))
+    val spec = freq
+      .groupBy((length(bin(col("cf"))) - 1).cast("long").as("fb"))
+      .agg(count(lit(1)).as("n_types"), sum("cf").as("mass"),
+        min("cf").as("min_cf"), max("cf").as("max_cf"))
+    val w = Window.orderBy(col("fb").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spec
+      .withColumn("rank_hi", sum("n_types").over(w))
+      .crossJoin(broadcast(tot))
+      .select(col("fb"), col("n_types"), col("mass"), col("min_cf"), col("max_cf"),
+        (col("rank_hi") - col("n_types") + 1).as("rank_lo"), col("rank_hi"),
+        (col("mass").cast("double") / col("t").cast("double")).as("mass_share"))
+      .orderBy(col("fb").desc)
   }
 
   private[operators] def boilerplateSpans(docs: DataFrame): DataFrame = {
@@ -676,6 +723,14 @@ object TextAnalysis {
     // bitlength identity and why the unigram score can't see word ORDER.
     "t30_bigram_surprisal" -> ((s, dir) =>
       bigramSurprisal(Tables.documents(s, dir))),
+
+    // ZIPF/HEAPS SPECTRUM — the vocabulary-shape audit (see zipfSpectrum):
+    // types per floor-log2-frequency bucket with token mass and the rank
+    // range each bucket spans. Complements t16 (per-source scalars) with
+    // the full distributional profile a budget model is fit against; all
+    // integer arithmetic, vocabulary-sized after one token scan.
+    "t31_zipf_spectrum" -> ((s, dir) =>
+      zipfSpectrum(Tables.documents(s, dir))),
 
     "t14_rare_token_ratio" -> ((s, dir) => {
       val toks = Tables.documents(s, dir)
@@ -1484,6 +1539,32 @@ object TextAnalysis {
         |FROM sc
         |GROUP BY doc_id
         |ORDER BY doc_id""".stripMargin,
+
+    // same bitlength bucketing; DuckDB's SUM/window-SUM widen to HUGEINT,
+    // so every aggregate is cast back to BIGINT (the a17/s21 discipline)
+    "t31_zipf_spectrum" ->
+      """WITH toks AS (
+        |  SELECT unnest(list_filter(string_split(lower(text), ' '), w -> len(w) > 0)) AS tok
+        |  FROM documents
+        |), freq AS (
+        |  SELECT tok, COUNT(*) AS cf FROM toks GROUP BY tok
+        |), tot AS (
+        |  SELECT CAST(SUM(cf) AS BIGINT) AS t FROM freq
+        |), spec AS (
+        |  SELECT CAST(length(bin(cf)) - 1 AS BIGINT) AS fb, COUNT(*) AS n_types,
+        |    CAST(SUM(cf) AS BIGINT) AS mass, MIN(cf) AS min_cf, MAX(cf) AS max_cf
+        |  FROM freq GROUP BY 1
+        |), ranked AS (
+        |  SELECT fb, n_types, mass, min_cf, max_cf,
+        |    CAST(SUM(n_types) OVER (ORDER BY fb DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS rank_hi
+        |  FROM spec
+        |)
+        |SELECT fb, n_types, mass, min_cf, max_cf,
+        |  rank_hi - n_types + 1 AS rank_lo, rank_hi,
+        |  CAST(mass AS DOUBLE) / CAST(t AS DOUBLE) AS mass_share
+        |FROM ranked CROSS JOIN tot
+        |ORDER BY fb DESC""".stripMargin,
 
     // bitlength-stated floor-log2 (see the query's scaladoc): exact
     // integer surprisal in both engines, no float log anywhere

@@ -117,6 +117,26 @@ class CurationSpec extends SparkSpec {
     assert(bySrc("a") === ((40L, 11L, expA.getLong(0), expA.getLong(1))))
   }
 
+  test("p10 curriculum closed form: t25's corpus phases easy/middle/hard by integer gates") {
+    import spark.implicits._
+    // t25's spec corpus + sources: cf(a)=4, three singletons, N=7 → nb=2.
+    // doc 1 (s1): sum 0, n 3 → 0 ≤ 2·3        → phase 0 (easy)
+    // doc 2 (s1): sum 2, n 2 → 8 > 4, 8 ≤ 12  → phase 1 (middle)
+    // doc 3 (s2): sum 4, n 2 → 16 > 12         → phase 2 (hard, ≡ rare-heavy)
+    val docs = Seq(
+      (1L, "s1", "a a a"),
+      (2L, "s1", "a b"),
+      (3L, "s2", "zzz qqq")
+    ).toDF("doc_id", "source", "text")
+    val got = Curation.curriculumPlan(docs).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5)))
+    assert(got === Array(
+      (0L, "s1", 1L, 3L, 0L, 0.0),
+      (1L, "s1", 1L, 2L, 2L, 1.0),
+      (2L, "s2", 1L, 2L, 4L, 2.0)))
+  }
+
   test("p09 epoch plan closed form: truncated giant, cap-bound dwarf, exact two-pass") {
     import spark.implicits._
     def txt(n: Int) = Seq.fill(n)("tok").mkString(" ")

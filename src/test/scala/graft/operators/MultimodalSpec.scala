@@ -197,6 +197,26 @@ class MultimodalSpec extends SparkSpec {
     assert(boiler.isEmpty, "df-capped signature must not pair the corpus")
   }
 
+  test("m13 pack closed form: two-modality costs, ceil patches, cross-budget straddle") {
+    import spark.implicits._
+    // patchBytes=4, budget=8.
+    // doc 1 (s1 "aa bb"):     txt 2, bytes 5 → ⌈5/4⌉=2, cost 4, cum 4 → seq 0 only
+    // doc 2 (s1 "cccc cccc"): txt 2, bytes 9 → 3, cost 5, cum 9 → straddles seqs 0-1
+    // doc 3 (s2 ""):          cost 0 → dropped
+    // doc 4 (s2 "x"):         txt 1, bytes 1 → 1, cost 2, cum 2 → seq 0
+    val docs = Seq(
+      (1L, "s1", "aa bb"), (2L, "s1", "cccc cccc"),
+      (3L, "s2", ""), (4L, "s2", "x")
+    ).toDF("doc_id", "source", "text")
+    val got = Multimodal.multimodalPack(docs, 4, 8).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7), r.getLong(8)))
+    assert(got === Array(
+      (1L, "s1", 2L, 2L, 4L, 0L, 0L, 0L, 1L),
+      (2L, "s1", 2L, 3L, 5L, 4L, 0L, 1L, 2L),
+      (4L, "s2", 1L, 1L, 2L, 0L, 0L, 0L, 1L)))
+  }
+
   test("m02 decode runs as a narrow map (no shuffle in the plan before the final sort)") {
     val plan = Multimodal.queries("m02_fake_decode")(spark, sfDir)
       .queryExecution.executedPlan.toString

@@ -223,6 +223,25 @@ class TextSpec extends SparkSpec {
     assert(got(3L) === ((2L, 4L, 2.0, true)))
   }
 
+  test("t31 zipf spectrum closed form: buckets, rank ranges, and mass shares") {
+    import spark.implicits._
+    // cf: a=8 (fb 3), b=4 (fb 2), c=2 (fb 1), d=e=1 (fb 0); mass 16.
+    // rank ranges follow from the descending cumulative type count alone.
+    val docs = Seq(
+      (1L, "a a a a a a a a"),
+      (2L, "b b b b c c d"),
+      (3L, "e")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.zipfSpectrum(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getDouble(7)))
+    assert(got === Array(
+      (3L, 1L, 8L, 8L, 8L, 1L, 1L, 0.5),
+      (2L, 1L, 4L, 4L, 4L, 2L, 2L, 0.25),
+      (1L, 1L, 2L, 2L, 2L, 3L, 3L, 0.125),
+      (0L, 2L, 2L, 1L, 1L, 4L, 5L, 0.125)))
+  }
+
   test("t27 BPE merge closed form: vocabulary-weighted pair counts, winner by count then pair") {
     import spark.implicits._
     // vocab: aaab wf=3 (pairs aa×2, ab×1), ab wf=2 (ab×1); "x" too short;
