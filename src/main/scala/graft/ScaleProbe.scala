@@ -367,7 +367,14 @@ object ScaleProbe {
       "g08_cc_profile",
       // the NN-descent local join: candidate volume O(k²·N) by
       // construction — the claim is corpus-LINEAR round cost
-      "e18_nn_descent_round")
+      "e18_nn_descent_round",
+      // round 9, fifth batch: the frequency spectrum (token scan +
+      // vocab-keyed agg, then ≤63 bucket rows — suffixed replicas grow
+      // the vocab ×F but every bucket stays metadata-sized), the
+      // two-modality packer (t11's shape: one scan + one
+      // source-partitioned prefix-sum window), and the curriculum rollup
+      // (t25's scan + vocab join + a |phases|·|sources|-row agg)
+      "t31_zipf_spectrum", "m13_multimodal_pack", "p10_curriculum_plan")
       // local iteration only: probe just a subset by name prefix
       .filter(n => sys.env.get("SPARK_GRAFT_ONLY")
         .forall(_.split(",").exists(n.startsWith)))
