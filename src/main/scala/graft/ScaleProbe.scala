@@ -374,7 +374,12 @@ object ScaleProbe {
       // two-modality packer (t11's shape: one scan + one
       // source-partitioned prefix-sum window), and the curriculum rollup
       // (t25's scan + vocab join + a |phases|·|sources|-row agg)
-      "t31_zipf_spectrum", "m13_multimodal_pack", "p10_curriculum_plan")
+      "t31_zipf_spectrum", "m13_multimodal_pack", "p10_curriculum_plan",
+      // the (type, hour) count agg collapses any event volume to a
+      // metadata-sized frame before the windows; and the streaming
+      // packer (state = one Long per source, per-batch sort is
+      // batch-sized)
+      "a19_burst_flags", "s24_stream_pack")
       // local iteration only: probe just a subset by name prefix
       .filter(n => sys.env.get("SPARK_GRAFT_ONLY")
         .forall(_.split(",").exists(n.startsWith)))

@@ -580,8 +580,40 @@ object Temporal {
         .agg(count(lit(1)).as("n"))
         .withColumn("is_peak", col("n") === max(col("n")).over(wType))
         .orderBy("event_type", "dow", "hour")
-    })
+    }),
+
+    // BURST DETECTION — the rate-anomaly flag an ingestion monitor raises
+    // when one hour's event rate blows past the type's own average: an
+    // hour bursts iff n · active_hours > 3 · type_total (integer
+    // cross-multiplication — "this hour ran at > 3× the type's mean
+    // hourly rate over its active hours"; both engines decide
+    // identically, no float rate anywhere in the gate). Scale shape:
+    // one (type, hour)-keyed count agg (map-side combined) collapses any
+    // event volume to |types|·|hours| rows — years of data stay
+    // metadata-sized — then per-type windows over that small frame.
+    "a19_burst_flags" -> ((s, dir) =>
+      burstFlags(Tables.events(s, dir)
+        .select(col("event_type"), col("ts").cast("long").as("ts_sec"))))
   )
+
+  /** a19 core over (event_type, ts_sec) rows — extracted so the burst
+    * arithmetic is unit-testable on crafted hours (note n·H > 3T is
+    * satisfiable only for types active in > 3 hours: with H ≤ 3 even a
+    * single hour holding ALL the type's events stays under 3× its mean).
+    */
+  private[operators] def burstFlags(e: DataFrame): DataFrame = {
+    val wType = Window.partitionBy("event_type")
+    e.groupBy(col("event_type"), expr("ts_sec div 3600").as("hr"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("type_total", sum("n").over(wType))
+      .withColumn("n_hours", count(lit(1)).over(wType))
+      .select(col("event_type"), col("hr"), col("n"), col("type_total"),
+        col("n_hours"),
+        (col("n") * col("n_hours") > col("type_total") * 3).as("is_burst"),
+        ((col("n") * col("n_hours")).cast("double") /
+          col("type_total").cast("double")).as("rate_ratio"))
+      .orderBy("event_type", "hr")
+  }
 
   /** a17 core over (user_id, ts_sec, event_id, event_type) rows —
     * extracted so the chain semantics (per-user adjacency, cross-user
@@ -642,6 +674,26 @@ object Temporal {
         |  n = MAX(n) OVER (PARTITION BY event_type) AS is_peak
         |FROM m
         |ORDER BY event_type, dow, hour""".stripMargin,
+
+    // same integer cross-multiplication burst gate; window SUM widens to
+    // HUGEINT → cast back to BIGINT
+    "a19_burst_flags" ->
+      """WITH m AS (
+        |  SELECT event_type,
+        |    CAST(epoch(date_trunc('second', ts)) AS BIGINT) // 3600 AS hr,
+        |    COUNT(*) AS n
+        |  FROM events GROUP BY 1, 2
+        |), w AS (
+        |  SELECT event_type, hr, n,
+        |    CAST(SUM(n) OVER (PARTITION BY event_type) AS BIGINT) AS type_total,
+        |    CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS n_hours
+        |  FROM m
+        |)
+        |SELECT event_type, hr, n, type_total, n_hours,
+        |  n * n_hours > type_total * 3 AS is_burst,
+        |  CAST(n * n_hours AS DOUBLE) / CAST(type_total AS DOUBLE) AS rate_ratio
+        |FROM w
+        |ORDER BY event_type, hr""".stripMargin,
 
     // same lag ordering (ts_sec, event_id — unique, so no tie ambiguity);
     // probability = one division of exact BIGINTs in both engines

@@ -28,6 +28,9 @@ case class SessionRow(user_id: Long, start_sec: Long, end_sec: Long,
 case class UserStateOut(user_id: Long, n_events: Long, min_event_id: Long, max_ts_sec: Long)
 case class LastEvent(ts_sec: Long, event_id: Long, event_type: String)
 case class Transition(user_id: Long, from_type: String, to_type: String)
+case class PackDoc(doc_id: Long, source: String, n_tokens: Long)
+case class PackedDoc(doc_id: Long, source: String, n_tokens: Long,
+    start_off: Long, first_seq: Long, last_seq: Long, n_seqs: Long)
 
 /** s14: the s04 per-user fold re-expressed in Spark 4's arbitrary-state v2
   * API (`transformWithState`) — typed ValueState on the RocksDB store,
@@ -713,6 +716,36 @@ object StreamingQueries {
         .select(col("source"), (col("i") + 1).cast("long").as("rank"),
           col("t.id").as("doc_id"), (-col("t.score")).cast("long").as("h"))
         .orderBy("source", "rank")
+    }),
+
+    // STREAMING SEQUENCE PACKING — t11's training-sequence packer as an
+    // incremental pipeline: the per-source token offset is the ONLY state
+    // (one Long per source, carried across micro-batches in GroupState),
+    // each batch's docs fold onto it in doc_id order and emit their pack
+    // coordinates append-only. The batch/stream parity contract is the
+    // oracle itself: the driver checks this output against t11's SQL
+    // verbatim (one definition — the s23 discipline), and the multi-batch
+    // carry is pinned by PackStreamSpec on a crafted 2-file input.
+    // Cross-batch exactness assumes per-source batch-monotonic doc_id
+    // arrival (s21's caveat; holds for the single-file fixture and for
+    // any ingest that appends in id order).
+    "s24_stream_pack" -> ((s, dir) => {
+      import s.implicits._
+      val typed = documentsStream(s, dir)
+        .select(col("doc_id"), col("source"),
+          graft.functions.TextFunctions.tokenCountWs(col("text")).as("n_tokens"))
+        .filter(col("n_tokens") > 0)
+        .as[PackDoc]
+      val packed = typed.groupByKey(_.source)
+        .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+          (src: String, rows: Iterator[PackDoc], state: GroupState[Long]) =>
+            val (out, cum) = packStep(src, rows.toSeq,
+              state.getOption.getOrElse(0L))
+            state.update(cum)
+            out.iterator
+        }
+      runToTable(packed.toDF(), OutputMode.Append(), statePartitions = Some(8))
+        .orderBy("doc_id")
     })
   )
 
@@ -798,6 +831,25 @@ object StreamingQueries {
         (col("n_transitions").cast("double") / col("from_total").cast("double"))
           .as("p_transition"))
       .orderBy("from_type", "to_type")
+  }
+
+  /** s24 per-key step: fold one source's batch docs onto the carried
+    * token offset in doc_id order, emitting t11's pack coordinates for
+    * each and returning the new offset. Pure — unit-tested directly on
+    * crafted batches (incl. the cross-batch carry), and the
+    * flatMapGroupsWithState body is just this + a state update.
+    */
+  private[streaming] def packStep(src: String, rows: Seq[PackDoc],
+      cum0: Long): (Seq[PackedDoc], Long) = {
+    val b = graft.operators.TextAnalysis.SeqBudget.toLong
+    var cum = cum0
+    val out = rows.sortBy(_.doc_id).map { d =>
+      val start = cum
+      cum += d.n_tokens
+      PackedDoc(d.doc_id, src, d.n_tokens, start,
+        start / b, (cum - 1) / b, (cum - 1) / b - start / b + 1)
+    }
+    (out, cum)
   }
 
   /** s21 per-key step: merge the carried last event INTO this batch's
@@ -1111,6 +1163,11 @@ object StreamingQueries {
          |  CAST(SUM(CASE WHEN (${graft.operators.Curation.langCase}) = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_l_ok,
          |  CAST(SUM(CASE WHEN q >= ${graft.operators.Curation.QualityMin}
          |    AND (${graft.operators.Curation.langCase}) = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_pass
-         |FROM quality GROUP BY source ORDER BY source""".stripMargin
+         |FROM quality GROUP BY source ORDER BY source""".stripMargin,
+
+    // batch/stream parity BY CONSTRUCTION: the streaming packer is
+    // checked against t11's SQL verbatim — one oracle definition for
+    // both operators (the s23 shared-text discipline)
+    "s24_stream_pack" -> graft.operators.TextAnalysis.oracles("t11_pack_sequences")
   )
 }

@@ -240,6 +240,29 @@ class TemporalSpec extends SparkSpec {
       ("a", 7L, 23L) -> ((1L, false)), ("b", 3L, 8L) -> ((1L, true))))
   }
 
+  test("a19 burst closed form: 5-hour spike flags, uniform type silent, H<=3 unflaggable") {
+    import spark.implicits._
+    // type a: hours 0..4 with counts 9,1,1,1,1 → T=13, H=5; only hour 0
+    // bursts (9·5=45 > 39); type b: 2 events in each of 4 hours — uniform,
+    // never bursts; type c: ALL 7 events in one of its 2 active hours —
+    // still unflaggable (7·2=14 ≤ 24), pinning the H ≤ 3 impossibility.
+    val e = (Seq.fill(9)(("a", 10L)) ++ Seq(("a", 3610L), ("a", 7210L),
+        ("a", 10810L), ("a", 14410L)) ++
+      (0 until 4).flatMap(h => Seq.fill(2)(("b", h * 3600L + 5))) ++
+      Seq.fill(7)(("c", 100L)) ++ Seq(("c", 3700L))
+    ).toDF("event_type", "ts_sec")
+    val got = Temporal.burstFlags(e).collect()
+      .map(r => ((r.getString(0), r.getLong(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getBoolean(5), r.getDouble(6)))).toMap
+    assert(got(("a", 0L)) === ((9L, 13L, 5L, true, 45.0 / 13.0)))
+    assert(got(("a", 1L)) === ((1L, 13L, 5L, false, 5.0 / 13.0)))
+    (0L until 4L).foreach { h =>
+      assert(got(("b", h)) === ((2L, 8L, 4L, false, 1.0)))
+    }
+    assert(got(("c", 0L)) === ((7L, 8L, 2L, false, 14.0 / 8.0)))
+    assert(got(("c", 1L)) === ((1L, 8L, 2L, false, 2.0 / 8.0)))
+  }
+
   test("a17 transition matrix: per-user chains, cross-user isolation, row-stochastic") {
     import spark.implicits._
     // u1: a→b→a (transitions a→b, b→a); u2: a→a→c (a→a, a→c); u3: lone
