@@ -379,7 +379,10 @@ object ScaleProbe {
       // metadata-sized frame before the windows; and the streaming
       // packer (state = one Long per source, per-batch sort is
       // batch-sized)
-      "a19_burst_flags", "s24_stream_pack")
+      "a19_burst_flags", "s24_stream_pack",
+      // two scans + bit-keyed joins; the bloom manifest is ≤ files·2^14
+      // rows at any table size
+      "z06_bloom_skipping")
       // local iteration only: probe just a subset by name prefix
       .filter(n => sys.env.get("SPARK_GRAFT_ONLY")
         .forall(_.split(",").exists(n.startsWith)))

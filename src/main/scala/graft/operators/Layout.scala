@@ -192,7 +192,30 @@ object Layout {
     // rows), never the data: the same metadata-sized discipline as
     // z02/z03/z04. All integers + one division ⇒ exact gate.
     "z05_overlap_depth" -> ((s, dir) =>
-      overlapDepth(Tables.lineitem(s, dir).select("l_orderkey", "l_partkey")))
+      overlapDepth(Tables.lineitem(s, dir).select("l_orderkey", "l_partkey"))),
+
+    // BLOOM-FILTER SKIPPING AUDIT — the data-skipping mechanism for
+    // EQUALITY probes on a non-clustering key, where zone maps are
+    // useless by construction: an arrival-ordered layout gives every
+    // file a partkey [min,max] spanning the whole domain (z05's depth ≈
+    // n_files regime), so a point lookup touches every file unless a
+    // per-file Bloom filter says otherwise. Files are modeled as 64
+    // orderkey range-buckets (arrival order); each file's filter is the
+    // SET of occupied bit positions in a 2^14-bit space, two positions
+    // per distinct key from one xxhash64 (the relational encoding of the
+    // bitset an engine would ship in its manifest — identical
+    // semantics, and it keeps every step an integer join the oracle
+    // restates CTE-for-CTE via the DuckHash chain). 8 probe keys are
+    // grid-snapped to EXISTING partkeys (max key ≤ gridpoint), so every
+    // probe has ≥ 1 truly-containing file and the no-false-negative law
+    // is observable. Output per probe: files passing the filter vs
+    // files truly containing the key (the gap = false-positive cost),
+    // rows scanned, and the skip fraction a scan planner would realize.
+    // Scale shape: two scans (file model + hash) plus joins keyed on
+    // bit positions — the bloom manifest is ≤ files · 2^14 rows,
+    // metadata-sized at any table size.
+    "z06_bloom_skipping" -> ((s, dir) =>
+      bloomSkipping(Tables.lineitem(s, dir).select("l_orderkey", "l_partkey")))
   )
 
   /** z01/z03 shared core: per-z-bucket zone maps (row count + min/max of
@@ -245,7 +268,127 @@ object Layout {
         .orderBy("layout")
     }
 
+  /** z06 bloom geometry: bit-space size (2^14) and file count. Two bit
+    * positions per key from one xxhash64: b1 = h mod 2^14,
+    * b2 = (h mod 2^28) div 2^14 — the pmod-BEFORE-div order matters
+    * (Spark `div` truncates toward zero, DuckDB `//` floors; they agree
+    * only on non-negative operands).
+    */
+  val BloomBits = 16384L
+  val BloomFiles = 64L
+
+  /** z06 core over any (l_orderkey, l_partkey) frame — see the catalog
+    * entry. Extracted so the two layout extremes are property-testable:
+    * a single key everywhere ⇒ every file both passes and contains
+    * (skip 0, false positives 0); one key per file ⇒ containment is 1
+    * file and the bloom may only ADD files (no false negatives, the
+    * Bloom guarantee).
+    */
+  private[operators] def bloomSkipping(li: DataFrame): DataFrame = {
+    val bounds = li.agg(min("l_orderkey").as("o0"), max("l_orderkey").as("o1"),
+      min("l_partkey").as("p0"), max("l_partkey").as("p1"))
+    val filed = li.crossJoin(broadcast(bounds))
+      .select(expr(s"(l_orderkey - o0) * $BloomFiles div (o1 - o0 + 1)").as("file"),
+        col("l_partkey").as("pk"))
+    val fsz = filed.groupBy("file").agg(count(lit(1)).as("n"))
+    val fpk = filed.select("file", "pk").distinct()
+    val bits = fpk.select("pk").distinct()
+      .withColumn("h", pmod(xxhash64(col("pk")), lit(BloomBits * BloomBits)))
+      .select(col("pk"), pmod(col("h"), lit(BloomBits)).as("b1"),
+        expr(s"h div $BloomBits").as("b2"))
+    val bloom = fpk.join(bits, "pk")
+      .select(col("file"), explode(array(col("b1"), col("b2"))).as("bit"))
+      .distinct()
+    val grid = bounds.select(explode(expr("sequence(0L, 7L)")).as("q"),
+        col("p0"), col("p1"))
+      .select(col("q"), expr("p0 + (p1 - p0 + 1) * q div 8").as("gp"))
+    val probes = bits.select("pk").crossJoin(broadcast(grid))
+      .filter(col("pk") <= col("gp"))
+      .groupBy("q").agg(max("pk").as("key"))
+    val pb = probes.join(bits, probes("key") === bits("pk"))
+      .select(col("q"), col("key"), col("b1"), col("b2"))
+    val pass = pb
+      .join(bloom.as("x"), col("x.bit") === col("b1"))
+      .select(col("q"), col("key"), col("x.file").as("pf"), col("b2"))
+      .join(bloom.as("y"), col("y.bit") === col("b2") && col("y.file") === col("pf"))
+      .select("q", "key", "pf").distinct()
+    val passStats = pass.join(fsz, col("pf") === fsz("file"))
+      .groupBy("q", "key")
+      .agg(count(lit(1)).as("n_pass"), sum("n").as("rows_scanned"))
+    val contain = probes.join(fpk, probes("key") === fpk("pk"))
+      .groupBy("q").agg(count(lit(1)).as("n_containing"))
+    val totals = fsz.agg(count(lit(1)).as("n_files"), sum("n").as("rows_total"))
+    passStats.join(contain, "q").crossJoin(broadcast(totals))
+      .select(col("q"), col("key"), col("n_files"), col("n_pass"),
+        col("n_containing"),
+        (col("n_pass") - col("n_containing")).as("n_false_pos"),
+        col("rows_scanned"),
+        (lit(1.0) - col("rows_scanned").cast("double") /
+          col("rows_total").cast("double")).as("skip_fraction"))
+      .orderBy("q")
+  }
+
   def oracles: Map[String, String] = Map(
+    // the whole bloom pipeline restated: DuckHash chain for xxhash64 of
+    // the key, the same pmod-before-div bit split, the same relational
+    // bitset; SUMs cast back to BIGINT (dtype-strict rule)
+    "z06_bloom_skipping" -> {
+      val bb2 = BloomBits * BloomBits
+      s"""WITH li AS (
+         |  SELECT l_orderkey, l_partkey FROM lineitem
+         |), b AS (
+         |  SELECT MIN(l_orderkey) AS o0, MAX(l_orderkey) AS o1,
+         |    MIN(l_partkey) AS p0, MAX(l_partkey) AS p1 FROM li
+         |), ids AS (
+         |  SELECT DISTINCT l_partkey AS pk, l_partkey AS x FROM li
+         |), ${DuckHash.xxhash64LongCtes("pk")}, bits AS (
+         |  SELECT pk,
+         |    CAST(((hv % $bb2) + $bb2) % $bb2 % $BloomBits AS BIGINT) AS b1,
+         |    CAST(((hv % $bb2) + $bb2) % $bb2 // $BloomBits AS BIGINT) AS b2
+         |  FROM hashed
+         |), filed AS (
+         |  SELECT (l_orderkey - o0) * $BloomFiles // (o1 - o0 + 1) AS file,
+         |    l_partkey AS pk
+         |  FROM li CROSS JOIN b
+         |), fsz AS (
+         |  SELECT file, COUNT(*) AS n FROM filed GROUP BY file
+         |), fpk AS (
+         |  SELECT DISTINCT file, pk FROM filed
+         |), bloom AS (
+         |  SELECT DISTINCT file, bit FROM (
+         |    SELECT f.file, t.b1 AS bit FROM fpk f JOIN bits t USING (pk)
+         |    UNION ALL
+         |    SELECT f.file, t.b2 AS bit FROM fpk f JOIN bits t USING (pk))
+         |), grid AS (
+         |  SELECT q, p0 + (p1 - p0 + 1) * q // 8 AS gp
+         |  FROM (SELECT unnest(range(0, 8)) AS q) CROSS JOIN b
+         |), probes AS (
+         |  SELECT g.q, MAX(t.pk) AS key
+         |  FROM grid g JOIN bits t ON t.pk <= g.gp
+         |  GROUP BY g.q
+         |), pb AS (
+         |  SELECT p.q, p.key, t.b1, t.b2 FROM probes p JOIN bits t ON t.pk = p.key
+         |), pass AS (
+         |  SELECT DISTINCT pb.q, pb.key, x.file
+         |  FROM pb
+         |  JOIN bloom x ON x.bit = pb.b1
+         |  JOIN bloom y ON y.bit = pb.b2 AND y.file = x.file
+         |), ps AS (
+         |  SELECT q, key, COUNT(*) AS n_pass, CAST(SUM(s.n) AS BIGINT) AS rows_scanned
+         |  FROM pass JOIN fsz s USING (file) GROUP BY q, key
+         |), ct AS (
+         |  SELECT p.q, COUNT(*) AS n_containing
+         |  FROM probes p JOIN fpk f ON f.pk = p.key GROUP BY p.q
+         |), tot AS (
+         |  SELECT COUNT(*) AS n_files, CAST(SUM(n) AS BIGINT) AS rows_total FROM fsz
+         |)
+         |SELECT ps.q, ps.key, tot.n_files, ps.n_pass, ct.n_containing,
+         |  ps.n_pass - ct.n_containing AS n_false_pos, ps.rows_scanned,
+         |  1.0 - CAST(ps.rows_scanned AS DOUBLE) / CAST(rows_total AS DOUBLE) AS skip_fraction
+         |FROM ps JOIN ct USING (q) CROSS JOIN tot
+         |ORDER BY ps.q""".stripMargin
+    },
+
     // the same range-bucket file models and the manifest-sized interval
     // self-join, restated; SUM cast (dtype-strict rule)
     "z05_overlap_depth" ->

@@ -136,4 +136,33 @@ class LayoutSpec extends SparkSpec {
       "scattered arrival layout must show deep overlap")
     assert(sc("sorted")._3 <= 3.0, "re-clustering the same rows restores shallow depth")
   }
+
+  test("z06 bloom extremes: shared key skips nothing exactly; unique keys skip without false negatives") {
+    import spark.implicits._
+    // every file holds the SAME key: all probes snap to it, every file
+    // passes AND contains — zero false positives, zero skipping
+    val shared = (0L until 128L).map(ok => (ok, 5L)).toDF("l_orderkey", "l_partkey")
+    Layout.bloomSkipping(shared).collect().foreach { r =>
+      assert(r.getLong(1) === 5L)                       // key
+      assert(r.getLong(3) === r.getLong(2))             // n_pass = n_files
+      assert(r.getLong(4) === r.getLong(2))             // n_containing = n_files
+      assert(r.getLong(5) === 0L && r.getDouble(7) === 0.0)
+    }
+    // one key per file: containment is exactly 1 file; the bloom may only
+    // ADD files (no false negatives: pass ⊇ contain ⇒ n_pass ≥ 1)
+    val unique = (0L until 128L).map(ok => (ok, ok / 2)).toDF("l_orderkey", "l_partkey")
+    val got = Layout.bloomSkipping(unique).collect()
+    assert(got.length === 8)
+    got.foreach { r =>
+      assert(r.getLong(2) === 64L)
+      assert(r.getLong(4) === 1L, "each key lives in exactly one file")
+      assert(r.getLong(3) >= 1L && r.getLong(5) >= 0L,
+        "bloom must pass the containing file (no false negatives)")
+      assert(r.getDouble(7) >= 0.0 && r.getDouble(7) <= 1.0)
+    }
+    // with 64 files × 2 bits in a 2^14-bit space, collisions are rare:
+    // the average probe should skip most files
+    val meanPass = got.map(_.getLong(3)).sum.toDouble / got.length
+    assert(meanPass <= 8.0, s"expected strong skipping, mean pass = $meanPass")
+  }
 }
