@@ -382,7 +382,9 @@ object ScaleProbe {
       "a19_burst_flags", "s24_stream_pack",
       // two scans + bit-keyed joins; the bloom manifest is ≤ files·2^14
       // rows at any table size
-      "z06_bloom_skipping")
+      "z06_bloom_skipping",
+      // edge build + one |V|-row degree agg; ≤ 63 bucket rows after
+      "g09_degree_spectrum")
       // local iteration only: probe just a subset by name prefix
       .filter(n => sys.env.get("SPARK_GRAFT_ONLY")
         .forall(_.split(",").exists(n.startsWith)))

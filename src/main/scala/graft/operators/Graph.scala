@@ -695,10 +695,63 @@ object Graph {
     // dense co-purchase graph, where the convergence curve itself is
     // the answer). All integers — 12 compounded min-folds sit under the
     // hash gate against 12 generated MATERIALIZED oracle layers.
-    "g08_cc_profile" -> ((s, dir) => ccProfile(partEdges(s, dir)))
+    "g08_cc_profile" -> ((s, dir) => ccProfile(partEdges(s, dir))),
+
+    // DEGREE SPECTRUM — t31's frequency-spectrum audit lifted to the
+    // graph: vertices per floor-log2-degree bucket (bitlength integers,
+    // no float log) with degree mass and min/max, plus share columns.
+    // The power-law sanity check run BEFORE committing to a graph
+    // algorithm's cost model: g01/g04's √E adjacency bound and k01's
+    // salting decisions both assume a heavy-tailed spectrum — this is
+    // the audit that shows it. One |V|-row agg after the degree count;
+    // everything downstream is ≤ 63 bucket rows.
+    "g09_degree_spectrum" -> ((s, dir) => degreeSpectrum(partEdges(s, dir)))
   )
 
+  /** g09 core over undirected (u < v) edges — extracted for closed-form
+    * graphs (a star's hub/leaf split, K4's single regular bucket).
+    */
+  private[operators] def degreeSpectrum(e: DataFrame): DataFrame = {
+    val deg = degrees(e)
+    val tot = deg.agg(count(lit(1)).as("nv"), sum("deg").as("m2"))
+    deg.groupBy((length(bin(col("deg"))) - 1).cast("long").as("db"))
+      .agg(count(lit(1)).as("n_vertices"), sum("deg").as("deg_mass"),
+        min("deg").as("min_deg"), max("deg").as("max_deg"))
+      .crossJoin(broadcast(tot))
+      .select(col("db"), col("n_vertices"), col("deg_mass"),
+        col("min_deg"), col("max_deg"),
+        (col("n_vertices").cast("double") / col("nv").cast("double")).as("v_share"),
+        (col("deg_mass").cast("double") / col("m2").cast("double")).as("mass_share"))
+      .orderBy("db")
+  }
+
   def oracles: Map[String, String] = Map(
+    // the shared edge CTE + t31's bitlength bucketing; SUMs cast back to
+    // BIGINT (dtype-strict rule)
+    "g09_degree_spectrum" ->
+      """WITH li AS (
+        |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+        |), e AS MATERIALIZED (
+        |  SELECT DISTINCT a.pk AS u, b.pk AS v
+        |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+        |), deg AS (
+        |  SELECT x, COUNT(*) AS deg
+        |  FROM (SELECT u AS x FROM e UNION ALL SELECT v FROM e)
+        |  GROUP BY x
+        |), tot AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS nv, CAST(SUM(deg) AS BIGINT) AS m2 FROM deg
+        |), spec AS (
+        |  SELECT CAST(length(bin(deg)) - 1 AS BIGINT) AS db, COUNT(*) AS n_vertices,
+        |    CAST(SUM(deg) AS BIGINT) AS deg_mass,
+        |    MIN(deg) AS min_deg, MAX(deg) AS max_deg
+        |  FROM deg GROUP BY 1
+        |)
+        |SELECT db, n_vertices, deg_mass, min_deg, max_deg,
+        |  CAST(n_vertices AS DOUBLE) / CAST(nv AS DOUBLE) AS v_share,
+        |  CAST(deg_mass AS DOUBLE) / CAST(m2 AS DOUBLE) AS mass_share
+        |FROM spec CROSS JOIN tot
+        |ORDER BY db""".stripMargin,
+
     "g01_triangle_count" ->
       """WITH li AS (
         |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem

@@ -214,6 +214,21 @@ class GraphSpec extends SparkSpec {
     assert(prof.toSeq === Seq((1L, 5L, 0L, 0L), (2L, 0L, 0L, 0L), (3L, 0L, 0L, 0L)))
   }
 
+  test("g09 closed forms: star splits hub/leaves into their log-degree buckets; K4 is one regular bucket") {
+    // S4 star: hub deg 4 (bucket 2), 4 leaves deg 1 (bucket 0); 2m = 8
+    val star = Graph.degreeSpectrum(edges((0, 1), (0, 2), (0, 3), (0, 4))).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5), r.getDouble(6)))
+    assert(star.toSeq === Seq(
+      (0L, 4L, 4L, 1L, 1L, 0.8, 0.5),
+      (2L, 1L, 4L, 4L, 4L, 0.2, 0.5)))
+    // K4: every degree 3 → a single bucket holding all vertices and mass
+    val k4 = Graph.degreeSpectrum(
+        edges((1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4))).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(5), r.getDouble(6)))
+    assert(k4.toSeq === Seq((1L, 4L, 12L, 1.0, 1.0)))
+  }
+
   test("g04 closed forms: K4 edges all 0.5; triangle edges 1/3; path edge 0") {
     // K4: every edge has the other 2 vertices as common neighbors,
     // deg = 3 each → jacc = 2 / (3 + 3 − 2) = 0.5
