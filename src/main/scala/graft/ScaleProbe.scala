@@ -384,7 +384,10 @@ object ScaleProbe {
       // rows at any table size
       "z06_bloom_skipping",
       // edge build + one |V|-row degree agg; ≤ 63 bucket rows after
-      "g09_degree_spectrum")
+      "g09_degree_spectrum",
+      // e06's candidate generation once (the three sweeps are filters
+      // over it) + the 10-query bounded brute force
+      "e19_ivf_probe_sweep")
       // local iteration only: probe just a subset by name prefix
       .filter(n => sys.env.get("SPARK_GRAFT_ONLY")
         .forall(_.split(",").exists(n.startsWith)))

@@ -45,6 +45,26 @@ object Similarity {
         (aggregate(col("vals"), lit(0.0), (acc, x) => acc + x.getField("v")) / col("n"))
           .as("c"))
 
+  /** The shared IVF geometry (e06 / e19): every vector scored against
+    * every label centroid (broadcast — |labels| rows), probe-ranked per
+    * vector by (ccos DESC, cell ASC) row_number. One definition so the
+    * index (rn ≤ assign), the query probe list (rn ≤ nprobe), and e19's
+    * probe-sweep all read the same ranking — and all mirror
+    * `duckIvfCtes`' `cranked` CTE.
+    */
+  private[operators] def ivfCranked(e: DataFrame): DataFrame = {
+    val cents = centroidComponents(e)
+      .groupBy("label")
+      .agg(transform(sort_array(collect_list(struct(col("dim"), col("c")))), s => s.getField("c"))
+        .cast("array<float>").as("centroid"))
+      .select(col("label").as("cell"), col("centroid"))
+    val wAssign = Window.partitionBy("vec_id").orderBy(col("ccos").desc, col("cell").asc)
+    e.join(broadcast(cents))
+      .select(col("vec_id"), col("embedding"), col("cell"),
+        cosine_similarity(col("embedding"), col("centroid")).as("ccos"))
+      .withColumn("rn", row_number().over(wAssign))
+  }
+
   /** e11's blocking stage, shared with p04's cross-modal edge builder:
     * every vector assigned to its nearest label-centroid cell. Centroids
     * come from `centroidComponents` (order-pinned sums — bit-reproducible)
@@ -673,6 +693,53 @@ object Similarity {
         .orderBy("qid")
     }),
 
+    // IVF PROBE-SWEEP — the nprobe tuning curve an index operator reads
+    // before picking e06's knob: recall@5 vs the exact top-5 at nprobe ∈
+    // {1, 2, 4}, from ONE shared ranking (probing np cells ⟺ candidate
+    // pairs whose minimum meeting-cell probe rank ≤ np — the np=1 and
+    // np=2 sweeps are FILTERS over the np=4 candidate set, not re-runs
+    // of the index). e15's eval discipline applied to the OTHER ANN
+    // path: the whole curve is deterministic and oracle-gated, so a
+    // geometry change that flattens it (more probes buying no recall)
+    // fails correctness. Cost: e06's candidate generation once + e02's
+    // bounded brute force (10 queries).
+    "e19_ivf_probe_sweep" -> ((s, dir) => {
+      import s.implicits._
+      val e = Tables.embeddings(s, dir)
+      val cr = ivfCranked(e)
+      val assigned = cr.filter(col("rn") <= 2)
+        .select(col("vec_id").as("nid"), col("embedding").as("n_emb"), col("cell"))
+      val pairs = cr.filter(col("rn") <= 4 && col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding").as("q_emb"),
+          col("cell"), col("rn").as("prn"))
+        .join(assigned, "cell")
+        .filter(col("nid") =!= col("qid"))
+        // q_emb/n_emb are constant per (qid, nid) group — first() is exact
+        .groupBy("qid", "nid")
+        .agg(min("prn").as("mr"), first("q_emb").as("q_emb"), first("n_emb").as("n_emb"))
+        .select(col("qid"), col("nid"), col("mr"),
+          cosine_similarity(col("q_emb"), col("n_emb")).as("cos"))
+      val wTop = Window.partitionBy("qid").orderBy(col("cos").desc, col("nid").asc)
+      val sweeps = Seq(1, 2, 4).map { np =>
+        pairs.filter(col("mr") <= np)
+          .withColumn("rn", row_number().over(wTop))
+          .filter(col("rn") <= 5)
+          .select(lit(np.toLong).as("nprobe"), col("qid"), col("nid"))
+      }.reduce(_ unionByName _)
+      val exact = Similarity.queries("e02_ann_bruteforce")(s, dir)
+        .filter(col("rn") <= 5).select(col("qid"), col("nid"))
+      val grid = exact.groupBy("qid").agg(count(lit(1)).as("n_exact"))
+        .crossJoin(broadcast(Seq(1L, 2L, 4L).toDF("nprobe")))
+      val hits = exact.join(sweeps, Seq("qid", "nid"))
+        .groupBy("nprobe", "qid").agg(count(lit(1)).as("n_hits"))
+      grid.join(hits, Seq("nprobe", "qid"), "left")
+        .select(col("nprobe"), col("qid"), col("n_exact"),
+          coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+          (coalesce(col("n_hits"), lit(0L)).cast("double")
+            / col("n_exact").cast("double")).as("recall_at_5"))
+        .orderBy("nprobe", "qid")
+    }),
+
     // per-label centroids (the IVF coarse quantizer / k-means building
     // block): one narrow posexplode (×dim), one hash agg on (label, dim).
     // Sum order is pinned by sorting each group's values by vec_id and
@@ -699,23 +766,11 @@ object Similarity {
       val nprobe = 4
       val assign = 2
       val e = Tables.embeddings(s, dir)
-      // centroids as array<float> per label, dims assembled in order
-      val cents = centroidComponents(e)
-        .groupBy("label")
-        .agg(transform(sort_array(collect_list(struct(col("dim"), col("c")))), s => s.getField("c"))
-          .cast("array<float>").as("centroid"))
-        .select(col("label").as("cell"), col("centroid"))
-      // every vector scored against every centroid (ncells is tiny —
-      // broadcast), argmax = assigned cell for corpus, top-nprobe for queries
-      val scored = e.join(broadcast(cents))
-        .select(col("vec_id"), col("embedding"), col("cell"),
-          cosine_similarity(col("embedding"), col("centroid")).as("ccos"))
-      val wAssign = Window.partitionBy("vec_id").orderBy(col("ccos").desc, col("cell").asc)
-      val assigned = scored.withColumn("rn", row_number().over(wAssign))
+      val cranked = ivfCranked(e)
+      val assigned = cranked
         .filter(col("rn") <= assign)
         .select(col("vec_id").as("nid"), col("embedding").as("n_emb"), col("cell"))
-      val probes = scored.filter(col("vec_id") < 10)
-        .withColumn("rn", row_number().over(wAssign))
+      val probes = cranked.filter(col("vec_id") < 10)
         .filter(col("rn") <= nprobe)
         .select(col("vec_id").as("qid"), col("embedding").as("q_emb"), col("cell"))
       val wTop = Window.partitionBy("qid").orderBy(col("cos_sim").desc, col("nid").asc)
@@ -1533,6 +1588,53 @@ object Similarity {
          |FROM ex x LEFT JOIN h ON h.qid = x.qid
          |GROUP BY x.qid
          |ORDER BY x.qid""".stripMargin,
+
+    // duckIvfCtes' cranked ranking drives all three sweeps (min meeting-
+    // cell probe rank, then per-np top-5 filters); truth is e15's
+    // brute-force block verbatim; recall = integer counts + one division
+    "e19_ivf_probe_sweep" -> {
+      def sweep(np: Int): String =
+        s"""  SELECT $np AS np, qid, nid FROM (
+           |    SELECT qid, nid,
+           |      ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, nid ASC) AS rn
+           |    FROM pscored WHERE mr <= $np) WHERE rn <= 5""".stripMargin
+      s"""WITH $duckIvfCtes, mr AS (
+         |  SELECT c.vec_id AS qid, a.nid, MIN(c.rn) AS mr
+         |  FROM cranked c JOIN assigned a ON a.cell = c.cell
+         |  WHERE c.rn <= 4 AND c.vec_id < 10 AND a.nid <> c.vec_id
+         |  GROUP BY c.vec_id, a.nid
+         |), pscored AS (
+         |  SELECT m.qid, m.nid, m.mr, ${duckCos("a", "b")} AS cos
+         |  FROM mr m JOIN embeddings a ON a.vec_id = m.qid
+         |    JOIN embeddings b ON b.vec_id = m.nid
+         |), sw AS (
+         |${sweep(1)}
+         |  UNION ALL
+         |${sweep(2)}
+         |  UNION ALL
+         |${sweep(4)}
+         |), ex AS (
+         |  SELECT qid, nid FROM (
+         |    SELECT q.vec_id AS qid, e.vec_id AS nid,
+         |      ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY ${duckCos("q", "e")} DESC, e.vec_id ASC) AS rn
+         |    FROM embeddings q JOIN embeddings e ON e.vec_id <> q.vec_id
+         |    WHERE q.vec_id < 10
+         |  ) WHERE rn <= 5
+         |), tc AS (
+         |  SELECT qid, COUNT(*) AS n_exact FROM ex GROUP BY qid
+         |), h AS (
+         |  SELECT s.np, e.qid, COUNT(*) AS n_hits
+         |  FROM ex e JOIN sw s ON s.qid = e.qid AND s.nid = e.nid
+         |  GROUP BY s.np, e.qid
+         |), grid AS (
+         |  SELECT np, qid, n_exact FROM tc CROSS JOIN (SELECT unnest([1, 2, 4]) AS np)
+         |)
+         |SELECT CAST(grid.np AS BIGINT) AS nprobe, grid.qid, grid.n_exact,
+         |  CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+         |  CAST(COALESCE(h.n_hits, 0) AS DOUBLE) / CAST(grid.n_exact AS DOUBLE) AS recall_at_5
+         |FROM grid LEFT JOIN h ON h.np = grid.np AND h.qid = grid.qid
+         |ORDER BY nprobe, grid.qid""".stripMargin
+    },
 
     "e06_ivf_ann" ->
       s"""WITH $duckIvfCtes, cand AS (

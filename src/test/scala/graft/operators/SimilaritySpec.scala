@@ -389,4 +389,31 @@ class SimilaritySpec extends SparkSpec {
     assert(r.getBoolean(5) === (maxOcc * cells <= 2L * postings))
     assert(r.getDouble(4) >= 1.0, "max occupancy is at least the mean")
   }
+
+  test("e19 probe sweep: recall monotone in nprobe; the np=4 sweep IS e06's result set") {
+    val rows = Similarity.queries("e19_ivf_probe_sweep")(spark, sfDir).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), (r.getLong(2), r.getLong(3), r.getDouble(4))))
+      .toMap
+    assert(rows.size === 30, "3 nprobe settings x 10 queries")
+    (0L until 10L).foreach { q =>
+      val (e1, h1, r1) = rows((1L, q)); val (_, h2, r2) = rows((2L, q))
+      val (_, h4, r4) = rows((4L, q))
+      assert(e1 === 5L, "6+ vectors => exact top-5 is full")
+      // probing more cells can only grow the candidate set
+      assert(h1 <= h2 && h2 <= h4, s"recall must be monotone in nprobe (q=$q)")
+      assert(r1 <= r2 && r2 <= r4 && r4 <= 1.0 && r1 >= 0.0)
+    }
+    // the np=4 sweep and e06 share geometry, candidates, and tie-break:
+    // their hit counts against the same truth must coincide exactly
+    val exact = Similarity.queries("e02_ann_bruteforce")(spark, sfDir)
+      .filter(org.apache.spark.sql.functions.col("rn") <= 5)
+      .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val e06hits = Similarity.queries("e06_ivf_ann")(spark, sfDir)
+      .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1)))
+      .filter(exact.contains).groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    (0L until 10L).foreach { q =>
+      assert(rows((4L, q))._2 === e06hits.getOrElse(q, 0L),
+        s"np=4 sweep must reproduce e06's hits (q=$q)")
+    }
+  }
 }
