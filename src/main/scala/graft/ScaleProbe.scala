@@ -387,7 +387,10 @@ object ScaleProbe {
       "g09_degree_spectrum",
       // e06's candidate generation once (the three sweeps are filters
       // over it) + the 10-query bounded brute force
-      "e19_ivf_probe_sweep")
+      "e19_ivf_probe_sweep",
+      // one token scan into the (source, tok) agg, then the vocab-keyed
+      // pair join (each token fans to ≤ |S|² pairs) and a |S|²-row rollup
+      "t32_source_divergence")
       // local iteration only: probe just a subset by name prefix
       .filter(n => sys.env.get("SPARK_GRAFT_ONLY")
         .forall(_.split(",").exists(n.startsWith)))

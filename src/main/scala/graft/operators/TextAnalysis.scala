@@ -316,6 +316,57 @@ object TextAnalysis {
       .orderBy(col("fb").desc)
   }
 
+  /** t32 core over (source, text) rows — EXACT total-variation distance
+    * between every source pair's unigram distributions: TV(a, b) =
+    * ½ Σ_tok |c_a/N_a − c_b/N_b| = Σ_tok |c_a·N_b − c_b·N_a| / (2·N_a·N_b)
+    * — the numerator is pure integer arithmetic, so the whole drift
+    * matrix sits under the hash gate (a float Σ|p−q| would differ
+    * between engines by summation order). The mixture-diversity audit
+    * run before trusting p02/p08's source quotas: two "different"
+    * sources with TV ≈ 0 are the same crawl twice; TV = 1 means
+    * disjoint vocabularies.
+    *
+    * The union-wide sum decomposes so ONE inner join suffices:
+    * Σ_union = Σ_common |c_a·N_b − c_b·N_a| + (N_a − Σ_common c_a)·N_b
+    * + (N_b − Σ_common c_b)·N_a — tokens private to a source never join.
+    * Terms go through decimal(38,0) (g06's overflow discipline: c·N
+    * products pass int64 at the 100× corpus; DuckDB's HUGEINT carries
+    * the same exact integers), each side cast to double for the one
+    * division. The pair grid comes from the totals frame, so source
+    * pairs sharing NO tokens still appear with tv = 1 (the d13
+    * zero-cell lesson). Scale shape: one token scan into a
+    * (source, tok) agg, one vocab-keyed self-join fanning each token to
+    * ≤ |S|² pairs, and a |S|²-row rollup.
+    */
+  private[operators] def sourceDivergence(docs: DataFrame): DataFrame = {
+    val dec = "decimal(38,0)"
+    def d(c: Column) = c.cast(dec)
+    val tf = docs
+      .select(col("source"),
+        explode(filter(split(lower(col("text")), " "), w => length(w) > 0)).as("tok"))
+      .groupBy("source", "tok").agg(count(lit(1)).as("c"))
+    val nt = tf.groupBy("source").agg(sum("c").as("n"))
+    val a = tf.select(col("source").as("src_a"), col("tok"), col("c").as("ca"))
+    val b = tf.select(col("source").as("src_b"), col("tok"), col("c").as("cb"))
+    val na = nt.select(col("source").as("src_a"), col("n").as("na"))
+    val nb = nt.select(col("source").as("src_b"), col("n").as("nb"))
+    val common = a.join(b, "tok").filter(col("src_a") < col("src_b"))
+      .join(broadcast(na), "src_a").join(broadcast(nb), "src_b")
+      .groupBy("src_a", "src_b")
+      .agg(count(lit(1)).as("n_common_types"),
+        sum(abs(d(col("ca")) * d(col("nb")) - d(col("cb")) * d(col("na")))).as("num_common"),
+        sum("ca").as("ca_common"), sum("cb").as("cb_common"))
+    na.crossJoin(nb).filter(col("src_a") < col("src_b"))
+      .join(common, Seq("src_a", "src_b"), "left")
+      .select(col("src_a"), col("src_b"), col("na").as("n_a"), col("nb").as("n_b"),
+        coalesce(col("n_common_types"), lit(0L)).as("n_common_types"),
+        ((coalesce(col("num_common"), lit(0L).cast(dec))
+          + d(col("na") - coalesce(col("ca_common"), lit(0L))) * d(col("nb"))
+          + d(col("nb") - coalesce(col("cb_common"), lit(0L))) * d(col("na"))).cast("double")
+          / (d(lit(2)) * d(col("na")) * d(col("nb"))).cast("double")).as("tv"))
+      .orderBy("src_a", "src_b")
+  }
+
   private[operators] def boilerplateSpans(docs: DataFrame): DataFrame = {
     val d = docs.filter(size(col("w")) >= 2)
     val sp = d.select(col("doc_id"),
@@ -731,6 +782,13 @@ object TextAnalysis {
     // integer arithmetic, vocabulary-sized after one token scan.
     "t31_zipf_spectrum" -> ((s, dir) =>
       zipfSpectrum(Tables.documents(s, dir))),
+
+    // SOURCE-DIVERGENCE MATRIX — exact total-variation distance between
+    // every source pair's unigram distributions in integer arithmetic
+    // (see sourceDivergence): the drift/diversity audit behind mixture
+    // quotas. One token scan, one vocab-keyed join, a |S|²-row matrix.
+    "t32_source_divergence" -> ((s, dir) =>
+      sourceDivergence(Tables.documents(s, dir))),
 
     "t14_rare_token_ratio" -> ((s, dir) => {
       val toks = Tables.documents(s, dir)
@@ -1565,6 +1623,37 @@ object TextAnalysis {
         |  CAST(mass AS DOUBLE) / CAST(t AS DOUBLE) AS mass_share
         |FROM ranked CROSS JOIN tot
         |ORDER BY fb DESC""".stripMargin,
+
+    // the same decomposed union sum; c·N products in HUGEINT (Spark's
+    // decimal(38,0) — the g06 discipline), one double division at the end
+    "t32_source_divergence" ->
+      """WITH tf AS (
+        |  SELECT source, tok, COUNT(*) AS c FROM (
+        |    SELECT source,
+        |      unnest(list_filter(string_split(lower(text), ' '), w -> len(w) > 0)) AS tok
+        |    FROM documents)
+        |  GROUP BY source, tok
+        |), nt AS (
+        |  SELECT source, CAST(SUM(c) AS BIGINT) AS n FROM tf GROUP BY source
+        |), common AS (
+        |  SELECT a.source AS src_a, b.source AS src_b, COUNT(*) AS n_common_types,
+        |    SUM(abs(CAST(a.c AS HUGEINT) * nb.n - CAST(b.c AS HUGEINT) * na.n)) AS num_common,
+        |    CAST(SUM(a.c) AS BIGINT) AS ca_common,
+        |    CAST(SUM(b.c) AS BIGINT) AS cb_common
+        |  FROM tf a JOIN tf b ON a.tok = b.tok AND a.source < b.source
+        |  JOIN nt na ON na.source = a.source
+        |  JOIN nt nb ON nb.source = b.source
+        |  GROUP BY a.source, b.source
+        |)
+        |SELECT na.source AS src_a, nb.source AS src_b, na.n AS n_a, nb.n AS n_b,
+        |  CAST(COALESCE(c.n_common_types, 0) AS BIGINT) AS n_common_types,
+        |  CAST(COALESCE(c.num_common, 0)
+        |      + CAST(na.n - COALESCE(c.ca_common, 0) AS HUGEINT) * nb.n
+        |      + CAST(nb.n - COALESCE(c.cb_common, 0) AS HUGEINT) * na.n AS DOUBLE)
+        |    / CAST(CAST(2 AS HUGEINT) * na.n * nb.n AS DOUBLE) AS tv
+        |FROM nt na JOIN nt nb ON na.source < nb.source
+        |LEFT JOIN common c ON c.src_a = na.source AND c.src_b = nb.source
+        |ORDER BY src_a, src_b""".stripMargin,
 
     // bitlength-stated floor-log2 (see the query's scaladoc): exact
     // integer surprisal in both engines, no float log anywhere

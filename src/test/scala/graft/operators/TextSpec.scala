@@ -242,6 +242,24 @@ class TextSpec extends SparkSpec {
       (0L, 2L, 2L, 1L, 1L, 4L, 5L, 0.125)))
   }
 
+  test("t32 divergence closed forms: twins 0, disjoint 1, half-overlap 2/3, zero-cell pair present") {
+    import spark.implicits._
+    // s1=(a:1, b:1)/2, s2=(a:1, c:2)/3: common a → |1·3−1·2|=1;
+    // a-only b → 1·3; b-only c → 2·2 ⇒ tv = 8/12 = 2/3.
+    // s0 is s1's twin (tv 0); s3 is vocabulary-disjoint from all (tv 1).
+    val docs = Seq(
+      ("s0", "a b"), ("s1", "a b"), ("s2", "a c c"), ("s3", "z z z z")
+    ).toDF("source", "text")
+    val got = TextAnalysis.sourceDivergence(docs).collect()
+      .map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))).toMap
+    assert(got.size === 6, "full pair grid incl. zero-common cells")
+    assert(got(("s0", "s1")) === ((2L, 2L, 2L, 0.0)))
+    assert(got(("s1", "s2")) === ((2L, 3L, 1L, 2.0 / 3.0)))
+    assert(got(("s0", "s3")) === ((2L, 4L, 0L, 1.0)))
+    assert(got(("s2", "s3")) === ((3L, 4L, 0L, 1.0)))
+  }
+
   test("t27 BPE merge closed form: vocabulary-weighted pair counts, winner by count then pair") {
     import spark.implicits._
     // vocab: aaab wf=3 (pairs aa×2, ab×1), ab wf=2 (ab×1); "x" too short;
