@@ -390,7 +390,10 @@ object ScaleProbe {
       "e19_ivf_probe_sweep",
       // one token scan into the (source, tok) agg, then the vocab-keyed
       // pair join (each token fans to ≤ |S|² pairs) and a |S|²-row rollup
-      "t32_source_divergence")
+      "t32_source_divergence",
+      // d07's closure + a |clusters|-row agg; and the (type, partition)
+      // count agg that collapses any event volume to ≤ |keys| rows
+      "d14_cluster_size_spectrum", "k05_hash_balance")
       // local iteration only: probe just a subset by name prefix
       .filter(n => sys.env.get("SPARK_GRAFT_ONLY")
         .forall(_.split(",").exists(n.startsWith)))

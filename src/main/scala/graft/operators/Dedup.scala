@@ -157,6 +157,23 @@ object Dedup {
   private def nearDupClusters(s: SparkSession, dir: String): DataFrame =
     connectedComponents(nearDupPairs(s, dir).select(col("id_a"), col("id_b")))
 
+  /** d14 core over a (doc_id, cluster_id) frame — extracted so crafted
+    * cluster layouts pin the buckets/shares closed-form.
+    */
+  private[operators] def clusterSizeSpectrum(clusters: DataFrame): DataFrame = {
+    val sizes = clusters.groupBy("cluster_id").agg(count(lit(1)).as("sz"))
+    val tot = sizes.agg(count(lit(1)).as("nc"), sum("sz").as("nd"))
+    sizes.groupBy((length(bin(col("sz"))) - 1).cast("long").as("sb"))
+      .agg(count(lit(1)).as("n_clusters"), sum("sz").as("doc_mass"),
+        min("sz").as("min_sz"), max("sz").as("max_sz"))
+      .crossJoin(broadcast(tot))
+      .select(col("sb"), col("n_clusters"), col("doc_mass"),
+        col("min_sz"), col("max_sz"),
+        (col("n_clusters").cast("double") / col("nc").cast("double")).as("cluster_share"),
+        (col("doc_mass").cast("double") / col("nd").cast("double")).as("doc_share"))
+      .orderBy("sb")
+  }
+
   /** All unordered candidate pairs from an array of bucket members. */
   private def pairsOf(ids: Column): Column =
     flatten(transform(ids, (x, i) =>
@@ -585,6 +602,15 @@ object Dedup {
     // driver. Output: (doc_id, cluster_id = min reachable doc_id).
     "d07_dup_clusters" -> ((s, dir) => nearDupClusters(s, dir).orderBy("doc_id")),
 
+    // CLUSTER-SIZE SPECTRUM — t31's floor-log2 spectrum over d07's
+    // near-dup clusters: the dedup-severity audit (a spectrum bulging at
+    // high buckets means template farms / mirror floods, and it sizes
+    // d11's survivorship work). Completes the spectrum trio: t31
+    // vocabulary, g09 degrees, d14 duplicate clusters. Everything after
+    // d07's closure is a |clusters|-row agg then ≤ 63 bucket rows.
+    "d14_cluster_size_spectrum" -> ((s, dir) =>
+      clusterSizeSpectrum(nearDupClusters(s, dir))),
+
     // SURVIVORSHIP — the decision a dedup pass actually ships: for every
     // near-dup cluster (d07's components), keep ONE canonical document
     // and mark the rest dropped. Policy here is the common web-corpus
@@ -715,6 +741,39 @@ object Dedup {
         (col("n_dup_windows").cast("double") / col("n_windows").cast("double"))
           .as("dup_frac"))
   }
+
+  /** d07/d11/d14 shared closure SQL — shingles → exact-Jaccard pairs →
+    * symmetric+reflexive edges → recursive reachability, ending in
+    * `clusters(doc_id, cluster_id)`. One definition so the three oracles
+    * cannot drift (the s23 shared-text rule; these were three verbatim
+    * copies before round 9).
+    */
+  private val duckClusterCtes: String =
+    """WITH RECURSIVE t AS (
+      |  SELECT doc_id, list_filter(string_split(lower(text), ' '), w -> len(w) > 0) AS w
+      |  FROM documents
+      |), s AS (
+      |  SELECT doc_id,
+      |    list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w) - 1)]) AS sh
+      |  FROM t WHERE len(w) >= 3
+      |), pairs AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      |  FROM s a JOIN s b ON a.doc_id < b.doc_id
+      |  WHERE len(a.sh) > 0 AND len(b.sh) > 0
+      |    AND len(list_intersect(a.sh, b.sh))::DOUBLE / len(list_distinct(list_concat(a.sh, b.sh)))::DOUBLE >= 0.8
+      |), edges AS (
+      |  SELECT id_a AS src, id_b AS dst FROM pairs
+      |  UNION SELECT id_b, id_a FROM pairs
+      |  UNION SELECT id_a, id_a FROM pairs
+      |  UNION SELECT id_b, id_b FROM pairs
+      |), reach AS (
+      |  SELECT src AS doc_id, dst AS reach_id FROM edges
+      |  UNION
+      |  SELECT r.doc_id, e.dst FROM reach r JOIN edges e ON r.reach_id = e.src
+      |), clusters AS (
+      |  SELECT doc_id, MIN(reach_id) AS cluster_id
+      |  FROM reach GROUP BY doc_id
+      |)""".stripMargin
 
   def oracles: Map[String, String] = Map(
     "d01_dedup_exact" ->
@@ -854,60 +913,31 @@ object Dedup {
         |ORDER BY id_a, id_b""".stripMargin,
 
     "d07_dup_clusters" ->
-      """WITH RECURSIVE t AS (
-        |  SELECT doc_id, list_filter(string_split(lower(text), ' '), w -> len(w) > 0) AS w
-        |  FROM documents
-        |), s AS (
-        |  SELECT doc_id,
-        |    list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w) - 1)]) AS sh
-        |  FROM t WHERE len(w) >= 3
-        |), pairs AS (
-        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
-        |  FROM s a JOIN s b ON a.doc_id < b.doc_id
-        |  WHERE len(a.sh) > 0 AND len(b.sh) > 0
-        |    AND len(list_intersect(a.sh, b.sh))::DOUBLE / len(list_distinct(list_concat(a.sh, b.sh)))::DOUBLE >= 0.8
-        |), edges AS (
-        |  SELECT id_a AS src, id_b AS dst FROM pairs
-        |  UNION SELECT id_b, id_a FROM pairs
-        |  UNION SELECT id_a, id_a FROM pairs
-        |  UNION SELECT id_b, id_b FROM pairs
-        |), reach AS (
-        |  SELECT src AS doc_id, dst AS reach_id FROM edges
-        |  UNION
-        |  SELECT r.doc_id, e.dst FROM reach r JOIN edges e ON r.reach_id = e.src
-        |)
-        |SELECT doc_id, MIN(reach_id) AS cluster_id
-        |FROM reach GROUP BY doc_id
+      s"""$duckClusterCtes
+        |SELECT doc_id, cluster_id FROM clusters
         |ORDER BY doc_id""".stripMargin,
+
+    // d07's closure sizes in t31's bitlength buckets; SUMs cast
+    "d14_cluster_size_spectrum" ->
+      s"""$duckClusterCtes, sizes AS (
+        |  SELECT cluster_id, COUNT(*) AS sz FROM clusters GROUP BY cluster_id
+        |), tot AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS nc, CAST(SUM(sz) AS BIGINT) AS nd FROM sizes
+        |), spec AS (
+        |  SELECT CAST(length(bin(sz)) - 1 AS BIGINT) AS sb, COUNT(*) AS n_clusters,
+        |    CAST(SUM(sz) AS BIGINT) AS doc_mass, MIN(sz) AS min_sz, MAX(sz) AS max_sz
+        |  FROM sizes GROUP BY 1
+        |)
+        |SELECT sb, n_clusters, doc_mass, min_sz, max_sz,
+        |  CAST(n_clusters AS DOUBLE) / CAST(nc AS DOUBLE) AS cluster_share,
+        |  CAST(doc_mass AS DOUBLE) / CAST(nd AS DOUBLE) AS doc_share
+        |FROM spec CROSS JOIN tot
+        |ORDER BY sb""".stripMargin,
 
     // d07's closure + documents metadata + the survivor window: keep =
     // first by (n_chars DESC, doc_id ASC) within the cluster
     "d11_survivorship" ->
-      """WITH RECURSIVE t AS (
-        |  SELECT doc_id, list_filter(string_split(lower(text), ' '), w -> len(w) > 0) AS w
-        |  FROM documents
-        |), s AS (
-        |  SELECT doc_id,
-        |    list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w) - 1)]) AS sh
-        |  FROM t WHERE len(w) >= 3
-        |), pairs AS (
-        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
-        |  FROM s a JOIN s b ON a.doc_id < b.doc_id
-        |  WHERE len(a.sh) > 0 AND len(b.sh) > 0
-        |    AND len(list_intersect(a.sh, b.sh))::DOUBLE / len(list_distinct(list_concat(a.sh, b.sh)))::DOUBLE >= 0.8
-        |), edges AS (
-        |  SELECT id_a AS src, id_b AS dst FROM pairs
-        |  UNION SELECT id_b, id_a FROM pairs
-        |  UNION SELECT id_a, id_a FROM pairs
-        |  UNION SELECT id_b, id_b FROM pairs
-        |), reach AS (
-        |  SELECT src AS doc_id, dst AS reach_id FROM edges
-        |  UNION
-        |  SELECT r.doc_id, e.dst FROM reach r JOIN edges e ON r.reach_id = e.src
-        |), clusters AS (
-        |  SELECT doc_id, MIN(reach_id) AS cluster_id
-        |  FROM reach GROUP BY doc_id
-        |)
+      s"""$duckClusterCtes
         |SELECT c.doc_id, c.cluster_id, d.n_chars,
         |  (ROW_NUMBER() OVER (PARTITION BY c.cluster_id
         |     ORDER BY d.n_chars DESC, c.doc_id ASC) = 1) AS keep,

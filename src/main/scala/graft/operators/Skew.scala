@@ -165,8 +165,42 @@ object Skew {
         .withColumn("post_salt_load", expr("(n_rows + salt_factor - 1) div salt_factor"))
         .orderBy(col("n_rows").desc, col("key").asc)
         .limit(10)
+    }),
+
+    // HASH-PARTITION BALANCE AUDIT — the measurement that motivates this
+    // whole module: hash-partition the event stream by its LOW-CARDINALITY
+    // key (event_type) into 32 reducers and show the load histogram. With
+    // a handful of distinct keys most partitions are EMPTY and the loaded
+    // ones carry whole keys — the per-KEY skew that AQE's partition
+    // splitting cannot fix (k01/k02's salting and k03's isolation are the
+    // fixes; k04 sizes them). Empty partitions surface as zero rows (the
+    // d13 zero-cell rule) via the generated partition grid; the hot flag
+    // is the integer cross-multiplication n·32 > 2·total. One count agg
+    // collapses any event volume to ≤ |keys| rows; the grid is 32 rows.
+    "k05_hash_balance" -> ((s, dir) => {
+      val parts = Tables.events(s, dir)
+        .select(pmod(xxhash64(col("event_type")), lit(HashParts)).as("p"),
+          col("event_type"))
+        .groupBy("p")
+        .agg(count(lit(1)).as("n_rows"), count_distinct(col("event_type")).as("n_keys"))
+      val grid = s.range(1)
+        .select(explode(expr(s"sequence(0L, ${HashParts - 1})")).as("p"))
+      val tot = parts.agg(sum("n_rows").as("total"))
+      grid.join(parts, Seq("p"), "left")
+        .crossJoin(broadcast(tot))
+        .select(col("p"),
+          coalesce(col("n_rows"), lit(0L)).as("n_rows"),
+          coalesce(col("n_keys"), lit(0L)).as("n_keys"),
+          col("total"),
+          (coalesce(col("n_rows"), lit(0L)) * HashParts).cast("double")
+            .divide(col("total").cast("double")).as("load_ratio"),
+          (coalesce(col("n_rows"), lit(0L)) * HashParts > col("total") * 2).as("is_hot"))
+        .orderBy("p")
     })
   )
+
+  /** k05 reducer count: the partition grid the balance audit hashes into. */
+  val HashParts = 32L
 
   def oracles: Map[String, String] = Map(
     "k01_salted_agg" ->
@@ -216,6 +250,32 @@ object Skew {
         |    // ((n_rows + target - 1) // target) AS BIGINT) AS post_salt_load
         |FROM byk CROSS JOIN tg
         |ORDER BY n_rows DESC, key ASC
-        |LIMIT 10""".stripMargin
+        |LIMIT 10""".stripMargin,
+
+    // the same xxhash64 partitioning restated via the DuckHash string
+    // chain (hv is the unsigned hash, so hv % 32 ≡ Spark's pmod — 32
+    // divides 2^64); empty partitions from the generated grid
+    "k05_hash_balance" ->
+      s"""WITH gr AS (
+         |  SELECT event_type AS gid, event_type AS g
+         |  FROM (SELECT DISTINCT event_type FROM events)
+         |), ${graft.operators.DuckHash.xxh64StrCtes()}, keyp AS (
+         |  SELECT gid AS event_type, CAST(hv % $HashParts AS BIGINT) AS p FROM gh
+         |), parts AS (
+         |  SELECT k.p, COUNT(*) AS n_rows, COUNT(DISTINCT e.event_type) AS n_keys
+         |  FROM events e JOIN keyp k ON k.event_type = e.event_type
+         |  GROUP BY k.p
+         |), grid AS (
+         |  SELECT unnest(range(0, $HashParts)) AS p
+         |), tot AS (
+         |  SELECT CAST(SUM(n_rows) AS BIGINT) AS total FROM parts
+         |)
+         |SELECT grid.p, COALESCE(parts.n_rows, 0) AS n_rows,
+         |  COALESCE(parts.n_keys, 0) AS n_keys, tot.total,
+         |  CAST(COALESCE(parts.n_rows, 0) * $HashParts AS DOUBLE)
+         |    / CAST(tot.total AS DOUBLE) AS load_ratio,
+         |  COALESCE(parts.n_rows, 0) * $HashParts > tot.total * 2 AS is_hot
+         |FROM grid LEFT JOIN parts USING (p) CROSS JOIN tot
+         |ORDER BY grid.p""".stripMargin
   )
 }

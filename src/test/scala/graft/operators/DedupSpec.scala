@@ -328,4 +328,17 @@ class DedupSpec extends SparkSpec {
     assert(out(4L) === ((3L, 0L)), "unique doc carries zero dup mass")
     assert(!out.contains(5L), "docs shorter than W contribute no windows")
   }
+
+  test("d14 spectrum closed form: sizes 2,2,3,8 split into buckets 1 and 3 with exact shares") {
+    import spark.implicits._
+    val clusters = (Seq((1L, 10L), (2L, 10L), (3L, 20L), (4L, 20L),
+      (5L, 30L), (6L, 30L), (7L, 30L)) ++
+      (8L to 15L).map(d => (d, 40L))).toDF("doc_id", "cluster_id")
+    val got = Dedup.clusterSizeSpectrum(clusters).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5), r.getDouble(6)))
+    assert(got.toSeq === Seq(
+      (1L, 3L, 7L, 2L, 3L, 0.75, 7.0 / 15.0),
+      (3L, 1L, 8L, 8L, 8L, 0.25, 8.0 / 15.0)))
+  }
 }

@@ -161,4 +161,25 @@ class SkewSpec extends SparkSpec {
       if (n <= t) assert(f === 1L && load === n)
     }
   }
+
+  test("k05 balance audit: full grid, conserved masses, keys land whole, flags consistent") {
+    import org.apache.spark.sql.functions._
+    val e = graft.Tables.events(spark, sfDir)
+    val rows = Skew.queries("k05_hash_balance")(spark, sfDir).collect()
+    assert(rows.length === 32, "every partition appears, loaded or empty")
+    assert(rows.map(_.getLong(1)).sum === e.count(), "row mass conserved")
+    // each TYPE hashes to exactly one partition — key mass conserved too
+    assert(rows.map(_.getLong(2)).sum === e.select("event_type").distinct().count())
+    val total = rows.head.getLong(3)
+    rows.foreach { r =>
+      val (n, t) = (r.getLong(1), r.getLong(3))
+      assert(t === total)
+      assert(r.getDouble(4) === n.toDouble * 32.0 / t.toDouble)
+      assert(r.getBoolean(5) === (n * 32L > t * 2L))
+    }
+    // with a handful of event types, most of the 32 partitions are empty
+    // — the per-KEY skew this module's operators exist to fix
+    assert(rows.count(_.getLong(1) === 0L) >= 16,
+      "low-cardinality key must leave most partitions empty")
+  }
 }
