@@ -393,7 +393,11 @@ object ScaleProbe {
       "t32_source_divergence",
       // d07's closure + a |clusters|-row agg; and the (type, partition)
       // count agg that collapses any event volume to ≤ |keys| rows
-      "d14_cluster_size_spectrum", "k05_hash_balance")
+      "d14_cluster_size_spectrum", "k05_hash_balance",
+      // streaming (type, hour) Complete-mode agg (state ≤ |types|·|hours|)
+      // + the shared batch rollup; and the token scan + two id-keyed
+      // flag joins over d07's closure
+      "s25_stream_burst", "p11_dedup_yield")
       // local iteration only: probe just a subset by name prefix
       .filter(n => sys.env.get("SPARK_GRAFT_ONLY")
         .forall(_.split(",").exists(n.startsWith)))

@@ -249,6 +249,37 @@ object Curation {
     "p10_curriculum_plan" -> ((s, dir) =>
       curriculumPlan(Tables.documents(s, dir))),
 
+    // DEDUP TOKEN-YIELD REPORT — the headline number a dedup pass is
+    // judged by ("dedup cut the corpus X%"): per source, token mass
+    // before dedup, after exact dedup (d01's min-doc_id keeper), and
+    // after near-dup dedup too (d07's closure: a clustered doc survives
+    // iff it IS its cluster's min label). Composes two shipped,
+    // individually hash-gated kernels into the cumulative accounting;
+    // stages are flags on one token frame (two id-keyed left joins), so
+    // the report costs one token scan + d07's closure. Yield = one
+    // double division of exact longs.
+    "p11_dedup_yield" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val tk = docs.select(col("doc_id"), col("source"),
+        tokenCountWs(col("text")).as("nt"))
+      val exactKeep = docs.groupBy("text").agg(min("doc_id").as("doc_id"))
+        .select(col("doc_id"), lit(true).as("keep_e"))
+      val nearDrop = Dedup.queries("d07_dup_clusters")(s, dir)
+        .filter(col("doc_id") =!= col("cluster_id"))
+        .select(col("doc_id"), lit(true).as("drop_n"))
+      tk.join(exactKeep, Seq("doc_id"), "left")
+        .join(nearDrop, Seq("doc_id"), "left")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("nt").as("tokens_total"),
+          sum(when(col("keep_e"), col("nt")).otherwise(0L)).as("tokens_after_exact"),
+          sum(when(col("keep_e") && col("drop_n").isNull, col("nt")).otherwise(0L))
+            .as("tokens_after_near"))
+        .withColumn("yield_frac",
+          col("tokens_after_near").cast("double") / col("tokens_total").cast("double"))
+        .orderBy("source")
+    }),
+
     // SPLIT LEAKAGE AUDIT — the check a training pipeline runs after
     // carving train/val/test: a near-duplicate PAIR that straddles the
     // split boundary leaks training signal into evaluation even though
@@ -788,6 +819,31 @@ object Curation {
          |  target_tokens - LEAST(target_tokens, epochs * n_tokens) AS deficit_tokens,
          |  LEAST(target_tokens, epochs * n_tokens)::DOUBLE / target_tokens::DOUBLE AS utilization
          |FROM pl ORDER BY source""".stripMargin,
+
+    // d01's keeper + d07's shared closure (duckClusterCtes) as flags on
+    // one token frame; SUMs cast back to BIGINT
+    "p11_dedup_yield" ->
+      s"""${Dedup.duckClusterCtes}, tk AS (
+         |  SELECT doc_id, source,
+         |    CAST(len(list_filter(string_split(lower(text), ' '), w -> len(w) > 0)) AS BIGINT) AS nt
+         |  FROM documents
+         |), ek AS (
+         |  SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text
+         |), dn AS (
+         |  SELECT doc_id FROM clusters WHERE doc_id <> cluster_id
+         |)
+         |SELECT tk.source, COUNT(*) AS n_docs,
+         |  CAST(SUM(tk.nt) AS BIGINT) AS tokens_total,
+         |  CAST(SUM(CASE WHEN ek.doc_id IS NOT NULL THEN tk.nt ELSE 0 END) AS BIGINT)
+         |    AS tokens_after_exact,
+         |  CAST(SUM(CASE WHEN ek.doc_id IS NOT NULL AND dn.doc_id IS NULL THEN tk.nt ELSE 0 END) AS BIGINT)
+         |    AS tokens_after_near,
+         |  CAST(SUM(CASE WHEN ek.doc_id IS NOT NULL AND dn.doc_id IS NULL THEN tk.nt ELSE 0 END) AS DOUBLE)
+         |    / CAST(SUM(tk.nt) AS DOUBLE) AS yield_frac
+         |FROM tk LEFT JOIN ek ON ek.doc_id = tk.doc_id
+         |LEFT JOIN dn ON dn.doc_id = tk.doc_id
+         |GROUP BY tk.source
+         |ORDER BY tk.source""".stripMargin,
 
     // t25's bitlength CTEs restated per-doc, then the phase CASE (the
     // same integer cross-multiplications) and the per-(phase, source)

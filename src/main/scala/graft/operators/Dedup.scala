@@ -748,7 +748,7 @@ object Dedup {
     * cannot drift (the s23 shared-text rule; these were three verbatim
     * copies before round 9).
     */
-  private val duckClusterCtes: String =
+  private[operators] val duckClusterCtes: String =
     """WITH RECURSIVE t AS (
       |  SELECT doc_id, list_filter(string_split(lower(text), ' '), w -> len(w) > 0) AS w
       |  FROM documents

@@ -601,11 +601,18 @@ object Temporal {
     * satisfiable only for types active in > 3 hours: with H ≤ 3 even a
     * single hour holding ALL the type's events stays under 3× its mean).
     */
-  private[operators] def burstFlags(e: DataFrame): DataFrame = {
+  private[operators] def burstFlags(e: DataFrame): DataFrame =
+    burstRollup(
+      e.groupBy(col("event_type"), expr("ts_sec div 3600").as("hr"))
+        .agg(count(lit(1)).as("n")))
+
+  /** The flag arithmetic over an already-counted (event_type, hr, n)
+    * frame — shared verbatim by a19 (batch) and s25 (the streaming agg
+    * feeds the same rollup), so the two cannot drift.
+    */
+  private[graft] def burstRollup(m: DataFrame): DataFrame = {
     val wType = Window.partitionBy("event_type")
-    e.groupBy(col("event_type"), expr("ts_sec div 3600").as("hr"))
-      .agg(count(lit(1)).as("n"))
-      .withColumn("type_total", sum("n").over(wType))
+    m.withColumn("type_total", sum("n").over(wType))
       .withColumn("n_hours", count(lit(1)).over(wType))
       .select(col("event_type"), col("hr"), col("n"), col("type_total"),
         col("n_hours"),

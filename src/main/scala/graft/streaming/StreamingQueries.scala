@@ -746,6 +746,21 @@ object StreamingQueries {
         }
       runToTable(packed.toDF(), OutputMode.Append(), statePartitions = Some(8))
         .orderBy("doc_id")
+    }),
+
+    // STREAMING BURST DETECTION — a19's rate-anomaly audit as a live
+    // monitor: the streaming side maintains ONLY the (type, hour) counts
+    // (Complete-mode agg, state ≤ |types|·|hours| rows), and the flag
+    // arithmetic runs on the drained result through the SAME
+    // Temporal.burstRollup a19 uses (the s24 one-definition rule for
+    // Scala, the s23 rule for the oracle: a19's SQL verbatim).
+    "s25_stream_burst" -> ((s, dir) => {
+      val m = eventsStream(s, dir)
+        .select(col("event_type"), expr("cast(ts as long) div 3600").as("hr"))
+        .groupBy("event_type", "hr")
+        .agg(count(lit(1)).as("n"))
+      graft.operators.Temporal.burstRollup(
+        runToTable(m, OutputMode.Complete(), statePartitions = Some(8)))
     })
   )
 
@@ -1168,6 +1183,10 @@ object StreamingQueries {
     // batch/stream parity BY CONSTRUCTION: the streaming packer is
     // checked against t11's SQL verbatim — one oracle definition for
     // both operators (the s23 shared-text discipline)
-    "s24_stream_pack" -> graft.operators.TextAnalysis.oracles("t11_pack_sequences")
+    "s24_stream_pack" -> graft.operators.TextAnalysis.oracles("t11_pack_sequences"),
+
+    // a19's SQL verbatim — the streaming agg + shared rollup must land
+    // on exactly the batch answer
+    "s25_stream_burst" -> graft.operators.Temporal.oracles("a19_burst_flags")
   )
 }

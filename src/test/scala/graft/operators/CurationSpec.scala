@@ -137,6 +137,26 @@ class CurationSpec extends SparkSpec {
       (2L, "s2", 1L, 2L, 4L, 2.0)))
   }
 
+  test("p11 yield: stage monotonicity, flag arithmetic, independent keeper-mass recomputation") {
+    val rows = Curation.queries("p11_dedup_yield")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (tot, ae, an) = (r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(an <= ae && ae <= tot && an >= 0L,
+        "each dedup stage can only shrink the token mass")
+      assert(r.getDouble(5) === an.toDouble / tot.toDouble)
+    }
+    // exact-keeper mass recomputed independently of the operator's joins
+    val docs = Tables.documents(spark, sfDir)
+    val keepers = docs.groupBy("text").agg(min(col("doc_id")).as("k"))
+      .select("k").collect().map(_.getLong(0)).toSet
+    val expAe = docs
+      .select(col("doc_id"),
+        expr("cast(size(filter(split(lower(text), ' '), w -> length(w) > 0)) as long)").as("nt"))
+      .collect().filter(r => keepers(r.getLong(0))).map(_.getLong(1)).sum
+    assert(rows.map(_.getLong(3)).sum === expAe)
+  }
+
   test("p09 epoch plan closed form: truncated giant, cap-bound dwarf, exact two-pass") {
     import spark.implicits._
     def txt(n: Int) = Seq.fill(n)("tok").mkString(" ")

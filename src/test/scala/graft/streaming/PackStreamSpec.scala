@@ -88,4 +88,13 @@ class PackStreamSpec extends SparkSpec {
       3L -> (("s1", 1L, 5L)),
       10L -> (("s2", 2L, 0L))))
   }
+
+  test("s25 equals a19 row-for-row on the fixture (stream/batch burst parity)") {
+    val batch = graft.operators.Temporal.queries("a19_burst_flags")(spark, sfDir)
+      .collect().map(_.toString).toSeq
+    val stream = StreamingQueries.queries("s25_stream_burst")(spark, sfDir)
+      .collect().map(_.toString).toSeq
+    assert(stream === batch, "the streaming agg + shared rollup must be batch-identical")
+    assert(batch.nonEmpty)
+  }
 }
