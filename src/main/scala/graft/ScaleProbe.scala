@@ -397,7 +397,10 @@ object ScaleProbe {
       // streaming (type, hour) Complete-mode agg (state ≤ |types|·|hours|)
       // + the shared batch rollup; and the token scan + two id-keyed
       // flag joins over d07's closure
-      "s25_stream_burst", "p11_dedup_yield")
+      "s25_stream_burst", "p11_dedup_yield",
+      // one user-keyed window pass + a |types|-row rollup; and the
+      // per-order count agg then ≤ 63 bucket rows
+      "a20_attribution", "g10_projection_cost")
       // local iteration only: probe just a subset by name prefix
       .filter(n => sys.env.get("SPARK_GRAFT_ONLY")
         .forall(_.split(",").exists(n.startsWith)))

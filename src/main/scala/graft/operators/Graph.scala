@@ -705,8 +705,38 @@ object Graph {
     // salting decisions both assume a heavy-tailed spectrum — this is
     // the audit that shows it. One |V|-row agg after the degree count;
     // everything downstream is ≤ 63 bucket rows.
-    "g09_degree_spectrum" -> ((s, dir) => degreeSpectrum(partEdges(s, dir)))
+    "g09_degree_spectrum" -> ((s, dir) => degreeSpectrum(partEdges(s, dir))),
+
+    // PROJECTION-COST AUDIT — the planning check run BEFORE building the
+    // co-purchase graph: partPairs' cost is Σ_orders k(k−1)/2 (each
+    // order of k items emits that many pairs), so bucket orders by
+    // floor-log2(k) and show where the pair mass lives. This is the
+    // measured form of this module's "per-order part sets are small, the
+    // self-join is bounded per key" claim — a marketplace whose top
+    // bucket carries most of the pair share needs a basket cap before
+    // the projection, and this audit is what says so. One (order)-keyed
+    // count agg, then ≤ 63 bucket rows.
+    "g10_projection_cost" -> ((s, dir) => projectionCostAudit(
+      Tables.lineitem(s, dir)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))))
   )
+
+  /** g10 core over (ok, pk) rows — extracted for closed-form baskets. */
+  private[operators] def projectionCostAudit(li: DataFrame): DataFrame = {
+    val sz = li.distinct().groupBy("ok").agg(count(lit(1)).as("k"))
+    val tot = sz.agg(count(lit(1)).as("n_orders"),
+      sum(expr("(k * (k - 1)) div 2")).as("total_pairs"))
+    sz.groupBy((length(bin(col("k"))) - 1).cast("long").as("kb"))
+      .agg(count(lit(1)).as("n_orders_b"), sum("k").as("item_mass"),
+        sum(expr("(k * (k - 1)) div 2")).as("pair_mass"), max("k").as("max_k"))
+      .crossJoin(broadcast(tot))
+      .select(col("kb"), col("n_orders_b"), col("item_mass"), col("pair_mass"),
+        col("max_k"),
+        when(col("total_pairs") === 0L, lit(0.0))
+          .otherwise(col("pair_mass").cast("double") / col("total_pairs").cast("double"))
+          .as("pair_share"))
+      .orderBy("kb")
+  }
 
   /** g09 core over undirected (u < v) edges — extracted for closed-form
     * graphs (a star's hub/leaf split, K4's single regular bucket).
@@ -726,6 +756,28 @@ object Graph {
   }
 
   def oracles: Map[String, String] = Map(
+    // the same per-order pair arithmetic; SUMs cast back to BIGINT
+    "g10_projection_cost" ->
+      """WITH li AS (
+        |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+        |), sz AS (
+        |  SELECT ok, COUNT(*) AS k FROM li GROUP BY ok
+        |), tot AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_orders,
+        |    CAST(SUM((k * (k - 1)) // 2) AS BIGINT) AS total_pairs
+        |  FROM sz
+        |), spec AS (
+        |  SELECT CAST(length(bin(k)) - 1 AS BIGINT) AS kb, COUNT(*) AS n_orders_b,
+        |    CAST(SUM(k) AS BIGINT) AS item_mass,
+        |    CAST(SUM((k * (k - 1)) // 2) AS BIGINT) AS pair_mass, MAX(k) AS max_k
+        |  FROM sz GROUP BY 1
+        |)
+        |SELECT kb, n_orders_b, item_mass, pair_mass, max_k,
+        |  CASE WHEN total_pairs = 0 THEN 0.0
+        |       ELSE CAST(pair_mass AS DOUBLE) / CAST(total_pairs AS DOUBLE) END AS pair_share
+        |FROM spec CROSS JOIN tot
+        |ORDER BY kb""".stripMargin,
+
     // the shared edge CTE + t31's bitlength bucketing; SUMs cast back to
     // BIGINT (dtype-strict rule)
     "g09_degree_spectrum" ->

@@ -593,8 +593,44 @@ object Temporal {
     // metadata-sized — then per-type windows over that small frame.
     "a19_burst_flags" -> ((s, dir) =>
       burstFlags(Tables.events(s, dir)
-        .select(col("event_type"), col("ts").cast("long").as("ts_sec"))))
+        .select(col("event_type"), col("ts").cast("long").as("ts_sec")))),
+
+    // LAST-TOUCH ATTRIBUTION — assign each purchase to the user's latest
+    // PRECEDING non-purchase event within an hour (the conversion-credit
+    // rollup a growth team reads next to a05's funnel): the carried touch
+    // is last(... IGNORE NULLS) over a rows-frame ending at 1 PRECEDING —
+    // strictly earlier by the (ts_sec, event_id) unique order, so a
+    // purchase never attributes to itself or a co-timestamped later
+    // event; 'none' = no prior touch ever, 'expired' = touch older than
+    // the window. One user-keyed window pass + a |types|-row rollup.
+    "a20_attribution" -> ((s, dir) =>
+      lastTouchAttribution(Tables.events(s, dir)
+        .select(col("user_id"), col("event_id"),
+          col("ts").cast("long").as("ts_sec"), col("event_type"))))
   )
+
+  /** a20 window seconds: a touch older than this is 'expired'. */
+  val AttributionWindowSec = 3600L
+
+  /** a20 core over (user_id, event_id, ts_sec, event_type) rows. */
+  private[operators] def lastTouchAttribution(e: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts_sec").asc, col("event_id").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val touched = e.withColumn("touch",
+      last(when(col("event_type") =!= "purchase",
+        struct(col("ts_sec"), col("event_id"), col("event_type"))),
+        ignoreNulls = true).over(w))
+    val p = touched.filter(col("event_type") === "purchase")
+      .select(when(col("touch").isNull, "none")
+        .when(col("ts_sec") - col("touch.ts_sec") > AttributionWindowSec, "expired")
+        .otherwise(col("touch.event_type")).as("touch_type"))
+    val tot = p.agg(count(lit(1)).as("np"))
+    p.groupBy("touch_type").agg(count(lit(1)).as("n_purchases"))
+      .crossJoin(broadcast(tot))
+      .select(col("touch_type"), col("n_purchases"),
+        (col("n_purchases").cast("double") / col("np").cast("double")).as("share"))
+      .orderBy("touch_type")
+  }
 
   /** a19 core over (event_type, ts_sec) rows — extracted so the burst
     * arithmetic is unit-testable on crafted hours (note n·H > 3T is
@@ -701,6 +737,35 @@ object Temporal {
         |  CAST(n * n_hours AS DOUBLE) / CAST(type_total AS DOUBLE) AS rate_ratio
         |FROM w
         |ORDER BY event_type, hr""".stripMargin,
+
+    // the same IGNORE NULLS carried touch (q42's window idiom), the same
+    // strictly-preceding frame and (ts_sec, event_id) unique order
+    "a20_attribution" ->
+      s"""WITH e AS (
+         |  SELECT user_id, event_id,
+         |    CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS ts_sec, event_type
+         |  FROM events
+         |), t AS (
+         |  SELECT *,
+         |    last_value(CASE WHEN event_type <> 'purchase'
+         |        THEN struct_pack(ts := ts_sec, id := event_id, ty := event_type) END
+         |      IGNORE NULLS)
+         |      OVER (PARTITION BY user_id ORDER BY ts_sec ASC, event_id ASC
+         |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS touch
+         |  FROM e
+         |), p AS (
+         |  SELECT CASE WHEN touch IS NULL THEN 'none'
+         |              WHEN ts_sec - touch.ts > $AttributionWindowSec THEN 'expired'
+         |              ELSE touch.ty END AS touch_type
+         |  FROM t WHERE event_type = 'purchase'
+         |), tot AS (
+         |  SELECT COUNT(*) AS np FROM p
+         |)
+         |SELECT touch_type, COUNT(*) AS n_purchases,
+         |  CAST(COUNT(*) AS DOUBLE) / CAST(tot.np AS DOUBLE) AS share
+         |FROM p CROSS JOIN tot
+         |GROUP BY touch_type, tot.np
+         |ORDER BY touch_type""".stripMargin,
 
     // same lag ordering (ts_sec, event_id — unique, so no tie ambiguity);
     // probability = one division of exact BIGINTs in both engines

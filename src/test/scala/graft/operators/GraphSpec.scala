@@ -229,6 +229,24 @@ class GraphSpec extends SparkSpec {
     assert(k4.toSeq === Seq((1L, 4L, 12L, 1.0, 1.0)))
   }
 
+  test("g10 closed form: baskets 1,2,2,5 put 5/6 of the pair mass in the top bucket") {
+    import spark.implicits._
+    // one duplicate (ok, pk) row exercises the distinct
+    val li = Seq(
+      (1L, 10L),
+      (2L, 10L), (2L, 11L),
+      (3L, 12L), (3L, 13L),
+      (4L, 20L), (4L, 21L), (4L, 22L), (4L, 23L), (4L, 24L), (4L, 24L)
+    ).toDF("ok", "pk")
+    val got = Graph.projectionCostAudit(li).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5)))
+    assert(got.toSeq === Seq(
+      (0L, 1L, 1L, 0L, 1L, 0.0),
+      (1L, 2L, 4L, 2L, 2L, 1.0 / 6.0),
+      (2L, 1L, 5L, 10L, 5L, 5.0 / 6.0)))
+  }
+
   test("g04 closed forms: K4 edges all 0.5; triangle edges 1/3; path edge 0") {
     // K4: every edge has the other 2 vertices as common neighbors,
     // deg = 3 each → jacc = 2 / (3 + 3 − 2) = 0.5

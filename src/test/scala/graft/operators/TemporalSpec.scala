@@ -263,6 +263,24 @@ class TemporalSpec extends SparkSpec {
     assert(got(("c", 1L)) === ((1L, 8L, 2L, false, 2.0 / 8.0)))
   }
 
+  test("a20 attribution closed form: touch, expiry, none, and purchase-skipping carry") {
+    import spark.implicits._
+    val e = Seq(
+      (1L, 1L, 0L, "view"), (1L, 2L, 100L, "purchase"),     // → view
+      (1L, 3L, 200L, "click"), (1L, 4L, 5000L, "purchase"), // 4800s → expired
+      (2L, 5L, 50L, "purchase"),                            // no prior → none
+      (2L, 6L, 60L, "view"),                                // AFTER the purchase — ignored
+      (3L, 7L, 10L, "view"), (3L, 8L, 20L, "purchase"),
+      (3L, 9L, 30L, "purchase")                             // skips purchase@20 → view
+    ).toDF("user_id", "event_id", "ts_sec", "event_type")
+    val got = Temporal.lastTouchAttribution(e).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(got === Map(
+      "expired" -> ((1L, 0.2)),
+      "none" -> ((1L, 0.2)),
+      "view" -> ((3L, 0.6))))
+  }
+
   test("a17 transition matrix: per-user chains, cross-user isolation, row-stochastic") {
     import spark.implicits._
     // u1: a→b→a (transitions a→b, b→a); u2: a→a→c (a→a, a→c); u3: lone
