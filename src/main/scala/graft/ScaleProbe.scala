@@ -400,7 +400,10 @@ object ScaleProbe {
       "s25_stream_burst", "p11_dedup_yield",
       // one user-keyed window pass + a |types|-row rollup; and the
       // per-order count agg then ≤ 63 bucket rows
-      "a20_attribution", "g10_projection_cost")
+      "a20_attribution", "g10_projection_cost",
+      // e11's within-cell pair frame once; the three theta sweeps are
+      // filters over it (within-cell quadratic — e11's documented regime)
+      "e20_semdedup_sweep")
       // local iteration only: probe just a subset by name prefix
       .filter(n => sys.env.get("SPARK_GRAFT_ONLY")
         .forall(_.split(",").exists(n.startsWith)))

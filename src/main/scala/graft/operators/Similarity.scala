@@ -740,6 +740,34 @@ object Similarity {
         .orderBy("nprobe", "qid")
     }),
 
+    // SEMDEDUP THRESHOLD SWEEP — the θ tuning curve behind e11's one
+    // knob (SemDedupTheta): within-cell pair count, documents dropped,
+    // and drop rate at θ ∈ {0.20, 0.30, 0.40}, from ONE pair-cosine
+    // frame (the e19 pattern: the sweeps are FILTERS over it, not
+    // re-runs of the blocking). What a curation team reads before
+    // committing to a semantic-dedup aggressiveness — and since e11's
+    // whole pipeline is deterministic, the curve itself sits under the
+    // hash gate.
+    "e20_semdedup_sweep" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val a = semAssigned(e)
+      val pairs = a.as("a").join(a.as("b"),
+          col("a.cell") === col("b.cell") && col("b.vec_id") < col("a.vec_id"))
+        .select(col("a.vec_id").as("vid"),
+          cosine_similarity(col("a.embedding"), col("b.embedding")).as("cos"))
+      val tot = e.agg(count(lit(1)).as("n"))
+      val sweeps = Seq(20L -> 0.2, 30L -> 0.3, 40L -> 0.4).map { case (pct, th) =>
+        pairs.filter(col("cos") >= lit(th))
+          .agg(count(lit(1)).as("n_pairs"), count_distinct(col("vid")).as("n_dropped"))
+          .select(lit(pct).as("theta_pct"), col("n_pairs"), col("n_dropped"))
+      }.reduce(_ unionByName _)
+      sweeps.crossJoin(broadcast(tot))
+        .select(col("theta_pct"), col("n_pairs"), col("n_dropped"),
+          (col("n") - col("n_dropped")).as("n_kept"),
+          (col("n_dropped").cast("double") / col("n").cast("double")).as("drop_rate"))
+        .orderBy("theta_pct")
+    }),
+
     // per-label centroids (the IVF coarse quantizer / k-means building
     // block): one narrow posexplode (×dim), one hash agg on (label, dim).
     // Sum order is pinned by sorting each group's values by vec_id and
@@ -1215,6 +1243,34 @@ object Similarity {
     * arithmetic, reshaped. Emits CTEs ending in `assigned(nid, cell)`
     * and `probes(qid, cell)`.
     */
+  /** e11/e20 shared CTE chain: order-pinned centroids, nearest-cell
+    * assignment (rn = 1), ending in `assigned(vec_id, embedding, cell)`.
+    * One definition so the dedup and its threshold sweep cannot drift.
+    */
+  private val duckSemCtes: String =
+    """x AS (
+      |  SELECT label, vec_id,
+      |    unnest([{'d': i - 1, 'v': embedding[i]::DOUBLE} for i in range(1, len(embedding) + 1)]) AS u
+      |  FROM embeddings
+      |), cd AS (
+      |  SELECT label, u.d AS dim, list_sum(list(u.v ORDER BY vec_id)) / COUNT(*) AS c
+      |  FROM x GROUP BY label, u.d
+      |), cent AS (
+      |  SELECT label AS cell, list_transform(list(c ORDER BY dim), v -> v::FLOAT) AS ce
+      |  FROM cd GROUP BY label
+      |), scored AS (
+      |  SELECT e.vec_id, e.embedding, c.cell,
+      |    list_sum([e.embedding[i]::DOUBLE * c.ce[i]::DOUBLE for i in range(1, len(e.embedding) + 1)])
+      |    / sqrt(list_sum([e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE for i in range(1, len(e.embedding) + 1)]))
+      |    / sqrt(list_sum([c.ce[i]::DOUBLE * c.ce[i]::DOUBLE for i in range(1, len(c.ce) + 1)])) AS ccos
+      |  FROM embeddings e, cent c
+      |), assigned AS (
+      |  SELECT vec_id, embedding, cell FROM (
+      |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cell ASC) AS rn
+      |    FROM scored
+      |  ) WHERE rn = 1
+      |)""".stripMargin
+
   private val duckIvfCtes: String =
     """x AS (
       |  SELECT label, vec_id,
@@ -1787,29 +1843,31 @@ object Similarity {
         |ORDER BY label, dim""".stripMargin,
 
     // e08's assignment CTEs verbatim, then within-cell lower-id pairing
+    // one pair-cosine CTE, three threshold aggregates (the e19 sweep
+    // shape); cell chain shared with e11 via duckSemCtes
+    "e20_semdedup_sweep" ->
+      s"""WITH $duckSemCtes, pairs AS (
+         |  SELECT a.vec_id AS vid, ${duckCos("a", "b")} AS cos
+         |  FROM assigned a JOIN assigned b
+         |    ON a.cell = b.cell AND b.vec_id < a.vec_id
+         |), tot AS (
+         |  SELECT COUNT(*) AS n FROM embeddings
+         |), sw AS (
+         |  SELECT 20 AS theta_pct, COUNT(*) AS n_pairs,
+         |    COUNT(DISTINCT vid) AS n_dropped FROM pairs WHERE cos >= 0.2
+         |  UNION ALL
+         |  SELECT 30, COUNT(*), COUNT(DISTINCT vid) FROM pairs WHERE cos >= 0.3
+         |  UNION ALL
+         |  SELECT 40, COUNT(*), COUNT(DISTINCT vid) FROM pairs WHERE cos >= 0.4
+         |)
+         |SELECT CAST(theta_pct AS BIGINT) AS theta_pct, n_pairs, n_dropped,
+         |  tot.n - n_dropped AS n_kept,
+         |  CAST(n_dropped AS DOUBLE) / CAST(tot.n AS DOUBLE) AS drop_rate
+         |FROM sw CROSS JOIN tot
+         |ORDER BY theta_pct""".stripMargin,
+
     "e11_semdedup" ->
-      s"""WITH x AS (
-         |  SELECT label, vec_id,
-         |    unnest([{'d': i - 1, 'v': embedding[i]::DOUBLE} for i in range(1, len(embedding) + 1)]) AS u
-         |  FROM embeddings
-         |), cd AS (
-         |  SELECT label, u.d AS dim, list_sum(list(u.v ORDER BY vec_id)) / COUNT(*) AS c
-         |  FROM x GROUP BY label, u.d
-         |), cent AS (
-         |  SELECT label AS cell, list_transform(list(c ORDER BY dim), v -> v::FLOAT) AS ce
-         |  FROM cd GROUP BY label
-         |), scored AS (
-         |  SELECT e.vec_id, e.embedding, c.cell,
-         |    list_sum([e.embedding[i]::DOUBLE * c.ce[i]::DOUBLE for i in range(1, len(e.embedding) + 1)])
-         |    / sqrt(list_sum([e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE for i in range(1, len(e.embedding) + 1)]))
-         |    / sqrt(list_sum([c.ce[i]::DOUBLE * c.ce[i]::DOUBLE for i in range(1, len(c.ce) + 1)])) AS ccos
-         |  FROM embeddings e, cent c
-         |), assigned AS (
-         |  SELECT vec_id, embedding, cell FROM (
-         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cell ASC) AS rn
-         |    FROM scored
-         |  ) WHERE rn = 1
-         |), dups AS (
+      s"""WITH $duckSemCtes, dups AS (
          |  SELECT a.vec_id AS vid, COUNT(*) AS n_dups_lower
          |  FROM assigned a JOIN assigned b
          |    ON a.cell = b.cell AND b.vec_id < a.vec_id

@@ -390,6 +390,24 @@ class SimilaritySpec extends SparkSpec {
     assert(r.getDouble(4) >= 1.0, "max occupancy is at least the mean")
   }
 
+  test("e20 sweep: pair/drop counts monotone in theta; the 0.30 row IS e11's drop count") {
+    val rows = Similarity.queries("e20_semdedup_sweep")(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))))
+      .toMap
+    assert(rows.keySet === Set(20L, 30L, 40L))
+    // raising theta can only shrink the pair set and the drop set
+    assert(rows(20L)._1 >= rows(30L)._1 && rows(30L)._1 >= rows(40L)._1)
+    assert(rows(20L)._2 >= rows(30L)._2 && rows(30L)._2 >= rows(40L)._2)
+    rows.values.foreach { case (_, dropped, kept, rate) =>
+      assert(dropped + kept === rows(20L)._2 + rows(20L)._3, "kept + dropped = corpus")
+      assert(rate >= 0.0 && rate <= 1.0)
+    }
+    // the 0.30 column reproduces e11's decision exactly (same theta)
+    val e11dropped = Similarity.queries("e11_semdedup")(spark, sfDir)
+      .filter(org.apache.spark.sql.functions.col("kept") === false).count()
+    assert(rows(30L)._2 === e11dropped)
+  }
+
   test("e19 probe sweep: recall monotone in nprobe; the np=4 sweep IS e06's result set") {
     val rows = Similarity.queries("e19_ivf_probe_sweep")(spark, sfDir).collect()
       .map(r => ((r.getLong(0), r.getLong(1)), (r.getLong(2), r.getLong(3), r.getDouble(4))))
