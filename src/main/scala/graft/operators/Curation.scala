@@ -166,13 +166,10 @@ object Curation {
       val textE = Dedup.nearDupPairs(s, dir).select(col("id_a"), col("id_b"))
       val phashE = Multimodal.phashPairs(Tables.documents(s, dir))
         .select(col("doc_a").as("id_a"), col("doc_b").as("id_b"))
-      val assigned = Similarity.semAssigned(Tables.embeddings(s, dir))
-      val ea = assigned.select(col("cell"), col("vec_id").as("id_a"), col("embedding").as("emb_a"))
-      val eb = assigned.select(col("cell"), col("vec_id").as("id_b"), col("embedding").as("emb_b"))
-      val semE = ea.join(eb, "cell")
-        .filter(col("id_a") < col("id_b"))
-        .filter(cosine_similarity(col("emb_a"), col("emb_b")) >= Similarity.SemDedupTheta)
-        .select(col("id_a"), col("id_b"))
+      val semE = Similarity.semCellPairs(
+          Similarity.semSubAssigned(Tables.embeddings(s, dir)))
+        .filter(col("cos") >= Similarity.SemDedupTheta)
+        .select(col("lo").as("id_a"), col("hi").as("id_b"))
       val edges = textE.unionByName(phashE).unionByName(semE).distinct()
       val clusters = Dedup.connectedComponents(edges)
       val sizes = clusters.groupBy("cluster_id").agg(count(lit(1)).as("n_members"))
@@ -642,36 +639,13 @@ object Curation {
          |  SELECT doc_id,
          |    SUM(CASE WHEN cnt >= 2 THEN 1 ELSE 0 END)::DOUBLE / COUNT(*)::DOUBLE AS dup_frac
          |  FROM wins JOIN freq USING (win) GROUP BY doc_id
-         |), x AS (
-         |  SELECT label, vec_id,
-         |    unnest([{'d': i - 1, 'v': embedding[i]::DOUBLE} for i in range(1, len(embedding) + 1)]) AS u
-         |  FROM embeddings
-         |), cd AS (
-         |  SELECT label, u.d AS dim, list_sum(list(u.v ORDER BY vec_id)) / COUNT(*) AS c
-         |  FROM x GROUP BY label, u.d
-         |), cent AS (
-         |  SELECT label AS cell, list_transform(list(c ORDER BY dim), v -> v::FLOAT) AS ce
-         |  FROM cd GROUP BY label
-         |), scoredc AS (
-         |  SELECT e.vec_id, e.embedding, c.cell,
-         |    list_sum([e.embedding[i]::DOUBLE * c.ce[i]::DOUBLE for i in range(1, len(e.embedding) + 1)])
-         |    / sqrt(list_sum([e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE for i in range(1, len(e.embedding) + 1)]))
-         |    / sqrt(list_sum([c.ce[i]::DOUBLE * c.ce[i]::DOUBLE for i in range(1, len(c.ce) + 1)])) AS ccos
-         |  FROM embeddings e, cent c
-         |), assigned AS (
-         |  SELECT vec_id, embedding, cell FROM (
-         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cell ASC) AS rn
-         |    FROM scoredc
-         |  ) WHERE rn = 1
-         |), dups AS (
-         |  SELECT a.vec_id AS vid, COUNT(*) AS n_dups_lower
-         |  FROM assigned a JOIN assigned b
-         |    ON a.cell = b.cell AND b.vec_id < a.vec_id
-         |  WHERE ${Similarity.duckCos("a", "b")} >= ${Similarity.SemDedupTheta}
-         |  GROUP BY a.vec_id
+         |), ${Similarity.duckSemCtes}, dups AS (
+         |  SELECT hi AS vid, COUNT(*) AS n_dups_lower
+         |  FROM sem_pairs WHERE cos >= ${Similarity.SemDedupTheta}
+         |  GROUP BY hi
          |), sem AS (
          |  SELECT a.vec_id AS doc_id, COALESCE(d.n_dups_lower, 0) = 0 AS kept
-         |  FROM assigned a LEFT JOIN dups d ON d.vid = a.vec_id
+         |  FROM sem_asg a LEFT JOIN dups d ON d.vid = a.vec_id
          |)
          |SELECT q.source, COUNT(*) AS n_docs, CAST(SUM(len(q.toks)) AS BIGINT) AS n_tokens
          |FROM quality q
@@ -719,31 +693,9 @@ object Curation {
          |  WHERE bit_count(xor(a.vs[1], b.vs[1])) + bit_count(xor(a.vs[2], b.vs[2]))
          |      + bit_count(xor(a.vs[3], b.vs[3])) + bit_count(xor(a.vs[4], b.vs[4]))
          |    <= ${Multimodal.PhashHamMax}
-         |), x AS (
-         |  SELECT label, vec_id,
-         |    unnest([{'d': i - 1, 'v': embedding[i]::DOUBLE} for i in range(1, len(embedding) + 1)]) AS u
-         |  FROM embeddings
-         |), cd AS (
-         |  SELECT label, u.d AS dim, list_sum(list(u.v ORDER BY vec_id)) / COUNT(*) AS c
-         |  FROM x GROUP BY label, u.d
-         |), cent AS (
-         |  SELECT label AS cell, list_transform(list(c ORDER BY dim), v -> v::FLOAT) AS ce
-         |  FROM cd GROUP BY label
-         |), scoredc AS (
-         |  SELECT e.vec_id, e.embedding, c.cell,
-         |    list_sum([e.embedding[i]::DOUBLE * c.ce[i]::DOUBLE for i in range(1, len(e.embedding) + 1)])
-         |    / sqrt(list_sum([e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE for i in range(1, len(e.embedding) + 1)]))
-         |    / sqrt(list_sum([c.ce[i]::DOUBLE * c.ce[i]::DOUBLE for i in range(1, len(c.ce) + 1)])) AS ccos
-         |  FROM embeddings e, cent c
-         |), assigned AS (
-         |  SELECT vec_id, embedding, cell FROM (
-         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cell ASC) AS rn
-         |    FROM scoredc
-         |  ) WHERE rn = 1
-         |), spairs AS (
-         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
-         |  FROM assigned a JOIN assigned b ON a.cell = b.cell AND a.vec_id < b.vec_id
-         |  WHERE ${Similarity.duckCos("a", "b")} >= ${Similarity.SemDedupTheta}
+         |), ${Similarity.duckSemCtes}, spairs AS (
+         |  SELECT lo AS id_a, hi AS id_b
+         |  FROM sem_pairs WHERE cos >= ${Similarity.SemDedupTheta}
          |), upairs AS (
          |  SELECT id_a, id_b FROM tpairs
          |  UNION SELECT id_a, id_b FROM ppairs

@@ -30,20 +30,37 @@ object Similarity {
     */
   val SemDedupTheta = 0.30
 
+  /** Fixed-point grid for order-FREE exact centroid sums: each float
+    * component (widened to double — exact) is snapped onto a 2^-30 grid
+    * by `floor(v * 2^30)` (multiplying by a power of two only shifts the
+    * exponent, so the product — and hence the floor — is bit-identical
+    * in any IEEE engine), and the per-(label, dim) SUM runs over those
+    * integers as decimal(38,0): exact, commutative, partition-invariant,
+    * and CONSTANT group state. The previous formulation (collect_list of
+    * every member's value, sorted, folded sequentially) was also exact
+    * and partition-invariant but kept O(|label|) rows in the group
+    * buffer — a 100 TB embeddings table kills that task. The 2^-30 snap
+    * costs ≤ 1e-9 per component; the centroids are blocking/quantizer
+    * geometry, not model weights, and both engines see the identical
+    * snapped value, so every downstream assignment still gates
+    * hash-exactly.
+    */
+  private[operators] val CentroidFixScale = 1073741824.0 // 2^30
+
   /** Per-label centroid components in long format (label, dim, c):
-    * order-pinned sequential summation so the result is bit-reproducible
-    * across engines and partitionings. Shared by e05 (surfaced directly)
+    * order-free fixed-point integer summation (see CentroidFixScale) so
+    * the result is bit-reproducible across engines and partitionings
+    * with O(1) aggregation state. Shared by e05 (surfaced directly)
     * and e06 (assembled into the IVF coarse quantizer).
     */
   private def centroidComponents(e: DataFrame): DataFrame =
-    e.select(col("label"), col("vec_id"), posexplode(col("embedding")).as(Seq("dim", "v")))
+    e.select(col("label"), posexplode(col("embedding")).as(Seq("dim", "v")))
       .groupBy("label", "dim")
       .agg(
-        sort_array(collect_list(struct(col("vec_id"), col("v").cast("double").as("v")))).as("vals"),
+        sum(floor(col("v").cast("double") * CentroidFixScale).cast("decimal(38,0)")).as("sfix"),
         count(lit(1)).as("n"))
       .select(col("label"), col("dim"),
-        (aggregate(col("vals"), lit(0.0), (acc, x) => acc + x.getField("v")) / col("n"))
-          .as("c"))
+        (col("sfix").cast("double") / col("n").cast("double") / CentroidFixScale).as("c"))
 
   /** The shared IVF geometry (e06 / e19): every vector scored against
     * every label centroid (broadcast — |labels| rows), probe-ranked per
@@ -67,7 +84,7 @@ object Similarity {
 
   /** e11's blocking stage, shared with p04's cross-modal edge builder:
     * every vector assigned to its nearest label-centroid cell. Centroids
-    * come from `centroidComponents` (order-pinned sums — bit-reproducible)
+    * come from `centroidComponents` (order-free fixed-point sums — bit-reproducible)
     * and are BROADCAST (|labels| rows), so the embedding table crosses no
     * shuffle here; the nearest-cell pick is a per-vector window over the
     * |labels| scored copies (constant fan-out, never corpus²).
@@ -87,8 +104,77 @@ object Similarity {
       .select(col("vec_id"), col("embedding"), col("cell"))
   }
 
+  /** Derived sub-split of the k-means-cell blocking geometry (e11/e20,
+    * p02/p04's semantic edge family): within-cell pair work is quadratic
+    * in |cell|, and with cells = the label cardinality, |cell| ∝ N — the
+    * r9 64× probe of e20 had to be killed. This is `derivedLshBits`'
+    * contract applied to the cell geometry: the OPERATOR derives the
+    * number of blocking units from a corpus count so occupancy — the
+    * knob the quadratic actually rides on — stays ~constant as N grows.
+    *
+    * `derivedSemSubBits` returns the smallest b with
+    * nCells · 2^b · SemTargetOcc ≥ n (integer shift-compare, no float
+    * log — the DuckDB mirror `sem_geo` derives bit-identically from the
+    * same counts), and each cell splits into 2^b sub-cells by b
+    * HYPERPLANE SIGN BITS of the member vector (one `hyperplane_lsh`
+    * table, seed 7 — the planes the engine already mirrors in SQL).
+    * Locality-sensitive sub-splitting, NOT a per-cell rank window: a
+    * row_number over cells would sort N/nCells rows in one task (the
+    * p08 skew wall), while the sign bits are scan-level. Recall within
+    * a cell decays like any LSH table as b grows (per-bit agreement
+    * 1 - θangle/π); the recovery knob at scale is multi-table /
+    * multi-probe union of sub-splits — a cost knob, not a
+    * correctness-of-scale knob, exactly like e04b's `tables`.
+    *
+    * SemTargetOcc = 256: the power-of-two ceiling of the tuned sf0.1
+    * geometry's measured max cell occupancy (218), so b = 0 — the
+    * identity split, bit-identical to the unsplit operator — at every
+    * fixture the oracles pin, and the derivation engages only past the
+    * tuning point (b = 6 at the 64× probe corpus: ~640 sub-cells,
+    * occupancy back at ~200).
+    */
+  private[operators] val SemTargetOcc = 256L
+  private[operators] val SemMaxSubBits = 24
+
+  private[operators] def derivedSemSubBits(n: Long, nCells: Long): Int = {
+    var b = 0
+    while (b < SemMaxSubBits && nCells * (1L << b) * SemTargetOcc < n) b += 1
+    b
+  }
+
+  /** `semAssigned` + the derived sub-cell id (see derivedSemSubBits):
+    * (vec_id, embedding, cell, sub). Two metadata-cheap scalar counts to
+    * the driver buy a blocking geometry that cannot silently go
+    * quadratic.
+    */
+  private[operators] def semSubAssigned(e: DataFrame): DataFrame = {
+    val b = derivedSemSubBits(e.count(), e.select("label").distinct().count())
+    val a = semAssigned(e)
+    if (b == 0) a.withColumn("sub", lit(0L))
+    else a.withColumn("sub",
+      element_at(hyperplane_lsh_multi(col("embedding"), b, 1, 64, seed = 7L), 1))
+  }
+
+  /** The shared within-(cell, sub) pair frame of the semantic-dedup
+    * family — (cell, hi, lo, cos) with lo < hi, each unordered pair
+    * exactly once. The join is keyed on BOTH blocking columns so
+    * per-key work is occupancy², never |cell|²; only e11/e20/p04's
+    * consumers decide what a pair means (dup count, sweep bucket,
+    * cluster edge). Mirrored by `duckSemCtes`' sem_pairs CTE.
+    */
+  private[operators] def semCellPairs(assigned: DataFrame): DataFrame = {
+    val l = assigned.select(col("cell"), col("sub"),
+      col("vec_id").as("hi"), col("embedding").as("emb_a"))
+    val r = assigned.select(col("cell"), col("sub"),
+      col("vec_id").as("lo"), col("embedding").as("emb_b"))
+    l.join(r, Seq("cell", "sub"))
+      .filter(col("lo") < col("hi"))
+      .select(col("cell"), col("hi"), col("lo"),
+        cosine_similarity(col("emb_a"), col("emb_b")).as("cos"))
+  }
+
   /** IVF coarse-quantizer centroids as `(cell, centroid: array<float>)` —
-    * e05's order-pinned components assembled per label. Shared by e12b's
+    * e05's fixed-point components assembled per label. Shared by e12b's
     * vector shortlist (and the same block e06/e08 state inline).
     */
   private[operators] def ivfCentroids(e: DataFrame): DataFrame =
@@ -750,11 +836,8 @@ object Similarity {
     // hash gate.
     "e20_semdedup_sweep" -> ((s, dir) => {
       val e = Tables.embeddings(s, dir)
-      val a = semAssigned(e)
-      val pairs = a.as("a").join(a.as("b"),
-          col("a.cell") === col("b.cell") && col("b.vec_id") < col("a.vec_id"))
-        .select(col("a.vec_id").as("vid"),
-          cosine_similarity(col("a.embedding"), col("b.embedding")).as("cos"))
+      val pairs = semCellPairs(semSubAssigned(e))
+        .select(col("hi").as("vid"), col("cos"))
       val tot = e.agg(count(lit(1)).as("n"))
       val sweeps = Seq(20L -> 0.2, 30L -> 0.3, 40L -> 0.4).map { case (pct, th) =>
         pairs.filter(col("cos") >= lit(th))
@@ -770,9 +853,11 @@ object Similarity {
 
     // per-label centroids (the IVF coarse quantizer / k-means building
     // block): one narrow posexplode (×dim), one hash agg on (label, dim).
-    // Sum order is pinned by sorting each group's values by vec_id and
-    // adding sequentially — bit-reproducible across engines AND across
-    // partitionings (a plain avg() of doubles is not).
+    // The sum is order-FREE fixed-point integer summation (see
+    // CentroidFixScale) — bit-reproducible across engines AND across
+    // partitionings (a plain avg() of doubles is not) with O(1) group
+    // state (the r9 collect_list form was exact too, but its group
+    // buffer grew with the label population).
     "e05_label_centroids" -> ((s, dir) => {
       centroidComponents(Tables.embeddings(s, dir))
         .select(col("label").cast("long").as("label"), col("dim").cast("long").as("dim"),
@@ -818,7 +903,7 @@ object Similarity {
     // vector to its nearest current centroid (the e05 label centroids as
     // init), then recompute centroids over the NEW assignment. Centroids
     // are tiny and broadcast; assignment is a scan; the recompute is one
-    // (cluster, dim)-keyed agg with order-pinned sequential sums, so both
+    // (cluster, dim)-keyed agg with order-free fixed-point sums, so both
     // the assignment argmax and the new centroid doubles are
     // bit-reproducible — the whole iteration is under the exact oracle.
     // Iterating to convergence = rerunning this step (driver loop, same
@@ -838,13 +923,13 @@ object Similarity {
         .filter(col("rn") === 1)
         .select(col("vec_id"), col("embedding"), col("cell"))
       assigned
-        .select(col("cell"), col("vec_id"), posexplode(col("embedding")).as(Seq("dim", "v")))
+        .select(col("cell"), posexplode(col("embedding")).as(Seq("dim", "v")))
         .groupBy("cell", "dim")
         .agg(
-          sort_array(collect_list(struct(col("vec_id"), col("v").cast("double").as("v")))).as("vals"),
+          sum(floor(col("v").cast("double") * CentroidFixScale).cast("decimal(38,0)")).as("sfix"),
           count(lit(1)).as("n"))
         .select(col("cell").cast("long").as("cluster"), col("dim").cast("long").as("dim"),
-          (aggregate(col("vals"), lit(0.0), (acc, x) => acc + x.getField("v")) / col("n"))
+          (col("sfix").cast("double") / col("n").cast("double") / CentroidFixScale)
             .as("centroid_new"),
           col("n").as("n_members"))
         .orderBy("cluster", "dim")
@@ -860,24 +945,21 @@ object Similarity {
     // SAME clustering a curation pipeline already maintains for topic
     // balancing, and the θ can be far looser because cells bound the
     // pair space. Scale shape: centroids broadcast (tiny), corpus
-    // shuffles ONCE keyed by cell, within-cell pairing is quadratic only
-    // in |cell| — bounded by the quantizer's balance; at 100 TB you grow
-    // k with N to hold |cell| ~ constant (the same knob IVF uses), which
-    // keeps per-task work flat while the cell join stays a plain
-    // equi-join.
+    // shuffles ONCE keyed by (cell, sub), within-(cell, sub) pairing is
+    // quadratic only in occupancy — and since round 10 the OPERATOR
+    // holds occupancy ~constant by deriving a hyperplane-bit sub-split
+    // from the corpus count (see derivedSemSubBits; b = 0, the identity
+    // split, at every oracle fixture — the r9 probe measured the
+    // fixed-cell form going quadratic at 64×).
     "e11_semdedup" -> ((s, dir) => {
-      val assigned = semAssigned(Tables.embeddings(s, dir))
-      val a = assigned.select(col("cell"), col("vec_id").as("vid"), col("embedding").as("emb_a"))
-      val b = assigned.select(col("cell"), col("vec_id").as("nid"), col("embedding").as("emb_b"))
-      val dupsLower = a.join(b, "cell")
-        .filter(col("nid") < col("vid"))
-        .select(col("vid"),
-          cosine_similarity(col("emb_a"), col("emb_b")).as("cos_sim"))
-        .filter(col("cos_sim") >= SemDedupTheta)
-        .groupBy("vid")
+      val e = Tables.embeddings(s, dir)
+      val assigned = semSubAssigned(e)
+      val dupsLower = semCellPairs(assigned)
+        .filter(col("cos") >= SemDedupTheta)
+        .groupBy("hi")
         .agg(count(lit(1)).as("n_dups_lower"))
       assigned
-        .join(dupsLower, col("vec_id") === col("vid"), "left")
+        .join(dupsLower, col("vec_id") === col("hi"), "left")
         .select(col("vec_id"), col("cell").cast("long").as("cell"),
           coalesce(col("n_dups_lower"), lit(0L)).as("n_dups_lower"),
           (coalesce(col("n_dups_lower"), lit(0L)) === 0L).as("kept"))
@@ -1237,38 +1319,81 @@ object Similarity {
        |)""".stripMargin
   }
 
-  /** Shared IVF coarse-quantizer fragment (e06/e10): e05's order-pinned
+  /** Shared IVF coarse-quantizer fragment (e06/e10): e05's fixed-point
     * centroids, the float32 cast Spark's array<float> applies, cosine
     * assignment, top-2 index cells / top-4 query probes — e08's oracle
     * arithmetic, reshaped. Emits CTEs ending in `assigned(nid, cell)`
     * and `probes(qid, cell)`.
     */
-  /** e11/e20 shared CTE chain: order-pinned centroids, nearest-cell
-    * assignment (rn = 1), ending in `assigned(vec_id, embedding, cell)`.
-    * One definition so the dedup and its threshold sweep cannot drift.
+  /** e11/e20 (and p02/p04's semantic edge family) shared CTE chain:
+    * order-free fixed-point centroids, nearest-cell assignment (rn = 1)
+    * in `sem_asg(vec_id, embedding, cell)`, the DERIVED hyperplane-bit
+    * sub-split (sem_geo mirrors `derivedSemSubBits`' shift-compare over
+    * the same two corpus counts; the plane/sign CTEs mirror
+    * `hyperplane_lsh_multi(bits = b, tables = 1, seed = 7)` exactly like
+    * `duckLshCtes`), ending in the blocked pair frame
+    * `sem_pairs(cell, hi, lo, cos)` — `semCellPairs` restated. One
+    * definition, `sem_`-prefixed so every consumer (e11, e20, p02, p04)
+    * embeds it collision-free and cannot drift. splitmix64Ctes' p0–p4 /
+    * smixed / ids names are shared infrastructure — no consumer of this
+    * fragment may define CTEs with those names.
     */
-  private val duckSemCtes: String =
-    """x AS (
-      |  SELECT label, vec_id,
+  private[operators] def duckSemCtes: String =
+    s"""sem_x AS (
+      |  SELECT label,
       |    unnest([{'d': i - 1, 'v': embedding[i]::DOUBLE} for i in range(1, len(embedding) + 1)]) AS u
       |  FROM embeddings
-      |), cd AS (
-      |  SELECT label, u.d AS dim, list_sum(list(u.v ORDER BY vec_id)) / COUNT(*) AS c
-      |  FROM x GROUP BY label, u.d
-      |), cent AS (
+      |), sem_cd AS (
+      |  SELECT label, u.d AS dim,
+      |    CAST(SUM(CAST(floor(u.v * 1073741824.0) AS HUGEINT)) AS DOUBLE)
+      |      / CAST(COUNT(*) AS DOUBLE) / 1073741824.0 AS c
+      |  FROM sem_x GROUP BY label, u.d
+      |), sem_cent AS (
       |  SELECT label AS cell, list_transform(list(c ORDER BY dim), v -> v::FLOAT) AS ce
-      |  FROM cd GROUP BY label
-      |), scored AS (
+      |  FROM sem_cd GROUP BY label
+      |), sem_scored AS (
       |  SELECT e.vec_id, e.embedding, c.cell,
       |    list_sum([e.embedding[i]::DOUBLE * c.ce[i]::DOUBLE for i in range(1, len(e.embedding) + 1)])
       |    / sqrt(list_sum([e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE for i in range(1, len(e.embedding) + 1)]))
       |    / sqrt(list_sum([c.ce[i]::DOUBLE * c.ce[i]::DOUBLE for i in range(1, len(c.ce) + 1)])) AS ccos
-      |  FROM embeddings e, cent c
-      |), assigned AS (
+      |  FROM embeddings e, sem_cent c
+      |), sem_asg AS (
       |  SELECT vec_id, embedding, cell FROM (
       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cell ASC) AS rn
-      |    FROM scored
+      |    FROM sem_scored
       |  ) WHERE rn = 1
+      |), sem_geo AS (
+      |  SELECT COALESCE(MIN(j), $SemMaxSubBits) AS b
+      |  FROM range(0, ${SemMaxSubBits + 1}) r(j),
+      |       (SELECT COUNT(*) AS n, COUNT(DISTINCT label) AS k FROM embeddings) c
+      |  WHERE c.k * (1::BIGINT << j) * $SemTargetOcc >= c.n
+      |), sem_grid AS (
+      |  SELECT r.j AS tj, d.d FROM range(0, $SemMaxSubBits) r(j), sem_geo,
+      |       (SELECT unnest(range(0, 64)) AS d) d
+      |  WHERE r.j < sem_geo.b
+      |), ids AS (
+      |  SELECT tj, d,
+      |    (CAST(7 AS HUGEINT) + tj * CAST('11400714819323198485' AS HUGEINT)
+      |     + d * CAST('14029467366897019727' AS HUGEINT)) % ${DuckHash.T} AS x
+      |  FROM sem_grid
+      |), ${DuckHash.splitmix64Ctes("tj, d")}, sem_planes AS (
+      |  SELECT tj, list((sv // 2048)::DOUBLE / 4503599627370496.0 - 1.0 ORDER BY d) AS pl
+      |  FROM smixed GROUP BY tj
+      |), sem_sigbits AS (
+      |  SELECT e.vec_id,
+      |    CASE WHEN list_sum([e.embedding[i]::DOUBLE * p.pl[i] for i in range(1, len(e.embedding)+1)]) >= 0.0
+      |         THEN (1::BIGINT << p.tj) ELSE 0 END AS bit
+      |  FROM embeddings e CROSS JOIN sem_planes p
+      |), sem_sigs AS (
+      |  SELECT vec_id, CAST(SUM(bit) AS BIGINT) AS sub FROM sem_sigbits GROUP BY vec_id
+      |), sem_sub AS (
+      |  SELECT a.vec_id, a.embedding, a.cell, COALESCE(g.sub, 0) AS sub
+      |  FROM sem_asg a LEFT JOIN sem_sigs g USING (vec_id)
+      |), sem_pairs AS (
+      |  SELECT a.cell AS cell, a.vec_id AS hi, b.vec_id AS lo,
+      |    ${duckCos("a", "b")} AS cos
+      |  FROM sem_sub a JOIN sem_sub b
+      |    ON a.cell = b.cell AND a.sub = b.sub AND b.vec_id < a.vec_id
       |)""".stripMargin
 
   private val duckIvfCtes: String =
@@ -1277,7 +1402,9 @@ object Similarity {
       |    unnest([{'d': i - 1, 'v': embedding[i]::DOUBLE} for i in range(1, len(embedding) + 1)]) AS u
       |  FROM embeddings
       |), cd AS (
-      |  SELECT label, u.d AS dim, list_sum(list(u.v ORDER BY vec_id)) / COUNT(*) AS c
+      |  SELECT label, u.d AS dim,
+      |    CAST(SUM(CAST(floor(u.v * 1073741824.0) AS HUGEINT)) AS DOUBLE)
+      |      / CAST(COUNT(*) AS DOUBLE) / 1073741824.0 AS c
       |  FROM x GROUP BY label, u.d
       |), cent AS (
       |  SELECT label AS cell, list_transform(list(c ORDER BY dim), v -> v::FLOAT) AS ce
@@ -1794,7 +1921,7 @@ object Similarity {
         |FROM m
         |ORDER BY vec_id""".stripMargin,
 
-    // the init centroids replicate e05's order-pinned doubles, get the
+    // the init centroids replicate e05's fixed-point doubles, get the
     // same float32 cast Spark's array<float> applies, and the assignment
     // cosine widens float elements to double exactly like CosineSimilarity
     "e08_kmeans_step" ->
@@ -1803,7 +1930,9 @@ object Similarity {
         |    unnest([{'d': i - 1, 'v': embedding[i]::DOUBLE} for i in range(1, len(embedding) + 1)]) AS u
         |  FROM embeddings
         |), cd AS (
-        |  SELECT label, u.d AS dim, list_sum(list(u.v ORDER BY vec_id)) / COUNT(*) AS c
+        |  SELECT label, u.d AS dim,
+        |    CAST(SUM(CAST(floor(u.v * 1073741824.0) AS HUGEINT)) AS DOUBLE)
+        |      / CAST(COUNT(*) AS DOUBLE) / 1073741824.0 AS c
         |  FROM x GROUP BY label, u.d
         |), cent AS (
         |  SELECT label AS cell, list_transform(list(c ORDER BY dim), v -> v::FLOAT) AS ce
@@ -1825,7 +1954,8 @@ object Similarity {
         |  FROM assigned
         |)
         |SELECT CAST(cell AS BIGINT) AS cluster, CAST(u.d AS BIGINT) AS dim,
-        |  list_sum(list(u.v ORDER BY vec_id)) / COUNT(*) AS centroid_new,
+        |  CAST(SUM(CAST(floor(u.v * 1073741824.0) AS HUGEINT)) AS DOUBLE)
+        |    / CAST(COUNT(*) AS DOUBLE) / 1073741824.0 AS centroid_new,
         |  COUNT(*) AS n_members
         |FROM y GROUP BY cell, u.d
         |ORDER BY cluster, dim""".stripMargin,
@@ -1837,28 +1967,24 @@ object Similarity {
         |  FROM embeddings
         |)
         |SELECT CAST(label AS BIGINT) AS label, CAST(u.d AS BIGINT) AS dim,
-        |  list_sum(list(u.v ORDER BY vec_id)) / COUNT(*) AS centroid
+        |  CAST(SUM(CAST(floor(u.v * 1073741824.0) AS HUGEINT)) AS DOUBLE)
+        |    / CAST(COUNT(*) AS DOUBLE) / 1073741824.0 AS centroid
         |FROM x
         |GROUP BY label, u.d
         |ORDER BY label, dim""".stripMargin,
 
-    // e08's assignment CTEs verbatim, then within-cell lower-id pairing
-    // one pair-cosine CTE, three threshold aggregates (the e19 sweep
-    // shape); cell chain shared with e11 via duckSemCtes
+    // the shared sem_pairs frame (derived sub-split restated CTE-for-CTE),
+    // three threshold aggregates over it (the e19 sweep shape)
     "e20_semdedup_sweep" ->
-      s"""WITH $duckSemCtes, pairs AS (
-         |  SELECT a.vec_id AS vid, ${duckCos("a", "b")} AS cos
-         |  FROM assigned a JOIN assigned b
-         |    ON a.cell = b.cell AND b.vec_id < a.vec_id
-         |), tot AS (
+      s"""WITH $duckSemCtes, tot AS (
          |  SELECT COUNT(*) AS n FROM embeddings
          |), sw AS (
          |  SELECT 20 AS theta_pct, COUNT(*) AS n_pairs,
-         |    COUNT(DISTINCT vid) AS n_dropped FROM pairs WHERE cos >= 0.2
+         |    COUNT(DISTINCT hi) AS n_dropped FROM sem_pairs WHERE cos >= 0.2
          |  UNION ALL
-         |  SELECT 30, COUNT(*), COUNT(DISTINCT vid) FROM pairs WHERE cos >= 0.3
+         |  SELECT 30, COUNT(*), COUNT(DISTINCT hi) FROM sem_pairs WHERE cos >= 0.3
          |  UNION ALL
-         |  SELECT 40, COUNT(*), COUNT(DISTINCT vid) FROM pairs WHERE cos >= 0.4
+         |  SELECT 40, COUNT(*), COUNT(DISTINCT hi) FROM sem_pairs WHERE cos >= 0.4
          |)
          |SELECT CAST(theta_pct AS BIGINT) AS theta_pct, n_pairs, n_dropped,
          |  tot.n - n_dropped AS n_kept,
@@ -1868,16 +1994,14 @@ object Similarity {
 
     "e11_semdedup" ->
       s"""WITH $duckSemCtes, dups AS (
-         |  SELECT a.vec_id AS vid, COUNT(*) AS n_dups_lower
-         |  FROM assigned a JOIN assigned b
-         |    ON a.cell = b.cell AND b.vec_id < a.vec_id
-         |  WHERE ${duckCos("a", "b")} >= $SemDedupTheta
-         |  GROUP BY a.vec_id
+         |  SELECT hi AS vid, COUNT(*) AS n_dups_lower
+         |  FROM sem_pairs WHERE cos >= $SemDedupTheta
+         |  GROUP BY hi
          |)
          |SELECT a.vec_id, CAST(a.cell AS BIGINT) AS cell,
          |  COALESCE(d.n_dups_lower, 0) AS n_dups_lower,
          |  COALESCE(d.n_dups_lower, 0) = 0 AS kept
-         |FROM assigned a LEFT JOIN dups d ON d.vid = a.vec_id
+         |FROM sem_asg a LEFT JOIN dups d ON d.vid = a.vec_id
          |ORDER BY a.vec_id""".stripMargin
   )
 }
