@@ -16,12 +16,31 @@ object Bench {
     val only: Option[Seq[String]] = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSeq)
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "1").toInt
     def selected(name: String): Boolean = only.forall(_.exists(name.startsWith))
+    // Bench-private scratch dir for Materialize.toStorage outputs: a
+    // query's scratch is never re-read after the query completes, so the
+    // fence sweeps it below — three passes over the catalog otherwise
+    // leave 3× every iterative operator's per-round scratch on disk for
+    // the whole run (one of the r9 suspects for the graph heavies'
+    // pass-over-pass degradation; round-10's reproduction runs came back
+    // flat, but bounding the growth makes that answer structural, not
+    // environmental). Private dir, NOT the shared default: a concurrent
+    // Verify/ScaleProbe JVM keeps its own scratch untouched.
+    val benchScratch =
+      sys.props("java.io.tmpdir") + s"/graft-bench-scratch-${java.util.UUID.randomUUID()}"
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      .config("spark.graft.scratchDir", benchScratch)
       .getOrCreate()
+    def sweepScratch(): Unit = {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete()
+      }
+      Option(new java.io.File(benchScratch).listFiles()).foreach(_.foreach(rm))
+    }
     // ERROR, not WARN: the driver's log window is ~2000 chars shared by
     // whatever prints near the metric line; benign WindowExec/AQE WARNs
     // were crowding the JSON line out of the captured tail (rounds 2-4).
@@ -46,6 +65,7 @@ object Bench {
     def timedPass(tag: Int): Map[String, Double] =
       SparkEntry.queries.filter(kv => selected(kv._1)).map { case (name, fn) =>
         spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+        sweepScratch()
         System.gc()
         val t0 = System.nanoTime()
         val ok =
@@ -134,6 +154,8 @@ object Bench {
     // line the driver scrapes from the captured tail. Rounds 2–5 recorded
     // parsed=null because flushed startup logs landed after the metric.
     spark.stop()
+    sweepScratch()
+    new java.io.File(benchScratch).delete()
     println(s"""{"metric":"total","value":${fmt(total, 1)},"median_total":${fmt(medTotal, 1)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     Console.out.flush()
   }

@@ -427,6 +427,35 @@ object Similarity {
   /** e18: neighbor-list width of the NN-descent round. */
   private[operators] val NnDescentK = 4
 
+  /** e18b: refinement rounds — both engines unroll exactly this many
+    * (the g05/g02b fixed-layer discipline). */
+  private[operators] val NnDescentRounds = 2
+
+  /** e18/e18b shared base: LSH-bucket candidate pairs scored with
+    * CARRY-THROUGH cosine (embeddings ride the bucket join — `tables`×
+    * duplication through one small exchange — and the cosine is computed
+    * in the join output and immediately hash-aggregated; fetching
+    * embeddings BY PAIR KEY instead duplicates each vector ~2·pairs/N
+    * times, the measured 80 GB r7 disk kill). One row per (vid, nid).
+    */
+  private def lshCarryScored(e: DataFrame): DataFrame = {
+    val ex = e
+      .withColumn("buckets",
+        hyperplane_lsh_multi(col("embedding"), derivedLshBits(e.count()), 48, 64, seed = 7L))
+      .select(col("vec_id"), col("embedding"), posexplode(col("buckets")).as(Seq("tbl", "bucket")))
+    val ok = ex.groupBy("tbl", "bucket").agg(count(lit(1)).as("bsz"))
+      .filter(col("bsz") <= 10000L).select("tbl", "bucket")
+    val bounded = ex.join(ok, Seq("tbl", "bucket"))
+    bounded.select(col("vec_id").as("vid"), col("embedding").as("emb_a"),
+        col("tbl"), col("bucket"))
+      .join(bounded.select(col("vec_id").as("nid"), col("embedding").as("emb_b"),
+        col("tbl"), col("bucket")), Seq("tbl", "bucket"))
+      .filter(col("vid") =!= col("nid"))
+      .select(col("vid"), col("nid"),
+        cosine_similarity(col("emb_a"), col("emb_b")).as("cos_sim"))
+      .groupBy("vid", "nid").agg(max("cos_sim").as("cos_sim"))
+  }
+
   /** e18 core: ONE NN-DESCENT REFINEMENT ROUND — the distributed
     * kNN-graph-construction kernel behind graph-ANN indexes (NN-descent /
     * graph-based HNSW-family builds): start from an approximate top-k
@@ -457,18 +486,23 @@ object Similarity {
     scoreCandidates(e, pairs.distinct())
       .groupBy("vid", "nid").agg(max("cos_sim").as("cos_sim"))
 
+  /** Top-k neighbor lists per vid WITHOUT a window: the window form
+    * sort-shuffles the full candidate stream (the other half of the 64×
+    * disk kill); the bounded typed aggregator forwards ≤ k rows per vid
+    * per task (q38's tool), same (score DESC, id ASC) total order as the
+    * oracle's ROW_NUMBER. `scored` must be one row per (vid, nid).
+    * Shared by e18's single round and e18b's convergence loop.
+    */
+  private def nnTopkLists(scored: DataFrame, k: Int): DataFrame = {
+    import graft.functions.TopKAggregator.top_k
+    scored.groupBy("vid").agg(top_k(col("cos_sim"), col("nid"), k).as("tk"))
+      .select(col("vid"), explode(col("tk")).as("s"))
+      .select(col("vid"), col("s.id").as("nid"), col("s.score").as("cos_sim"))
+  }
+
   private[operators] def nnDescentRound(e: DataFrame, scored0: DataFrame,
                                         k: Int = NnDescentK): DataFrame = {
-    import graft.functions.TopKAggregator.top_k
-    // top-k per vid WITHOUT a window: the window form sort-shuffles the
-    // full candidate stream (the other half of the 64× disk kill); the
-    // bounded typed aggregator forwards ≤ k rows per vid per task
-    // (q38's tool), same (score DESC, id ASC) total order as the oracle's
-    // ROW_NUMBER. `scored0` must be one row per (vid, nid).
-    def topkLists(scored: DataFrame): DataFrame =
-      scored.groupBy("vid").agg(top_k(col("cos_sim"), col("nid"), k).as("tk"))
-        .select(col("vid"), explode(col("tk")).as("s"))
-        .select(col("vid"), col("s.id").as("nid"), col("s.score").as("cos_sim"))
+    def topkLists(scored: DataFrame): DataFrame = nnTopkLists(scored, k)
     val knn0 = graft.Materialize(topkLists(scored0))
     try {
       val und = knn0.select(col("vid").as("u"), col("nid").as("v"))
@@ -1098,22 +1132,55 @@ object Similarity {
     // (driver loop, d07's shape); one round is the verifiable unit.
     "e18_nn_descent_round" -> ((s, dir) => {
       val e = Tables.embeddings(s, dir)
-      val ex = e
-        .withColumn("buckets",
-          hyperplane_lsh_multi(col("embedding"), derivedLshBits(e.count()), 48, 64, seed = 7L))
-        .select(col("vec_id"), col("embedding"), posexplode(col("buckets")).as(Seq("tbl", "bucket")))
-      val ok = ex.groupBy("tbl", "bucket").agg(count(lit(1)).as("bsz"))
-        .filter(col("bsz") <= 10000L).select("tbl", "bucket")
-      val bounded = ex.join(ok, Seq("tbl", "bucket"))
-      val scored0 = bounded.select(col("vec_id").as("vid"), col("embedding").as("emb_a"),
-          col("tbl"), col("bucket"))
-        .join(bounded.select(col("vec_id").as("nid"), col("embedding").as("emb_b"),
-          col("tbl"), col("bucket")), Seq("tbl", "bucket"))
-        .filter(col("vid") =!= col("nid"))
-        .select(col("vid"), col("nid"),
-          cosine_similarity(col("emb_a"), col("emb_b")).as("cos_sim"))
-        .groupBy("vid", "nid").agg(max("cos_sim").as("cos_sim"))
-      nnDescentRound(e, scored0)
+      nnDescentRound(e, lshCarryScored(e))
+    }),
+
+    // NN-DESCENT TO CONVERGENCE — e18's round run TWICE under the
+    // g02b scratch-carry discipline: each round's top-k lists land in
+    // scratch parquet (a flat SCAN — round r+1's plan never nests round
+    // r's, the analyzer-blow-up lesson), the neighbor-of-neighbor local
+    // join regenerates candidates from the refined lists, and the output
+    // is the two-row convergence profile (n_improved must FALL round
+    // over round on any corpus where round 1 already did its work — the
+    // number an index build reads to decide when to stop). Same bounded
+    // TopKAggregator heavy path as e18, so per-round cost stays
+    // corpus-linear; the oracle generates both rounds as layered CTEs.
+    "e18b_nn_descent_converge" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val k = NnDescentK
+      var knnCur = graft.Materialize.toStorage(
+        nnTopkLists(lshCarryScored(e), k), "e18b_knn0")
+      val audits = (1 to NnDescentRounds).map { r =>
+        val und = knnCur.select(col("vid").as("u"), col("nid").as("v"))
+          .unionAll(knnCur.select(col("nid").as("u"), col("vid").as("v"))).distinct()
+        val non = und.select(col("u"), col("v").as("vid"))
+          .join(und.select(col("u"), col("v").as("nid")), "u")
+          .filter(col("vid") =!= col("nid"))
+          .select("vid", "nid")
+        val cand = non.unionAll(knnCur.select("vid", "nid")).distinct()
+        val knnNext = graft.Materialize.toStorage(
+          nnTopkLists(scorePairs(e, cand), k), s"e18b_knn$r")
+        val m0 = knnCur.groupBy("vid")
+          .agg(min("cos_sim").as("worst0"), count(lit(1)).as("k0"))
+        val m1 = knnNext.groupBy("vid")
+          .agg(min("cos_sim").as("worst1"), count(lit(1)).as("k1"))
+        val newEdges = knnNext.join(
+          knnCur.select(col("vid"), col("nid"), lit(1).as("hit")),
+          Seq("vid", "nid"), "left").filter(col("hit").isNull)
+        val audit = m0.join(m1, "vid")
+          .agg(count(lit(1)).as("n_vectors"),
+            sum(when(col("k0") === k && col("worst1") > col("worst0"), 1L)
+              .otherwise(0L)).as("n_improved"),
+            sum(when(col("k1") > col("k0"), 1L).otherwise(0L)).as("n_grown"))
+          .crossJoin(broadcast(cand.agg(count(lit(1)).as("n_cand_pairs"))))
+          .crossJoin(broadcast(newEdges.agg(count(lit(1)).as("n_new_edges"))))
+          .select(lit(r.toLong).as("round"), col("n_vectors"),
+            col("n_cand_pairs"), col("n_improved"), col("n_grown"),
+            col("n_new_edges"))
+        knnCur = knnNext
+        audit
+      }
+      audits.reduce(_ unionByName _).orderBy("round")
     }),
 
     // int8 vector quantization — the embedding-compression step an ANN
@@ -1690,6 +1757,62 @@ object Similarity {
          |   FROM m0 JOIN m1 USING (vid)) AS n_grown,
          |  (SELECT COUNT(*) FROM knn1 k LEFT JOIN knn0 o ON o.vid = k.vid AND o.nid = k.nid
          |   WHERE o.nid IS NULL) AS n_new_edges""".stripMargin,
+
+    // e18's knn0 base, then NnDescentRounds generated layers — each
+    // round's und/cand/knn/m CTEs reference only the previous round's
+    // MATERIALIZED knn (the scratch-carry discipline restated in SQL);
+    // the audit rows union at the end
+    "e18b_nn_descent_converge" -> {
+      val base =
+        s"""WITH ${duckLshCtes()}, bok AS (
+           |  SELECT tbl, bucket FROM sigs GROUP BY tbl, bucket HAVING COUNT(*) <= 10000
+           |), bounded AS (
+           |  SELECT s.vec_id, s.tbl, s.bucket FROM sigs s JOIN bok USING (tbl, bucket)
+           |), pairs AS (
+           |  SELECT DISTINCT a.vec_id AS vid, b.vec_id AS nid
+           |  FROM bounded a JOIN bounded b ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id <> b.vec_id
+           |), knn0 AS MATERIALIZED (
+           |  SELECT p.vid, p.nid, ${duckCos("a", "b")} AS cos_sim,
+           |    ROW_NUMBER() OVER (PARTITION BY p.vid ORDER BY ${duckCos("a", "b")} DESC, p.nid ASC) AS rn
+           |  FROM pairs p JOIN embeddings a ON a.vec_id = p.vid JOIN embeddings b ON b.vec_id = p.nid
+           |  QUALIFY rn <= $NnDescentK
+           |), m0 AS (
+           |  SELECT vid, MIN(cos_sim) AS worst, COUNT(*) AS kk FROM knn0 GROUP BY vid
+           |)""".stripMargin
+      val rounds = (1 to NnDescentRounds).map { r =>
+        val p = r - 1
+        s""", und$r AS MATERIALIZED (
+           |  SELECT vid AS u, nid AS v FROM knn$p UNION SELECT nid, vid FROM knn$p
+           |), cand$r AS MATERIALIZED (
+           |  SELECT a.v AS vid, b.v AS nid FROM und$r a JOIN und$r b ON a.u = b.u AND a.v <> b.v
+           |  UNION
+           |  SELECT vid, nid FROM knn$p
+           |), knn$r AS MATERIALIZED (
+           |  SELECT c.vid, c.nid, ${duckCos("a", "b")} AS cos_sim,
+           |    ROW_NUMBER() OVER (PARTITION BY c.vid ORDER BY ${duckCos("a", "b")} DESC, c.nid ASC) AS rn
+           |  FROM cand$r c JOIN embeddings a ON a.vec_id = c.vid JOIN embeddings b ON b.vec_id = c.nid
+           |  QUALIFY rn <= $NnDescentK
+           |), m$r AS (
+           |  SELECT vid, MIN(cos_sim) AS worst, COUNT(*) AS kk FROM knn$r GROUP BY vid
+           |), aud$r AS (
+           |  SELECT CAST($r AS BIGINT) AS round,
+           |    (SELECT COUNT(*) FROM m$p JOIN m$r USING (vid)) AS n_vectors,
+           |    (SELECT COUNT(*) FROM cand$r) AS n_cand_pairs,
+           |    (SELECT CAST(SUM(CASE WHEN p.kk = $NnDescentK AND c.worst > p.worst
+           |                          THEN 1 ELSE 0 END) AS BIGINT)
+           |     FROM m$p p JOIN m$r c USING (vid)) AS n_improved,
+           |    (SELECT CAST(SUM(CASE WHEN c.kk > p.kk THEN 1 ELSE 0 END) AS BIGINT)
+           |     FROM m$p p JOIN m$r c USING (vid)) AS n_grown,
+           |    (SELECT COUNT(*) FROM knn$r k LEFT JOIN knn$p o ON o.vid = k.vid AND o.nid = k.nid
+           |     WHERE o.nid IS NULL) AS n_new_edges
+           |)""".stripMargin
+      }.mkString
+      val sel = (1 to NnDescentRounds).map(r => s"SELECT * FROM aud$r")
+        .mkString("\n|UNION ALL ")
+      s"""$base$rounds
+         |$sel
+         |ORDER BY round""".stripMargin
+    },
 
     // e04b's oracle with the probe side restricted to the arriving batch
     // and the allowed-neighbor predicate (corpus, or earlier arrival)

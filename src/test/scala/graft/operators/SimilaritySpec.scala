@@ -375,6 +375,24 @@ class SimilaritySpec extends SparkSpec {
     assert(got.getLong(4) === 0L, "no new edges at the fixed point")
   }
 
+  test("e18b converge: round 1 IS e18's audit; n_improved falls round over round") {
+    val two = Similarity.queries("e18b_nn_descent_converge")(spark, sfDir)
+      .collect().sortBy(_.getLong(0))
+    assert(two.length === 2)
+    // same base, same round semantics — the loop's first layer must
+    // reproduce the single-round operator exactly (parity by
+    // construction, the s24/s25 discipline)
+    val one = Similarity.queries("e18_nn_descent_round")(spark, sfDir).collect()(0)
+    assert((two(0).getLong(1), two(0).getLong(2), two(0).getLong(3),
+        two(0).getLong(4), two(0).getLong(5))
+      === ((one.getLong(0), one.getLong(1), one.getLong(2),
+        one.getLong(3), one.getLong(4))))
+    // convergence: the refined graph leaves strictly less to improve
+    assert(two(1).getLong(3) <= two(0).getLong(3),
+      s"n_improved must not rise: r1=${two(0).getLong(3)} r2=${two(1).getLong(3)}")
+    assert(two(0).getLong(1) === two(1).getLong(1), "vector population is stable")
+  }
+
   test("e17 IVF balance: postings = 2·n (top-2 spill), internally consistent stats") {
     val n = graft.Tables.embeddings(spark, sfDir).count()
     val r = Similarity.queries("e17_ivf_balance")(spark, sfDir).collect()(0)

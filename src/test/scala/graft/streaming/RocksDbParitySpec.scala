@@ -1,0 +1,41 @@
+package graft.streaming
+
+import org.apache.spark.sql.Row
+import graft.SparkSpec
+
+/** The state-store choice a real cluster makes (RocksDB — bounded
+  * executor heap, state spills to local SST files) must be the one the
+  * specs pin, not just s14's transformWithState (where the API requires
+  * the provider): the heavy stateful entries — session merge (s08,
+  * state O(open sessions)), cross-batch transition state (s21, one row
+  * per user), TTL'd dedup (s22, state O(keys × in-flight windows)) —
+  * each run twice on the same fixture, default (HDFSBacked) provider vs
+  * RocksDB, and must produce IDENTICAL row sets: the provider is a
+  * storage engine, never semantics. A divergence here would mean state
+  * encoding/eviction order leaked into results — exactly the class of
+  * bug that only shows up when a cluster flips the provider in prod.
+  */
+class RocksDbParitySpec extends SparkSpec {
+  private val ProvKey = "spark.sql.streaming.stateStore.providerClass"
+  private val RocksDb =
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+
+  private def runUnder(provider: Option[String], name: String): Seq[Row] = {
+    val old = spark.conf.getOption(ProvKey)
+    provider.foreach(spark.conf.set(ProvKey, _))
+    try StreamingQueries.queries(name)(spark, sfDir).collect().toSeq
+    finally old match {
+      case Some(v) => spark.conf.set(ProvKey, v)
+      case None    => spark.conf.unset(ProvKey)
+    }
+  }
+
+  for (name <- Seq("s08_stream_sessions", "s21_stream_transitions",
+                   "s22_stream_dedup_ttl"))
+    test(s"$name: identical rows under RocksDB and the default state-store provider") {
+      val default = runUnder(None, name)
+      val rocks = runUnder(Some(RocksDb), name)
+      assert(default.nonEmpty, s"$name produced no rows — parity would be vacuous")
+      assert(rocks === default, s"$name diverged under the RocksDB provider")
+    }
+}
