@@ -402,8 +402,20 @@ object ScaleProbe {
       // per-order count agg then ≤ 63 bucket rows
       "a20_attribution", "g10_projection_cost",
       // e11's within-cell pair frame once; the three theta sweeps are
-      // filters over it (within-cell quadratic — e11's documented regime)
-      "e20_semdedup_sweep")
+      // filters over it. Round 10: the (cell, sub) geometry derives its
+      // sub-split from the corpus count, so the pair space is occupancy-
+      // bounded — the r9 kill at 64× must now FINISH, corpus-linear
+      "e20_semdedup_sweep",
+      // round 10: the fixed-point centroid sum (constant group state —
+      // the r9 collect_list form buffered O(members) per (label, dim))
+      // measured where the buffer used to grow; and the two-round
+      // NN-descent loop (per-round cost claimed corpus-linear, same
+      // bounded-aggregator heavy path as e18)
+      "e05_label_centroids", "e18b_nn_descent_converge",
+      // the derived-sub-cell IVF sweep: per-query candidates are
+      // (b+1)·nprobe·occupancy — constant — so the probe measures the
+      // corpus-linear index-build side
+      "e21_ivf_subcell_sweep")
       // local iteration only: probe just a subset by name prefix
       .filter(n => sys.env.get("SPARK_GRAFT_ONLY")
         .forall(_.split(",").exists(n.startsWith)))

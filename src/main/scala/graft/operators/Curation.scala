@@ -166,8 +166,7 @@ object Curation {
       val textE = Dedup.nearDupPairs(s, dir).select(col("id_a"), col("id_b"))
       val phashE = Multimodal.phashPairs(Tables.documents(s, dir))
         .select(col("doc_a").as("id_a"), col("doc_b").as("id_b"))
-      val semE = Similarity.semCellPairs(
-          Similarity.semSubAssigned(Tables.embeddings(s, dir)))
+      val semE = Similarity.semCellPairs(Tables.embeddings(s, dir))
         .filter(col("cos") >= Similarity.SemDedupTheta)
         .select(col("lo").as("id_a"), col("hi").as("id_b"))
       val edges = textE.unionByName(phashE).unionByName(semE).distinct()

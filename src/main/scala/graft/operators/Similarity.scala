@@ -142,35 +142,61 @@ object Similarity {
     b
   }
 
-  /** `semAssigned` + the derived sub-cell id (see derivedSemSubBits):
-    * (vec_id, embedding, cell, sub). Two metadata-cheap scalar counts to
-    * the driver buy a blocking geometry that cannot silently go
-    * quadratic.
-    */
-  private[operators] def semSubAssigned(e: DataFrame): DataFrame = {
-    val b = derivedSemSubBits(e.count(), e.select("label").distinct().count())
-    val a = semAssigned(e)
-    if (b == 0) a.withColumn("sub", lit(0L))
-    else a.withColumn("sub",
-      element_at(hyperplane_lsh_multi(col("embedding"), b, 1, 64, seed = 7L), 1))
-  }
+  /** The derived sub-bit count for a corpus (see derivedSemSubBits) —
+    * two metadata-cheap scalar counts to the driver. */
+  private def semSubBitsOf(e: DataFrame): Int =
+    derivedSemSubBits(e.count(), e.select("label").distinct().count())
 
-  /** The shared within-(cell, sub) pair frame of the semantic-dedup
-    * family — (cell, hi, lo, cos) with lo < hi, each unordered pair
-    * exactly once. The join is keyed on BOTH blocking columns so
-    * per-key work is occupancy², never |cell|²; only e11/e20/p04's
-    * consumers decide what a pair means (dup count, sweep bucket,
-    * cluster edge). Mirrored by `duckSemCtes`' sem_pairs CTE.
+  /** The derived sub-cell id as a column over an `embedding` field —
+    * b hyperplane sign bits (one table, seed 7), or the constant 0 when
+    * the derivation says the corpus fits the unsplit geometry. Shared by
+    * the semantic-dedup blocking (semSubAssigned) and the e21 IVF
+    * sub-cell index.
     */
-  private[operators] def semCellPairs(assigned: DataFrame): DataFrame = {
+  private def subColFor(b: Int): org.apache.spark.sql.Column =
+    if (b == 0) lit(0L)
+    else element_at(hyperplane_lsh_multi(col("embedding"), b, 1, 64, seed = 7L), 1)
+
+  /** `semAssigned` + the derived sub-cell id (see derivedSemSubBits):
+    * (vec_id, embedding, cell, sub). */
+  private[operators] def semSubAssigned(e: DataFrame): DataFrame =
+    semAssigned(e).withColumn("sub", subColFor(semSubBitsOf(e)))
+
+  /** The shared pair frame of the semantic-dedup family — (cell, hi,
+    * lo, cos) with lo < hi, each unordered pair exactly once: same
+    * (cell, sub) pairs, PLUS Hamming-1 MULTI-PROBE pairs (same cell,
+    * subs differing in exactly one of the b derived bits). Multi-probe
+    * is the standard LSH recall-recovery knob, built rather than
+    * documented: a dup pair at per-bit agreement p is found with
+    * probability p^b + b·p^(b-1)(1-p) instead of p^b — at the 64×
+    * corpus's b = 6 that roughly DOUBLES tight-dup recall (0.39 → 0.79
+    * at cos 0.9) for a ≤ (b+1)× bounded candidate cost. Every branch is
+    * keyed on BOTH blocking columns so per-key work is occupancy²,
+    * never |cell|²; each Hamming-1 pair matches at exactly one flipped
+    * bit (and the lo < hi filter keeps one orientation), so no branch
+    * double-emits. Consumers (e11/e20/p02/p04) decide what a pair means
+    * (dup count, sweep bucket, cluster edge). Mirrored by `duckSemCtes`'
+    * sem_pairs CTE.
+    */
+  private[operators] def semCellPairs(assigned: DataFrame, b: Int): DataFrame = {
     val l = assigned.select(col("cell"), col("sub"),
       col("vec_id").as("hi"), col("embedding").as("emb_a"))
     val r = assigned.select(col("cell"), col("sub"),
       col("vec_id").as("lo"), col("embedding").as("emb_b"))
-    l.join(r, Seq("cell", "sub"))
-      .filter(col("lo") < col("hi"))
-      .select(col("cell"), col("hi"), col("lo"),
-        cosine_similarity(col("emb_a"), col("emb_b")).as("cos"))
+    val branches = l.join(r, Seq("cell", "sub")) +:
+      (0 until b).map(j =>
+        l.join(r.withColumn("sub", col("sub").bitwiseXOR(lit(1L << j))),
+          Seq("cell", "sub")))
+    branches.map(_.filter(col("lo") < col("hi"))
+        .select(col("cell"), col("hi"), col("lo"),
+          cosine_similarity(col("emb_a"), col("emb_b")).as("cos")))
+      .reduce(_ unionAll _)
+  }
+
+  /** Convenience: the pair frame straight from the embeddings table. */
+  private[operators] def semCellPairs(e: DataFrame): DataFrame = {
+    val b = semSubBitsOf(e)
+    semCellPairs(semAssigned(e).withColumn("sub", subColFor(b)), b)
   }
 
   /** IVF coarse-quantizer centroids as `(cell, centroid: array<float>)` —
@@ -860,6 +886,61 @@ object Similarity {
         .orderBy("nprobe", "qid")
     }),
 
+    // IVF SUB-CELL PROBE SWEEP — e19's recall curve on the DERIVED
+    // (cell, sub) index: vectors file under (top-2 cell, own sub
+    // signature), queries probe (top-4 cells, own sub). This is the
+    // serving-path half of the round-10 geometry fix: e06/e19's
+    // fixed-cell index scans ~nprobe·N/|cells| candidates per query
+    // (per-query cost ∝ N at fixed cell count), while the sub-split
+    // holds candidate volume at ~nprobe·SemTargetOcc — constant per
+    // query at any corpus size. At every oracle fixture the derivation
+    // yields b = 0, so this query EQUALS e19 row-for-row (pinned in
+    // SimilaritySpec — parity by construction); past the tuning point
+    // the recall cost of the sub filter is what this curve measures.
+    "e21_ivf_subcell_sweep" -> ((s, dir) => {
+      import s.implicits._
+      val e = Tables.embeddings(s, dir)
+      val b = semSubBitsOf(e)
+      val cr = ivfCranked(e).withColumn("sub", subColFor(b))
+      val assigned = cr.filter(col("rn") <= 2)
+        .select(col("vec_id").as("nid"), col("embedding").as("n_emb"),
+          col("cell"), col("sub"))
+      // Hamming-1 multi-probe on the sub dimension (the semCellPairs
+      // knob applied to serving): the query probes its own sub and the
+      // b single-bit flips — (b+1)·occupancy candidates per probed cell,
+      // still constant per query at any corpus size
+      val probeSubs = array(
+        (col("sub") +: (0 until b).map(j => col("sub").bitwiseXOR(lit(1L << j)))): _*)
+      val pairs = cr.filter(col("rn") <= 4 && col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding").as("q_emb"),
+          col("cell"), explode(probeSubs).as("sub"), col("rn").as("prn"))
+        .join(assigned, Seq("cell", "sub"))
+        .filter(col("nid") =!= col("qid"))
+        .groupBy("qid", "nid")
+        .agg(min("prn").as("mr"), first("q_emb").as("q_emb"), first("n_emb").as("n_emb"))
+        .select(col("qid"), col("nid"), col("mr"),
+          cosine_similarity(col("q_emb"), col("n_emb")).as("cos"))
+      val wTop = Window.partitionBy("qid").orderBy(col("cos").desc, col("nid").asc)
+      val sweeps = Seq(1, 2, 4).map { np =>
+        pairs.filter(col("mr") <= np)
+          .withColumn("rn", row_number().over(wTop))
+          .filter(col("rn") <= 5)
+          .select(lit(np.toLong).as("nprobe"), col("qid"), col("nid"))
+      }.reduce(_ unionByName _)
+      val exact = Similarity.queries("e02_ann_bruteforce")(s, dir)
+        .filter(col("rn") <= 5).select(col("qid"), col("nid"))
+      val grid = exact.groupBy("qid").agg(count(lit(1)).as("n_exact"))
+        .crossJoin(broadcast(Seq(1L, 2L, 4L).toDF("nprobe")))
+      val hits = exact.join(sweeps, Seq("qid", "nid"))
+        .groupBy("nprobe", "qid").agg(count(lit(1)).as("n_hits"))
+      grid.join(hits, Seq("nprobe", "qid"), "left")
+        .select(col("nprobe"), col("qid"), col("n_exact"),
+          coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+          (coalesce(col("n_hits"), lit(0L)).cast("double")
+            / col("n_exact").cast("double")).as("recall_at_5"))
+        .orderBy("nprobe", "qid")
+    }),
+
     // SEMDEDUP THRESHOLD SWEEP — the θ tuning curve behind e11's one
     // knob (SemDedupTheta): within-cell pair count, documents dropped,
     // and drop rate at θ ∈ {0.20, 0.30, 0.40}, from ONE pair-cosine
@@ -870,7 +951,7 @@ object Similarity {
     // hash gate.
     "e20_semdedup_sweep" -> ((s, dir) => {
       val e = Tables.embeddings(s, dir)
-      val pairs = semCellPairs(semSubAssigned(e))
+      val pairs = semCellPairs(e)
         .select(col("hi").as("vid"), col("cos"))
       val tot = e.agg(count(lit(1)).as("n"))
       val sweeps = Seq(20L -> 0.2, 30L -> 0.3, 40L -> 0.4).map { case (pct, th) =>
@@ -987,8 +1068,9 @@ object Similarity {
     // fixed-cell form going quadratic at 64×).
     "e11_semdedup" -> ((s, dir) => {
       val e = Tables.embeddings(s, dir)
-      val assigned = semSubAssigned(e)
-      val dupsLower = semCellPairs(assigned)
+      val b = semSubBitsOf(e)
+      val assigned = semAssigned(e).withColumn("sub", subColFor(b))
+      val dupsLower = semCellPairs(assigned, b)
         .filter(col("cos") >= SemDedupTheta)
         .groupBy("hi")
         .agg(count(lit(1)).as("n_dups_lower"))
@@ -1424,11 +1506,12 @@ object Similarity {
       |    / sqrt(list_sum([e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE for i in range(1, len(e.embedding) + 1)]))
       |    / sqrt(list_sum([c.ce[i]::DOUBLE * c.ce[i]::DOUBLE for i in range(1, len(c.ce) + 1)])) AS ccos
       |  FROM embeddings e, sem_cent c
+      |), sem_cranked AS (
+      |  SELECT vec_id, embedding, cell,
+      |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cell ASC) AS rn
+      |  FROM sem_scored
       |), sem_asg AS (
-      |  SELECT vec_id, embedding, cell FROM (
-      |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cell ASC) AS rn
-      |    FROM sem_scored
-      |  ) WHERE rn = 1
+      |  SELECT vec_id, embedding, cell FROM sem_cranked WHERE rn = 1
       |), sem_geo AS (
       |  SELECT COALESCE(MIN(j), $SemMaxSubBits) AS b
       |  FROM range(0, ${SemMaxSubBits + 1}) r(j),
@@ -1453,14 +1536,28 @@ object Similarity {
       |  FROM embeddings e CROSS JOIN sem_planes p
       |), sem_sigs AS (
       |  SELECT vec_id, CAST(SUM(bit) AS BIGINT) AS sub FROM sem_sigbits GROUP BY vec_id
+      |), sem_vsub AS (
+      |  SELECT e.vec_id, COALESCE(g.sub, 0) AS sub
+      |  FROM embeddings e LEFT JOIN sem_sigs g USING (vec_id)
+      |), sem_hbits AS (
+      |  SELECT (1::BIGINT << r.j) AS bit
+      |  FROM range(0, $SemMaxSubBits) r(j), sem_geo g WHERE r.j < g.b
+      |), sem_qprobe AS (
+      |  SELECT vec_id, sub FROM sem_vsub
+      |  UNION ALL
+      |  SELECT v.vec_id, xor(v.sub, h.bit) AS sub FROM sem_vsub v, sem_hbits h
       |), sem_sub AS (
-      |  SELECT a.vec_id, a.embedding, a.cell, COALESCE(g.sub, 0) AS sub
-      |  FROM sem_asg a LEFT JOIN sem_sigs g USING (vec_id)
+      |  SELECT a.vec_id, a.embedding, a.cell, v.sub
+      |  FROM sem_asg a JOIN sem_vsub v USING (vec_id)
       |), sem_pairs AS (
       |  SELECT a.cell AS cell, a.vec_id AS hi, b.vec_id AS lo,
       |    ${duckCos("a", "b")} AS cos
       |  FROM sem_sub a JOIN sem_sub b
       |    ON a.cell = b.cell AND a.sub = b.sub AND b.vec_id < a.vec_id
+      |  UNION ALL
+      |  SELECT a.cell, a.vec_id, b.vec_id, ${duckCos("a", "b")}
+      |  FROM sem_sub a JOIN sem_sub b ON a.cell = b.cell AND b.vec_id < a.vec_id
+      |  JOIN sem_hbits h ON a.sub = xor(b.sub, h.bit)
       |)""".stripMargin
 
   private val duckIvfCtes: String =
@@ -1907,6 +2004,59 @@ object Similarity {
       s"""WITH $duckIvfCtes, mr AS (
          |  SELECT c.vec_id AS qid, a.nid, MIN(c.rn) AS mr
          |  FROM cranked c JOIN assigned a ON a.cell = c.cell
+         |  WHERE c.rn <= 4 AND c.vec_id < 10 AND a.nid <> c.vec_id
+         |  GROUP BY c.vec_id, a.nid
+         |), pscored AS (
+         |  SELECT m.qid, m.nid, m.mr, ${duckCos("a", "b")} AS cos
+         |  FROM mr m JOIN embeddings a ON a.vec_id = m.qid
+         |    JOIN embeddings b ON b.vec_id = m.nid
+         |), sw AS (
+         |${sweep(1)}
+         |  UNION ALL
+         |${sweep(2)}
+         |  UNION ALL
+         |${sweep(4)}
+         |), ex AS (
+         |  SELECT qid, nid FROM (
+         |    SELECT q.vec_id AS qid, e.vec_id AS nid,
+         |      ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY ${duckCos("q", "e")} DESC, e.vec_id ASC) AS rn
+         |    FROM embeddings q JOIN embeddings e ON e.vec_id <> q.vec_id
+         |    WHERE q.vec_id < 10
+         |  ) WHERE rn <= 5
+         |), tc AS (
+         |  SELECT qid, COUNT(*) AS n_exact FROM ex GROUP BY qid
+         |), h AS (
+         |  SELECT s.np, e.qid, COUNT(*) AS n_hits
+         |  FROM ex e JOIN sw s ON s.qid = e.qid AND s.nid = e.nid
+         |  GROUP BY s.np, e.qid
+         |), grid AS (
+         |  SELECT np, qid, n_exact FROM tc CROSS JOIN (SELECT unnest([1, 2, 4]) AS np)
+         |)
+         |SELECT CAST(grid.np AS BIGINT) AS nprobe, grid.qid, grid.n_exact,
+         |  CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+         |  CAST(COALESCE(h.n_hits, 0) AS DOUBLE) / CAST(grid.n_exact AS DOUBLE) AS recall_at_5
+         |FROM grid LEFT JOIN h ON h.np = grid.np AND h.qid = grid.qid
+         |ORDER BY nprobe, grid.qid""".stripMargin
+    },
+
+    // e19's sweep tail on duckSemCtes' cranked ranking (same centroids,
+    // same ordering — byte-identical ranks) with the index and probe
+    // sides filtered to matching derived sub ids (sem_vsub)
+    "e21_ivf_subcell_sweep" -> {
+      def sweep(np: Int): String =
+        s"""  SELECT $np AS np, qid, nid FROM (
+           |    SELECT qid, nid,
+           |      ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, nid ASC) AS rn
+           |    FROM pscored WHERE mr <= $np) WHERE rn <= 5""".stripMargin
+      s"""WITH $duckSemCtes, sasg AS (
+         |  SELECT s.vec_id AS nid, s.cell, v.sub
+         |  FROM sem_cranked s JOIN sem_vsub v USING (vec_id)
+         |  WHERE s.rn <= 2
+         |), mr AS (
+         |  SELECT c.vec_id AS qid, a.nid, MIN(c.rn) AS mr
+         |  FROM sem_cranked c
+         |  JOIN sem_qprobe cv ON cv.vec_id = c.vec_id
+         |  JOIN sasg a ON a.cell = c.cell AND a.sub = cv.sub
          |  WHERE c.rn <= 4 AND c.vec_id < 10 AND a.nid <> c.vec_id
          |  GROUP BY c.vec_id, a.nid
          |), pscored AS (

@@ -375,6 +375,17 @@ class SimilaritySpec extends SparkSpec {
     assert(got.getLong(4) === 0L, "no new edges at the fixed point")
   }
 
+  test("e21 sub-cell sweep: equals e19 row-for-row at the fixture (derivation yields b = 0)") {
+    // parity by construction: below the tuning point the derived sub id
+    // is the constant 0, so the (cell, sub) index IS the (cell) index —
+    // a divergence here means the sub-split changed semantics where the
+    // derivation promised the identity split
+    val e19 = Similarity.queries("e19_ivf_probe_sweep")(spark, sfDir).collect().toSeq
+    val e21 = Similarity.queries("e21_ivf_subcell_sweep")(spark, sfDir).collect().toSeq
+    assert(e21 === e19)
+    assert(e19.nonEmpty)
+  }
+
   test("e18b converge: round 1 IS e18's audit; n_improved falls round over round") {
     val two = Similarity.queries("e18b_nn_descent_converge")(spark, sfDir)
       .collect().sortBy(_.getLong(0))
