@@ -48,7 +48,9 @@ object PlanDump {
     "z06_bloom_skipping" -> "bloom skipping audit (hash once per distinct key, bit-keyed joins, metadata-sized manifest)",
     "t32_source_divergence" -> "source divergence (decomposed TV sum: one vocab-keyed pair join, decimal products)",
     "e19_ivf_probe_sweep" -> "IVF probe sweep (one shared candidate generation; the three sweeps are filters over it)",
-    "m13_multimodal_pack" -> "multimodal packing (one scan, source-partitioned prefix-sum window, integer costs)")
+    "m13_multimodal_pack" -> "multimodal packing (one scan, source-partitioned prefix-sum window, integer costs)",
+    "e21_ivf_subcell_sweep" -> "derived-sub-cell IVF sweep ((cell, sub)-keyed candidate join, Hamming-1 probe explode)",
+    "e18b_nn_descent_converge" -> "two-round NN-descent (scratch-scan carry between rounds, bounded top-k agg)")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.001"
