@@ -230,6 +230,15 @@ object Curation {
     // ceil/floor division, so the whole manifest is hash-exact.
     "p09_epoch_plan" -> ((s, dir) => epochPlan(Tables.documents(s, dir))),
 
+    // α-SAMPLING MIXTURE PLAN — the third leg of mixture planning (p08
+    // caps per pass, p09 plans repeats, p12 sets the RATES): sample
+    // each source ∝ n_tokens^(1/2), the temperature-flattening rule
+    // multilingual pretraining uses so head sources stop drowning tail
+    // sources. Integer weights (floor∘sqrt — engine-identical),
+    // decimal(38,0) allocation, per-source rate in ppm. See
+    // alphaMixture for the at-scale argument.
+    "p12_alpha_mixture" -> ((s, dir) => alphaMixture(Tables.documents(s, dir))),
+
     // CURRICULUM PLAN — the ORDERING complement to p08 (per-pass caps)
     // and p09 (epoch counts): phase the corpus easy → hard by per-token
     // surprisal so a scheduler can front-load predictable text. Phases
@@ -426,6 +435,39 @@ object Curation {
       .withColumn("deficit_tokens", col("target_tokens") - col("planned_tokens"))
       .withColumn("utilization",
         col("planned_tokens").cast("double") / col("target_tokens").cast("double"))
+      .orderBy("source")
+  }
+
+  /** p12 core: the α = 1/2 temperature-flattened sampling plan — the
+    * standard multilingual/multi-source rebalancing rule (sample source
+    * s with probability ∝ n_s^α): big sources flatten toward each
+    * other, small sources up-weight, without p08's hard cap. weight =
+    * floor(sqrt(n_tokens)): IEEE sqrt is correctly rounded and token
+    * counts are exact doubles far past any fixture, so floor∘sqrt is
+    * bit-identical in both engines — the property the hash gate needs
+    * (a true isqrt off-by-one near 2^52 would change a weight by 1 and
+    * nothing about the plan's meaning). Allocation arithmetic runs in
+    * decimal(38,0) (budget·weight overflows int64 at real token
+    * scales — the a10/a11 discipline); planned tokens cap at the
+    * source's own mass (repeats are p09's job), so rate_ppm ≤ 10⁶ by
+    * construction. Scale shape: one token scan into a |sources|-row
+    * frame; everything after is metadata-sized.
+    */
+  private[operators] def alphaMixture(docs: DataFrame): DataFrame = {
+    val src = docs
+      .select(col("source"), tokenCountWs(col("text")).as("nt"))
+      .filter(col("nt") > 0)
+      .groupBy("source").agg(sum("nt").as("n_tokens"))
+      .withColumn("weight", floor(sqrt(col("n_tokens").cast("double"))).cast("long"))
+    val tot = src.agg(sum("n_tokens").as("tot"), sum("weight").as("w_total"))
+      .select(expr("tot div 2").as("budget"), col("w_total"))
+    src.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_tokens"), col("weight"),
+        least(
+          expr("CAST(CAST(budget AS DECIMAL(38,0)) * weight DIV w_total AS BIGINT)"),
+          col("n_tokens")).as("planned_tokens"))
+      .withColumn("rate_ppm",
+        expr("CAST(CAST(planned_tokens AS DECIMAL(38,0)) * 1000000 DIV n_tokens AS BIGINT)"))
       .orderBy("source")
   }
 
@@ -769,6 +811,35 @@ object Curation {
          |  LEAST(target_tokens, epochs * n_tokens) AS planned_tokens,
          |  target_tokens - LEAST(target_tokens, epochs * n_tokens) AS deficit_tokens,
          |  LEAST(target_tokens, epochs * n_tokens)::DOUBLE / target_tokens::DOUBLE AS utilization
+         |FROM pl ORDER BY source""".stripMargin,
+
+    // p09's token CTE, then floor(sqrt(·)) weights and the HUGEINT
+    // allocation — every integer step restated, the two divisions
+    // floor-divs in both engines
+    "p12_alpha_mixture" ->
+      s"""WITH st AS (
+         |  SELECT source,
+         |    CAST(SUM(len(list_filter(string_split(lower(text), ' '), w -> len(w) > 0))) AS BIGINT)
+         |      AS n_tokens
+         |  FROM documents
+         |  GROUP BY source
+         |  HAVING SUM(len(list_filter(string_split(lower(text), ' '), w -> len(w) > 0))) > 0
+         |), w AS (
+         |  SELECT source, n_tokens,
+         |    CAST(floor(sqrt(n_tokens::DOUBLE)) AS BIGINT) AS weight
+         |  FROM st
+         |), tg AS (
+         |  SELECT CAST(SUM(n_tokens) // 2 AS BIGINT) AS budget,
+         |    CAST(SUM(weight) AS BIGINT) AS w_total
+         |  FROM w
+         |), pl AS (
+         |  SELECT source, n_tokens, weight,
+         |    LEAST(CAST(CAST(budget AS HUGEINT) * weight // w_total AS BIGINT), n_tokens)
+         |      AS planned_tokens
+         |  FROM w CROSS JOIN tg
+         |)
+         |SELECT source, n_tokens, weight, planned_tokens,
+         |  CAST(CAST(planned_tokens AS HUGEINT) * 1000000 // n_tokens AS BIGINT) AS rate_ppm
          |FROM pl ORDER BY source""".stripMargin,
 
     // d01's keeper + d07's shared closure (duckClusterCtes) as flags on

@@ -32,6 +32,22 @@ object Dedup {
   val RowsPerBand = MinHashK / Bands
   val JaccardThreshold = 0.8
 
+  /** d16: calibration signature width (its OWN narrow sketch, k = 16
+    * with 1-row bands — a pair is a candidate iff ANY min value agrees,
+    * P = 1 − (1 − J)^16, reaching down to J ≈ 0.1) and the per-hash
+    * mix keys Spark's MinHashSignature derives by iterating splitmix64
+    * from the seed — surfaced here so the DuckDB oracle can embed the
+    * SAME keys as literals and restate the sketch hash-for-hash.
+    */
+  val CalibK = 16
+  private[operators] lazy val calibMixKeys: Seq[String] = {
+    var s = 42L
+    (0 until CalibK).map { _ =>
+      s = graft.functions.VectorFunctions.splitmix64(s)
+      java.lang.Long.toUnsignedString(s)
+    }
+  }
+
   /** Bucket-width cap for every LSH/SimHash bucket stage: a degenerate
     * band key (boilerplate-heavy corpus, constant field) would otherwise
     * make one bucket's array — and its n² pair fan-out — arbitrarily
@@ -451,6 +467,61 @@ object Dedup {
     "d03_minhash_lsh" -> ((s, dir) =>
       nearDupPairs(s, dir).orderBy("id_a", "id_b")),
 
+    // MINHASH CALIBRATION CURVE — the sketch-quality report a dedup
+    // operator reads before trusting estimated Jaccard as a dedup
+    // signal: over ANY-min-agrees candidate pairs (k = 16, 1-row
+    // bands, the d03 bucket cap), bucket pairs by their signature
+    // agreement count and compare the estimator (n_agree/k) against
+    // the EXACT shingle Jaccard per bucket. Estimator arithmetic is
+    // integer (agreement counts, ppb fixed-point via integer div);
+    // the per-bucket exact mean sums floor(|I|·10⁹/|U|) integers —
+    // order-free, so the whole curve gates hash-exactly. The oracle
+    // restates the SKETCH itself (xxh64 string hash → per-hash
+    // splitmix64 with the same derived mix keys → SIGNED min), not
+    // just the pair semantics — the d03 oracle's brute-force shortcut
+    // would prove nothing about the estimator. Scale shape: sketching
+    // is scan-speed, candidates are capped-bucket-join-bounded, and
+    // the output is ≤ k+1 rows.
+    "d16_minhash_calibration" -> ((s, dir) => {
+      val sk = graft.Materialize(shingled(s, dir)
+        .select(col("doc_id"),
+          minhash_signature(col("sh"), CalibK).as("sig"),
+          sort_array(transform(col("sh"), g => xxhash64(g))).as("hsh")))
+      try {
+        val ex = sk.select(col("doc_id"), posexplode(col("sig")).as(Seq("j", "mv")))
+        val ok = ex.groupBy("j", "mv").agg(count(lit(1)).as("bsz"))
+          .filter(col("bsz") <= MaxBucket).select("j", "mv")
+        val bounded = ex.join(ok, Seq("j", "mv"))
+        val cand = bounded.select(col("doc_id").as("id_a"), col("j"), col("mv"))
+          .join(bounded.select(col("doc_id").as("id_b"), col("j"), col("mv")),
+            Seq("j", "mv"))
+          .filter(col("id_a") < col("id_b"))
+          .select("id_a", "id_b").distinct()
+        val scored = cand
+          .join(sk.select(col("doc_id").as("id_a"), col("sig").as("sig_a"),
+            col("hsh").as("hsh_a")), "id_a")
+          .join(sk.select(col("doc_id").as("id_b"), col("sig").as("sig_b"),
+            col("hsh").as("hsh_b")), "id_b")
+          .select(
+            aggregate(zip_with(col("sig_a"), col("sig_b"),
+                (x, y) => when(x === y, 1L).otherwise(0L)),
+              lit(0L), (acc, v) => acc + v).as("n_agree"),
+            expr("""CAST(size(array_intersect(hsh_a, hsh_b)) AS BIGINT) * 1000000000
+                   | DIV CAST(size(array_union(hsh_a, hsh_b)) AS BIGINT)""".stripMargin)
+              .as("exact_ppb"))
+        scored.groupBy("n_agree")
+          .agg(count(lit(1)).as("n_pairs"),
+            sum(col("exact_ppb").cast("decimal(38,0)")).as("sum_ppb"))
+          .select(col("n_agree"),
+            expr(s"CAST(n_agree * 1000000000 DIV $CalibK AS BIGINT)")
+              .as("est_jaccard_ppb"),
+            col("n_pairs"),
+            (col("sum_ppb").cast("double") / col("n_pairs").cast("double")
+              / 1000000000.0).as("mean_exact_jaccard"))
+          .orderBy("n_agree")
+      } finally sk.unpersist()
+    }),
+
     // blocking on metadata (lang, source) instead of LSH: the classic
     // "cheap key first" candidate strategy. Exact Jaccard inside blocks,
     // global top-50 most-similar pairs. Shingles are hashed to int64
@@ -825,6 +896,65 @@ object Dedup {
         |WHERE len(a.sh) > 0 AND len(b.sh) > 0
         |  AND len(list_intersect(a.sh, b.sh))::DOUBLE / len(list_distinct(list_concat(a.sh, b.sh)))::DOUBLE >= 0.8
         |ORDER BY id_a, id_b""".stripMargin,
+
+    // the SKETCH restated hash-for-hash: xxh64 per distinct shingle
+    // (the d05-proven string chain), per-hash splitmix64 with the SAME
+    // derived mix keys as literals, SIGNED min per (doc, hash) — then
+    // the 1-row-band candidates, capped buckets, agreement counts, and
+    // the integer fixed-point exact side
+    "d16_minhash_calibration" -> {
+      val keyRows = calibMixKeys.zipWithIndex
+        .map { case (k, j) => s"($j, CAST('$k' AS HUGEINT))" }.mkString(", ")
+      s"""WITH tok AS (
+         |  SELECT doc_id, list_filter(string_split(lower(text), ' '), w -> len(w) > 0) AS w
+         |  FROM documents
+         |), shd AS MATERIALIZED (
+         |  SELECT doc_id,
+         |    list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w) - 1)]) AS sh
+         |  FROM tok WHERE len(w) >= 3
+         |), docsh AS MATERIALIZED (
+         |  SELECT doc_id, unnest(sh) AS g FROM shd
+         |), gr AS (
+         |  SELECT g AS gid, g FROM (SELECT DISTINCT g FROM docsh)
+         |), ${DuckHash.xxh64StrCtes()}, mk AS (
+         |  SELECT * FROM (VALUES $keyRows) mk(j, mkey)
+         |), ids AS (
+         |  SELECT h.gid, mk.j,
+         |    CAST(xor(CAST(h.hv AS UBIGINT), CAST(mk.mkey AS UBIGINT)) AS HUGEINT) AS x
+         |  FROM gh h, mk
+         |), ${DuckHash.splitmix64Ctes("gid, j")}, sm AS (
+         |  SELECT gid, j, ${DuckHash.toSigned("sv")} AS mv FROM smixed
+         |), dmins AS MATERIALIZED (
+         |  SELECT d.doc_id, m.j, MIN(m.mv) AS mv
+         |  FROM docsh d JOIN sm m ON m.gid = d.g
+         |  GROUP BY d.doc_id, m.j
+         |), bok AS (
+         |  SELECT j, mv FROM dmins GROUP BY j, mv HAVING COUNT(*) <= $MaxBucket
+         |), cand AS MATERIALIZED (
+         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM dmins a JOIN bok USING (j, mv)
+         |  JOIN dmins b ON b.j = a.j AND b.mv = a.mv AND a.doc_id < b.doc_id
+         |), agree AS (
+         |  SELECT c.id_a, c.id_b, COUNT(*) AS n_agree
+         |  FROM cand c
+         |  JOIN dmins x ON x.doc_id = c.id_a
+         |  JOIN dmins y ON y.doc_id = c.id_b AND y.j = x.j AND y.mv = x.mv
+         |  GROUP BY c.id_a, c.id_b
+         |), ej AS (
+         |  SELECT c.id_a, c.id_b,
+         |    len(list_intersect(sa.sh, sb.sh))::BIGINT * 1000000000
+         |      // len(list_distinct(list_concat(sa.sh, sb.sh)))::BIGINT AS exact_ppb
+         |  FROM cand c JOIN shd sa ON sa.doc_id = c.id_a JOIN shd sb ON sb.doc_id = c.id_b
+         |)
+         |SELECT a.n_agree,
+         |  CAST(a.n_agree * 1000000000 // $CalibK AS BIGINT) AS est_jaccard_ppb,
+         |  COUNT(*) AS n_pairs,
+         |  CAST(SUM(e.exact_ppb) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) / 1000000000.0
+         |    AS mean_exact_jaccard
+         |FROM agree a JOIN ej e USING (id_a, id_b)
+         |GROUP BY a.n_agree
+         |ORDER BY n_agree""".stripMargin
+    },
 
     // brute force over ALL pairs — the exactness claim of the prefix
     // filter is precisely that it equals this quadratic reference.

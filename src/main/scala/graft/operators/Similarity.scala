@@ -464,7 +464,7 @@ object Similarity {
     * embeddings BY PAIR KEY instead duplicates each vector ~2·pairs/N
     * times, the measured 80 GB r7 disk kill). One row per (vid, nid).
     */
-  private def lshCarryScored(e: DataFrame): DataFrame = {
+  private[operators] def lshCarryScored(e: DataFrame): DataFrame = {
     val ex = e
       .withColumn("buckets",
         hyperplane_lsh_multi(col("embedding"), derivedLshBits(e.count()), 48, 64, seed = 7L))
@@ -519,7 +519,7 @@ object Similarity {
     * oracle's ROW_NUMBER. `scored` must be one row per (vid, nid).
     * Shared by e18's single round and e18b's convergence loop.
     */
-  private def nnTopkLists(scored: DataFrame, k: Int): DataFrame = {
+  private[operators] def nnTopkLists(scored: DataFrame, k: Int): DataFrame = {
     import graft.functions.TopKAggregator.top_k
     scored.groupBy("vid").agg(top_k(col("cos_sim"), col("nid"), k).as("tk"))
       .select(col("vid"), explode(col("tk")).as("s"))

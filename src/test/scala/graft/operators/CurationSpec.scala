@@ -186,6 +186,39 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("p12 alpha mixture: isqrt weights, budget conservation, rates flatten the head") {
+    val rows = Curation.queries("p12_alpha_mixture")(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, n, w, planned, ppm) =>
+      // weight is the integer sqrt (fixture counts are far below 2^52)
+      assert(w * w <= n && (w + 1) * (w + 1) > n, s"weight $w is not isqrt($n)")
+      assert(planned <= n, "a source never plans more tokens than it has")
+      assert(ppm >= 0L && ppm <= 1000000L)
+    }
+    val budget = rows.map(_._2).sum / 2
+    assert(rows.map(_._4).sum <= budget, "allocations never exceed the budget")
+  }
+
+  test("p12 closed form: skewed sources — small ones cap at their mass, the head flattens") {
+    import spark.implicits._
+    // n = 100 / 2500 / 160000 → isqrt weights 10 / 50 / 400, Σw = 460,
+    // budget = 162600 div 2 = 81300. α-shares 1767 / 8836 / 70695: the
+    // two small sources' shares EXCEED their mass (the α < 1 up-weight)
+    // so they cap at 100 % rate; the head takes 70695 of its 160000 —
+    // rate 441843 ppm. Exact integer arithmetic end to end.
+    val docs = Seq(
+      ("tiny", ("x " * 100).trim),
+      ("mid", ("x " * 2500).trim),
+      ("big", ("x " * 16000).trim)) ++ (1 to 9).map(i => ("big", ("x " * 16000).trim))
+    val got = Curation.alphaMixture(docs.toDF("source", "text")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(got.toSeq === Seq(
+      ("big", 160000L, 400L, 70695L, 441843L),
+      ("mid", 2500L, 50L, 2500L, 1000000L),
+      ("tiny", 100L, 10L, 100L, 1000000L)))
+  }
+
   test("p09: zero-token docs don't create a source; all-empty source absent") {
     import spark.implicits._
     val got = Curation.epochPlan(Seq(

@@ -329,6 +329,33 @@ class DedupSpec extends SparkSpec {
     assert(!out.contains(5L), "docs shorter than W contribute no windows")
   }
 
+  test("d16 calibration: estimator monotone — mean exact jaccard rises with agreement count") {
+    val rows = Dedup.queries("d16_minhash_calibration")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(_._1)
+    assert(rows.nonEmpty)
+    // est side is pure integer fixed-point: n_agree·10⁹ div 16
+    rows.foreach { case (na, est, _, _) =>
+      assert(est === na * 1000000000L / Dedup.CalibK)
+      assert(na >= 1L && na <= Dedup.CalibK, "candidates agree on >= 1 hash by construction")
+    }
+    // calibration: higher signature agreement ⇒ higher true jaccard.
+    // Trend asserted on well-populated buckets only — a 9-pair bucket's
+    // mean is dominated by which few pairs landed there, not by the
+    // estimator (observed: the sparse n_agree=3/4 buckets swap order)
+    val popd = rows.filter(_._3 >= 50)
+    popd.sliding(2).foreach {
+      case Array((na1, _, _, m1), (na2, _, _, m2)) =>
+        assert(m2 > m1, s"mean exact jaccard must rise with n_agree ($na1:$m1 -> $na2:$m2)")
+      case _ => ()
+    }
+    // the two ends separate cleanly: sketch noise vs near-dup mass
+    assert(rows.head._4 < 0.1, s"lowest-agreement bucket must be background: ${rows.head}")
+    rows.filter(_._1 >= Dedup.CalibK - 2L).foreach { r =>
+      assert(r._4 >= 0.9, s">=14/16-agreement pairs must be near-dups: $r")
+    }
+  }
+
   test("d14 spectrum closed form: sizes 2,2,3,8 split into buckets 1 and 3 with exact shares") {
     import spark.implicits._
     val clusters = (Seq((1L, 10L), (2L, 10L), (3L, 20L), (4L, 20L),

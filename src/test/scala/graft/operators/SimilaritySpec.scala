@@ -386,6 +386,44 @@ class SimilaritySpec extends SparkSpec {
     assert(e19.nonEmpty)
   }
 
+  test("e18b mechanism: a refinement round does not lose true-kNN recall (and gains here)") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    // true top-k per vector (brute force — fine at sf0.001), then the
+    // recall of the LSH base lists vs the once-refined lists: the
+    // neighbor-of-neighbor join exists to BUY recall, so the round must
+    // not lose any (and on this corpus must strictly gain)
+    val e = graft.Tables.embeddings(spark, sfDir)
+    val k = Similarity.NnDescentK
+    val a = e.select(col("vec_id").as("vid"), col("embedding").as("ea"))
+    val b = e.select(col("vec_id").as("nid"), col("embedding").as("eb"))
+    val w = Window.partitionBy("vid").orderBy(col("cs").desc, col("nid").asc)
+    val truth = a.join(b, col("vid") =!= col("nid"))
+      .select(col("vid"), col("nid"),
+        graft.functions.VectorFunctions.cosine_similarity(col("ea"), col("eb")).as("cs"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+      .select("vid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recallOf(lists: org.apache.spark.sql.DataFrame): Double = {
+      val got = lists.select("vid", "nid").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      (truth & got).size.toDouble / truth.size
+    }
+    val knn0 = graft.Materialize(Similarity.nnTopkLists(Similarity.lshCarryScored(e), k))
+    try {
+      val und = knn0.select(col("vid").as("u"), col("nid").as("v"))
+        .unionAll(knn0.select(col("nid").as("u"), col("vid").as("v"))).distinct()
+      val non = und.select(col("u"), col("v").as("vid"))
+        .join(und.select(col("u"), col("v").as("nid")), "u")
+        .filter(col("vid") =!= col("nid")).select("vid", "nid")
+      val cand = non.unionAll(knn0.select("vid", "nid")).distinct()
+      val knn1 = Similarity.nnTopkLists(Similarity.scorePairs(e, cand), k)
+      val (r0, r1) = (recallOf(knn0), recallOf(knn1))
+      info(f"NN-descent true-kNN recall: base $r0%.3f -> refined $r1%.3f")
+      assert(r1 >= r0, s"a refinement round lost recall: $r0 -> $r1")
+      assert(r1 > r0, "on this corpus the local join must find missed neighbors")
+    } finally knn0.unpersist()
+  }
+
   test("e18b converge: round 1 IS e18's audit; n_improved falls round over round") {
     val two = Similarity.queries("e18b_nn_descent_converge")(spark, sfDir)
       .collect().sortBy(_.getLong(0))
