@@ -415,7 +415,11 @@ object ScaleProbe {
       // the derived-sub-cell IVF sweep: per-query candidates are
       // (b+1)·nprobe·occupancy — constant — so the probe measures the
       // corpus-linear index-build side
-      "e21_ivf_subcell_sweep")
+      "e21_ivf_subcell_sweep",
+      // round 10, second batch: the calibration sketch (scan-speed
+      // signatures, capped-bucket candidates, ≤ 17 output rows) and the
+      // α-mixture plan (one token scan into a |sources|-row frame)
+      "d16_minhash_calibration", "p12_alpha_mixture")
       // local iteration only: probe just a subset by name prefix
       .filter(n => sys.env.get("SPARK_GRAFT_ONLY")
         .forall(_.split(",").exists(n.startsWith)))
