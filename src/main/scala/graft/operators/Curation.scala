@@ -471,6 +471,39 @@ object Curation {
       .orderBy("source")
   }
 
+  /** p12's full derivation as a DuckDB CTE chain ending in
+    * `arates(source, n_tokens, weight, planned_tokens, rate_ppm)` —
+    * shared by the p12 oracle and s26's streaming-admission oracle so
+    * the plan and its enforcement cannot drift. `a`-prefixed names to
+    * stay collision-free inside larger oracles.
+    */
+  private[graft] val duckAlphaCtes: String =
+    """ast AS (
+      |  SELECT source,
+      |    CAST(SUM(len(list_filter(string_split(lower(text), ' '), w -> len(w) > 0))) AS BIGINT)
+      |      AS n_tokens
+      |  FROM documents
+      |  GROUP BY source
+      |  HAVING SUM(len(list_filter(string_split(lower(text), ' '), w -> len(w) > 0))) > 0
+      |), aw AS (
+      |  SELECT source, n_tokens,
+      |    CAST(floor(sqrt(n_tokens::DOUBLE)) AS BIGINT) AS weight
+      |  FROM ast
+      |), atg AS (
+      |  SELECT CAST(SUM(n_tokens) // 2 AS BIGINT) AS budget,
+      |    CAST(SUM(weight) AS BIGINT) AS w_total
+      |  FROM aw
+      |), apl AS (
+      |  SELECT source, n_tokens, weight,
+      |    LEAST(CAST(CAST(budget AS HUGEINT) * weight // w_total AS BIGINT), n_tokens)
+      |      AS planned_tokens
+      |  FROM aw CROSS JOIN atg
+      |), arates AS (
+      |  SELECT source, n_tokens, weight, planned_tokens,
+      |    CAST(CAST(planned_tokens AS HUGEINT) * 1000000 // n_tokens AS BIGINT) AS rate_ppm
+      |  FROM apl
+      |)""".stripMargin
+
   /** p07 core over any (doc_id, source, text) frame — extracted so the
     * gate PRECEDENCE (a doc failing several gates reports the FIRST;
     * eval holdout outranks everything) is unit-testable on crafted
@@ -815,32 +848,11 @@ object Curation {
 
     // p09's token CTE, then floor(sqrt(·)) weights and the HUGEINT
     // allocation — every integer step restated, the two divisions
-    // floor-divs in both engines
+    // floor-divs in both engines; chain shared with s26 via duckAlphaCtes
     "p12_alpha_mixture" ->
-      s"""WITH st AS (
-         |  SELECT source,
-         |    CAST(SUM(len(list_filter(string_split(lower(text), ' '), w -> len(w) > 0))) AS BIGINT)
-         |      AS n_tokens
-         |  FROM documents
-         |  GROUP BY source
-         |  HAVING SUM(len(list_filter(string_split(lower(text), ' '), w -> len(w) > 0))) > 0
-         |), w AS (
-         |  SELECT source, n_tokens,
-         |    CAST(floor(sqrt(n_tokens::DOUBLE)) AS BIGINT) AS weight
-         |  FROM st
-         |), tg AS (
-         |  SELECT CAST(SUM(n_tokens) // 2 AS BIGINT) AS budget,
-         |    CAST(SUM(weight) AS BIGINT) AS w_total
-         |  FROM w
-         |), pl AS (
-         |  SELECT source, n_tokens, weight,
-         |    LEAST(CAST(CAST(budget AS HUGEINT) * weight // w_total AS BIGINT), n_tokens)
-         |      AS planned_tokens
-         |  FROM w CROSS JOIN tg
-         |)
-         |SELECT source, n_tokens, weight, planned_tokens,
-         |  CAST(CAST(planned_tokens AS HUGEINT) * 1000000 // n_tokens AS BIGINT) AS rate_ppm
-         |FROM pl ORDER BY source""".stripMargin,
+      s"""WITH $duckAlphaCtes
+         |SELECT source, n_tokens, weight, planned_tokens, rate_ppm
+         |FROM arates ORDER BY source""".stripMargin,
 
     // d01's keeper + d07's shared closure (duckClusterCtes) as flags on
     // one token frame; SUMs cast back to BIGINT

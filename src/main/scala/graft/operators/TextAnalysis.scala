@@ -1791,7 +1791,7 @@ object TextAnalysis {
   * doesn't take HUGEINT). mul64 splits each operand at 2^32 so no
   * intermediate exceeds 2^65 — wrapping 64×64 multiply without overflow.
   */
-private[operators] object DuckHash {
+private[graft] object DuckHash {
   /** 2^64 as a DuckDB HUGEINT literal. */
   val T = "18446744073709551616"
 

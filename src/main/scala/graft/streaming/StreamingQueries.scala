@@ -761,6 +761,37 @@ object StreamingQueries {
         .agg(count(lit(1)).as("n"))
       graft.operators.Temporal.burstRollup(
         runToTable(m, OutputMode.Complete(), statePartitions = Some(8)))
+    }),
+
+    // STREAMING α-RATE ADMISSION — p12's mixture plan ENFORCED at the
+    // ingest edge: the batch-side plan (yesterday's corpus stats → per-
+    // source rate_ppm) joins the document stream STREAM-STATIC and
+    // admission is the p08 hash-threshold discipline — admit iff
+    // pmod(xxhash64(doc_id), 10⁶) < rate_ppm. Stateless per row (the
+    // rates broadcast; no state store beyond the Complete-mode tally),
+    // deterministic under task retry AND arrival order (the hash is row
+    // identity), so the streamed admission equals the batch predicate
+    // and ONE oracle gates plan + enforcement together — the
+    // plan/enforcement pair cannot drift (the s24/s25 parity-by-
+    // construction discipline). Expected admitted tokens ≈
+    // planned_tokens source by source; that closeness is d16-style
+    // estimator honesty and is what the report surfaces.
+    "s26_stream_alpha_admit" -> ((s, dir) => {
+      import graft.functions.TextFunctions.tokenCountWs
+      val rates = graft.operators.Curation.queries("p12_alpha_mixture")(s, dir)
+        .select(col("source"), col("rate_ppm"))
+      val agg = documentsStream(s, dir)
+        .select(col("doc_id"), col("source"), tokenCountWs(col("text")).as("nt"))
+        .filter(col("nt") > 0)
+        .join(broadcast(rates), "source")
+        .filter(pmod(xxhash64(col("doc_id")), lit(1000000L)) < col("rate_ppm"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_admitted"), sum("nt").as("admitted_tokens"))
+      runToTable(agg, OutputMode.Complete(), statePartitions = Some(8))
+        .join(rates, "source")
+        .select(col("source"), col("rate_ppm"), col("n_admitted"),
+          col("admitted_tokens"))
+        .orderBy("source")
     })
   )
 
@@ -1187,6 +1218,29 @@ object StreamingQueries {
 
     // a19's SQL verbatim — the streaming agg + shared rollup must land
     // on exactly the batch answer
-    "s25_stream_burst" -> graft.operators.Temporal.oracles("a19_burst_flags")
+    "s25_stream_burst" -> graft.operators.Temporal.oracles("a19_burst_flags"),
+
+    // p12's shared rate chain (duckAlphaCtes) + p08's xxhash64 signed
+    // pmod — plan and enforcement in ONE statement
+    "s26_stream_alpha_admit" ->
+      s"""WITH ${graft.operators.Curation.duckAlphaCtes}, ids AS (
+         |  SELECT doc_id, doc_id AS x FROM documents
+         |), ${graft.operators.DuckHash.xxhash64LongCtes("doc_id")}, tk AS (
+         |  SELECT doc_id, source,
+         |    CAST(len(list_filter(string_split(lower(text), ' '), w -> len(w) > 0)) AS BIGINT) AS nt
+         |  FROM documents
+         |), adm AS (
+         |  SELECT t.source, t.nt
+         |  FROM tk t
+         |  JOIN hashed h USING (doc_id)
+         |  JOIN arates r USING (source)
+         |  WHERE t.nt > 0 AND ((h.hv % 1000000) + 1000000) % 1000000 < r.rate_ppm
+         |)
+         |SELECT a.source, r.rate_ppm,
+         |  COUNT(*) AS n_admitted,
+         |  CAST(SUM(a.nt) AS BIGINT) AS admitted_tokens
+         |FROM adm a JOIN arates r USING (source)
+         |GROUP BY a.source, r.rate_ppm
+         |ORDER BY a.source""".stripMargin
   )
 }
