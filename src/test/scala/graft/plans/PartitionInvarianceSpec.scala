@@ -89,7 +89,45 @@ class PartitionInvarianceSpec extends SparkSpec {
     // full-outer classification (v05), and the asymmetric bucket join +
     // struct-max top-1 (e13)
     "z04_partition_pruning", "v05_snapshot_diff",
-    "e13_incremental_embedding_dedup")
+    "e13_incremental_embedding_dedup",
+    // round 8: integer surprisal + vocab join (t25), split-leakage label
+    // joins over banded pairs (p06), deletion windows (v06), the 5-NN
+    // integer vote (e14), the anti-join peel loop (g05), depth audit
+    // arithmetic (z05), recall joins (e15), fertility ratios (t26),
+    // history-pass retention math (v07), five-gate precedence (p07)
+    "t25_surprisal_score", "p06_split_leakage", "v06_delete_propagation",
+    "e14_knn_label_propagation", "g05_kcore", "z05_overlap_depth",
+    "e15_ann_recall_eval", "t26_pretokenize", "v07_vacuum_plan",
+    "p07_release_manifest",
+    // round 9: indexed hybrid rank fusion (e12b), the 8-round damped
+    // PageRank scratch carry (g02b), BPE merge/apply/train (t27/t28/t29
+    // — winner argmax + replace must hold under reshuffle), the
+    // hash-threshold sample (p08), greedy coverage layers (e16),
+    // decimal assortativity ratios (g06), salt/balance plan arithmetic
+    // (k04/k05), triangle-credit histograms (g07/g09/g10), IVF census +
+    // sweeps (e17/e19), bigram surprisal (t30), epoch plan (p09),
+    // provenance matrix (d13), 12-round CC profile (g08), NN-descent
+    // audit (e18), zipf buckets (t31), multimodal pack prefix sums
+    // (m13), curriculum phases (p10), burst flags (a19), bloom skipping
+    // (z06), divergence matrix (t32), cluster spectrum (d14), dedup
+    // yield (p11), last-touch attribution (a20), semdedup sweep (e20)
+    "e12b_hybrid_rrf_indexed", "g02b_pagerank_profile", "t27_bpe_merge_step",
+    "t28_bpe_apply", "t29_bpe_train", "p08_source_cap_sample",
+    "e16_coverage_select", "g06_assortativity", "k04_salt_plan",
+    "k05_hash_balance", "g07_local_clustering", "g09_degree_spectrum",
+    "g10_projection_cost", "e17_ivf_balance", "e19_ivf_probe_sweep",
+    "t30_bigram_surprisal", "p09_epoch_plan", "d13_cross_source_dup_matrix",
+    "g08_cc_profile", "e18_nn_descent_round", "t31_zipf_spectrum",
+    "m13_multimodal_pack", "p10_curriculum_plan", "a19_burst_flags",
+    "z06_bloom_skipping", "t32_source_divergence", "d14_cluster_size_spectrum",
+    "p11_dedup_yield", "a20_attribution", "e20_semdedup_sweep",
+    // round 10: the derived-sub-cell sweep (e21 — the Hamming-1 probe
+    // explode and every rank tie-break must hold), the two-round
+    // NN-descent loop (e18b — scratch carry under reshuffle), the
+    // calibration curve (d16 — signed min-hash mins + capped buckets),
+    // and the α-mixture plan (p12 — isqrt + decimal allocation)
+    "e21_ivf_subcell_sweep", "e18b_nn_descent_converge",
+    "d16_minhash_calibration", "p12_alpha_mixture")
 
   private def runAt(name: String, parts: Int): Seq[String] = {
     val old = spark.conf.get("spark.sql.shuffle.partitions")
