@@ -86,6 +86,38 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_tokens"), sum("bits").as("sum_bits"), max("nb").as("nb"))
   }
 
+  /** t33 core over any (doc_id, source, text) frame — extracted so the
+    * OOV rule and the shift direction are unit-testable on crafted
+    * splits (the fixture is IID by construction, so its report correctly
+    * shows no shift). */
+  private[operators] def splitShift(docs: DataFrame): DataFrame = {
+    val bucket = pmod(xxhash64(col("doc_id")), lit(100))
+    val toks = docs
+      .select(col("doc_id"), col("source"),
+        when(bucket < 80, "train").when(bucket < 90, "val")
+          .otherwise("test").as("split"),
+        explode(filter(split(lower(col("text")), " "), w => length(w) > 0)).as("tok"))
+    val freq = toks.filter(col("split") === "train")
+      .groupBy("tok").agg(count(lit(1)).as("cf"))
+    val tot = freq.agg(sum("cf").as("n"))
+      .select((length(bin(col("n"))) - 1).cast("long").as("nb"))
+    toks.join(freq, Seq("tok"), "left")
+      .crossJoin(broadcast(tot))
+      .select(col("split"), col("source"),
+        when(col("cf").isNull, col("nb") + lit(1L))
+          .otherwise((col("nb") - (length(bin(col("cf"))) - 1)).cast("long")).as("bits"),
+        col("cf").isNull.as("oov"))
+      .groupBy("split", "source")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("oov"), 1L).otherwise(0L)).as("n_oov"),
+        sum("bits").as("sum_bits"))
+      .select(col("split"), col("source"), col("n_tokens"), col("n_oov"),
+        col("sum_bits"),
+        (col("sum_bits").cast("double") / col("n_tokens").cast("double"))
+          .as("mean_bits"))
+      .orderBy("split", "source")
+  }
+
   private[operators] def surprisalScore(docs: DataFrame): DataFrame = {
     surprisalPerDoc(docs)
       .select(col("doc_id"), col("n_tokens"), col("sum_bits"),
@@ -708,6 +740,21 @@ object TextAnalysis {
     // one vocabulary-keyed shuffle that map-side combines, and the
     // 1-row corpus total rides a broadcast.
     "t25_surprisal_score" -> ((s, dir) => surprisalScore(Tables.documents(s, dir))),
+
+    // SPLIT DISTRIBUTION-SHIFT REPORT — the QA table a pipeline reads
+    // after t06's split: train a unigram surprisal model on the TRAIN
+    // split only (t25's integer-bitlength bits against the train token
+    // mass), score every split with it, and report per (split, source)
+    // token counts, OOV counts (val/test tokens unseen in train — the
+    // shift signal itself), and mean bits/token. A val split that reads
+    // systematically "more surprising" than train under the train model
+    // IS distribution shift; per-source rows localize it. OOV tokens
+    // take nb+1 bits — one more than the rarest seen token (cf = 1 ⇒
+    // nb bits), the deterministic integer smoothing rule both engines
+    // state identically. Scale shape: one token scan, a vocab-keyed
+    // LEFT join (t25's shape), a |splits×sources|-row agg; the model
+    // side is map-side-combined and vocabulary-sized.
+    "t33_split_shift" -> ((s, dir) => splitShift(Tables.documents(s, dir))),
 
     // PRETOKENIZER FERTILITY — the token-economics audit run before a
     // corpus goes to a trainer: segment with a BPE-style pretokenizer
@@ -1676,6 +1723,40 @@ object TextAnalysis {
         |FROM sc
         |GROUP BY doc_id
         |ORDER BY doc_id""".stripMargin,
+
+    // t06's hash split + t25's bitlength bits with the train-only model;
+    // the OOV rule (nb + 1) restated on the LEFT join's null side
+    "t33_split_shift" ->
+      s"""WITH ids AS (
+         |  SELECT doc_id, doc_id AS x FROM documents
+         |), ${DuckHash.xxhash64LongCtes("doc_id")}, sp AS (
+         |  SELECT doc_id,
+         |    CASE WHEN ((hv % 100) + 100) % 100 < 80 THEN 'train'
+         |         WHEN ((hv % 100) + 100) % 100 < 90 THEN 'val'
+         |         ELSE 'test' END AS split
+         |  FROM hashed
+         |), tk AS (
+         |  SELECT d.doc_id, d.source, sp.split,
+         |    unnest(list_filter(string_split(lower(d.text), ' '), w -> len(w) > 0)) AS tok
+         |  FROM documents d JOIN sp USING (doc_id)
+         |), freq AS (
+         |  SELECT tok, COUNT(*) AS cf FROM tk WHERE split = 'train' GROUP BY tok
+         |), tot AS (
+         |  SELECT CAST(length(bin(CAST(SUM(cf) AS BIGINT))) - 1 AS BIGINT) AS nb FROM freq
+         |), sc AS (
+         |  SELECT t.split, t.source,
+         |    CASE WHEN f.cf IS NULL THEN tot.nb + 1
+         |         ELSE CAST(tot.nb - (length(bin(f.cf)) - 1) AS BIGINT) END AS bits,
+         |    f.cf IS NULL AS oov
+         |  FROM tk t LEFT JOIN freq f USING (tok) CROSS JOIN tot
+         |)
+         |SELECT split, source, COUNT(*) AS n_tokens,
+         |  CAST(SUM(CASE WHEN oov THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+         |  CAST(SUM(bits) AS BIGINT) AS sum_bits,
+         |  CAST(SUM(bits) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mean_bits
+         |FROM sc
+         |GROUP BY split, source
+         |ORDER BY split, source""".stripMargin,
 
     "t14_rare_token_ratio" ->
       s"""WITH toks AS (

@@ -448,4 +448,28 @@ class TextSpec extends SparkSpec {
     assert(got(3L) === ((2L, 0L, 0.0)))
     assert(got(4L) === ((2L, 1L, 0.5)), "'two three five' is doc 4's alone")
   }
+
+  test("t33 crafted shift: OOV val tokens take nb+1 bits and raise the val mean") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // pick REAL bucket assignments from the operator's own hash — ids
+    // are chosen at runtime so the crafted split can't drift from t06's
+    val buckets = spark.range(0, 2000)
+      .select(col("id"), pmod(xxhash64(col("id")), lit(100)).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val trainIds = buckets.collect { case (id, b) if b < 80 => id }.take(3).toSeq
+    val valId = buckets.collect { case (id, b) if b >= 80 && b < 90 => id }.head
+    val docs = (trainIds.map(id => (id, "s", "alpha beta alpha beta")) :+
+      ((valId, "s", "alpha zzz"))).toDF("doc_id", "source", "text")
+    val got = TextAnalysis.splitShift(docs).collect()
+      .map(r => r.getString(0) -> ((r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5))))
+      .toMap
+    // train model: alpha=6, beta=6, total 12 → nb=3; alpha bits 3-2=1
+    val (trN, trOov, trBits, trMean) = got("train")
+    assert((trN, trOov, trBits, trMean) === ((12L, 0L, 12L, 1.0)))
+    // val doc: alpha (1 bit) + OOV zzz (nb+1 = 4 bits)
+    val (vN, vOov, vBits, vMean) = got("val")
+    assert((vN, vOov, vBits) === ((2L, 1L, 5L)))
+    assert(vMean > trMean, "the OOV token must read as shift")
+  }
 }
