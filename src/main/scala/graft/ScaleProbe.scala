@@ -419,7 +419,15 @@ object ScaleProbe {
       // round 10, second batch: the calibration sketch (scan-speed
       // signatures, capped-bucket candidates, ≤ 17 output rows) and the
       // α-mixture plan (one token scan into a |sources|-row frame)
-      "d16_minhash_calibration", "p12_alpha_mixture")
+      "d16_minhash_calibration", "p12_alpha_mixture",
+      // round 10, third batch: the streaming α-admission gate (stateless
+      // hash-threshold rows + a |sources|-row Complete-mode tally) and
+      // the split-shift report (one token scan + a vocab-keyed LEFT
+      // join — t25's shape with a null branch)
+      "s26_stream_alpha_admit", "t33_split_shift",
+      // int8 shortlist scan: the integer dots are the linear term, the
+      // exact re-rank is 40 rows per query at any corpus size
+      "e22_sq_rerank")
       // local iteration only: probe just a subset by name prefix
       .filter(n => sys.env.get("SPARK_GRAFT_ONLY")
         .forall(_.split(",").exists(n.startsWith)))

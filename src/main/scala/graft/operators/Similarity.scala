@@ -1288,6 +1288,55 @@ object Similarity {
         .orderBy("vec_id")
     }),
 
+    // SQ8 SCAN + EXACT RE-RANK — the OTHER serving-memory trick next to
+    // PQ (e10): score candidates against the int8-quantized corpus
+    // (e07's exact per-vector symmetric scheme), keep a top-40 shortlist
+    // by INTEGER dot product (BIGINT sums — commutative, exact,
+    // order-free: the one ranking arithmetic that needs no pinning), and
+    // re-rank only the shortlist against the full floats. At 100 TB the
+    // quantized table is 4× smaller than the float table (the scan is
+    // memory-bandwidth-bound, so that IS the speedup) and the integer
+    // dots vectorize; the shortlist bound caps exact-cosine work at
+    // 40 rows per query regardless of corpus size. Candidates here are
+    // the whole corpus (the e02-style bounded-query baseline); the
+    // composed production form probes e06's cells first and runs THIS
+    // scan inside them. Approximate vs e02 (int-dot ranking ignores
+    // norm variation) — recall pinned in SimilaritySpec; deterministic,
+    // so the whole pipeline gates hash-exactly.
+    "e22_sq_rerank" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val wv = Window.partitionBy("vec_id")
+      val q = e.select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim", "v")))
+        .withColumn("v", col("v").cast("double"))
+        .withColumn("maxabs", max(abs(col("v"))).over(wv))
+        .select(col("vec_id"), col("dim"),
+          floor(col("v") * 127.0 / col("maxabs")).as("qv"))
+        .groupBy("vec_id")
+        .agg(transform(sort_array(collect_list(struct(col("dim"), col("qv")))),
+          s => s.getField("qv")).as("q"))
+      val qq = q.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("q").as("q_a"))
+      val scoredInt = q.select(col("vec_id").as("nid"), col("q").as("q_b"))
+        .join(broadcast(qq), col("nid") =!= col("qid"))
+        .select(col("qid"), col("nid"),
+          aggregate(zip_with(col("q_a"), col("q_b"), (x, y) => x * y),
+            lit(0L), (acc, x) => acc + x).as("int_dot"))
+      val wTop = Window.partitionBy("qid").orderBy(col("int_dot").desc, col("nid").asc)
+      val shortlist = scoredInt
+        .withColumn("srn", row_number().over(wTop)).filter(col("srn") <= 40)
+        .select("qid", "nid", "int_dot")
+      val emb = e.select(col("vec_id").as("nid"), col("embedding").as("n_emb"))
+      val qemb = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding").as("q_emb"))
+      val wCos = Window.partitionBy("qid").orderBy(col("cos_sim").desc, col("nid").asc)
+      shortlist.join(emb, "nid").join(broadcast(qemb), "qid")
+        .select(col("qid"), col("nid"), col("int_dot"),
+          cosine_similarity(col("q_emb"), col("n_emb")).as("cos_sim"))
+        .withColumn("rn", row_number().over(wCos).cast("long"))
+        .filter(col("rn") <= 5)
+        .orderBy("qid", "rn")
+    }),
+
     // PRODUCT QUANTIZATION (PQ): the codebook compression behind
     // billion-vector ANN indexes (IVF-PQ) — split every vector into M=4
     // 16-dim subvectors, assign each to its nearest codeword in that
@@ -2091,6 +2140,37 @@ object Similarity {
          |FROM grid LEFT JOIN h ON h.np = grid.np AND h.qid = grid.qid
          |ORDER BY nprobe, grid.qid""".stripMargin
     },
+
+    // e07's proven quantization idiom (MAX(abs), floor(v·127/maxabs))
+    // assembled into lists; integer dots, top-40 by (int_dot, nid),
+    // exact-cosine re-rank of the shortlist only
+    "e22_sq_rerank" ->
+      s"""WITH x AS (
+         |  SELECT vec_id,
+         |    unnest([{'d': i - 1, 'v': embedding[i]::DOUBLE} for i in range(1, len(embedding)+1)]) AS u
+         |  FROM embeddings
+         |), mm AS (
+         |  SELECT vec_id, MAX(abs(u.v)) AS maxabs FROM x GROUP BY vec_id
+         |), qv AS (
+         |  SELECT x.vec_id, x.u.d AS d,
+         |    CAST(floor(x.u.v * 127.0 / m.maxabs) AS BIGINT) AS qv
+         |  FROM x JOIN mm m USING (vec_id)
+         |), ql AS (
+         |  SELECT vec_id, list(qv ORDER BY d) AS q FROM qv GROUP BY vec_id
+         |), dots AS (
+         |  SELECT a.vec_id AS qid, b.vec_id AS nid,
+         |    CAST(list_sum([a.q[i] * b.q[i] for i in range(1, len(a.q)+1)]) AS BIGINT) AS int_dot
+         |  FROM ql a JOIN ql b ON a.vec_id < 10 AND b.vec_id <> a.vec_id
+         |), sl AS (
+         |  SELECT qid, nid, int_dot,
+         |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY int_dot DESC, nid ASC) AS srn
+         |  FROM dots QUALIFY srn <= 40
+         |)
+         |SELECT s.qid, s.nid, s.int_dot, ${duckCos("a", "b")} AS cos_sim,
+         |  ROW_NUMBER() OVER (PARTITION BY s.qid ORDER BY ${duckCos("a", "b")} DESC, s.nid ASC) AS rn
+         |FROM sl s JOIN embeddings a ON a.vec_id = s.qid JOIN embeddings b ON b.vec_id = s.nid
+         |QUALIFY rn <= 5
+         |ORDER BY qid, rn""".stripMargin,
 
     "e06_ivf_ann" ->
       s"""WITH $duckIvfCtes, cand AS (

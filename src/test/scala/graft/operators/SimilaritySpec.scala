@@ -375,6 +375,32 @@ class SimilaritySpec extends SparkSpec {
     assert(got.getLong(4) === 0L, "no new edges at the fixed point")
   }
 
+  test("e22 SQ8 re-rank: top-5 recall vs brute force; shortlist re-rank scores are exact") {
+    import org.apache.spark.sql.functions.col
+    val brute = Similarity.queries("e02_ann_bruteforce")(spark, sfDir)
+      .filter(col("rn") <= 5).select("qid", "nid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val rows = Similarity.queries("e22_sq_rerank")(spark, sfDir).collect()
+    val sq = rows.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (brute & sq).size.toDouble / brute.size
+    info(s"SQ8 recall@5 = $recall (int8 top-40 shortlist, exact re-rank)")
+    // int8 symmetric quantization keeps relative dots to ~1% — a 40-row
+    // shortlist at N=500 should rarely lose a true top-5 neighbor
+    assert(recall >= 0.8, s"SQ8 recall $recall below 0.8")
+    // the surfaced cosine is the EXACT float cosine (re-rank contract)
+    val e = graft.Tables.embeddings(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    rows.take(20).foreach { r =>
+      val (a, b) = (e(r.getLong(0)), e(r.getLong(1)))
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) {
+        dot += a(i).toDouble * b(i).toDouble
+        na += a(i).toDouble * a(i).toDouble; nb += b(i).toDouble * b(i).toDouble
+      }
+      assert(r.getDouble(3) === dot / math.sqrt(na) / math.sqrt(nb))
+    }
+  }
+
   test("e21 sub-cell sweep: equals e19 row-for-row at the fixture (derivation yields b = 0)") {
     // parity by construction: below the tuning point the derived sub id
     // is the constant 0, so the (cell, sub) index IS the (cell) index —

@@ -127,7 +127,10 @@ class PartitionInvarianceSpec extends SparkSpec {
     // calibration curve (d16 — signed min-hash mins + capped buckets),
     // and the α-mixture plan (p12 — isqrt + decimal allocation)
     "e21_ivf_subcell_sweep", "e18b_nn_descent_converge",
-    "d16_minhash_calibration", "p12_alpha_mixture")
+    "d16_minhash_calibration", "p12_alpha_mixture",
+    // round 10 third batch: integer-dot shortlist + exact re-rank (e22)
+    // and the train-model LEFT join with the OOV null branch (t33)
+    "e22_sq_rerank", "t33_split_shift")
 
   private def runAt(name: String, parts: Int): Seq[String] = {
     val old = spark.conf.get("spark.sql.shuffle.partitions")
