@@ -606,8 +606,47 @@ object Temporal {
     "a20_attribution" -> ((s, dir) =>
       lastTouchAttribution(Tables.events(s, dir)
         .select(col("user_id"), col("event_id"),
-          col("ts").cast("long").as("ts_sec"), col("event_type"))))
+          col("ts").cast("long").as("ts_sec"), col("event_type")))),
+
+    // TIME-DECAYED ENGAGEMENT — the recency-weighted feature every
+    // ranking/feature-store pipeline maintains ("activity score with a
+    // 1-day half-life"), in EXACT integer arithmetic: each event's value
+    // snaps to a 2^-20 fixed-point grid (floor of an exact power-of-two
+    // product — bit-identical in any IEEE engine), then decays by
+    // INTEGER SHIFT — dfp div 2^(age div halflife) — instead of a float
+    // exp(-λt) whose summation order no engine pins. The decayed sum is
+    // a decimal(38,0) SUM of integers: commutative, partition-invariant,
+    // retry-safe. "now" is the corpus max timestamp (broadcast 1-row) so
+    // the answer is a pure function of the data. Nonnegative values make
+    // trunc-div ≡ floor-div, so both engines' integer division agrees (a
+    // signed-value corpus would spell the decay with explicit floor).
+    // Scale shape: one scan + one (user, type)-keyed map-side-combined
+    // agg — a08/a11's class.
+    "a21_decayed_engagement" -> ((s, dir) =>
+      decayedEngagement(Tables.events(s, dir)
+        .select(col("user_id"), col("event_type"),
+          col("ts").cast("long").as("ts_sec"), col("value"))))
   )
+
+  /** a21 half-life: one day of seconds. */
+  val DecayHalfLifeSec = 86400L
+
+  /** a21 core over (user_id, event_type, ts_sec, value) rows. */
+  private[operators] def decayedEngagement(e: DataFrame): DataFrame = {
+    val now = e.agg(max("ts_sec").as("now"))
+    e.crossJoin(broadcast(now))
+      .select(col("user_id"), col("event_type"),
+        expr(s"CAST(floor(value * 1048576.0) AS BIGINT) DIV " +
+          s"shiftleft(1L, CAST(LEAST((now - ts_sec) DIV $DecayHalfLifeSec, 62L) AS INT))")
+          .as("dfp"))
+      .groupBy("user_id", "event_type")
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("dfp").cast("decimal(38,0)")).as("sfp"))
+      .select(col("user_id"), col("event_type"), col("n_events"),
+        col("sfp").cast("long").as("decayed_fp"),
+        (col("sfp").cast("double") / 1048576.0).as("decayed_value"))
+      .orderBy("user_id", "event_type")
+  }
 
   /** a20 window seconds: a touch older than this is 'expired'. */
   val AttributionWindowSec = 3600L
@@ -766,6 +805,27 @@ object Temporal {
          |FROM p CROSS JOIN tot
          |GROUP BY touch_type, tot.np
          |ORDER BY touch_type""".stripMargin,
+
+    // the same fixed-point snap, integer shift, and HUGEINT sum; the
+    // corpus max rides a CROSS JOIN exactly like Spark's broadcast
+    "a21_decayed_engagement" ->
+      s"""WITH e AS (
+         |  SELECT user_id, event_type,
+         |    CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS ts_sec, value
+         |  FROM events
+         |), nw AS (
+         |  SELECT MAX(ts_sec) AS now FROM e
+         |), d AS (
+         |  SELECT user_id, event_type,
+         |    CAST(floor(value * 1048576.0) AS BIGINT)
+         |      // (1::BIGINT << CAST(LEAST((nw.now - ts_sec) // $DecayHalfLifeSec, 62) AS INT)) AS dfp
+         |  FROM e CROSS JOIN nw
+         |)
+         |SELECT user_id, event_type, COUNT(*) AS n_events,
+         |  CAST(SUM(dfp) AS BIGINT) AS decayed_fp,
+         |  CAST(SUM(dfp) AS DOUBLE) / 1048576.0 AS decayed_value
+         |FROM d GROUP BY user_id, event_type
+         |ORDER BY user_id, event_type""".stripMargin,
 
     // same lag ordering (ts_sec, event_id — unique, so no tie ambiguity);
     // probability = one division of exact BIGINTs in both engines

@@ -310,4 +310,20 @@ class TemporalSpec extends SparkSpec {
       rows.map(_._2._3).sum === 1.0
     })
   }
+
+  test("a21 closed form: halving per elapsed half-life, exact fixed-point sum") {
+    import spark.implicits._
+    val now = 1704103200L
+    val e = Seq(
+      (1L, "c", now, 2.0),                    // age 0  → 2.0  (fp 2097152)
+      (1L, "c", now - 86400L, 2.0),           // 1 hl   → 1.0  (fp 1048576)
+      (1L, "c", now - 3 * 86400L, 2.0),       // 3 hl   → 0.25 (fp 262144)
+      (2L, "v", now - 86399L, 4.0)            // <1 hl  → 4.0  (no decay)
+    ).toDF("user_id", "event_type", "ts_sec", "value")
+    val got = Temporal.decayedEngagement(e).collect()
+      .map(r => (r.getLong(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(got((1L, "c")) === ((3L, 3407872L, 3.25)))
+    assert(got((2L, "v")) === ((1L, 4194304L, 4.0)))
+  }
 }

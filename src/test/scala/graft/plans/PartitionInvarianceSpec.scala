@@ -128,9 +128,10 @@ class PartitionInvarianceSpec extends SparkSpec {
     // and the α-mixture plan (p12 — isqrt + decimal allocation)
     "e21_ivf_subcell_sweep", "e18b_nn_descent_converge",
     "d16_minhash_calibration", "p12_alpha_mixture",
-    // round 10 third batch: integer-dot shortlist + exact re-rank (e22)
-    // and the train-model LEFT join with the OOV null branch (t33)
-    "e22_sq_rerank", "t33_split_shift")
+    // round 10 third batch: integer-dot shortlist + exact re-rank (e22),
+    // the train-model LEFT join with the OOV null branch (t33), and the
+    // fixed-point shift decay whose sum must not depend on order (a21)
+    "e22_sq_rerank", "t33_split_shift", "a21_decayed_engagement")
 
   private def runAt(name: String, parts: Int): Seq[String] = {
     val old = spark.conf.get("spark.sql.shuffle.partitions")
