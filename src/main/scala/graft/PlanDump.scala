@@ -50,7 +50,9 @@ object PlanDump {
     "e19_ivf_probe_sweep" -> "IVF probe sweep (one shared candidate generation; the three sweeps are filters over it)",
     "m13_multimodal_pack" -> "multimodal packing (one scan, source-partitioned prefix-sum window, integer costs)",
     "e21_ivf_subcell_sweep" -> "derived-sub-cell IVF sweep ((cell, sub)-keyed candidate join, Hamming-1 probe explode)",
-    "e18b_nn_descent_converge" -> "two-round NN-descent (scratch-scan carry between rounds, bounded top-k agg)")
+    "e18b_nn_descent_converge" -> "two-round NN-descent (scratch-scan carry between rounds, bounded top-k agg)",
+    "d16_minhash_calibration" -> "minhash calibration (count-first capped buckets, signature zip agree, fixed-point exact side)",
+    "e22_sq_rerank" -> "SQ8 scan + re-rank (integer-dot shortlist window, 40-row exact cosine re-rank)")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.001"

@@ -427,7 +427,9 @@ object ScaleProbe {
       "s26_stream_alpha_admit", "t33_split_shift",
       // int8 shortlist scan: the integer dots are the linear term, the
       // exact re-rank is 40 rows per query at any corpus size
-      "e22_sq_rerank")
+      "e22_sq_rerank",
+      // one scan + a (user, type)-keyed map-side-combined agg — a08's class
+      "a21_decayed_engagement")
       // local iteration only: probe just a subset by name prefix
       .filter(n => sys.env.get("SPARK_GRAFT_ONLY")
         .forall(_.split(",").exists(n.startsWith)))
