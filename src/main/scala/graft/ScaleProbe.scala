@@ -429,7 +429,9 @@ object ScaleProbe {
       // exact re-rank is 40 rows per query at any corpus size
       "e22_sq_rerank",
       // one scan + a (user, type)-keyed map-side-combined agg — a08's class
-      "a21_decayed_engagement")
+      "a21_decayed_engagement",
+      // e02's broadcast-query shape: one pair frame, four sliced cosines
+      "e23_matryoshka_sweep")
       // local iteration only: probe just a subset by name prefix
       .filter(n => sys.env.get("SPARK_GRAFT_ONLY")
         .forall(_.split(",").exists(n.startsWith)))

@@ -1288,6 +1288,47 @@ object Similarity {
         .orderBy("vec_id")
     }),
 
+    // MATRYOSHKA TRUNCATION SWEEP — the prefix-dimension serving
+    // trade-off curve (MRL-style embeddings rank usably at a PREFIX of
+    // their width; the question is how much recall each truncation
+    // buys back in memory/bandwidth): recall@5 vs the full-width truth
+    // at d ∈ {8, 16, 32, 64}, all four rankings computed from ONE
+    // broadcast-query pair frame (e02's shape — the corpus never
+    // shuffles) with per-prefix cosines over array slices. The d = 64
+    // row IS the truth ranking, so its recall pins at 1.0 — the sweep
+    // self-validates. Deterministic end to end → the whole curve gates
+    // hash-exactly; at 100 TB this is the eval a serving team runs
+    // before halving its vector memory.
+    "e23_matryoshka_sweep" -> ((s, dir) => {
+      import s.implicits._
+      val e = Tables.embeddings(s, dir)
+      val q = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding").as("q_emb"))
+      val dims = Seq(8, 16, 32, 64)
+      val pairs = e.select(col("vec_id").as("nid"), col("embedding").as("n_emb"))
+        .join(broadcast(q), col("nid") =!= col("qid"))
+      val scored = pairs.select(Seq(col("qid"), col("nid")) ++ dims.map(d =>
+        cosine_similarity(slice(col("q_emb"), 1, d), slice(col("n_emb"), 1, d))
+          .as(s"cos$d")): _*)
+      val sweeps = dims.map { d =>
+        val w = Window.partitionBy("qid").orderBy(col(s"cos$d").desc, col("nid").asc)
+        scored.withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 5)
+          .select(lit(d.toLong).as("dim"), col("qid"), col("nid"))
+      }.reduce(_ unionByName _)
+      val exact = sweeps.filter(col("dim") === 64L).select("qid", "nid")
+      val grid = exact.groupBy("qid").agg(count(lit(1)).as("n_exact"))
+        .crossJoin(broadcast(dims.map(_.toLong).toDF("dim")))
+      val hits = exact.join(sweeps, Seq("qid", "nid"))
+        .groupBy("dim", "qid").agg(count(lit(1)).as("n_hits"))
+      grid.join(hits, Seq("dim", "qid"), "left")
+        .select(col("dim"), col("qid"), col("n_exact"),
+          coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+          (coalesce(col("n_hits"), lit(0L)).cast("double")
+            / col("n_exact").cast("double")).as("recall_at_5"))
+        .orderBy("dim", "qid")
+    }),
+
     // SQ8 SCAN + EXACT RE-RANK — the OTHER serving-memory trick next to
     // PQ (e10): score candidates against the int8-quantized corpus
     // (e07's exact per-vector symmetric scheme), keep a top-40 shortlist
@@ -2139,6 +2180,42 @@ object Similarity {
          |  CAST(COALESCE(h.n_hits, 0) AS DOUBLE) / CAST(grid.n_exact AS DOUBLE) AS recall_at_5
          |FROM grid LEFT JOIN h ON h.np = grid.np AND h.qid = grid.qid
          |ORDER BY nprobe, grid.qid""".stripMargin
+    },
+
+    // one pair CTE, four prefix-sliced cosine rankings, hits vs the
+    // d = 64 truth — the same sweep tail as e19/e21
+    "e23_matryoshka_sweep" -> {
+      def pcos(d: Int): String =
+        s"""list_sum([a.q_emb[i]::DOUBLE * b.n_emb[i]::DOUBLE for i in range(1, ${d + 1})])
+           | / sqrt(list_sum([a.q_emb[i]::DOUBLE * a.q_emb[i]::DOUBLE for i in range(1, ${d + 1})]))
+           | / sqrt(list_sum([b.n_emb[i]::DOUBLE * b.n_emb[i]::DOUBLE for i in range(1, ${d + 1})]))""".stripMargin
+      def sweep(d: Int): String =
+        s"""  SELECT $d AS dim, qid, nid FROM (
+           |    SELECT a.qid, b.nid,
+           |      ROW_NUMBER() OVER (PARTITION BY a.qid ORDER BY ${pcos(d)} DESC, b.nid ASC) AS rn
+           |    FROM qs a JOIN ns b ON b.nid <> a.qid) WHERE rn <= 5""".stripMargin
+      s"""WITH qs AS (
+         |  SELECT vec_id AS qid, embedding AS q_emb FROM embeddings WHERE vec_id < 10
+         |), ns AS (
+         |  SELECT vec_id AS nid, embedding AS n_emb FROM embeddings
+         |), sw AS (
+         |${Seq(8, 16, 32, 64).map(sweep).mkString("\n|  UNION ALL\n|")}
+         |), ex AS (
+         |  SELECT qid, nid FROM sw WHERE dim = 64
+         |), tc AS (
+         |  SELECT qid, COUNT(*) AS n_exact FROM ex GROUP BY qid
+         |), h AS (
+         |  SELECT s.dim, e.qid, COUNT(*) AS n_hits
+         |  FROM ex e JOIN sw s ON s.qid = e.qid AND s.nid = e.nid
+         |  GROUP BY s.dim, e.qid
+         |), grid AS (
+         |  SELECT dim, qid, n_exact FROM tc CROSS JOIN (SELECT unnest([8, 16, 32, 64]) AS dim)
+         |)
+         |SELECT CAST(grid.dim AS BIGINT) AS dim, grid.qid, grid.n_exact,
+         |  CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+         |  CAST(COALESCE(h.n_hits, 0) AS DOUBLE) / CAST(grid.n_exact AS DOUBLE) AS recall_at_5
+         |FROM grid LEFT JOIN h ON h.dim = grid.dim AND h.qid = grid.qid
+         |ORDER BY dim, grid.qid""".stripMargin
     },
 
     // e07's proven quantization idiom (MAX(abs), floor(v·127/maxabs))

