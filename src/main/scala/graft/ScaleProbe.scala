@@ -431,7 +431,9 @@ object ScaleProbe {
       // one scan + a (user, type)-keyed map-side-combined agg — a08's class
       "a21_decayed_engagement",
       // e02's broadcast-query shape: one pair frame, four sliced cosines
-      "e23_matryoshka_sweep")
+      "e23_matryoshka_sweep",
+      // one scan into a |QI-groups|-row agg; the k sweep filters metadata
+      "p13_k_anonymity")
       // local iteration only: probe just a subset by name prefix
       .filter(n => sys.env.get("SPARK_GRAFT_ONLY")
         .forall(_.split(",").exists(n.startsWith)))

@@ -230,6 +230,40 @@ object Curation {
     // ceil/floor division, so the whole manifest is hash-exact.
     "p09_epoch_plan" -> ((s, dir) => epochPlan(Tables.documents(s, dir))),
 
+    // K-ANONYMITY RELEASE AUDIT — the privacy QA a dataset release runs
+    // next to t12's PII redaction: treat (lang, source, length-decile)
+    // as the quasi-identifier tuple and report, per k ∈ {2, 5, 10}, how
+    // many QI groups and how many documents sit in groups smaller than
+    // k — the population a linkage attack can single out. The length
+    // decile is an integer division against the corpus max (broadcast
+    // 1-row), so the bucketing is data-derived and engine-identical;
+    // every output is a count. Scale shape: one scan into a
+    // |QI-groups|-row agg (map-side combined), then three threshold
+    // filters over the metadata-sized group frame — the sweep costs
+    // nothing beyond the one agg (the e19/e20 sweep discipline).
+    "p13_k_anonymity" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val mx = docs.agg(max("n_chars").as("mx"))
+      val qi = docs.crossJoin(broadcast(mx))
+        .select(col("lang"), col("source"),
+          least(expr("n_chars * 10 DIV mx"), lit(9L)).as("len_decile"))
+        .groupBy("lang", "source", "len_decile")
+        .agg(count(lit(1)).as("gsz"))
+      val tot = qi.agg(count(lit(1)).as("n_groups"), sum("gsz").as("n_docs"))
+      Seq(2L, 5L, 10L).map { k =>
+        qi.filter(col("gsz") < k)
+          .agg(coalesce(count(lit(1)), lit(0L)).as("n_small_groups"),
+            coalesce(sum("gsz"), lit(0L)).as("n_docs_at_risk"))
+          .select(lit(k).as("k"), col("n_small_groups"), col("n_docs_at_risk"))
+      }.reduce(_ unionByName _)
+        .crossJoin(broadcast(tot))
+        .select(col("k"), col("n_groups"), col("n_docs"),
+          col("n_small_groups"), col("n_docs_at_risk"),
+          (col("n_docs_at_risk").cast("double") / col("n_docs").cast("double"))
+            .as("risk_frac"))
+        .orderBy("k")
+    }),
+
     // α-SAMPLING MIXTURE PLAN — the third leg of mixture planning (p08
     // caps per pass, p09 plans repeats, p12 sets the RATES): sample
     // each source ∝ n_tokens^(1/2), the temperature-flattening rule
@@ -845,6 +879,32 @@ object Curation {
          |  target_tokens - LEAST(target_tokens, epochs * n_tokens) AS deficit_tokens,
          |  LEAST(target_tokens, epochs * n_tokens)::DOUBLE / target_tokens::DOUBLE AS utilization
          |FROM pl ORDER BY source""".stripMargin,
+
+    // the same data-derived decile (integer div against the broadcast
+    // max), one group agg, three threshold filters — all counts
+    "p13_k_anonymity" ->
+      s"""WITH mx AS (
+         |  SELECT MAX(n_chars) AS mx FROM documents
+         |), qi AS (
+         |  SELECT lang, source, LEAST(n_chars * 10 // mx.mx, 9) AS len_decile,
+         |    COUNT(*) AS gsz
+         |  FROM documents CROSS JOIN mx
+         |  GROUP BY lang, source, LEAST(n_chars * 10 // mx.mx, 9)
+         |), tot AS (
+         |  SELECT COUNT(*) AS n_groups, CAST(SUM(gsz) AS BIGINT) AS n_docs FROM qi
+         |), sw AS (
+         |  SELECT 2 AS k, COUNT(*) AS n_small_groups,
+         |    CAST(COALESCE(SUM(gsz), 0) AS BIGINT) AS n_docs_at_risk FROM qi WHERE gsz < 2
+         |  UNION ALL
+         |  SELECT 5, COUNT(*), CAST(COALESCE(SUM(gsz), 0) AS BIGINT) FROM qi WHERE gsz < 5
+         |  UNION ALL
+         |  SELECT 10, COUNT(*), CAST(COALESCE(SUM(gsz), 0) AS BIGINT) FROM qi WHERE gsz < 10
+         |)
+         |SELECT CAST(k AS BIGINT) AS k, tot.n_groups, tot.n_docs,
+         |  n_small_groups, n_docs_at_risk,
+         |  CAST(n_docs_at_risk AS DOUBLE) / CAST(tot.n_docs AS DOUBLE) AS risk_frac
+         |FROM sw CROSS JOIN tot
+         |ORDER BY k""".stripMargin,
 
     // p09's token CTE, then floor(sqrt(·)) weights and the HUGEINT
     // allocation — every integer step restated, the two divisions

@@ -219,6 +219,25 @@ class CurationSpec extends SparkSpec {
       ("tiny", 100L, 10L, 100L, 1000000L)))
   }
 
+  test("p13 k-anonymity: risk counts monotone in k; full-corpus totals consistent") {
+    val rows = Curation.queries("p13_k_anonymity")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getDouble(5))).sortBy(_._1)
+    assert(rows.map(_._1).toSeq === Seq(2L, 5L, 10L))
+    val docs = graft.Tables.documents(spark, sfDir).count()
+    rows.foreach { case (_, nGroups, nDocs, nSmall, nRisk, frac) =>
+      assert(nDocs === docs, "the group frame partitions the corpus")
+      assert(nSmall <= nGroups && nRisk <= nDocs)
+      assert(frac === nRisk.toDouble / nDocs.toDouble)
+    }
+    // raising k can only grow the violating population
+    rows.sliding(2).foreach {
+      case Array((_, _, _, s1, r1, _), (_, _, _, s2, r2, _)) =>
+        assert(s1 <= s2 && r1 <= r2, "violations must be monotone in k")
+      case _ => ()
+    }
+  }
+
   test("p09: zero-token docs don't create a source; all-empty source absent") {
     import spark.implicits._
     val got = Curation.epochPlan(Seq(

@@ -132,8 +132,9 @@ class PartitionInvarianceSpec extends SparkSpec {
     // the train-model LEFT join with the OOV null branch (t33), and the
     // fixed-point shift decay whose sum must not depend on order (a21)
     "e22_sq_rerank", "t33_split_shift", "a21_decayed_engagement",
-    // four prefix-sliced rankings over one pair frame (e23)
-    "e23_matryoshka_sweep")
+    // four prefix-sliced rankings over one pair frame (e23), and the
+    // data-derived decile bucketing + threshold sweep (p13)
+    "e23_matryoshka_sweep", "p13_k_anonymity")
 
   private def runAt(name: String, parts: Int): Seq[String] = {
     val old = spark.conf.get("spark.sql.shuffle.partitions")
