@@ -901,7 +901,11 @@ object Dedup {
     // (the d05-proven string chain), per-hash splitmix64 with the SAME
     // derived mix keys as literals, SIGNED min per (doc, hash) — then
     // the 1-row-band candidates, capped buckets, agreement counts, and
-    // the integer fixed-point exact side
+    // the integer fixed-point exact side. The exact Jaccard is computed
+    // over the xxh64-HASHED shingle domain on BOTH engines (shh rebuilds
+    // the Spark side's hsh lists from the same gh chain): a shingle hash
+    // collision would shift exact_ppb identically in engine and oracle
+    // instead of on the Spark side only.
     "d16_minhash_calibration" -> {
       val keyRows = calibMixKeys.zipWithIndex
         .map { case (k, j) => s"($j, CAST('$k' AS HUGEINT))" }.mkString(", ")
@@ -940,11 +944,15 @@ object Dedup {
          |  JOIN dmins x ON x.doc_id = c.id_a
          |  JOIN dmins y ON y.doc_id = c.id_b AND y.j = x.j AND y.mv = x.mv
          |  GROUP BY c.id_a, c.id_b
+         |), shh AS MATERIALIZED (
+         |  SELECT d.doc_id, list(DISTINCT h.hv) AS hh
+         |  FROM docsh d JOIN gh h ON h.gid = d.g
+         |  GROUP BY d.doc_id
          |), ej AS (
          |  SELECT c.id_a, c.id_b,
-         |    len(list_intersect(sa.sh, sb.sh))::BIGINT * 1000000000
-         |      // len(list_distinct(list_concat(sa.sh, sb.sh)))::BIGINT AS exact_ppb
-         |  FROM cand c JOIN shd sa ON sa.doc_id = c.id_a JOIN shd sb ON sb.doc_id = c.id_b
+         |    len(list_intersect(sa.hh, sb.hh))::BIGINT * 1000000000
+         |      // len(list_distinct(list_concat(sa.hh, sb.hh)))::BIGINT AS exact_ppb
+         |  FROM cand c JOIN shh sa ON sa.doc_id = c.id_a JOIN shh sb ON sb.doc_id = c.id_b
          |)
          |SELECT a.n_agree,
          |  CAST(a.n_agree * 1000000000 // $CalibK AS BIGINT) AS est_jaccard_ppb,

@@ -484,47 +484,64 @@ object Graph {
                                    rounds: Int = MaxPeelRounds): DataFrame = {
     val spark = e.sparkSession
     import spark.implicits._
-    var alive = graft.Materialize(e.select("u", "v"))
-    val first = alive
-    var prev: DataFrame = null
-    def vCount(df: DataFrame): Long =
-      df.select(col("u").as("x")).unionAll(df.select(col("v").as("x")))
-        .distinct().count()
-    try {
-      val e0 = alive.count()
-      val v0 = vCount(alive)
-      val k = 2L * e0 / v0 + 1L
-      var nV = v0; var nE = e0
-      var converged = false
-    val profile = (1 to rounds).map { r =>
-        if (converged) (r.toLong, k, 0L, nV, nE)
-        else {
-          val deg = alive.select(col("u").as("x")).unionAll(alive.select(col("v").as("x")))
-            .groupBy("x").agg(count(lit(1)).as("deg"))
-          val weak = deg.filter(col("deg") < k).select("x")
-          val nWeak = weak.count()
-          if (nWeak == 0L) { converged = true; (r.toLong, k, 0L, nV, nE) }
-          else {
-            val next = graft.Materialize(alive
-              .join(weak.withColumnRenamed("x", "u"), Seq("u"), "left_anti")
-              .join(weak.withColumnRenamed("x", "v"), Seq("v"), "left_anti")
-              .select("u", "v"))
-            if (prev != null && !(prev eq first)) prev.unpersist()
-            prev = alive
-            alive = next
-            nE = next.count()
-            nV = vCount(next)
-            (r.toLong, k, nWeak, nV, nE)
-          }
-        }
-      }
-      profile.toDF("round", "k", "n_removed", "n_vertices", "n_edges")
-        .orderBy("round")
-    } finally {
-      alive.unpersist()
-      if (prev != null) prev.unpersist()
-      first.unpersist()
+    // The survivor DEGREE FRAME is the round's single shuffle, and its one
+    // agg yields EVERY audit scalar the round needs: n_vertices = its row
+    // count (a vertex survives iff it still touches an edge), n_edges =
+    // Σdeg ∕ 2 (each undirected edge credits both endpoints), and n_weak
+    // for the NEXT round = count(deg < k). The previous form ran three
+    // extra shuffling jobs per round (weak.count() recomputed the deg
+    // groupBy, next.count() rescanned, and a union+distinct vCount
+    // duplicated the deg shuffle the next round rebuilt anyway).
+    //
+    // Iterative-state discipline is g02b/g08's scratch-carry VERBATIM:
+    // each round's survivor edges and degree frame go to scratch parquet,
+    // so every later read is a flat file scan. The persist/unpersist form
+    // was measured 3× SLOWER than even the pre-fold code here: Spark's
+    // non-cascading unpersist (SPARK-24596) drops the cached DATA of every
+    // dependent entry, so unpersisting round r−2's frames invalidated
+    // rounds r−1 and r and each subsequent action re-ran the whole
+    // anti-join cascade from the source (measured 42 s vs 16 s at sf0.1).
+    def degOf(edges: DataFrame): DataFrame =
+      edges.select(col("u").as("x")).unionAll(edges.select(col("v").as("x")))
+        .groupBy("x").agg(count(lit(1)).as("deg"))
+    def audit(deg: DataFrame, k: Long): (Long, Long, Long) = {
+      val r = deg.agg(
+        count(lit(1)).as("nv"),
+        coalesce(sum(col("deg")), lit(0L)).as("sumdeg"),
+        count(when(col("deg") < k, 1)).as("nweak")).head()
+      (r.getLong(0), r.getLong(1) / 2L, r.getLong(2))
     }
+    var alive = spark.read.parquet(
+      graft.Materialize.toStoragePath(e.select("u", "v"), "kcore_e0"))
+    var aliveDeg = spark.read.parquet(
+      graft.Materialize.toStoragePath(degOf(alive), "kcore_d0"))
+    val (v0, e0, _) = audit(aliveDeg, Long.MaxValue)
+    val k = 2L * e0 / v0 + 1L
+    // Bootstrap n_weak for round 1 with k now known — a second tiny agg
+    // over the |V|-row stored deg frame, not an edge shuffle.
+    var nV = v0; var nE = e0; var nWeak = audit(aliveDeg, k)._3
+    var converged = false
+    val profile = (1 to rounds).map { r =>
+      if (converged) (r.toLong, k, 0L, nV, nE)
+      else if (nWeak == 0L) { converged = true; (r.toLong, k, 0L, nV, nE) }
+      else {
+        val removed = nWeak
+        val weak = aliveDeg.filter(col("deg") < k).select("x")
+        val next = spark.read.parquet(graft.Materialize.toStoragePath(alive
+          .join(weak.withColumnRenamed("x", "u"), Seq("u"), "left_anti")
+          .join(weak.withColumnRenamed("x", "v"), Seq("v"), "left_anti")
+          .select("u", "v"), s"kcore_e$r"))
+        alive = next
+        val nextDeg = spark.read.parquet(
+          graft.Materialize.toStoragePath(degOf(next), s"kcore_d$r"))
+        aliveDeg = nextDeg
+        val (nv2, ne2, nw2) = audit(nextDeg, k)
+        nV = nv2; nE = ne2; nWeak = nw2
+        (r.toLong, k, removed, nV, nE)
+      }
+    }
+    profile.toDF("round", "k", "n_removed", "n_vertices", "n_edges")
+      .orderBy("round")
   }
 
   /** g04 core: per-edge neighborhood Jaccard — link-strength scoring (how

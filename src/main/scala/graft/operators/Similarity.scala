@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
@@ -104,6 +104,56 @@ object Similarity {
       .select(col("vec_id"), col("embedding"), col("cell"))
   }
 
+  /** e08b: fixed Lloyd round count — both engines unroll exactly this
+    * many assignment/recompute iterations (the g05/g08/e18b rule), so
+    * convergence needs no cross-engine agreement: once a round moves no
+    * vector the remaining rounds are synthesized as no-op rows on the
+    * Spark side and are the recomputed FIXED POINT on the oracle side —
+    * identical by construction (same assignment ⇒ same components ⇒ same
+    * centroids ⇒ same assignment).
+    */
+  val LloydRounds = 4
+
+  /** Fixed-point centroid components of an ASSIGNMENT frame
+    * (vec_id, embedding, cell) → (cell, dim, sfix, n): the
+    * `centroidComponents` arithmetic (order-free decimal(38,0) sums of
+    * floor(v·2^30) — exact, commutative, O(1) group state) keyed by the
+    * CURRENT cluster assignment instead of the fixture label. Shared by
+    * e08 (one step) and e08b (the convergence loop), so round 1 of the
+    * loop is e08 by construction.
+    */
+  private[operators] def lloydComponents(asg: DataFrame): DataFrame =
+    asg.select(col("cell"), posexplode(col("embedding")).as(Seq("dim", "v")))
+      .groupBy("cell", "dim")
+      .agg(
+        sum(floor(col("v").cast("double") * CentroidFixScale).cast("decimal(38,0)")).as("sfix"),
+        count(lit(1)).as("n"))
+
+  /** Components → broadcastable centroid table (cell, centroid:
+    * array<float>) — the same assemble-sort-cast e05/e06/e08 use, so the
+    * next round's assignment sees bit-identical float32 centroids in
+    * both engines.
+    */
+  private[operators] def lloydCentroids(comp: DataFrame): DataFrame =
+    comp.select(col("cell"), col("dim"),
+        (col("sfix").cast("double") / col("n").cast("double") / CentroidFixScale).as("c"))
+      .groupBy("cell")
+      .agg(transform(sort_array(collect_list(struct(col("dim"), col("c")))), s => s.getField("c"))
+        .cast("array<float>").as("centroid"))
+
+  /** One Lloyd assignment pass: corpus scan × broadcast centroids,
+    * nearest cell by (ccos DESC, cell ASC) — e08's window verbatim.
+    */
+  private[operators] def lloydAssign(e: DataFrame, cents: DataFrame): DataFrame = {
+    val wAssign = Window.partitionBy("vec_id").orderBy(col("ccos").desc, col("cell").asc)
+    e.join(broadcast(cents))
+      .select(col("vec_id"), col("embedding"), col("cell"),
+        cosine_similarity(col("embedding"), col("centroid")).as("ccos"))
+      .withColumn("rn", row_number().over(wAssign))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("embedding"), col("cell"))
+  }
+
   /** Derived sub-split of the k-means-cell blocking geometry (e11/e20,
     * p02/p04's semantic edge family): within-cell pair work is quadratic
     * in |cell|, and with cells = the label cardinality, |cell| ∝ N — the
@@ -122,9 +172,10 @@ object Similarity {
     * row_number over cells would sort N/nCells rows in one task (the
     * p08 skew wall), while the sign bits are scan-level. Recall within
     * a cell decays like any LSH table as b grows (per-bit agreement
-    * 1 - θangle/π); the recovery knob at scale is multi-table /
-    * multi-probe union of sub-splits — a cost knob, not a
-    * correctness-of-scale knob, exactly like e04b's `tables`.
+    * 1 - θangle/π); since round 11 the recovery knob — the multi-probe
+    * Hamming radius — is DERIVED from a pinned recall floor rather than
+    * hard-coded (see derivedSemProbeRadius), so growing b pays its
+    * recall bill automatically and e24 reports the price.
     *
     * SemTargetOcc = 256: the power-of-two ceiling of the tuned sf0.1
     * geometry's measured max cell occupancy (218), so b = 0 — the
@@ -147,6 +198,78 @@ object Similarity {
   private def semSubBitsOf(e: DataFrame): Int =
     derivedSemSubBits(e.count(), e.select("label").distinct().count())
 
+  /** THE RECALL HALF of the derived-geometry pattern (round 11):
+    * `derivedSemSubBits` fixes COST (b from an occupancy target), and
+    * until now recall rode a hard-coded Hamming-1 probe — a corpus whose
+    * b landed at 10+ would silently trade recall the operator never
+    * reported. The probe RADIUS is now derived from a pinned recall
+    * floor in the same oracle-mirrorable integer style:
+    *
+    *  - per-bit signature agreement of a TRUE DUP pair is pinned as the
+    *    fixed-point ratio 15/16 (= 0.9375; measured ~0.93 on cos ≥ 0.9
+    *    pairs at the 8× fixture, quantized to /16 so every power below
+    *    fits 128-bit integers in both engines up to b = SemMaxSubBits);
+    *  - expected recall at Hamming radius r is the binomial tail
+    *    Σ_{i≤r} C(b,i)·p^(b−i)·(1−p)^i, which over p = 15/16 is the
+    *    INTEGER Σ_{i≤r} C(b,i)·15^(b−i) scaled by 16^b;
+    *  - the derived radius is the smallest r ≤ SemMaxProbeRadius whose
+    *    tail clears the pinned floor 9/10, by integer cross-multiply
+    *    (Σ·10 ≥ 9·16^b) — mirrored term-for-term in `sem_radius`
+    *    (`duckSemCtes`) with unrolled binary-exponentiation powers.
+    *
+    * Derived radii: 0 for b ≤ 1, 1 for 2 ≤ b ≤ 8 — so every pinned
+    * fixture (b = 0) and both measured probe corpora (b = 3 at 8×,
+    * b = 6 at 64×) keep EXACTLY the previous Hamming-1 behavior — then
+    * 2 for 9 ≤ b ≤ 16 and 3 beyond: the regime where the silent recall
+    * trade used to live is now paid for automatically, and e24 reports
+    * the resulting (radius, probe count, expected recall) as a gated
+    * row. Probe cost is Σ_{i≤r} C(b,i) sub-cells per (vector, cell) —
+    * bounded, visible in e24's n_probe_masks column.
+    */
+  private[operators] val SemBitAgreeNum = 15L
+  private[operators] val SemBitAgreeDen = 16L
+  private[operators] val SemRecallFloorNum = 9L
+  private[operators] val SemRecallFloorDen = 10L
+  private[operators] val SemMaxProbeRadius = 3
+
+  private def semChoose(b: Int, i: Int): BigInt = i match {
+    case 0 => BigInt(1)
+    case 1 => BigInt(b)
+    case 2 => BigInt(b) * (b - 1) / 2
+    case _ => BigInt(b) * (b - 1) * (b - 2) / 6
+  }
+
+  /** Σ_{i≤r} C(b,i)·15^(b−i) — the recall tail numerator on the 16^b
+    * scale. */
+  private def semRecallNum(b: Int, r: Int): BigInt =
+    (0 to math.min(r, b)).map(i => semChoose(b, i) * BigInt(SemBitAgreeNum).pow(b - i)).sum
+
+  private[operators] def derivedSemProbeRadius(b: Int): Int = {
+    val target = BigInt(SemRecallFloorNum) * BigInt(SemBitAgreeDen).pow(b)
+    (0 to SemMaxProbeRadius)
+      .find(r => semRecallNum(b, r) * SemRecallFloorDen >= target)
+      .getOrElse(SemMaxProbeRadius)
+  }
+
+  /** Expected dup recall of the derived (b, radius) geometry, in ppm —
+    * integer floor division, so e24's gated row is hash-exact. */
+  private[operators] def semExpectedRecallPpm(b: Int): Long =
+    (semRecallNum(b, derivedSemProbeRadius(b)) * 1000000L /
+      BigInt(SemBitAgreeDen).pow(b)).toLong
+
+  /** All XOR probe masks of the derived geometry: every m over b bits
+    * with popcount(m) ≤ derivedSemProbeRadius(b), 0 (the identity probe)
+    * included. A candidate pair at sub-distance d matches EXACTLY one
+    * mask (m = sub_a ⊕ sub_b), so probing one side with the full mask
+    * set emits each pair once — no branch double-counts.
+    */
+  private[operators] def semProbeMasks(b: Int): Seq[Long] =
+    if (b == 0) Seq(0L)
+    else {
+      val radius = derivedSemProbeRadius(b)
+      (0L until (1L << b)).filter(m => java.lang.Long.bitCount(m) <= radius)
+    }
+
   /** The derived sub-cell id as a column over an `embedding` field —
     * b hyperplane sign bits (one table, seed 7), or the constant 0 when
     * the derivation says the corpus fits the unsplit geometry. Shared by
@@ -164,33 +287,36 @@ object Similarity {
 
   /** The shared pair frame of the semantic-dedup family — (cell, hi,
     * lo, cos) with lo < hi, each unordered pair exactly once: same
-    * (cell, sub) pairs, PLUS Hamming-1 MULTI-PROBE pairs (same cell,
-    * subs differing in exactly one of the b derived bits). Multi-probe
-    * is the standard LSH recall-recovery knob, built rather than
-    * documented: a dup pair at per-bit agreement p is found with
-    * probability p^b + b·p^(b-1)(1-p) instead of p^b — at the 64×
-    * corpus's b = 6 that roughly DOUBLES tight-dup recall (0.39 → 0.79
-    * at cos 0.9) for a ≤ (b+1)× bounded candidate cost. Every branch is
-    * keyed on BOTH blocking columns so per-key work is occupancy²,
-    * never |cell|²; each Hamming-1 pair matches at exactly one flipped
-    * bit (and the lo < hi filter keeps one orientation), so no branch
-    * double-emits. Consumers (e11/e20/p02/p04) decide what a pair means
-    * (dup count, sweep bucket, cluster edge). Mirrored by `duckSemCtes`'
-    * sem_pairs CTE.
+    * (cell, sub) pairs, PLUS MULTI-PROBE pairs out to the DERIVED
+    * Hamming radius (derivedSemProbeRadius — radius 1 at every measured
+    * fixture, exactly the previous hard-coded behavior; deeper only
+    * when b grows past the point where radius 1 would miss the 9/10
+    * recall floor). Multi-probe is the standard LSH recall-recovery
+    * knob, now derived rather than fixed: a dup pair at per-bit
+    * agreement p is found with the binomial-tail probability
+    * Σ_{i≤r} C(b,i)·p^(b−i)(1−p)^i instead of p^b — at the 64× corpus's
+    * b = 6 that roughly DOUBLES tight-dup recall (0.39 → 0.79 at
+    * cos 0.9) for a bounded Σ C(b,i)× candidate cost (e24 reports the
+    * count). One side EXPLODES to its semProbeMasks XOR probes and the
+    * single join is keyed on BOTH blocking columns, so per-key work is
+    * occupancy², never |cell|²; a pair at sub-distance d matches
+    * exactly one mask (m = sub_hi ⊕ sub_lo; the lo < hi filter keeps
+    * one orientation), so nothing double-emits — bag-identical to the
+    * previous per-flip branch union at radius 1. Consumers
+    * (e11/e20/p02/p04) decide what a pair means (dup count, sweep
+    * bucket, cluster edge). Mirrored by `duckSemCtes`' sem_pairs CTE.
     */
   private[operators] def semCellPairs(assigned: DataFrame, b: Int): DataFrame = {
-    val l = assigned.select(col("cell"), col("sub"),
+    val masks = semProbeMasks(b)
+    val l = assigned.select(col("cell"),
+      explode(array(masks.map(m => col("sub").bitwiseXOR(lit(m))): _*)).as("sub"),
       col("vec_id").as("hi"), col("embedding").as("emb_a"))
     val r = assigned.select(col("cell"), col("sub"),
       col("vec_id").as("lo"), col("embedding").as("emb_b"))
-    val branches = l.join(r, Seq("cell", "sub")) +:
-      (0 until b).map(j =>
-        l.join(r.withColumn("sub", col("sub").bitwiseXOR(lit(1L << j))),
-          Seq("cell", "sub")))
-    branches.map(_.filter(col("lo") < col("hi"))
-        .select(col("cell"), col("hi"), col("lo"),
-          cosine_similarity(col("emb_a"), col("emb_b")).as("cos")))
-      .reduce(_ unionAll _)
+    l.join(r, Seq("cell", "sub"))
+      .filter(col("lo") < col("hi"))
+      .select(col("cell"), col("hi"), col("lo"),
+        cosine_similarity(col("emb_a"), col("emb_b")).as("cos"))
   }
 
   /** Convenience: the pair frame straight from the embeddings table. */
@@ -905,12 +1031,13 @@ object Similarity {
       val assigned = cr.filter(col("rn") <= 2)
         .select(col("vec_id").as("nid"), col("embedding").as("n_emb"),
           col("cell"), col("sub"))
-      // Hamming-1 multi-probe on the sub dimension (the semCellPairs
-      // knob applied to serving): the query probes its own sub and the
-      // b single-bit flips — (b+1)·occupancy candidates per probed cell,
+      // Derived-radius multi-probe on the sub dimension (the semCellPairs
+      // knob applied to serving): the query probes its own sub XORed with
+      // every mask of the derived geometry — Σ_{i≤r} C(b,i) probes per
+      // cell (r = derivedSemProbeRadius(b); the identity mask included),
       // still constant per query at any corpus size
       val probeSubs = array(
-        (col("sub") +: (0 until b).map(j => col("sub").bitwiseXOR(lit(1L << j)))): _*)
+        semProbeMasks(b).map(m => col("sub").bitwiseXOR(lit(m))): _*)
       val pairs = cr.filter(col("rn") <= 4 && col("vec_id") < 10)
         .select(col("vec_id").as("qid"), col("embedding").as("q_emb"),
           col("cell"), explode(probeSubs).as("sub"), col("rn").as("prn"))
@@ -939,6 +1066,31 @@ object Similarity {
           (coalesce(col("n_hits"), lit(0L)).cast("double")
             / col("n_exact").cast("double")).as("recall_at_5"))
         .orderBy("nprobe", "qid")
+    }),
+
+    // SEM MULTI-PROBE GEOMETRY AUDIT — the derivation record of the
+    // round-11 recall derivation, as a gated row: corpus counts → the
+    // derived sub-bit count b (cost half, derivedSemSubBits), the
+    // derived probe radius (recall half, derivedSemProbeRadius), the
+    // resulting probe fan-out Σ_{i≤r} C(b,i), and the expected dup
+    // recall in ppm (integer floor over the 16^b scale). Both
+    // derivations are driver-side integer arithmetic on two metadata
+    // counts, mirrored CTE-for-CTE by sem_geo/sem_radius/sem_masks —
+    // so the tuning automation ITSELF sits under the hash gate: if
+    // either engine's derivation drifts, this row fails before any
+    // consumer silently changes its pair frame. At b = 0 fixtures the
+    // row pins (b=0, radius 0, 1 mask, recall 10^6 ppm); at the 8×
+    // fixture it pins (b=3, radius 1, 4 masks, 988769 ppm).
+    "e24_semprobe_geometry" -> ((s, dir) => {
+      import s.implicits._
+      val e = Tables.embeddings(s, dir)
+      val n = e.count()
+      val k = e.select("label").distinct().count()
+      val b = derivedSemSubBits(n, k)
+      Seq((n, k, b.toLong, derivedSemProbeRadius(b).toLong,
+        semProbeMasks(b).size.toLong, semExpectedRecallPpm(b)))
+        .toDF("n_vectors", "n_cells", "sub_bits", "probe_radius",
+          "n_probe_masks", "exp_recall_ppm")
     }),
 
     // SEMDEDUP THRESHOLD SWEEP — the θ tuning curve behind e11's one
@@ -1021,33 +1173,78 @@ object Similarity {
     // (cluster, dim)-keyed agg with order-free fixed-point sums, so both
     // the assignment argmax and the new centroid doubles are
     // bit-reproducible — the whole iteration is under the exact oracle.
-    // Iterating to convergence = rerunning this step (driver loop, same
-    // shape as d07); one step is the verifiable unit.
+    // Iterating to convergence = e08b (the scratch-carried driver loop);
+    // one step — shared helper-for-helper with e08b's round 1 — is the
+    // verifiable unit.
     "e08_kmeans_step" -> ((s, dir) => {
       val e = Tables.embeddings(s, dir)
-      val cents = centroidComponents(e)
-        .groupBy("label")
-        .agg(transform(sort_array(collect_list(struct(col("dim"), col("c")))), s => s.getField("c"))
-          .cast("array<float>").as("centroid"))
-        .select(col("label").as("cell"), col("centroid"))
-      val wAssign = Window.partitionBy("vec_id").orderBy(col("ccos").desc, col("cell").asc)
-      val assigned = e.join(broadcast(cents))
-        .select(col("vec_id"), col("embedding"), col("cell"),
-          cosine_similarity(col("embedding"), col("centroid")).as("ccos"))
-        .withColumn("rn", row_number().over(wAssign))
-        .filter(col("rn") === 1)
-        .select(col("vec_id"), col("embedding"), col("cell"))
-      assigned
-        .select(col("cell"), posexplode(col("embedding")).as(Seq("dim", "v")))
-        .groupBy("cell", "dim")
-        .agg(
-          sum(floor(col("v").cast("double") * CentroidFixScale).cast("decimal(38,0)")).as("sfix"),
-          count(lit(1)).as("n"))
+      val asg0 = e.select(col("vec_id"), col("embedding"),
+        col("label").cast("long").as("cell"))
+      lloydComponents(lloydAssign(e, lloydCentroids(lloydComponents(asg0))))
         .select(col("cell").cast("long").as("cluster"), col("dim").cast("long").as("dim"),
           (col("sfix").cast("double") / col("n").cast("double") / CentroidFixScale)
             .as("centroid_new"),
           col("n").as("n_members"))
         .orderBy("cluster", "dim")
+    }),
+
+    // LLOYD TO CONVERGENCE — e08's step iterated for LloydRounds under
+    // the e18b/g08 scratch-carry discipline: each round's assignment
+    // (vec_id, embedding, cell — the corpus re-keyed by cluster, exactly
+    // what an IVF index build writes) and its fixed-point centroid
+    // components land in scratch parquet, so round r+1's plan is a flat
+    // scan + broadcast, never a nested replay of rounds 1..r. The output
+    // is the CONVERGENCE PROFILE an index-training job reads to decide
+    // when to stop retraining: per round, how many vectors changed cell
+    // (n_moved — integer, exact), the live-cluster census (n_clusters,
+    // min/max occupancy), and the total centroid displacement measured
+    // ON THE 2^-30 GRID (grid_disp = Σ|⌊sfix_r∕n_r⌋ − ⌊sfix_{r−1}∕n_{r−1}⌋|
+    // over (cell, dim) live in both rounds — one IEEE division + floor
+    // per component, bit-identical in both engines, so the whole profile
+    // gates hash-exactly; no float distance anywhere). Once a round
+    // moves nothing the remaining rounds are no-op rows (see LloydRounds).
+    // Scale shape: per round one corpus scan × broadcast |cells|
+    // centroids + a vec_id window (e08's cost), one id-only assignment
+    // diff join, and two |cells·dims|-row audit aggs — round cost is
+    // e08's cost at any corpus size, and the loop is R× that, linear.
+    "e08b_lloyd_converge" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      import s.implicits._
+      def gridc(sfix: Column, n: Column): Column =
+        floor(sfix.cast("double") / n.cast("double")).cast("long")
+      var asg = graft.Materialize.toStorage(
+        e.select(col("vec_id"), col("embedding"), col("label").cast("long").as("cell")),
+        "e08b_asg0")
+      var comp = graft.Materialize.toStorage(lloydComponents(asg), "e08b_comp0")
+      var converged = false
+      var nClusters = 0L; var minMem = 0L; var maxMem = 0L
+      val profile = (1 to LloydRounds).map { r =>
+        if (converged) (r.toLong, 0L, nClusters, minMem, maxMem, 0L)
+        else {
+          val nextAsg = graft.Materialize.toStorage(
+            lloydAssign(e, lloydCentroids(comp)), s"e08b_asg$r")
+          val nextComp = graft.Materialize.toStorage(
+            lloydComponents(nextAsg), s"e08b_comp$r")
+          val nMoved = nextAsg.select(col("vec_id"), col("cell").as("c1"))
+            .join(asg.select(col("vec_id"), col("cell").as("c0")), "vec_id")
+            .agg(coalesce(sum(when(col("c1") =!= col("c0"), 1L).otherwise(0L)), lit(0L)))
+            .head().getLong(0)
+          val cRow = nextComp.groupBy("cell").agg(max("n").as("m"))
+            .agg(count(lit(1)).as("nc"), min("m").as("mn"), max("m").as("mx")).head()
+          val disp = nextComp
+            .select(col("cell"), col("dim"), gridc(col("sfix"), col("n")).as("g1"))
+            .join(comp.select(col("cell"), col("dim"), gridc(col("sfix"), col("n")).as("g0")),
+              Seq("cell", "dim"))
+            .agg(coalesce(sum(abs(col("g1") - col("g0"))), lit(0L)).as("d"))
+            .head().getLong(0)
+          asg = nextAsg; comp = nextComp
+          nClusters = cRow.getLong(0); minMem = cRow.getLong(1); maxMem = cRow.getLong(2)
+          if (nMoved == 0L) converged = true
+          (r.toLong, nMoved, nClusters, minMem, maxMem, disp)
+        }
+      }
+      profile.toDF("round", "n_moved", "n_clusters", "min_members",
+        "max_members", "grid_disp").orderBy("round")
     }),
 
     // SEMANTIC DEDUP (SemDeDup-shaped): k-means cells as the blocking
@@ -1279,7 +1476,11 @@ object Similarity {
         .select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim", "v")))
         .withColumn("v", col("v").cast("double"))
         .withColumn("maxabs", max(abs(col("v"))).over(wv))
-        .withColumn("q", floor(col("v") * 127.0 / col("maxabs")))
+        // maxabs = 0 guard — same rationale and same literal as e22:
+        // an all-zero vector must quantize to all-zero codes in BOTH
+        // engines instead of failing differently (Spark nulls the NaN,
+        // DuckDB raises on the cast).
+        .withColumn("q", floor(col("v") * 127.0 / greatest(col("maxabs"), lit(1e-300))))
       q.groupBy("vec_id")
         .agg(max(col("maxabs")).as("maxabs"),
           sum(col("q")).as("q_sum"),
@@ -1350,8 +1551,14 @@ object Similarity {
       val q = e.select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim", "v")))
         .withColumn("v", col("v").cast("double"))
         .withColumn("maxabs", max(abs(col("v"))).over(wv))
+        // maxabs = 0 guard (an all-zero vector): without it the division
+        // yields NaN, which Spark's floor/cast nulls while DuckDB's CAST
+        // raises — the engines would fail DIFFERENTLY. greatest(·, 1e-300)
+        // maps the all-zero vector to all-zero codes identically in both
+        // engines and is a no-op for any real vector (maxabs ≥ any
+        // normal |v| > 0). Mirrored verbatim in the oracle's qv CTE.
         .select(col("vec_id"), col("dim"),
-          floor(col("v") * 127.0 / col("maxabs")).as("qv"))
+          floor(col("v") * 127.0 / greatest(col("maxabs"), lit(1e-300))).as("qv"))
         .groupBy("vec_id")
         .agg(transform(sort_array(collect_list(struct(col("dim"), col("qv")))),
           s => s.getField("qv")).as("q"))
@@ -1564,6 +1771,36 @@ object Similarity {
     * arithmetic, reshaped. Emits CTEs ending in `assigned(nid, cell)`
     * and `probes(qid, cell)`.
     */
+  /** Exact HUGEINT 15^e / 16^e for an SQL integer expression e ∈ [0,
+    * SemMaxSubBits] — binary exponentiation unrolled into lazy CASE
+    * factors (DuckDB has no integer pow, and float pow is inexact past
+    * 2^53; 15^24 ≈ 1.7e28 needs the exact 128-bit product). Callers
+    * guard negative exponents (the CASE branches around each term), so
+    * the expression is only EVALUATED for e ≥ 0.
+    */
+  private def duckPowCases(e: String, sq: Seq[String]): String =
+    sq.zipWithIndex.map { case (c, k) =>
+      s"CASE WHEN (($e) & ${1 << k}) <> 0 THEN CAST('$c' AS HUGEINT) ELSE 1::HUGEINT END"
+    }.mkString("(", " * ", ")")
+
+  private def duckPow15(e: String): String = duckPowCases(e,
+    Seq("15", "225", "50625", "2562890625", "6568408355712890625"))
+
+  private def duckPow16(e: String): String = duckPowCases(e,
+    Seq("16", "256", "65536", "4294967296", "18446744073709551616"))
+
+  /** `semRecallNum(g.b, r)` restated: Σ_{i≤r} C(b,i)·15^(b−i) with the
+    * ≤3 binomials in closed form. Expects a `sem_geo g` alias in scope;
+    * `r` is any SQL integer expression. Shared by the sem_radius
+    * derivation and e24's expected-recall column so the two cannot
+    * drift.
+    */
+  private def duckSemRecallNum(r: String): String =
+    s"(${duckPow15("g.b")}" +
+      s" + CASE WHEN ($r) >= 1 AND g.b >= 1 THEN g.b * ${duckPow15("g.b - 1")} ELSE 0 END" +
+      s" + CASE WHEN ($r) >= 2 AND g.b >= 2 THEN (g.b * (g.b - 1) // 2) * ${duckPow15("g.b - 2")} ELSE 0 END" +
+      s" + CASE WHEN ($r) >= 3 AND g.b >= 3 THEN (g.b * (g.b - 1) * (g.b - 2) // 6) * ${duckPow15("g.b - 3")} ELSE 0 END)"
+
   /** e11/e20 (and p02/p04's semantic edge family) shared CTE chain:
     * order-free fixed-point centroids, nearest-cell assignment (rn = 1)
     * in `sem_asg(vec_id, embedding, cell)`, the DERIVED hyperplane-bit
@@ -1572,10 +1809,12 @@ object Similarity {
     * `hyperplane_lsh_multi(bits = b, tables = 1, seed = 7)` exactly like
     * `duckLshCtes`), ending in the blocked pair frame
     * `sem_pairs(cell, hi, lo, cos)` — `semCellPairs` restated. One
-    * definition, `sem_`-prefixed so every consumer (e11, e20, p02, p04)
-    * embeds it collision-free and cannot drift. splitmix64Ctes' p0–p4 /
-    * smixed / ids names are shared infrastructure — no consumer of this
-    * fragment may define CTEs with those names.
+    * definition, `sem_`-prefixed THROUGHOUT — including the embedded
+    * splitmix chain (sem_ids / sem_p0–sem_p4 / sem_smixed via
+    * splitmix64Ctes' prefix parameter) — so every consumer (e11, e20,
+    * p02, p04) embeds it collision-free BY CONSTRUCTION: a consumer may
+    * compose its own DuckHash xxh64/splitmix chain next to this fragment
+    * without a duplicate-CTE failure.
     */
   private[operators] def duckSemCtes: String =
     s"""sem_x AS (
@@ -1611,14 +1850,14 @@ object Similarity {
       |  SELECT r.j AS tj, d.d FROM range(0, $SemMaxSubBits) r(j), sem_geo,
       |       (SELECT unnest(range(0, 64)) AS d) d
       |  WHERE r.j < sem_geo.b
-      |), ids AS (
+      |), sem_ids AS (
       |  SELECT tj, d,
       |    (CAST(7 AS HUGEINT) + tj * CAST('11400714819323198485' AS HUGEINT)
       |     + d * CAST('14029467366897019727' AS HUGEINT)) % ${DuckHash.T} AS x
       |  FROM sem_grid
-      |), ${DuckHash.splitmix64Ctes("tj, d")}, sem_planes AS (
+      |), ${DuckHash.splitmix64Ctes("tj, d", "sem_")}, sem_planes AS (
       |  SELECT tj, list((sv // 2048)::DOUBLE / 4503599627370496.0 - 1.0 ORDER BY d) AS pl
-      |  FROM smixed GROUP BY tj
+      |  FROM sem_smixed GROUP BY tj
       |), sem_sigbits AS (
       |  SELECT e.vec_id,
       |    CASE WHEN list_sum([e.embedding[i]::DOUBLE * p.pl[i] for i in range(1, len(e.embedding)+1)]) >= 0.0
@@ -1629,25 +1868,35 @@ object Similarity {
       |), sem_vsub AS (
       |  SELECT e.vec_id, COALESCE(g.sub, 0) AS sub
       |  FROM embeddings e LEFT JOIN sem_sigs g USING (vec_id)
-      |), sem_hbits AS (
-      |  SELECT (1::BIGINT << r.j) AS bit
-      |  FROM range(0, $SemMaxSubBits) r(j), sem_geo g WHERE r.j < g.b
-      |), sem_qprobe AS (
-      |  SELECT vec_id, sub FROM sem_vsub
+      |), sem_radius AS (
+      |  SELECT COALESCE(MIN(rr.r),
+      |    (SELECT LEAST(b, $SemMaxProbeRadius) FROM sem_geo)) AS radius
+      |  FROM range(0, ${SemMaxProbeRadius + 1}) rr(r), sem_geo g
+      |  WHERE ${duckSemRecallNum("rr.r")} * $SemRecallFloorDen
+      |    >= $SemRecallFloorNum * ${duckPow16("g.b")}
+      |), sem_bits AS (
+      |  SELECT r.j AS j FROM range(0, $SemMaxSubBits) r(j), sem_geo g WHERE r.j < g.b
+      |), sem_masks AS (
+      |  SELECT 0::BIGINT AS m
       |  UNION ALL
-      |  SELECT v.vec_id, xor(v.sub, h.bit) AS sub FROM sem_vsub v, sem_hbits h
+      |  SELECT (1::BIGINT << j) FROM sem_bits, sem_radius WHERE radius >= 1
+      |  UNION ALL
+      |  SELECT (1::BIGINT << a.j) | (1::BIGINT << b.j)
+      |  FROM sem_bits a, sem_bits b, sem_radius WHERE radius >= 2 AND a.j < b.j
+      |  UNION ALL
+      |  SELECT (1::BIGINT << a.j) | (1::BIGINT << b.j) | (1::BIGINT << c.j)
+      |  FROM sem_bits a, sem_bits b, sem_bits c, sem_radius
+      |  WHERE radius >= 3 AND a.j < b.j AND b.j < c.j
+      |), sem_qprobe AS (
+      |  SELECT v.vec_id, xor(v.sub, m.m) AS sub FROM sem_vsub v, sem_masks m
       |), sem_sub AS (
       |  SELECT a.vec_id, a.embedding, a.cell, v.sub
       |  FROM sem_asg a JOIN sem_vsub v USING (vec_id)
       |), sem_pairs AS (
       |  SELECT a.cell AS cell, a.vec_id AS hi, b.vec_id AS lo,
       |    ${duckCos("a", "b")} AS cos
-      |  FROM sem_sub a JOIN sem_sub b
-      |    ON a.cell = b.cell AND a.sub = b.sub AND b.vec_id < a.vec_id
-      |  UNION ALL
-      |  SELECT a.cell, a.vec_id, b.vec_id, ${duckCos("a", "b")}
-      |  FROM sem_sub a JOIN sem_sub b ON a.cell = b.cell AND b.vec_id < a.vec_id
-      |  JOIN sem_hbits h ON a.sub = xor(b.sub, h.bit)
+      |  FROM sem_sub a CROSS JOIN sem_masks m JOIN sem_sub b
+      |    ON a.cell = b.cell AND b.sub = xor(a.sub, m.m) AND b.vec_id < a.vec_id
       |)""".stripMargin
 
   private val duckIvfCtes: String =
@@ -2230,7 +2479,7 @@ object Similarity {
          |  SELECT vec_id, MAX(abs(u.v)) AS maxabs FROM x GROUP BY vec_id
          |), qv AS (
          |  SELECT x.vec_id, x.u.d AS d,
-         |    CAST(floor(x.u.v * 127.0 / m.maxabs) AS BIGINT) AS qv
+         |    CAST(floor(x.u.v * 127.0 / greatest(m.maxabs, 1e-300)) AS BIGINT) AS qv
          |  FROM x JOIN mm m USING (vec_id)
          |), ql AS (
          |  SELECT vec_id, list(qv ORDER BY d) AS q FROM qv GROUP BY vec_id
@@ -2341,7 +2590,7 @@ object Similarity {
         |  SELECT vec_id,
         |    list_max(list_transform(embedding, x -> abs(x::DOUBLE))) AS maxabs,
         |    list_transform(embedding, x -> CAST(floor(x::DOUBLE * 127.0 /
-        |      list_max(list_transform(embedding, y -> abs(y::DOUBLE)))) AS BIGINT)) AS q
+        |      greatest(list_max(list_transform(embedding, y -> abs(y::DOUBLE))), 1e-300)) AS BIGINT)) AS q
         |  FROM embeddings
         |)
         |SELECT vec_id, maxabs,
@@ -2390,6 +2639,75 @@ object Similarity {
         |FROM y GROUP BY cell, u.d
         |ORDER BY cluster, dim""".stripMargin,
 
+    // e08's assignment/recompute chain unrolled LloydRounds times as
+    // layered CTEs (the e18b generation pattern); each audit row mirrors
+    // the Spark loop's three scratch-frame aggs — the assignment diff,
+    // the occupancy census, and the 2^-30-grid displacement (one IEEE
+    // floor(sfix/n) per live (cell, dim), both engines identical). A
+    // Spark-side converged no-op row meets the oracle's recomputed fixed
+    // point: same assignment ⇒ same components ⇒ zero moved, zero disp,
+    // same census.
+    "e08b_lloyd_converge" -> {
+      val base =
+        """WITH asg0 AS MATERIALIZED (
+          |  SELECT vec_id, embedding, CAST(label AS BIGINT) AS cell FROM embeddings
+          |), x0 AS (
+          |  SELECT cell,
+          |    unnest([{'d': i - 1, 'v': embedding[i]::DOUBLE} for i in range(1, len(embedding) + 1)]) AS u
+          |  FROM asg0
+          |), comp0 AS MATERIALIZED (
+          |  SELECT cell, u.d AS dim,
+          |    SUM(CAST(floor(u.v * 1073741824.0) AS HUGEINT)) AS sfix, COUNT(*) AS n
+          |  FROM x0 GROUP BY cell, u.d
+          |)""".stripMargin
+      val rounds = (1 to LloydRounds).map { r =>
+        val p = r - 1
+        s""", cent$r AS (
+           |  SELECT cell, list_transform(
+           |    list(CAST(sfix AS DOUBLE) / CAST(n AS DOUBLE) / 1073741824.0 ORDER BY dim),
+           |    v -> v::FLOAT) AS ce
+           |  FROM comp$p GROUP BY cell
+           |), scored$r AS (
+           |  SELECT e.vec_id, e.embedding, c.cell,
+           |    list_sum([e.embedding[i]::DOUBLE * c.ce[i]::DOUBLE for i in range(1, len(e.embedding) + 1)])
+           |    / sqrt(list_sum([e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE for i in range(1, len(e.embedding) + 1)]))
+           |    / sqrt(list_sum([c.ce[i]::DOUBLE * c.ce[i]::DOUBLE for i in range(1, len(c.ce) + 1)])) AS ccos
+           |  FROM embeddings e, cent$r c
+           |), asg$r AS MATERIALIZED (
+           |  SELECT vec_id, embedding, cell FROM (
+           |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cell ASC) AS rn
+           |    FROM scored$r
+           |  ) WHERE rn = 1
+           |), x$r AS (
+           |  SELECT cell,
+           |    unnest([{'d': i - 1, 'v': embedding[i]::DOUBLE} for i in range(1, len(embedding) + 1)]) AS u
+           |  FROM asg$r
+           |), comp$r AS MATERIALIZED (
+           |  SELECT cell, u.d AS dim,
+           |    SUM(CAST(floor(u.v * 1073741824.0) AS HUGEINT)) AS sfix, COUNT(*) AS n
+           |  FROM x$r GROUP BY cell, u.d
+           |), aud$r AS (
+           |  SELECT CAST($r AS BIGINT) AS round,
+           |    (SELECT CAST(SUM(CASE WHEN a.cell <> b.cell THEN 1 ELSE 0 END) AS BIGINT)
+           |     FROM asg$r a JOIN asg$p b USING (vec_id)) AS n_moved,
+           |    (SELECT COUNT(DISTINCT cell) FROM comp$r) AS n_clusters,
+           |    (SELECT CAST(MIN(m) AS BIGINT) FROM
+           |       (SELECT cell, MAX(n) AS m FROM comp$r GROUP BY cell)) AS min_members,
+           |    (SELECT CAST(MAX(m) AS BIGINT) FROM
+           |       (SELECT cell, MAX(n) AS m FROM comp$r GROUP BY cell)) AS max_members,
+           |    (SELECT CAST(SUM(ABS(
+           |        CAST(floor(CAST(c1.sfix AS DOUBLE) / CAST(c1.n AS DOUBLE)) AS BIGINT)
+           |      - CAST(floor(CAST(c0.sfix AS DOUBLE) / CAST(c0.n AS DOUBLE)) AS BIGINT))) AS BIGINT)
+           |     FROM comp$r c1 JOIN comp$p c0 USING (cell, dim)) AS grid_disp
+           |)""".stripMargin
+      }.mkString
+      val sel = (1 to LloydRounds).map(r => s"SELECT * FROM aud$r")
+        .mkString("\n|UNION ALL ")
+      s"""$base$rounds
+         |$sel
+         |ORDER BY round""".stripMargin
+    },
+
     "e05_label_centroids" ->
       """WITH x AS (
         |  SELECT label, vec_id,
@@ -2402,6 +2720,22 @@ object Similarity {
         |FROM x
         |GROUP BY label, u.d
         |ORDER BY label, dim""".stripMargin,
+
+    // the derivation chain restated standalone: sem_geo (cost half),
+    // sem_radius (recall half, binomial tail by unrolled exact powers),
+    // sem_masks (the fan-out), and the expected recall as the same
+    // integer floor — geometry under the hash gate with no pair work
+    "e24_semprobe_geometry" ->
+      s"""WITH $duckSemCtes, cnt AS (
+         |  SELECT COUNT(*) AS n, COUNT(DISTINCT label) AS k FROM embeddings
+         |)
+         |SELECT cnt.n AS n_vectors, cnt.k AS n_cells,
+         |  CAST(g.b AS BIGINT) AS sub_bits,
+         |  CAST(r.radius AS BIGINT) AS probe_radius,
+         |  (SELECT COUNT(*) FROM sem_masks) AS n_probe_masks,
+         |  CAST(${duckSemRecallNum("r.radius")} * 1000000
+         |       // ${duckPow16("g.b")} AS BIGINT) AS exp_recall_ppm
+         |FROM cnt, sem_geo g, sem_radius r""".stripMargin,
 
     // the shared sem_pairs frame (derived sub-split restated CTE-for-CTE),
     // three threshold aggregates over it (the e19 sweep shape)

@@ -617,9 +617,10 @@ object Temporal {
     // exp(-λt) whose summation order no engine pins. The decayed sum is
     // a decimal(38,0) SUM of integers: commutative, partition-invariant,
     // retry-safe. "now" is the corpus max timestamp (broadcast 1-row) so
-    // the answer is a pure function of the data. Nonnegative values make
-    // trunc-div ≡ floor-div, so both engines' integer division agrees (a
-    // signed-value corpus would spell the decay with explicit floor).
+    // the answer is a pure function of the data. The decay divides with
+    // an EXPLICIT floor (see decayedEngagement's CASE), so halving is
+    // floor(v/2^s) for signed engagement values too — not only on the
+    // nonnegative corpus where trunc-div happens to coincide.
     // Scale shape: one scan + one (user, type)-keyed map-side-combined
     // agg — a08/a11's class.
     "a21_decayed_engagement" -> ((s, dir) =>
@@ -631,13 +632,24 @@ object Temporal {
   /** a21 half-life: one day of seconds. */
   val DecayHalfLifeSec = 86400L
 
-  /** a21 core over (user_id, event_type, ts_sec, value) rows. */
+  /** a21 core over (user_id, event_type, ts_sec, value) rows. The decay
+    * is an EXPLICIT floor division by the power-of-two — spelled as
+    * `CASE WHEN v ≥ 0 THEN v DIV p ELSE −((−v + p − 1) DIV p) END`, whose
+    * branches both divide nonnegative operands, so it reads identically
+    * under trunc-div (Spark DIV) and floor-div semantics. Halving
+    * therefore means floor(v∕2^s) for SIGNED values too, not just the
+    * nonnegative corpus the previous trunc-div form silently assumed;
+    * the oracle mirrors the CASE verbatim.
+    */
   private[operators] def decayedEngagement(e: DataFrame): DataFrame = {
     val now = e.agg(max("ts_sec").as("now"))
     e.crossJoin(broadcast(now))
       .select(col("user_id"), col("event_type"),
-        expr(s"CAST(floor(value * 1048576.0) AS BIGINT) DIV " +
-          s"shiftleft(1L, CAST(LEAST((now - ts_sec) DIV $DecayHalfLifeSec, 62L) AS INT))")
+        expr(s"CAST(floor(value * 1048576.0) AS BIGINT)").as("vfp"),
+        expr(s"shiftleft(1L, CAST(LEAST((now - ts_sec) DIV $DecayHalfLifeSec, 62L) AS INT))")
+          .as("pw"))
+      .select(col("user_id"), col("event_type"),
+        expr("CASE WHEN vfp >= 0 THEN vfp DIV pw ELSE -((-vfp + pw - 1) DIV pw) END")
           .as("dfp"))
       .groupBy("user_id", "event_type")
       .agg(count(lit(1)).as("n_events"),
@@ -806,8 +818,10 @@ object Temporal {
          |GROUP BY touch_type, tot.np
          |ORDER BY touch_type""".stripMargin,
 
-    // the same fixed-point snap, integer shift, and HUGEINT sum; the
-    // corpus max rides a CROSS JOIN exactly like Spark's broadcast
+    // the same fixed-point snap, explicit floor-div decay (the CASE's
+    // branches divide nonnegative operands, so trunc-div and floor-div
+    // engines agree for signed values too), and HUGEINT sum; the corpus
+    // max rides a CROSS JOIN exactly like Spark's broadcast
     "a21_decayed_engagement" ->
       s"""WITH e AS (
          |  SELECT user_id, event_type,
@@ -815,11 +829,15 @@ object Temporal {
          |  FROM events
          |), nw AS (
          |  SELECT MAX(ts_sec) AS now FROM e
+         |), fp AS (
+         |  SELECT user_id, event_type,
+         |    CAST(floor(value * 1048576.0) AS BIGINT) AS vfp,
+         |    (1::BIGINT << CAST(LEAST((nw.now - ts_sec) // $DecayHalfLifeSec, 62) AS INT)) AS pw
+         |  FROM e CROSS JOIN nw
          |), d AS (
          |  SELECT user_id, event_type,
-         |    CAST(floor(value * 1048576.0) AS BIGINT)
-         |      // (1::BIGINT << CAST(LEAST((nw.now - ts_sec) // $DecayHalfLifeSec, 62) AS INT)) AS dfp
-         |  FROM e CROSS JOIN nw
+         |    CASE WHEN vfp >= 0 THEN vfp // pw ELSE -((-vfp + pw - 1) // pw) END AS dfp
+         |  FROM fp
          |)
          |SELECT user_id, event_type, COUNT(*) AS n_events,
          |  CAST(SUM(dfp) AS BIGINT) AS decayed_fp,

@@ -2025,22 +2025,26 @@ private[graft] object DuckHash {
   /** CTE chain computing `VectorFunctions.splitmix64(x)` — the stub-decode
     * geometry generator (m02/m03): z = x + SM1; z = (z ^ z>>>30) * SM2;
     * z = (z ^ z>>>27) * SM3; z ^ z>>>31, all mod 2^64. Expects a CTE
-    * `ids(<keep>, x)` (x unsigned HUGEINT, already reduced mod 2^64);
-    * emits CTEs ending in `smixed(<keep>, sv)` with sv the unsigned
-    * HUGEINT result. `keep` may be a comma-separated column list.
+    * `<prefix>ids(<keep>, x)` (x unsigned HUGEINT, already reduced mod
+    * 2^64); emits CTEs ending in `<prefix>smixed(<keep>, sv)` with sv the
+    * unsigned HUGEINT result. `keep` may be a comma-separated column
+    * list. Pass a `prefix` when the chain is embedded in a SHARED
+    * fragment (duckSemCtes): a prefixed instance cannot collide with a
+    * consumer's own splitmix/xxh64 chain, so composition is safe by
+    * construction instead of by naming convention.
     */
-  def splitmix64Ctes(keep: String): String =
-    s"""p0 AS (
-       |  SELECT $keep, (x + $SM1) % $T AS z0 FROM ids
-       |), p1 AS (
-       |  SELECT $keep, ${xor64("z0", "z0 // 1073741824")} AS a1 FROM p0
-       |), p2 AS (
-       |  SELECT $keep, ${mul64("a1", SM2)} AS z1 FROM p1
-       |), p3 AS (
-       |  SELECT $keep, ${xor64("z1", "z1 // 134217728")} AS a2 FROM p2
-       |), p4 AS (
-       |  SELECT $keep, ${mul64("a2", SM3)} AS z2 FROM p3
-       |), smixed AS (
-       |  SELECT $keep, ${xor64("z2", "z2 // 2147483648")} AS sv FROM p4
+  def splitmix64Ctes(keep: String, prefix: String = ""): String =
+    s"""${prefix}p0 AS (
+       |  SELECT $keep, (x + $SM1) % $T AS z0 FROM ${prefix}ids
+       |), ${prefix}p1 AS (
+       |  SELECT $keep, ${xor64("z0", "z0 // 1073741824")} AS a1 FROM ${prefix}p0
+       |), ${prefix}p2 AS (
+       |  SELECT $keep, ${mul64("a1", SM2)} AS z1 FROM ${prefix}p1
+       |), ${prefix}p3 AS (
+       |  SELECT $keep, ${xor64("z1", "z1 // 134217728")} AS a2 FROM ${prefix}p2
+       |), ${prefix}p4 AS (
+       |  SELECT $keep, ${mul64("a2", SM3)} AS z2 FROM ${prefix}p3
+       |), ${prefix}smixed AS (
+       |  SELECT $keep, ${xor64("z2", "z2 // 2147483648")} AS sv FROM ${prefix}p4
        |)""".stripMargin
 }

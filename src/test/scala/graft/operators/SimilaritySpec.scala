@@ -491,6 +491,122 @@ class SimilaritySpec extends SparkSpec {
     assert(two(0).getLong(1) === two(1).getLong(1), "vector population is stable")
   }
 
+  test("derivedSemProbeRadius: binomial-tail floor crossings at the documented b values") {
+    // p = 15/16, floor 9/10: radius 0 while p^b alone clears the floor,
+    // then 1 through b = 8 (the previous hard-coded behavior), 2 through
+    // b = 16, 3 beyond — the regime where Hamming-1 silently lost recall
+    assert(Similarity.derivedSemProbeRadius(0) === 0)
+    assert(Similarity.derivedSemProbeRadius(1) === 0)
+    assert(Similarity.derivedSemProbeRadius(2) === 1)
+    assert(Similarity.derivedSemProbeRadius(3) === 1)
+    assert(Similarity.derivedSemProbeRadius(6) === 1)
+    assert(Similarity.derivedSemProbeRadius(8) === 1)
+    assert(Similarity.derivedSemProbeRadius(9) === 2)
+    assert(Similarity.derivedSemProbeRadius(16) === 2)
+    assert(Similarity.derivedSemProbeRadius(17) === 2)
+    assert(Similarity.derivedSemProbeRadius(24) === 3)
+    // mask sets: identity always included; popcount bounded by the radius
+    assert(Similarity.semProbeMasks(0) === Seq(0L))
+    assert(Similarity.semProbeMasks(3) === Seq(0L, 1L, 2L, 4L))
+    assert(Similarity.semProbeMasks(9).size === 1 + 9 + 36)
+    // expected recall, integer ppm: exact at the two pinned fixtures
+    assert(Similarity.semExpectedRecallPpm(0) === 1000000L)
+    assert(Similarity.semExpectedRecallPpm(3) === 988769L) // 4050e6/4096
+    // every derived geometry clears the 9/10 floor it was derived from
+    (0 to 24).foreach { b =>
+      assert(Similarity.semExpectedRecallPpm(b) >= 900000L,
+        s"b=$b: derived radius must clear the pinned floor")
+    }
+  }
+
+  test("planted-dup recall at a b = 3 corpus clears the derived 9/10 floor") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // 3000 vectors / 2 labels forces b = 3 (2·2^3·256 = 4096 >= 3000 >
+    // 2048); 150 planted twins at cos ~0.99 are the "true dup" population
+    // the 15/16 per-bit-agreement pin models (arccos(.99) => agreement
+    // ~0.955 > 15/16, so the measured recall should clear the floor with
+    // slack)
+    val rnd = new scala.util.Random(42)
+    val base = (0 until 2850).map { i =>
+      (i.toLong, Array.fill(64)(rnd.nextGaussian().toFloat), (i % 2).toLong)
+    }
+    val twins = (0 until 150).map { i =>
+      val (id, v, lab) = base(i)
+      (id + 100000L, v.map(x => x + 0.1f * rnd.nextGaussian().toFloat), lab)
+    }
+    val e = (base ++ twins).toDF("vec_id", "embedding", "label")
+    val b = Similarity.derivedSemSubBits(3000L, 2L)
+    assert(b === 3)
+    val assigned = Similarity.semSubAssigned(e)
+    val asg = assigned.select("vec_id", "cell").collect()
+      .map(r => r.getLong(0) -> r.get(1).toString).toMap
+    val planted = (0 until 150).map(i => (i.toLong, i.toLong + 100000L))
+    val sameCell = planted.filter { case (a, bb) => asg(a) == asg(bb) }
+    assert(sameCell.size >= 100, "most twins land in the same centroid cell")
+    val found = Similarity.semCellPairs(assigned, b)
+      .select(col("lo"), col("hi")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val hits = sameCell.count { case (a, bb) =>
+      found.contains((math.min(a, bb), math.max(a, bb)))
+    }
+    val recall = hits.toDouble / sameCell.size
+    assert(recall * 10 >= 9,
+      s"measured sub-split recall $recall must clear the derived 9/10 floor")
+  }
+
+  test("e24 geometry audit pins the identity derivation at the fixture") {
+    val r = Similarity.queries("e24_semprobe_geometry")(spark, sfDir).collect()(0)
+    assert(r.getLong(2) === 0L, "b = 0 at every oracle fixture")
+    assert(r.getLong(3) === 0L, "radius 0 when the split is the identity")
+    assert(r.getLong(4) === 1L, "one (identity) probe mask")
+    assert(r.getLong(5) === 1000000L, "recall 10^6 ppm when nothing is split")
+  }
+
+  test("lloyd mechanics: a mislabeled vector crosses to its nearest centroid in one round") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val e = Seq(
+      (0L, Array(1.0f, 0.0f), 0L),
+      (1L, Array(0.9f, 0.1f), 0L),
+      (2L, Array(0.0f, 1.0f), 1L),
+      (3L, Array(0.05f, 0.95f), 0L) // labeled 0, but points at cluster 1
+    ).toDF("vec_id", "embedding", "label")
+    val asg0 = e.select(col("vec_id"), col("embedding"), col("label").cast("long").as("cell"))
+    val r1 = Similarity.lloydAssign(e,
+      Similarity.lloydCentroids(Similarity.lloydComponents(asg0)))
+    val cells = r1.collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(cells === Map(0L -> 0L, 1L -> 0L, 2L -> 1L, 3L -> 1L),
+      "only the mislabeled vector moves; the rest stay put")
+  }
+
+  test("e08b converge: round-1 census IS e08's; converged rounds are exact no-ops") {
+    val prof = Similarity.queries("e08b_lloyd_converge")(spark, sfDir)
+      .collect().sortBy(_.getLong(0))
+    assert(prof.length === Similarity.LloydRounds)
+    // round 1 shares e08's helpers by construction; pin the census
+    // against the single-step operator's own output anyway
+    val e08 = Similarity.queries("e08_kmeans_step")(spark, sfDir).collect()
+    val members = e08.filter(_.getLong(1) == 0L).map(_.getLong(3))
+    assert(prof(0).getLong(2) === members.length.toLong, "n_clusters = e08's clusters")
+    assert(prof(0).getLong(3) === members.min, "min_members matches e08")
+    assert(prof(0).getLong(4) === members.max, "max_members matches e08")
+    prof.foreach { r =>
+      assert(r.getLong(2) >= 1L && r.getLong(3) >= 1L && r.getLong(3) <= r.getLong(4))
+      assert(r.getLong(5) >= 0L)
+      if (r.getLong(1) == 0L) assert(r.getLong(5) === 0L,
+        "no movement => identical components => zero grid displacement")
+    }
+    // after the first zero-movement round everything is a no-op row with
+    // the converged census carried verbatim
+    val conv = prof.indexWhere(_.getLong(1) == 0L)
+    if (conv >= 0) prof.drop(conv).foreach { r =>
+      assert(r.getLong(1) === 0L && r.getLong(5) === 0L)
+      assert((r.getLong(2), r.getLong(3), r.getLong(4)) ===
+        ((prof(conv).getLong(2), prof(conv).getLong(3), prof(conv).getLong(4))))
+    }
+  }
+
   test("e17 IVF balance: postings = 2·n (top-2 spill), internally consistent stats") {
     val n = graft.Tables.embeddings(spark, sfDir).count()
     val r = Similarity.queries("e17_ivf_balance")(spark, sfDir).collect()(0)

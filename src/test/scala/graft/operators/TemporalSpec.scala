@@ -326,4 +326,25 @@ class TemporalSpec extends SparkSpec {
     assert(got((1L, "c")) === ((3L, 3407872L, 3.25)))
     assert(got((2L, "v")) === ((1L, 4194304L, 4.0)))
   }
+
+  test("a21 signed values: decay is floor-div halving, not trunc toward zero") {
+    import spark.implicits._
+    val now = 1704103200L
+    val e = Seq(
+      (1L, "c", now, 0.0),                    // pins "now"; contributes 0
+      // -3 fp units (floor(-3·2^-20·2^20) = -3) after one half-life:
+      // floor(-1.5) = -2 while trunc(-1.5) = -1 — the operator must emit
+      // the floor, -2, for halving to mean halving on signed values.
+      (1L, "c", now - 86400L, -3.0 / 1048576.0),
+      // a plain negative value, 2 half-lives: floor(-5·2^20 / 4)
+      (2L, "v", now, 0.0),
+      (2L, "v", now - 2 * 86400L, -5.0)
+    ).toDF("user_id", "event_type", "ts_sec", "value")
+    val got = Temporal.decayedEngagement(e).collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> r.getLong(3)).toMap
+    assert(got((1L, "c")) === -2L,
+      "floor(-3/2) must be -2; trunc-div would give -1")
+    assert(got((2L, "v")) === (-5L * 1048576L) / 4L,
+      "-5·2^20 is divisible by 4, so floor and trunc agree here")
+  }
 }
