@@ -136,6 +136,20 @@ object Bench {
       if (ts.exists(_ < 0)) -1.0 else ts.sorted.apply(ts.size / 2)
     val medTotal = results.flatMap { case (n, _) => passDetail.get(n) }
       .map(medianOf).filter(_ >= 0).sum
+    // Per-query budget flag (round 11): the catalog grows ~10 queries a
+    // round and nine > 5 s queries already carry ~95 s of the median
+    // total — erosion must be visible in the round it happens, not when
+    // the 2× gate finally breaks. Any query whose MEDIAN-of-passes
+    // exceeds BudgetSec is listed (print, not fail: the by-design
+    // heavies g04/e18 live over the line and are documented as such).
+    val BudgetSec = 10.0
+    val overBudget = results.flatMap { case (n, _) =>
+      passDetail.get(n).map(medianOf).filter(m => m > BudgetSec).map(_ => n)
+    }.sorted
+    val overJson =
+      if (passDetail.isEmpty) ""
+      else s""","budget_sec":$BudgetSec,"over_budget":${
+        overBudget.map("\"" + _ + "\"").mkString("[", ",", "]")}"""
     val fullQs = results.map { case (k, v) => s"\"$k\":" + fmt(v, 3) }.mkString("{", ",", "}")
     val medQs =
       if (passDetail.isEmpty) ""
@@ -148,7 +162,7 @@ object Bench {
         s"\"$k\":[${ts.map(fmt(_, 3)).mkString(",")}]"
       }.mkString(""","passes":{""", ",", "}")
     java.nio.file.Files.write(java.nio.file.Paths.get("bench_detail.json"),
-      s"""{"metric":"total","value":${fmt(total, 3)},"median_total":${fmt(medTotal, 3)},"unit":"sec","queries":$fullQs$medQs$passes,"sf":"$sfDir"}""".getBytes("UTF-8"))
+      s"""{"metric":"total","value":${fmt(total, 3)},"median_total":${fmt(medTotal, 3)},"unit":"sec","queries":$fullQs$medQs$passes$overJson,"sf":"$sfDir"}""".getBytes("UTF-8"))
     // stop() BEFORE the metric println: spark shutdown (and log4j's exit
     // flush of anything it buffered) must not print after the one JSON
     // line the driver scrapes from the captured tail. Rounds 2–5 recorded
@@ -156,7 +170,7 @@ object Bench {
     spark.stop()
     sweepScratch()
     new java.io.File(benchScratch).delete()
-    println(s"""{"metric":"total","value":${fmt(total, 1)},"median_total":${fmt(medTotal, 1)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total, 1)},"median_total":${fmt(medTotal, 1)},"unit":"sec","queries":$qs$overJson,"sf":"$sfDir"}""")
     Console.out.flush()
   }
 }

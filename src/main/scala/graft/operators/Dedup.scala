@@ -28,9 +28,57 @@ import graft.functions.TextFunctions._
 object Dedup {
 
   val MinHashK = 128
-  val Bands = 32
-  val RowsPerBand = MinHashK / Bands
+
+  /** d03's Jaccard threshold as the exact ratio 4/5 (= JaccardThreshold)
+    * — the band-geometry derivation runs on the integer ratio so both
+    * engines decide identically. */
+  val JaccardTNum = 4L
+  val JaccardTDen = 5L
   val JaccardThreshold = 0.8
+
+  /** Miss-probability ceiling for the band derivation: a true pair AT
+    * the threshold may be missed by the banding with probability at most
+    * 1/LshMissCeilDen (then the exact-Jaccard verify never sees it). */
+  val LshMissCeilDen = 1000000L
+
+  /** THE LAST HAND-SET BLOCKING KNOB, DERIVED (round 11): (bands, rows)
+    * now comes from the S-curve inequality instead of a hand pick. For
+    * rows-per-band r and b = k∕r bands, a pair at Jaccard t survives all
+    * banding with miss probability (1 − t^r)^b; the derivation admits r
+    * iff that miss ≤ 1∕LshMissCeilDen at t = JaccardTNum∕JaccardTDen and
+    * picks the LARGEST admitted r (monotone: smaller r only lowers the
+    * miss), because r is the precision knob — larger r ⇒ sharper S-curve
+    * ⇒ fewer sub-threshold candidates reaching the exact verify.
+    *
+    * The arithmetic is a floor-rounded fixed-point chain on the 2^-60
+    * grid, identical in both engines (BigInt here, HUGEINT in the d17
+    * oracle — 128-bit is enough because every intermediate is < 2^120,
+    * while the naive exact form (5^r−4^r)^b needs 90-digit integers
+    * DuckDB cannot hold): m₀ = ⌊(TDen^r − TNum^r)·2^60 ∕ TDen^r⌋, then
+    * log₂(b) floor-squarings m ← ⌊m²∕2^60⌋ (k and the candidate r are
+    * powers of two, so b is too). Candidates r ∈ {16, 8, 4, 2, 1} — 32+
+    * would overflow the m₀ numerator and a 1-row band is the always-
+    * admitted floor. At t = 4∕5 the derivation lands exactly on the
+    * previous hand-set geometry (r = 4, b = 32, miss ≈ 4.7e-8), so every
+    * d03-family fixture is unchanged by construction; at t = 19∕20 it
+    * picks r = 8, at t = 3∕5 it picks r = 2 (DedupSpec pins all three).
+    * d17_lsh_geometry surfaces the derivation as a gated row.
+    */
+  private[operators] def lshMissFp(tNum: Long, tDen: Long, r: Int, k: Int): BigInt = {
+    val den = BigInt(tDen).pow(r)
+    var m = ((den - BigInt(tNum).pow(r)) << 60) / den
+    var e = k / r
+    while (e > 1) { m = (m * m) >> 60; e >>= 1 }
+    m
+  }
+
+  private[operators] def derivedBandRows(k: Int, tNum: Long, tDen: Long): Int =
+    Seq(16, 8, 4, 2, 1).find(r =>
+      lshMissFp(tNum, tDen, r, k) * LshMissCeilDen <= (BigInt(1) << 60)
+    ).getOrElse(1)
+
+  val RowsPerBand = derivedBandRows(MinHashK, JaccardTNum, JaccardTDen)
+  val Bands = MinHashK / RowsPerBand
 
   /** d16: calibration signature width (its OWN narrow sketch, k = 16
     * with 1-row bands — a pair is a candidate iff ANY min value agrees,
@@ -522,6 +570,25 @@ object Dedup {
       } finally sk.unpersist()
     }),
 
+    // LSH BAND-GEOMETRY AUDIT — the round-11 derivation (see
+    // derivedBandRows) as a gated row: threshold ratio → the derived
+    // (rows_per_band, n_bands) and the at-threshold miss probability in
+    // ppb, all from the 2^-60 fixed-point squaring chain both engines
+    // run step-for-step (the d16 pattern: the oracle restates the
+    // DERIVATION, not just the result). n_sketched anchors the row to
+    // the corpus (the doc population the geometry governs). If either
+    // engine's chain drifts by one floor, this row fails before d03's
+    // candidate set silently changes.
+    "d17_lsh_geometry" -> ((s, dir) => {
+      import s.implicits._
+      val m = lshMissFp(JaccardTNum, JaccardTDen, RowsPerBand, MinHashK)
+      val nSketched = shingled(s, dir).count()
+      Seq((MinHashK.toLong, JaccardTNum, JaccardTDen, RowsPerBand.toLong,
+        Bands.toLong, ((m * 1000000000L) >> 60).toLong, nSketched))
+        .toDF("sig_k", "t_num", "t_den", "rows_per_band", "n_bands",
+          "miss_ppb", "n_sketched")
+    }),
+
     // blocking on metadata (lang, source) instead of LSH: the classic
     // "cheap key first" candidate strategy. Exact Jaccard inside blocks,
     // global top-50 most-similar pairs. Shingles are hashed to int64
@@ -962,6 +1029,48 @@ object Dedup {
          |FROM agree a JOIN ej e USING (id_a, id_b)
          |GROUP BY a.n_agree
          |ORDER BY n_agree""".stripMargin
+    },
+
+    // the DERIVATION restated step-for-step: per candidate r the exact
+    // integer powers (explicit products — no Scala-computed literals),
+    // the same 2^-60 m0 floor, the same unrolled floor-squarings, the
+    // same ceiling cross-multiply, MAX admitted r
+    "d17_lsh_geometry" -> {
+      val two60 = "1152921504606846976::HUGEINT"
+      def prod(base: Long, r: Int): String =
+        (s"CAST($base AS HUGEINT)" +: Seq.fill(r - 1)(base.toString)).mkString(" * ")
+      val candRows = Seq(16, 8, 4, 2, 1).map { r =>
+        val nsq = Integer.numberOfTrailingZeros(MinHashK / r)
+        s"($r, $nsq, ${prod(JaccardTNum, r)}, ${prod(JaccardTDen, r)})"
+      }.mkString(", ")
+      val squarings = (1 to 7).map { i =>
+        s""", d17_s$i AS (
+           |  SELECT r, nsq,
+           |    CASE WHEN nsq >= $i THEN (m * m) // $two60 ELSE m END AS m
+           |  FROM d17_s${i - 1}
+           |)""".stripMargin
+      }.mkString
+      s"""WITH d17_cand AS (
+         |  SELECT * FROM (VALUES $candRows) t(r, nsq, tn, td)
+         |), d17_s0 AS (
+         |  SELECT r, nsq, ((td - tn) * $two60) // td AS m FROM d17_cand
+         |)$squarings, d17_adm AS (
+         |  SELECT COALESCE(MAX(r) FILTER (WHERE m * $LshMissCeilDen <= $two60), 1) AS rpb
+         |  FROM d17_s7
+         |), d17_tok AS (
+         |  SELECT list_filter(string_split(lower(text), ' '), w -> len(w) > 0) AS w
+         |  FROM documents
+         |), d17_n AS (
+         |  SELECT COUNT(*) AS n FROM d17_tok WHERE len(w) >= 3
+         |)
+         |SELECT CAST($MinHashK AS BIGINT) AS sig_k,
+         |  CAST($JaccardTNum AS BIGINT) AS t_num,
+         |  CAST($JaccardTDen AS BIGINT) AS t_den,
+         |  CAST(a.rpb AS BIGINT) AS rows_per_band,
+         |  CAST($MinHashK // a.rpb AS BIGINT) AS n_bands,
+         |  CAST((s.m * 1000000000) // $two60 AS BIGINT) AS miss_ppb,
+         |  n.n AS n_sketched
+         |FROM d17_adm a JOIN d17_s7 s ON s.r = a.rpb CROSS JOIN d17_n n""".stripMargin
     },
 
     // brute force over ALL pairs — the exactness claim of the prefix

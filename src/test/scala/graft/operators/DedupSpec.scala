@@ -356,6 +356,26 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("derivedBandRows: the S-curve derivation lands on the hand-tuned geometry at 4/5") {
+    // t = 0.8 admits r = 4 (miss ~4.7e-8) and rejects r = 8 (miss
+    // ~0.053) — exactly the previous hand-set (4, 32), so every
+    // d03-family fixture is unchanged by construction
+    assert(Dedup.derivedBandRows(128, 4, 5) === 4)
+    assert(Dedup.RowsPerBand === 4 && Dedup.Bands === 32)
+    // sharper threshold => longer bands (precision is free); looser =>
+    // shorter bands (recall must be bought)
+    assert(Dedup.derivedBandRows(128, 19, 20) === 8)
+    assert(Dedup.derivedBandRows(128, 3, 5) === 2)
+    // the fixed-point chain reproduces the closed form to the grid:
+    // (1 - 0.8^4)^32 * 2^60 with downward floor bias only
+    val m = Dedup.lshMissFp(4, 5, 4, 128)
+    val exact = math.pow(1.0 - math.pow(0.8, 4), 32) * math.pow(2.0, 60)
+    assert(m.toDouble <= exact && m.toDouble >= exact * 0.999,
+      s"fixed-point miss $m must lower-bound the closed form $exact tightly")
+    // the derived geometry always clears its own ceiling
+    assert(m * Dedup.LshMissCeilDen <= (BigInt(1) << 60))
+  }
+
   test("d14 spectrum closed form: sizes 2,2,3,8 split into buckets 1 and 3 with exact shares") {
     import spark.implicits._
     val clusters = (Seq((1L, 10L), (2L, 10L), (3L, 20L), (4L, 20L),
