@@ -433,7 +433,18 @@ object ScaleProbe {
       // e02's broadcast-query shape: one pair frame, four sliced cosines
       "e23_matryoshka_sweep",
       // one scan into a |QI-groups|-row agg; the k sweep filters metadata
-      "p13_k_anonymity")
+      "p13_k_anonymity",
+      // round 11: the Lloyd loop (4× e08's per-round cost — corpus scan
+      // × broadcast centroids + a vec_id window, claimed linear), the
+      // two derivation audits (metadata-sized arithmetic — claimed
+      // flat), the composed IVF+SQ8 serve (probe-bounded candidates +
+      // 40-row re-rank — the corpus-linear term is the quantize pass),
+      // and the threshold sweep (d03's pair frame once + four filters)
+      "e08b_lloyd_converge", "e24_semprobe_geometry", "e25_ivf_sq_serve",
+      "d17_lsh_geometry", "d18_jaccard_sweep",
+      // the rank-fidelity calibration is e02's didactic class (two full
+      // corpus×10 windows) — probed to measure the honest linear cost
+      "e26_sq_rank_calibration")
       // local iteration only: probe just a subset by name prefix
       .filter(n => sys.env.get("SPARK_GRAFT_ONLY")
         .forall(_.split(",").exists(n.startsWith)))

@@ -589,6 +589,35 @@ object Dedup {
           "miss_ppb", "n_sketched")
     }),
 
+    // JACCARD THRESHOLD SWEEP — d03's aggressiveness tuning curve (the
+    // e20 pattern applied to text near-dup): pair count, docs dropped
+    // (greedy keep-lowest — the higher id of each pair, d07's
+    // convention), and drop rate at θ ∈ {0.80, 0.85, 0.90, 0.95}, all
+    // FILTERS over ONE verified pair frame — the banding runs once at
+    // the derived 0.8 geometry, and every sweep point is above that
+    // threshold so band recall covers it (sweeping BELOW the derived
+    // threshold would need a re-derived geometry; d17 is the knob).
+    // What a dedup owner reads before committing to an aggressiveness:
+    // how fast does the duplicate mass thin as the bar rises.
+    "d18_jaccard_sweep" -> ((s, dir) => {
+      // Materialized (persist+count, swept by Bench's fence like every
+      // other shared frame): the four sweep branches then read one
+      // cached pair frame instead of re-running the band+verify chain
+      val pairs = graft.Materialize(
+        nearDupPairs(s, dir).select(col("id_b"), col("jaccard")))
+      val tot = Tables.documents(s, dir).agg(count(lit(1)).as("n"))
+      Seq(80, 85, 90, 95).map { t =>
+        pairs.filter(col("jaccard") >= t / 100.0)
+          .agg(count(lit(1)).as("n_pairs"),
+            countDistinct(col("id_b")).as("n_dropped"))
+          .select(lit(t.toLong).as("threshold_pct"), col("n_pairs"), col("n_dropped"))
+      }.reduce(_ unionAll _)
+        .crossJoin(broadcast(tot))
+        .select(col("threshold_pct"), col("n_pairs"), col("n_dropped"),
+          (col("n_dropped").cast("double") / col("n").cast("double")).as("drop_rate"))
+        .orderBy("threshold_pct")
+    }),
+
     // blocking on metadata (lang, source) instead of LSH: the classic
     // "cheap key first" candidate strategy. Exact Jaccard inside blocks,
     // global top-50 most-similar pairs. Shingles are hashed to int64
@@ -1030,6 +1059,40 @@ object Dedup {
          |GROUP BY a.n_agree
          |ORDER BY n_agree""".stripMargin
     },
+
+    // brute-force pairs at each sweep threshold (band recall covers all
+    // of them: every point is >= the derived 0.8 geometry's target);
+    // drop convention mirrored (DISTINCT higher id)
+    "d18_jaccard_sweep" ->
+      """WITH t AS (
+        |  SELECT doc_id, list_filter(string_split(lower(text), ' '), w -> len(w) > 0) AS w
+        |  FROM documents
+        |), s AS (
+        |  SELECT doc_id,
+        |    list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w) - 1)]) AS sh
+        |  FROM t WHERE len(w) >= 3
+        |), pj AS MATERIALIZED (
+        |  SELECT b.doc_id AS id_b,
+        |    len(list_intersect(a.sh, b.sh))::DOUBLE
+        |      / len(list_distinct(list_concat(a.sh, b.sh)))::DOUBLE AS j
+        |  FROM s a JOIN s b ON a.doc_id < b.doc_id
+        |  WHERE len(a.sh) > 0 AND len(b.sh) > 0
+        |), n AS (
+        |  SELECT COUNT(*) AS n FROM documents
+        |), sw AS (
+        |  SELECT 80 AS threshold_pct, COUNT(*) AS n_pairs,
+        |    COUNT(DISTINCT id_b) AS n_dropped FROM pj WHERE j >= 0.80
+        |  UNION ALL
+        |  SELECT 85, COUNT(*), COUNT(DISTINCT id_b) FROM pj WHERE j >= 0.85
+        |  UNION ALL
+        |  SELECT 90, COUNT(*), COUNT(DISTINCT id_b) FROM pj WHERE j >= 0.90
+        |  UNION ALL
+        |  SELECT 95, COUNT(*), COUNT(DISTINCT id_b) FROM pj WHERE j >= 0.95
+        |)
+        |SELECT CAST(threshold_pct AS BIGINT) AS threshold_pct, n_pairs, n_dropped,
+        |  CAST(n_dropped AS DOUBLE) / CAST(n.n AS DOUBLE) AS drop_rate
+        |FROM sw CROSS JOIN n
+        |ORDER BY threshold_pct""".stripMargin,
 
     // the DERIVATION restated step-for-step: per candidate r the exact
     // integer powers (explicit products — no Scala-computed literals),

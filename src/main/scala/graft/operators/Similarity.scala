@@ -325,6 +325,29 @@ object Similarity {
     semCellPairs(semAssigned(e).withColumn("sub", subColFor(b)), b)
   }
 
+  /** The SQ8 quantized corpus (vec_id, q: array<bigint>) — e07's exact
+    * per-vector symmetric scheme assembled into lists. Shared by e22
+    * (whole-corpus scan baseline) and e25 (the composed IVF-probed
+    * serving form), so the two rankings come from the SAME codes.
+    * maxabs = 0 guard (an all-zero vector): without it the division
+    * yields NaN, which Spark's floor/cast nulls while DuckDB's CAST
+    * raises — the engines would fail DIFFERENTLY. greatest(·, 1e-300)
+    * maps the all-zero vector to all-zero codes identically in both
+    * engines and is a no-op for any real vector (maxabs ≥ any normal
+    * |v| > 0). Mirrored verbatim in the oracles' qv CTEs.
+    */
+  private[operators] def sqQuantized(e: DataFrame): DataFrame = {
+    val wv = Window.partitionBy("vec_id")
+    e.select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim", "v")))
+      .withColumn("v", col("v").cast("double"))
+      .withColumn("maxabs", max(abs(col("v"))).over(wv))
+      .select(col("vec_id"), col("dim"),
+        floor(col("v") * 127.0 / greatest(col("maxabs"), lit(1e-300))).as("qv"))
+      .groupBy("vec_id")
+      .agg(transform(sort_array(collect_list(struct(col("dim"), col("qv")))),
+        s => s.getField("qv")).as("q"))
+  }
+
   /** IVF coarse-quantizer centroids as `(cell, centroid: array<float>)` —
     * e05's fixed-point components assembled per label. Shared by e12b's
     * vector shortlist (and the same block e06/e08 state inline).
@@ -1547,21 +1570,7 @@ object Similarity {
     // so the whole pipeline gates hash-exactly.
     "e22_sq_rerank" -> ((s, dir) => {
       val e = Tables.embeddings(s, dir)
-      val wv = Window.partitionBy("vec_id")
-      val q = e.select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim", "v")))
-        .withColumn("v", col("v").cast("double"))
-        .withColumn("maxabs", max(abs(col("v"))).over(wv))
-        // maxabs = 0 guard (an all-zero vector): without it the division
-        // yields NaN, which Spark's floor/cast nulls while DuckDB's CAST
-        // raises — the engines would fail DIFFERENTLY. greatest(·, 1e-300)
-        // maps the all-zero vector to all-zero codes identically in both
-        // engines and is a no-op for any real vector (maxabs ≥ any
-        // normal |v| > 0). Mirrored verbatim in the oracle's qv CTE.
-        .select(col("vec_id"), col("dim"),
-          floor(col("v") * 127.0 / greatest(col("maxabs"), lit(1e-300))).as("qv"))
-        .groupBy("vec_id")
-        .agg(transform(sort_array(collect_list(struct(col("dim"), col("qv")))),
-          s => s.getField("qv")).as("q"))
+      val q = sqQuantized(e)
       val qq = q.filter(col("vec_id") < 10)
         .select(col("vec_id").as("qid"), col("q").as("q_a"))
       val scoredInt = q.select(col("vec_id").as("nid"), col("q").as("q_b"))
@@ -1583,6 +1592,95 @@ object Similarity {
         .withColumn("rn", row_number().over(wCos).cast("long"))
         .filter(col("rn") <= 5)
         .orderBy("qid", "rn")
+    }),
+
+    // IVF-PROBED SQ8 SERVE — the COMPOSED production form e22's scaladoc
+    // promises: candidates come from the IVF probe (vectors file under
+    // top-2 cells, queries probe top-4 — e06's geometry verbatim), the
+    // scoring scan runs on the SHARED SQ8 codes (sqQuantized — same
+    // codes as e22, parity by construction), top-40 by integer dot,
+    // exact-cosine re-rank of the shortlist only. This is the
+    // billion-vector serving memory layout END TO END: the float table
+    // is touched for 40 rows per query; the scored candidate set is
+    // nprobe·occupancy per query (constant at any corpus size once the
+    // e21 sub-split engages), and the scan reads 4× fewer bytes than
+    // floats. Fully deterministic → the whole composition gates
+    // hash-exactly.
+    "e25_ivf_sq_serve" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val q = sqQuantized(e)
+      val cr = ivfCranked(e)
+      val assigned = cr.filter(col("rn") <= 2)
+        .select(col("vec_id").as("nid"), col("cell"))
+      val probes = cr.filter(col("rn") <= 4 && col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("cell"))
+      val cand = assigned.join(broadcast(probes), "cell")
+        .filter(col("nid") =!= col("qid"))
+        .select("qid", "nid").distinct()
+      val scoredInt = cand
+        .join(q.select(col("vec_id").as("nid"), col("q").as("q_b")), "nid")
+        .join(broadcast(q.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("qid"), col("q").as("q_a"))), "qid")
+        .select(col("qid"), col("nid"),
+          aggregate(zip_with(col("q_a"), col("q_b"), (x, y) => x * y),
+            lit(0L), (acc, x) => acc + x).as("int_dot"))
+      val wTop = Window.partitionBy("qid").orderBy(col("int_dot").desc, col("nid").asc)
+      val shortlist = scoredInt
+        .withColumn("srn", row_number().over(wTop)).filter(col("srn") <= 40)
+        .select("qid", "nid", "int_dot")
+      val emb = e.select(col("vec_id").as("nid"), col("embedding").as("n_emb"))
+      val qemb = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding").as("q_emb"))
+      val wCos = Window.partitionBy("qid").orderBy(col("cos_sim").desc, col("nid").asc)
+      shortlist.join(emb, "nid").join(broadcast(qemb), "qid")
+        .select(col("qid"), col("nid"), col("int_dot"),
+          cosine_similarity(col("q_emb"), col("n_emb")).as("cos_sim"))
+        .withColumn("rn", row_number().over(wCos).cast("long"))
+        .filter(col("rn") <= 5)
+        .orderBy("qid", "rn")
+    }),
+
+    // SQ8 RANK-FIDELITY CALIBRATION — d16's role for the scalar
+    // quantizer: before a serving team trusts e22/e25's integer-dot
+    // shortlists, this row answers "how far does int8 ranking displace
+    // the exact-cosine ranking?" For the 10 bounded queries, the full
+    // corpus is ranked BOTH ways (int dot over sqQuantized codes;
+    // exact cosine — e02's baseline), and each (query, neighbor) pair
+    // files under the BITLENGTH bucket of its absolute rank
+    // displacement (d14's bucket discipline: bucket 0 = rank-exact,
+    // 1 = off by 1, b = off by [2^(b-1), 2^b)). Ranks are integers from
+    // deterministic (score DESC, nid ASC) windows, displacement is
+    // integer subtraction — the whole histogram gates hash-exactly.
+    // Scale shape: this is the e02-class didactic baseline (the
+    // production form samples queries); 2 windows over corpus×10 rows.
+    "e26_sq_rank_calibration" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val q = sqQuantized(e)
+      val pairsInt = q.select(col("vec_id").as("nid"), col("q").as("q_b"))
+        .join(broadcast(q.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("qid"), col("q").as("q_a"))), col("nid") =!= col("qid"))
+        .select(col("qid"), col("nid"),
+          aggregate(zip_with(col("q_a"), col("q_b"), (x, y) => x * y),
+            lit(0L), (acc, x) => acc + x).as("int_dot"))
+      val wInt = Window.partitionBy("qid").orderBy(col("int_dot").desc, col("nid").asc)
+      val ri = pairsInt.select(col("qid"), col("nid"),
+        row_number().over(wInt).cast("long").as("rank_int"))
+      val pairsCos = e.select(col("vec_id").as("nid"), col("embedding").as("n_emb"))
+        .join(broadcast(e.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("qid"), col("embedding").as("q_emb"))),
+          col("nid") =!= col("qid"))
+        .select(col("qid"), col("nid"),
+          cosine_similarity(col("q_emb"), col("n_emb")).as("cos_sim"))
+      val wCos = Window.partitionBy("qid").orderBy(col("cos_sim").desc, col("nid").asc)
+      val rc = pairsCos.select(col("qid"), col("nid"),
+        row_number().over(wCos).cast("long").as("rank_exact"))
+      ri.join(rc, Seq("qid", "nid"))
+        .select(abs(col("rank_int") - col("rank_exact")).as("disp"))
+        .groupBy(when(col("disp") === 0L, 0L)
+          .otherwise(length(bin(col("disp"))).cast("long")).as("disp_bucket"))
+        .agg(count(lit(1)).as("n_pairs"),
+          min("disp").as("min_disp"), max("disp").as("max_disp"))
+        .orderBy("disp_bucket")
     }),
 
     // PRODUCT QUANTIZATION (PQ): the codebook compression behind
@@ -2497,6 +2595,78 @@ object Similarity {
          |FROM sl s JOIN embeddings a ON a.vec_id = s.qid JOIN embeddings b ON b.vec_id = s.nid
          |QUALIFY rn <= 5
          |ORDER BY qid, rn""".stripMargin,
+
+    // the composition restated: the e06 IVF chain supplies candidates,
+    // the e22 quantizer chain (sq_-prefixed — duckIvfCtes owns `x`)
+    // supplies the integer codes, same top-40 + exact re-rank tail
+    "e25_ivf_sq_serve" ->
+      s"""WITH $duckIvfCtes, sq_x AS (
+         |  SELECT vec_id,
+         |    unnest([{'d': i - 1, 'v': embedding[i]::DOUBLE} for i in range(1, len(embedding)+1)]) AS u
+         |  FROM embeddings
+         |), sq_mm AS (
+         |  SELECT vec_id, MAX(abs(u.v)) AS maxabs FROM sq_x GROUP BY vec_id
+         |), sq_qv AS (
+         |  SELECT x.vec_id, x.u.d AS d,
+         |    CAST(floor(x.u.v * 127.0 / greatest(m.maxabs, 1e-300)) AS BIGINT) AS qv
+         |  FROM sq_x x JOIN sq_mm m USING (vec_id)
+         |), sq_ql AS (
+         |  SELECT vec_id, list(qv ORDER BY d) AS q FROM sq_qv GROUP BY vec_id
+         |), sq_cand AS (
+         |  SELECT DISTINCT p.qid, a.nid
+         |  FROM assigned a JOIN probes p USING (cell)
+         |  WHERE a.nid <> p.qid
+         |), sq_dots AS (
+         |  SELECT c.qid, c.nid,
+         |    CAST(list_sum([a.q[i] * b.q[i] for i in range(1, len(a.q)+1)]) AS BIGINT) AS int_dot
+         |  FROM sq_cand c JOIN sq_ql a ON a.vec_id = c.qid JOIN sq_ql b ON b.vec_id = c.nid
+         |), sq_sl AS (
+         |  SELECT qid, nid, int_dot,
+         |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY int_dot DESC, nid ASC) AS srn
+         |  FROM sq_dots QUALIFY srn <= 40
+         |)
+         |SELECT s.qid, s.nid, s.int_dot, ${duckCos("a", "b")} AS cos_sim,
+         |  ROW_NUMBER() OVER (PARTITION BY s.qid ORDER BY ${duckCos("a", "b")} DESC, s.nid ASC) AS rn
+         |FROM sq_sl s JOIN embeddings a ON a.vec_id = s.qid JOIN embeddings b ON b.vec_id = s.nid
+         |QUALIFY rn <= 5
+         |ORDER BY qid, rn""".stripMargin,
+
+    // the same sq_ quantizer chain, both rankings windowed identically,
+    // displacement bucketed by length(bin(.)) (d14's spectrum idiom)
+    "e26_sq_rank_calibration" ->
+      s"""WITH sq_x AS (
+         |  SELECT vec_id,
+         |    unnest([{'d': i - 1, 'v': embedding[i]::DOUBLE} for i in range(1, len(embedding)+1)]) AS u
+         |  FROM embeddings
+         |), sq_mm AS (
+         |  SELECT vec_id, MAX(abs(u.v)) AS maxabs FROM sq_x GROUP BY vec_id
+         |), sq_qv AS (
+         |  SELECT x.vec_id, x.u.d AS d,
+         |    CAST(floor(x.u.v * 127.0 / greatest(m.maxabs, 1e-300)) AS BIGINT) AS qv
+         |  FROM sq_x x JOIN sq_mm m USING (vec_id)
+         |), sq_ql AS (
+         |  SELECT vec_id, list(qv ORDER BY d) AS q FROM sq_qv GROUP BY vec_id
+         |), ri AS (
+         |  SELECT qid, nid,
+         |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY int_dot DESC, nid ASC) AS rank_int
+         |  FROM (
+         |    SELECT a.vec_id AS qid, b.vec_id AS nid,
+         |      CAST(list_sum([a.q[i] * b.q[i] for i in range(1, len(a.q)+1)]) AS BIGINT) AS int_dot
+         |    FROM sq_ql a JOIN sq_ql b ON a.vec_id < 10 AND b.vec_id <> a.vec_id)
+         |), rc AS (
+         |  SELECT qid, nid,
+         |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos_sim DESC, nid ASC) AS rank_exact
+         |  FROM (
+         |    SELECT a.vec_id AS qid, b.vec_id AS nid, ${duckCos("a", "b")} AS cos_sim
+         |    FROM embeddings a JOIN embeddings b ON a.vec_id < 10 AND b.vec_id <> a.vec_id)
+         |), dd AS (
+         |  SELECT abs(ri.rank_int - rc.rank_exact) AS disp FROM ri JOIN rc USING (qid, nid)
+         |)
+         |SELECT CASE WHEN disp = 0 THEN CAST(0 AS BIGINT)
+         |            ELSE CAST(length(bin(disp)) AS BIGINT) END AS disp_bucket,
+         |  COUNT(*) AS n_pairs, MIN(disp) AS min_disp, MAX(disp) AS max_disp
+         |FROM dd GROUP BY 1
+         |ORDER BY disp_bucket""".stripMargin,
 
     "e06_ivf_ann" ->
       s"""WITH $duckIvfCtes, cand AS (

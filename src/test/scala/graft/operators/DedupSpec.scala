@@ -376,6 +376,20 @@ class DedupSpec extends SparkSpec {
     assert(m * Dedup.LshMissCeilDen <= (BigInt(1) << 60))
   }
 
+  test("d18 sweep: monotone in threshold; the 0.80 point IS d03's verified pair count") {
+    val rows = Dedup.queries("d18_jaccard_sweep")(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(rows.keySet === Set(80L, 85L, 90L, 95L))
+    // raising the bar can only shrink pairs and drops
+    Seq((80L, 85L), (85L, 90L), (90L, 95L)).foreach { case (lo, hi) =>
+      assert(rows(lo)._1 >= rows(hi)._1 && rows(lo)._2 >= rows(hi)._2)
+    }
+    rows.values.foreach { case (_, _, rate) => assert(rate >= 0.0 && rate <= 1.0) }
+    // the sweep's loosest point reproduces d03 exactly (same pair frame)
+    val d03n = Dedup.queries("d03_minhash_lsh")(spark, sfDir).count()
+    assert(rows(80L)._1 === d03n)
+  }
+
   test("d14 spectrum closed form: sizes 2,2,3,8 split into buckets 1 and 3 with exact shares") {
     import spark.implicits._
     val clusters = (Seq((1L, 10L), (2L, 10L), (3L, 20L), (4L, 20L),

@@ -607,6 +607,53 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("e25 composed serve: results lie inside e22's full-scan ranking; decent overlap") {
+    import org.apache.spark.sql.functions.col
+    val served = Similarity.queries("e25_ivf_sq_serve")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(served.nonEmpty && served.keys.map(_._1).toSet.size == 10,
+      "every query answers")
+    // the same (qid, nid) scored by the composed path must carry the
+    // SAME integer dot as the full scan (shared sqQuantized codes)
+    val full = Similarity.queries("e22_sq_rerank")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val common = served.keySet.intersect(full.keySet)
+    assert(common.nonEmpty, "the probed path overlaps the full scan")
+    common.foreach(k => assert(served(k) === full(k),
+      s"int_dot must be identical for $k - the codes are shared"))
+    // IVF probing can only shrink the candidate set; overlap with the
+    // full scan's top-5 measures the probe recall cost (>= 0.5 here)
+    val overlap = common.size.toDouble / full.size
+    assert(overlap >= 0.5, s"probed top-5 overlap $overlap vs full scan")
+  }
+
+  test("e26 rank calibration: buckets partition all pairs; displacement bounds honest") {
+    val n = graft.Tables.embeddings(spark, sfDir).count()
+    val rows = Similarity.queries("e26_sq_rank_calibration")(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+    // every (query, neighbor) pair files in exactly one bucket
+    assert(rows.map(_._2._1).sum === 10L * (n - 1))
+    rows.foreach { case (b, (np, lo, hi)) =>
+      assert(np >= 1L)
+      if (b == 0L) assert(lo === 0L && hi === 0L)
+      else {
+        // bucket b holds displacements with bitlength b: [2^(b-1), 2^b)
+        assert(lo >= (1L << (b.toInt - 1)) && hi < (1L << b.toInt))
+        assert(lo <= hi)
+      }
+    }
+    // displacement can never exceed the ranking length
+    rows.foreach { case (_, (_, _, hi)) => assert(hi < n) }
+    // the fixture is HONEST here, like e23's curve: near-uniform
+    // synthetic cosines differ by ~1e-3, so int8 rounding displaces
+    // mid-ranks freely (measured ~1/3 of pairs within distance 3) —
+    // which is precisely the report a serving team needs BEFORE
+    // trusting int-dot shortlists on an untested embedding space. The
+    // structural pin: some pairs still rank exactly (the top/bottom of
+    // each ranking are separated enough to survive quantization)
+    assert(rows.exists(_._1 == 0L), "rank-exact pairs exist")
+  }
+
   test("e17 IVF balance: postings = 2·n (top-2 spill), internally consistent stats") {
     val n = graft.Tables.embeddings(spark, sfDir).count()
     val r = Similarity.queries("e17_ivf_balance")(spark, sfDir).collect()(0)
