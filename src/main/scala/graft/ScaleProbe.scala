@@ -444,7 +444,9 @@ object ScaleProbe {
       "d17_lsh_geometry", "d18_jaccard_sweep",
       // the rank-fidelity calibration is e02's didactic class (two full
       // corpus×10 windows) — probed to measure the honest linear cost
-      "e26_sq_rank_calibration")
+      "e26_sq_rank_calibration",
+      // both banded pair generators + a pair-bounded join/agg
+      "d19_strategy_agreement")
       // local iteration only: probe just a subset by name prefix
       .filter(n => sys.env.get("SPARK_GRAFT_ONLY")
         .forall(_.split(",").exists(n.startsWith)))

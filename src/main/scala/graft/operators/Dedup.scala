@@ -214,6 +214,43 @@ object Dedup {
       .filter(col("jaccard") >= JaccardThreshold)
   }
 
+  /** d05's verified SimHash pair frame (id_a, id_b, hamming) — 4×16-bit
+    * band pigeonhole candidates (count-first capped), Hamming ≤ 3.
+    * Shared by d05 itself and d19's strategy-agreement report.
+    */
+  private[operators] def simhashPairs(s: SparkSession, dir: String): DataFrame = {
+    val sh = shingled(s, dir)
+      .select(col("doc_id"), simhash64(col("sh")).as("simhash"))
+    val bandCols = (0 until 4).map { bnd =>
+      struct(lit(bnd).as("band"),
+        pmod(shiftrightunsigned(col("simhash"), bnd * 16), lit(65536L)).as("bkey"))
+    }
+    val bands = sh.select(col("doc_id"), col("simhash"),
+        explode(array(bandCols: _*)).as("bb"))
+      .select(col("doc_id"), col("simhash"), col("bb.band").as("band"), col("bb.bkey").as("bkey"))
+    // count-first cap (see minhashBandCandidates): degenerate buckets
+    // are dropped before their member arrays exist
+    val admitted = bands.groupBy("band", "bkey")
+      .agg(count(lit(1)).as("bsz"))
+      .filter(col("bsz") > 1 && col("bsz") <= MaxBucket)
+      .select("band", "bkey")
+    val buckets = bands.join(admitted, Seq("band", "bkey"))
+      .groupBy("band", "bkey")
+      .agg(sort_array(collect_set(struct(col("doc_id"), col("simhash")))).as("members"))
+    val cand = buckets
+      .select(explode(flatten(transform(col("members"), (x, i) =>
+        transform(slice(col("members"), i + 2, size(col("members"))), y =>
+          struct(x.getField("doc_id").as("id_a"), y.getField("doc_id").as("id_b"),
+            x.getField("simhash").as("h_a"), y.getField("simhash").as("h_b")))))).as("p"))
+      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"),
+        col("p.h_a").as("h_a"), col("p.h_b").as("h_b"))
+      .distinct()
+    cand
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("h_a").bitwiseXOR(col("h_b"))).cast("long").as("hamming"))
+      .filter(col("hamming") <= 3)
+  }
+
   /** d07/d11 shared core: LSH candidates → exact-Jaccard edges →
     * connected components. Returns (doc_id, cluster_id) for every
     * clustered document.
@@ -618,6 +655,50 @@ object Dedup {
         .orderBy("threshold_pct")
     }),
 
+    // DEDUP STRATEGY AGREEMENT — the report a dedup owner reads before
+    // choosing (or stacking) families: the verified MinHash-Jaccard
+    // pair set (d03: j ≥ 0.8) and the SimHash Hamming ≤ 3 pair set
+    // (d05) full-outer-joined into three classes — both, minhash_only,
+    // simhash_only — each class scored by its exact hashed-shingle
+    // Jaccard (count + fixed-point mean + min/max ppb, the d16
+    // arithmetic, so the whole report gates hash-exactly). The classic
+    // finding this surfaces: SimHash's bit-vote similarity admits pairs
+    // whose Jaccard is far below d03's bar (shared vocabulary, different
+    // composition) and misses some j ≥ 0.8 pairs whose differing
+    // shingles happen to flip ≥ 4 sketch bits — the strategies are NOT
+    // nested, and the report measures the asymmetry instead of assuming
+    // it. Scale shape: both pair generators are their banded/capped
+    // at-scale forms; the join and stats are pair-bounded.
+    "d19_strategy_agreement" -> ((s, dir) => {
+      val mh = nearDupPairs(s, dir)
+        .select(col("id_a"), col("id_b"), lit(1L).as("in_mh"))
+      val sp = simhashPairs(s, dir)
+        .select(col("id_a"), col("id_b"), lit(1L).as("in_sh"))
+      val cls = mh.join(sp, Seq("id_a", "id_b"), "full_outer")
+        .select(col("id_a"), col("id_b"),
+          when(col("in_mh").isNotNull && col("in_sh").isNotNull, "both")
+            .when(col("in_mh").isNotNull, "minhash_only")
+            .otherwise("simhash_only").as("strategy"))
+      val sk = sketched(s, dir)
+      cls
+        .join(sk.select(col("doc_id").as("id_a"), col("hsh").as("sh_a")), "id_a")
+        .join(sk.select(col("doc_id").as("id_b"), col("hsh").as("sh_b")), "id_b")
+        .select(col("strategy"),
+          expr("""CAST(size(array_intersect(sh_a, sh_b)) AS BIGINT) * 1000000000
+                 | DIV CAST(size(array_union(sh_a, sh_b)) AS BIGINT)""".stripMargin)
+            .as("jppb"))
+        .groupBy("strategy")
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(col("jppb").cast("decimal(38,0)")).as("sum_ppb"),
+          min("jppb").as("min_jaccard_ppb"),
+          max("jppb").as("max_jaccard_ppb"))
+        .select(col("strategy"), col("n_pairs"),
+          (col("sum_ppb").cast("double") / col("n_pairs").cast("double")
+            / 1000000000.0).as("mean_jaccard"),
+          col("min_jaccard_ppb"), col("max_jaccard_ppb"))
+        .orderBy("strategy")
+    }),
+
     // blocking on metadata (lang, source) instead of LSH: the classic
     // "cheap key first" candidate strategy. Exact Jaccard inside blocks,
     // global top-50 most-similar pairs. Shingles are hashed to int64
@@ -833,39 +914,8 @@ object Dedup {
     // integer arithmetic end-to-end, so the oracle restates ALL of it —
     // XXH64, majority vote, banding, cap — in DuckDB SQL (hash-exact);
     // DedupSpec keeps the structural invariants.
-    "d05_simhash_pairs" -> ((s, dir) => {
-      val sh = shingled(s, dir)
-        .select(col("doc_id"), simhash64(col("sh")).as("simhash"))
-      val bandCols = (0 until 4).map { bnd =>
-        struct(lit(bnd).as("band"),
-          pmod(shiftrightunsigned(col("simhash"), bnd * 16), lit(65536L)).as("bkey"))
-      }
-      val bands = sh.select(col("doc_id"), col("simhash"),
-          explode(array(bandCols: _*)).as("bb"))
-        .select(col("doc_id"), col("simhash"), col("bb.band").as("band"), col("bb.bkey").as("bkey"))
-      // count-first cap (see minhashBandCandidates): degenerate buckets
-      // are dropped before their member arrays exist
-      val admitted = bands.groupBy("band", "bkey")
-        .agg(count(lit(1)).as("bsz"))
-        .filter(col("bsz") > 1 && col("bsz") <= MaxBucket)
-        .select("band", "bkey")
-      val buckets = bands.join(admitted, Seq("band", "bkey"))
-        .groupBy("band", "bkey")
-        .agg(sort_array(collect_set(struct(col("doc_id"), col("simhash")))).as("members"))
-      val cand = buckets
-        .select(explode(flatten(transform(col("members"), (x, i) =>
-          transform(slice(col("members"), i + 2, size(col("members"))), y =>
-            struct(x.getField("doc_id").as("id_a"), y.getField("doc_id").as("id_b"),
-              x.getField("simhash").as("h_a"), y.getField("simhash").as("h_b")))))).as("p"))
-        .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"),
-          col("p.h_a").as("h_a"), col("p.h_b").as("h_b"))
-        .distinct()
-      cand
-        .select(col("id_a"), col("id_b"),
-          bit_count(col("h_a").bitwiseXOR(col("h_b"))).cast("long").as("hamming"))
-        .filter(col("hamming") <= 3)
-        .orderBy("id_a", "id_b")
-    }),
+    "d05_simhash_pairs" -> ((s, dir) =>
+      simhashPairs(s, dir).orderBy("id_a", "id_b")),
 
     // SUBSTRING-level duplicate mass — the span-granular sibling of the
     // doc-pair dedups above (the "dedup at the substring level" technique
@@ -1304,6 +1354,57 @@ object Dedup {
          |FROM cand
          |WHERE bit_count(xor(CAST(ha AS UBIGINT), CAST(hb AS UBIGINT))) <= 3
          |ORDER BY id_a, id_b""".stripMargin
+    },
+
+    // both pair sets restated in their at-scale forms (the d05 chain
+    // verbatim; the MinHash side as the brute j >= 0.8 equivalence the
+    // d03 oracle already relies on), classes by full outer join, stats
+    // over the SAME xxh64-hashed shingle domain as the engine (the
+    // d16 shh pattern — collision symmetry)
+    "d19_strategy_agreement" -> {
+      val bdivs = (0 until 4).map(b =>
+        s"($b, CAST('${BigInt(1) << (16 * b)}' AS HUGEINT))").mkString(",")
+      s"""WITH $duckSimhashCtes, bands AS (
+         |  SELECT doc_id, hu, band, (hu // bdiv) % 65536 AS bkey
+         |  FROM sh CROSS JOIN (VALUES $bdivs) AS t(band, bdiv)
+         |), admitted AS (
+         |  SELECT band, bkey FROM bands GROUP BY band, bkey
+         |  HAVING COUNT(*) > 1 AND COUNT(*) <= $MaxBucket
+         |), scand AS (
+         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM bands a
+         |  JOIN admitted ad ON ad.band = a.band AND ad.bkey = a.bkey
+         |  JOIN bands b ON b.band = a.band AND b.bkey = a.bkey AND a.doc_id < b.doc_id
+         |  WHERE bit_count(xor(CAST(a.hu AS UBIGINT), CAST(b.hu AS UBIGINT))) <= 3
+         |), shh AS MATERIALIZED (
+         |  SELECT d.doc_id, list(DISTINCT h.hv) AS hh
+         |  FROM docsh d JOIN gh h ON h.gid = d.g
+         |  GROUP BY d.doc_id
+         |), jp AS MATERIALIZED (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |    len(list_intersect(a.hh, b.hh))::DOUBLE
+         |      / len(list_distinct(list_concat(a.hh, b.hh)))::DOUBLE AS jd,
+         |    len(list_intersect(a.hh, b.hh))::BIGINT * 1000000000
+         |      // len(list_distinct(list_concat(a.hh, b.hh)))::BIGINT AS jppb
+         |  FROM shh a JOIN shh b ON a.doc_id < b.doc_id
+         |), mh AS (
+         |  SELECT id_a, id_b FROM jp WHERE jd >= $JaccardThreshold
+         |), cls AS (
+         |  SELECT id_a, id_b,
+         |    CASE WHEN m.in_mh IS NOT NULL AND s2.in_sh IS NOT NULL THEN 'both'
+         |         WHEN m.in_mh IS NOT NULL THEN 'minhash_only'
+         |         ELSE 'simhash_only' END AS strategy
+         |  FROM (SELECT id_a, id_b, 1 AS in_mh FROM mh) m
+         |  FULL OUTER JOIN (SELECT id_a, id_b, 1 AS in_sh FROM scand) s2
+         |  USING (id_a, id_b)
+         |)
+         |SELECT c.strategy, COUNT(*) AS n_pairs,
+         |  CAST(SUM(j.jppb) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) / 1000000000.0
+         |    AS mean_jaccard,
+         |  MIN(j.jppb) AS min_jaccard_ppb, MAX(j.jppb) AS max_jaccard_ppb
+         |FROM cls c JOIN jp j USING (id_a, id_b)
+         |GROUP BY c.strategy
+         |ORDER BY c.strategy""".stripMargin
     },
 
     // windows counted as strings (Spark side hashes them first — the same

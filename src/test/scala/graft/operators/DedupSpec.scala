@@ -390,6 +390,23 @@ class DedupSpec extends SparkSpec {
     assert(rows(80L)._1 === d03n)
   }
 
+  test("d19 agreement: classes partition both pair sets; minhash classes respect the bar") {
+    val rows = Dedup.queries("d19_strategy_agreement")(spark, sfDir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(3), r.getLong(4)))).toMap
+    def n(k: String): Long = rows.get(k).map(_._1).getOrElse(0L)
+    // the three classes tile the two source pair sets exactly
+    val d03n = Dedup.queries("d03_minhash_lsh")(spark, sfDir).count()
+    val d05n = Dedup.queries("d05_simhash_pairs")(spark, sfDir).count()
+    assert(n("both") + n("minhash_only") === d03n)
+    assert(n("both") + n("simhash_only") === d05n)
+    // any class containing minhash pairs sits at or above the 0.8 bar
+    Seq("both", "minhash_only").foreach { k =>
+      rows.get(k).foreach { case (_, lo, hi) =>
+        assert(lo >= 800000000L && hi <= 1000000000L)
+      }
+    }
+  }
+
   test("d14 spectrum closed form: sizes 2,2,3,8 split into buckets 1 and 3 with exact shares") {
     import spark.implicits._
     val clusters = (Seq((1L, 10L), (2L, 10L), (3L, 20L), (4L, 20L),
