@@ -364,4 +364,46 @@ class PlanShapeSpec extends SparkSpec {
       case n: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => n
     }.isEmpty, "edge jaccard must never plan a nested-loop or cartesian join")
   }
+
+  /** The designed broadcast-crosses (a |cells|-row centroid table or a
+    * 1-row total against the corpus) plan as BroadcastNestedLoopJoin —
+    * bounded by construction, blessed since round 1. What must NEVER
+    * appear is a CartesianProduct (two unbounded sides) — and the real
+    * candidate machinery must stay equi-keyed (BroadcastHashJoin /
+    * shuffle joins on blocking columns).
+    */
+  private def noCartesian(p: SparkPlan, what: String): Unit =
+    assert(collectAll(p) {
+      case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c
+    }.isEmpty, s"$what must never plan an unbounded cartesian join")
+
+  test("e25: the composed serve keeps candidates equi-keyed; no cartesian anywhere") {
+    val p = sparkPlan("e25_ivf_sq_serve")
+    // probes×assigned on cell, q codes on qid, rerank embeddings on
+    // nid/qid — the candidate path is equi-broadcast machinery (the
+    // only NLJs are ivfCranked's bounded |cells|-row centroid crosses)
+    assert(collectAll(p) { case j: BroadcastHashJoinExec => j }.size >= 2,
+      s"probe map and query codes should broadcast:\n$p")
+    noCartesian(p, "the serving path")
+  }
+
+  test("e11: the derived multi-probe pair join stays keyed on (cell, sub)") {
+    val p = sparkPlan("e11_semdedup")
+    noCartesian(p, "sem pair generation")
+    // the pair join itself is an equi join on the blocking columns; at
+    // this b = 0 fixture Catalyst constant-folds the sub key (lit(0) on
+    // both sides), so the planned key set is (cell) alone — the
+    // invariant visible here is "equi join exists, quadratic operator
+    // doesn't"; the b > 0 key shape is exercised by the 8× fixture gate
+    val equi = collectAll(p) {
+      case j: SortMergeJoinExec => j.leftKeys.size
+      case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec => j.leftKeys.size
+    }
+    assert(equi.exists(_ >= 1), s"expected a cell-keyed equi pair join:\n$p")
+  }
+
+  test("d18: the sweep is filters over the banded pair frame (no quadratic operator)") {
+    val p = sparkPlan("d18_jaccard_sweep")
+    noCartesian(p, "the threshold sweep")
+  }
 }
