@@ -446,7 +446,10 @@ object ScaleProbe {
       // corpus×10 windows) — probed to measure the honest linear cost
       "e26_sq_rank_calibration",
       // both banded pair generators + a pair-bounded join/agg
-      "d19_strategy_agreement")
+      "d19_strategy_agreement",
+      // d07's closure + one hash per doc + a 3-row rollup; the leak
+      // audit rides d03's pair frame
+      "p14_leakage_safe_split")
       // local iteration only: probe just a subset by name prefix
       .filter(n => sys.env.get("SPARK_GRAFT_ONLY")
         .forall(_.split(",").exists(n.startsWith)))

@@ -264,6 +264,50 @@ object Curation {
         .orderBy("k")
     }),
 
+    // LEAKAGE-SAFE SPLIT ASSIGNMENT — the operator that PRODUCES the
+    // train/val/test split p06 audits: every document is assigned by
+    // hashing its near-dup GROUP representative (d07's cluster id for
+    // clustered docs, its own id otherwise), so the members of a
+    // near-dup cluster land in the SAME split by construction — the
+    // standard leakage-safe split of the training-data literature
+    // (splitting by document leaks near-copies of val/test into train;
+    // p06 measures exactly that failure on a naive split). Buckets are
+    // the LOW 4 BITS of xxhash64(group) — a power-of-two modulus, so
+    // signed pmod (Spark) and the unsigned low bits (oracle) agree at
+    // any value: 13/2/1 → ~81/12/6% target shares. The output carries
+    // the realized shares AND the measured cross-split near-dup pair
+    // count — the leakage-zero property proven in-data on every run,
+    // not just asserted by construction. Scale shape: one doc scan +
+    // d07's closure (already at-scale) + a broadcast-able 3-row rollup;
+    // the leak audit rides d03's verified pair frame.
+    "p14_leakage_safe_split" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("source"))
+      val clusters = Dedup.queries("d07_dup_clusters")(s, dir)
+        .select(col("doc_id"), col("cluster_id"))
+      val assigned = docs.join(clusters, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("cluster_id"), col("doc_id")).as("grp"))
+        .withColumn("bucket", pmod(xxhash64(col("grp")), lit(16L)))
+        .withColumn("split",
+          when(col("bucket") < 13L, "train")
+            .when(col("bucket") < 15L, "val").otherwise("test"))
+      val pairs = Dedup.queries("d03_minhash_lsh")(s, dir).select("id_a", "id_b")
+      val leak = pairs
+        .join(assigned.select(col("doc_id").as("id_a"), col("split").as("sp_a")), "id_a")
+        .join(assigned.select(col("doc_id").as("id_b"), col("split").as("sp_b")), "id_b")
+        .agg(coalesce(sum(when(col("sp_a") =!= col("sp_b"), 1L).otherwise(0L)), lit(0L))
+          .as("n_cross_split_pairs"))
+      val tot = docs.agg(count(lit(1)).as("n"))
+      assigned.groupBy("split")
+        .agg(count(lit(1)).as("n_docs"), countDistinct("grp").as("n_groups"))
+        .crossJoin(broadcast(tot))
+        .crossJoin(broadcast(leak))
+        .select(col("split"), col("n_docs"), col("n_groups"),
+          (col("n_docs").cast("double") / col("n").cast("double")).as("doc_share"),
+          col("n_cross_split_pairs"))
+        .orderBy("split")
+    }),
+
     // α-SAMPLING MIXTURE PLAN — the third leg of mixture planning (p08
     // caps per pass, p09 plans repeats, p12 sets the RATES): sample
     // each source ∝ n_tokens^(1/2), the temperature-flattening rule
@@ -913,6 +957,36 @@ object Curation {
       s"""WITH $duckAlphaCtes
          |SELECT source, n_tokens, weight, planned_tokens, rate_ppm
          |FROM arates ORDER BY source""".stripMargin,
+
+    // d07's shared closure supplies both the group representative AND
+    // the j >= 0.8 pair set (the leak audit); the group hash is Spark's
+    // xxhash64-of-long restated (DuckHash chain), buckets are signed
+    // pmod 16 on both engines
+    "p14_leakage_safe_split" ->
+      s"""${Dedup.duckClusterCtes}, alld AS (
+         |  SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS grp
+         |  FROM documents d LEFT JOIN clusters c USING (doc_id)
+         |), ids AS (
+         |  SELECT doc_id, grp, CAST(grp AS HUGEINT) AS x FROM alld
+         |), ${DuckHash.xxhash64LongCtes("doc_id, grp")}, asg AS (
+         |  SELECT doc_id, grp,
+         |    CASE WHEN ((hv % 16) + 16) % 16 < 13 THEN 'train'
+         |         WHEN ((hv % 16) + 16) % 16 < 15 THEN 'val'
+         |         ELSE 'test' END AS split
+         |  FROM hashed
+         |), leak AS (
+         |  SELECT COALESCE(CAST(SUM(CASE WHEN a.split <> b.split THEN 1 ELSE 0 END) AS BIGINT), 0)
+         |    AS n_cross_split_pairs
+         |  FROM pairs p JOIN asg a ON a.doc_id = p.id_a JOIN asg b ON b.doc_id = p.id_b
+         |), tot AS (
+         |  SELECT COUNT(*) AS n FROM documents
+         |)
+         |SELECT split, COUNT(*) AS n_docs, COUNT(DISTINCT grp) AS n_groups,
+         |  CAST(COUNT(*) AS DOUBLE) / CAST(tot.n AS DOUBLE) AS doc_share,
+         |  leak.n_cross_split_pairs
+         |FROM asg CROSS JOIN tot CROSS JOIN leak
+         |GROUP BY split, tot.n, leak.n_cross_split_pairs
+         |ORDER BY split""".stripMargin,
 
     // d01's keeper + d07's shared closure (duckClusterCtes) as flags on
     // one token frame; SUMs cast back to BIGINT

@@ -219,6 +219,23 @@ class CurationSpec extends SparkSpec {
       ("tiny", 100L, 10L, 100L, 1000000L)))
   }
 
+  test("p14 split: partitions the corpus, zero cross-split near-dup pairs, sane shares") {
+    val n = graft.Tables.documents(spark, sfDir).count()
+    val rows = Curation.queries("p14_leakage_safe_split")(spark, sfDir).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getLong(4)))).toMap
+    assert(rows.keySet.subsetOf(Set("train", "val", "test")) && rows.contains("train"))
+    // the splits tile the corpus exactly
+    assert(rows.values.map(_._1).sum === n)
+    assert(math.abs(rows.values.map(_._3).sum - 1.0) < 1e-9)
+    // THE property: no near-dup pair straddles a split boundary — every
+    // cluster member hashes the same group representative
+    rows.values.foreach { case (_, _, _, leak) => assert(leak === 0L) }
+    // groups never exceed docs; train dominates (13/16 of hash space)
+    rows.foreach { case (_, (d, g, _, _)) => assert(g >= 1L && g <= d) }
+    assert(rows("train")._1 > rows.getOrElse("val", (0L, 0L, 0.0, 0L))._1)
+  }
+
   test("p13 k-anonymity: risk counts monotone in k; full-corpus totals consistent") {
     val rows = Curation.queries("p13_k_anonymity")(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
