@@ -678,31 +678,38 @@ object Similarity {
   private[operators] def nnDescentRound(e: DataFrame, scored0: DataFrame,
                                         k: Int = NnDescentK): DataFrame = {
     def topkLists(scored: DataFrame): DataFrame = nnTopkLists(scored, k)
-    val knn0 = graft.Materialize(topkLists(scored0))
-    try {
-      val und = knn0.select(col("vid").as("u"), col("nid").as("v"))
-        .unionAll(knn0.select(col("nid").as("u"), col("vid").as("v"))).distinct()
-      val non = und.select(col("u"), col("v").as("vid"))
-        .join(und.select(col("u"), col("v").as("nid")), "u")
-        .filter(col("vid") =!= col("nid"))
-        .select("vid", "nid")
-      val cand1 = non.unionAll(knn0.select("vid", "nid")).distinct()
-      val knn1 = topkLists(scorePairs(e, cand1))
-      val m0 = knn0.groupBy("vid").agg(min("cos_sim").as("worst0"), count(lit(1)).as("k0"))
-      val m1 = knn1.groupBy("vid").agg(min("cos_sim").as("worst1"), count(lit(1)).as("k1"))
-      val newEdges = knn1
-        .join(knn0.select(col("vid"), col("nid"), lit(1).as("hit")), Seq("vid", "nid"), "left")
-        .filter(col("hit").isNull)
-      m0.join(m1, "vid")
-        .agg(count(lit(1)).as("n_vectors"),
-          sum(when(col("k0") === k && col("worst1") > col("worst0"), 1L)
-            .otherwise(0L)).as("n_improved"),
-          sum(when(col("k1") > col("k0"), 1L).otherwise(0L)).as("n_grown"))
-        .crossJoin(broadcast(cand1.agg(count(lit(1)).as("n_cand_pairs"))))
-        .crossJoin(broadcast(newEdges.agg(count(lit(1)).as("n_new_edges"))))
-        .select(col("n_vectors"), col("n_cand_pairs"), col("n_improved"),
-          col("n_grown"), col("n_new_edges"))
-    } finally knn0.unpersist()
+    // The base lists go to SCRATCH (e18b's carry discipline), not a
+    // persist: knn0 is referenced five times in this plan (the
+    // undirected edges twice, the candidate union, the before-audit, the
+    // new-edge anti-probe), and the previous persist-then-unpersist-in-
+    // finally form dropped the cache at query-CONSTRUCTION time — the
+    // returned plan re-ran the whole LSH-carry base once per reference
+    // at execution (measured: e18 13.3 s vs e18b's scratch-carried
+    // round 1 at ~6 s on the same base). A flat parquet scan is
+    // re-readable for free and leaves nothing to clean up.
+    val knn0 = graft.Materialize.toStorage(topkLists(scored0), "e18_knn0")
+    val und = knn0.select(col("vid").as("u"), col("nid").as("v"))
+      .unionAll(knn0.select(col("nid").as("u"), col("vid").as("v"))).distinct()
+    val non = und.select(col("u"), col("v").as("vid"))
+      .join(und.select(col("u"), col("v").as("nid")), "u")
+      .filter(col("vid") =!= col("nid"))
+      .select("vid", "nid")
+    val cand1 = non.unionAll(knn0.select("vid", "nid")).distinct()
+    val knn1 = topkLists(scorePairs(e, cand1))
+    val m0 = knn0.groupBy("vid").agg(min("cos_sim").as("worst0"), count(lit(1)).as("k0"))
+    val m1 = knn1.groupBy("vid").agg(min("cos_sim").as("worst1"), count(lit(1)).as("k1"))
+    val newEdges = knn1
+      .join(knn0.select(col("vid"), col("nid"), lit(1).as("hit")), Seq("vid", "nid"), "left")
+      .filter(col("hit").isNull)
+    m0.join(m1, "vid")
+      .agg(count(lit(1)).as("n_vectors"),
+        sum(when(col("k0") === k && col("worst1") > col("worst0"), 1L)
+          .otherwise(0L)).as("n_improved"),
+        sum(when(col("k1") > col("k0"), 1L).otherwise(0L)).as("n_grown"))
+      .crossJoin(broadcast(cand1.agg(count(lit(1)).as("n_cand_pairs"))))
+      .crossJoin(broadcast(newEdges.agg(count(lit(1)).as("n_new_edges"))))
+      .select(col("n_vectors"), col("n_cand_pairs"), col("n_improved"),
+        col("n_grown"), col("n_new_edges"))
   }
 
   /** Exact cosine over candidate id-pairs: embeddings fetched by two
