@@ -568,11 +568,16 @@ object Dedup {
     // is scan-speed, candidates are capped-bucket-join-bounded, and
     // the output is ≤ k+1 rows.
     "d16_minhash_calibration" -> ((s, dir) => {
-      val sk = graft.Materialize(shingled(s, dir)
+      // SCRATCH, not persist+unpersist-in-finally: the sketch is
+      // referenced three times (band explode + both verify sides), and
+      // the previous finally-unpersist fired at query-construction time,
+      // so the returned plan re-ran the shingle+sketch chain per
+      // reference at execution (the e18 lesson, found by the same sweep)
+      val sk = graft.Materialize.toStorage(shingled(s, dir)
         .select(col("doc_id"),
           minhash_signature(col("sh"), CalibK).as("sig"),
-          sort_array(transform(col("sh"), g => xxhash64(g))).as("hsh")))
-      try {
+          sort_array(transform(col("sh"), g => xxhash64(g))).as("hsh")), "d16_sk")
+      locally {
         val ex = sk.select(col("doc_id"), posexplode(col("sig")).as(Seq("j", "mv")))
         val ok = ex.groupBy("j", "mv").agg(count(lit(1)).as("bsz"))
           .filter(col("bsz") <= MaxBucket).select("j", "mv")
@@ -604,7 +609,7 @@ object Dedup {
             (col("sum_ppb").cast("double") / col("n_pairs").cast("double")
               / 1000000000.0).as("mean_exact_jaccard"))
           .orderBy("n_agree")
-      } finally sk.unpersist()
+      }
     }),
 
     // LSH BAND-GEOMETRY AUDIT — the round-11 derivation (see
