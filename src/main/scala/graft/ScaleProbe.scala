@@ -449,7 +449,9 @@ object ScaleProbe {
       "d19_strategy_agreement",
       // d07's closure + one hash per doc + a 3-row rollup; the leak
       // audit rides d03's pair frame
-      "p14_leakage_safe_split")
+      "p14_leakage_safe_split",
+      // one user-keyed count agg + a broadcast max + ≤10-row rollup
+      "a22_engagement_concentration")
       // local iteration only: probe just a subset by name prefix
       .filter(n => sys.env.get("SPARK_GRAFT_ONLY")
         .forall(_.split(",").exists(n.startsWith)))

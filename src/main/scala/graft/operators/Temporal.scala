@@ -608,6 +608,36 @@ object Temporal {
         .select(col("user_id"), col("event_id"),
           col("ts").cast("long").as("ts_sec"), col("event_type")))),
 
+    // ENGAGEMENT CONCENTRATION — the "who holds the event mass" audit
+    // behind per-user caps, k01's salting rationale, and sampling
+    // design: users bucket by activity RELATIVE TO THE MAX
+    // (least(ne·10 ∕ mx, 9) — p13's integer decile, scan-level, NO
+    // global rank sort: a rank-based Lorenz needs a full sort of |users|
+    // rows in one task at any scale, while this bucketing is one agg +
+    // a broadcast max), then per bucket: users, events, event/user
+    // shares, and the cumulative event share (a ≤10-row window). A
+    // heavy-tailed corpus shows the top bucket holding most of the
+    // mass — the number that says whether per-user caps bite. All
+    // counts exact longs; shares are single divisions of exact ints.
+    "a22_engagement_concentration" -> ((s, dir) => {
+      val cnts = Tables.events(s, dir)
+        .groupBy("user_id").agg(count(lit(1)).as("ne"))
+      val mx = cnts.agg(max("ne").as("mx"))
+      val bucketed = cnts.crossJoin(broadcast(mx))
+        .select(least(expr("ne * 10 DIV mx"), lit(9L)).as("bucket"), col("ne"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_users"), sum("ne").as("n_events"))
+      val tot = bucketed.agg(sum("n_users").as("tu"), sum("n_events").as("te"))
+      val w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+      bucketed.crossJoin(broadcast(tot))
+        .withColumn("cum_events", sum("n_events").over(w))
+        .select(col("bucket"), col("n_users"), col("n_events"),
+          (col("n_events").cast("double") / col("te").cast("double")).as("event_share"),
+          (col("cum_events").cast("double") / col("te").cast("double")).as("cum_event_share"),
+          (col("n_users").cast("double") / col("tu").cast("double")).as("user_share"))
+        .orderBy("bucket")
+    }),
+
     // TIME-DECAYED ENGAGEMENT — the recency-weighted feature every
     // ranking/feature-store pipeline maintains ("activity score with a
     // 1-day half-life"), in EXACT integer arithmetic: each event's value
@@ -817,6 +847,29 @@ object Temporal {
          |FROM p CROSS JOIN tot
          |GROUP BY touch_type, tot.np
          |ORDER BY touch_type""".stripMargin,
+
+    // the same integer bucketing (LEAST + floor-div against the
+    // broadcast max), exact-long sums, a ≤10-row cumulative window
+    "a22_engagement_concentration" ->
+      """WITH c AS (
+        |  SELECT user_id, COUNT(*) AS ne FROM events GROUP BY user_id
+        |), m AS (
+        |  SELECT MAX(ne) AS mx FROM c
+        |), b AS (
+        |  SELECT CAST(LEAST(ne * 10 // mx, 9) AS BIGINT) AS bucket,
+        |    COUNT(*) AS n_users, CAST(SUM(ne) AS BIGINT) AS n_events
+        |  FROM c CROSS JOIN m GROUP BY 1
+        |), t AS (
+        |  SELECT CAST(SUM(n_users) AS BIGINT) AS tu,
+        |    CAST(SUM(n_events) AS BIGINT) AS te FROM b
+        |)
+        |SELECT bucket, n_users, n_events,
+        |  CAST(n_events AS DOUBLE) / CAST(te AS DOUBLE) AS event_share,
+        |  CAST(SUM(n_events) OVER (ORDER BY bucket) AS DOUBLE) / CAST(te AS DOUBLE)
+        |    AS cum_event_share,
+        |  CAST(n_users AS DOUBLE) / CAST(tu AS DOUBLE) AS user_share
+        |FROM b CROSS JOIN t
+        |ORDER BY bucket""".stripMargin,
 
     // the same fixed-point snap, explicit floor-div decay (the CASE's
     // branches divide nonnegative operands, so trunc-div and floor-div

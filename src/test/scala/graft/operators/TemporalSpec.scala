@@ -327,6 +327,22 @@ class TemporalSpec extends SparkSpec {
     assert(got((2L, "v")) === ((1L, 4194304L, 4.0)))
   }
 
+  test("a22 concentration: buckets bounded, shares tile, cumulative reaches exactly 1") {
+    val rows = Temporal.queries("a22_engagement_concentration")(spark, sfDir)
+      .collect().sortBy(_.getLong(0))
+    val n = graft.Tables.events(spark, sfDir).count()
+    assert(rows.nonEmpty && rows.forall(r => r.getLong(0) >= 0L && r.getLong(0) <= 9L))
+    assert(rows.map(_.getLong(2)).sum === n, "buckets tile the event mass")
+    assert(math.abs(rows.map(_.getDouble(3)).sum - 1.0) < 1e-9)
+    assert(math.abs(rows.map(_.getDouble(5)).sum - 1.0) < 1e-9)
+    // cumulative share is monotone and its last value is exactly te/te
+    val cums = rows.map(_.getDouble(4))
+    assert(cums.zip(cums.drop(1)).forall { case (a, b) => b >= a })
+    assert(cums.last === 1.0)
+    // the max-activity user guarantees a populated top bucket
+    assert(rows.last.getLong(0) === 9L && rows.last.getLong(1) >= 1L)
+  }
+
   test("a21 signed values: decay is floor-div halving, not trunc toward zero") {
     import spark.implicits._
     val now = 1704103200L
