@@ -414,6 +414,16 @@ object Dedup {
     val defaultParts = spark.conf.get("spark.sql.shuffle.partitions").toInt
     val nParts = math.max(8, math.min(defaultParts, (edges.count() / 100000L).toInt))
     spark.conf.set("spark.sql.shuffle.partitions", nParts.toString)
+    // AQE OFF for the loop (isolated child session, so callers never see
+    // it): every propagation round is the same fixed shape — a tiny
+    // equi-join + a hash agg at a partition count already sized to the
+    // edge set above. AQE can't improve that plan, but it turns every
+    // exchange into its own driver job; at dup-graph scale the loop's
+    // wall-clock is per-job driver overhead, not executor work (measured
+    // on p04: 104 jobs, 29 s task time but only ~1 s of it parallel —
+    // the other ~13 s of wall was scheduling/planning gaps). Static
+    // planning cuts the loop to one job per action.
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {
       def propagate(lbls: DataFrame): DataFrame =
         edges.join(lbls, edges("dst") === lbls("doc_id"))

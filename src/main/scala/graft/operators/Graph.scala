@@ -90,19 +90,54 @@ object Graph {
     * per-row expression. Degree orientation still bounds every array at
     * O(√E), so no row is ever pathological.
     */
-  private[operators] def triangleStats(e: DataFrame): DataFrame = {
+  /** Degree-annotated edge frame (u, v, du, dv) — MATERIALIZED once.
+    *
+    * Every triangle-kernel consumer needs per-endpoint degrees in
+    * several places (orientation, the final per-edge join, the wedge
+    * census), and each differently-aliased `degrees(e)` join is a
+    * canonically-distinct subplan Catalyst will NOT exchange-reuse: the
+    * pre-fix g04 plan re-ran the |2E|-row degree aggregation 6–8 times
+    * per action (measured: eight 64-task union+agg passes, ~30 s of task
+    * time inside one 17 s query). Annotating once and deriving
+    * orientation, adjacency, and the final join all from this cached
+    * frame makes the degree agg a once-per-query cost. Size is O(|E|)
+    * rows × 4 longs — the same order as the edge set itself, so anywhere
+    * partEdges' cache fits, this does too.
+    */
+  private[operators] def degAnnotatedEdges(e: DataFrame): DataFrame = {
     val deg = degrees(e)
-    val withDeg = e
+    graft.Materialize(e
       .join(deg.select(col("x").as("u"), col("deg").as("du")), "u")
-      .join(deg.select(col("x").as("v"), col("deg").as("dv")), "v")
+      .join(deg.select(col("x").as("v"), col("deg").as("dv")), "v"))
+  }
+
+  /** Degree-orientation of a degAnnotatedEdges frame: (a, b) with a the
+    * (deg, id)-lower endpoint — a narrow select over the cached frame,
+    * so each of its several consumers re-reads cache, never re-joins.
+    */
+  private[operators] def orientedFrom(wd: DataFrame): DataFrame = {
     val lower = struct(col("du"), col("u")) < struct(col("dv"), col("v"))
-    val oriented = withDeg.select(
+    wd.select(
       when(lower, col("u")).otherwise(col("v")).as("a"),
       when(lower, col("v")).otherwise(col("u")).as("b"))
-    // sort_array: pins the partition-dependent collect_list order AND
-    // establishes the sorted-input contract of sorted_intersect_count
-    val adj = oriented.groupBy(col("a").as("x"))
-      .agg(sort_array(collect_list(col("b"))).as("nbrs"))
+  }
+
+  /** Oriented out-adjacency arrays, MATERIALIZED: both probe sides of
+    * the triangle join consume this under different aliases, and an
+    * un-cached plan runs the collect_list shuffle agg twice (the same
+    * no-exchange-reuse trap as the degree agg). O(|V|) rows carrying
+    * O(√E)-bounded arrays — Σ lengths = |E|, one long per edge.
+    * sort_array: pins the partition-dependent collect_list order AND
+    * establishes the sorted-input contract of sorted_intersect_count.
+    */
+  private[operators] def orientedAdjacency(oriented: DataFrame): DataFrame =
+    graft.Materialize(oriented.groupBy(col("a").as("x"))
+      .agg(sort_array(collect_list(col("b"))).as("nbrs")))
+
+  private[operators] def triangleStats(e: DataFrame): DataFrame = {
+    val wd = degAnnotatedEdges(e)
+    val oriented = orientedFrom(wd)
+    val adj = orientedAdjacency(oriented)
     // a triangle a<b<c (degree order) is found exactly once: on edge
     // (a, b), as c ∈ N⁺(a) ∩ N⁺(b). The intersection SIZE comes from a
     // codegen'd two-pointer merge (sorted_intersect_count) — per-row
@@ -117,8 +152,13 @@ object Graph {
         graft.functions.ArrayFunctions.sorted_intersect_count(col("na"), col("nb")),
         lit(0L)).as("t"))
       .agg(sum("t").as("n_triangles"))
-    val stats = e.agg(count(lit(1)).as("n_edges"))
-      .crossJoin(deg.agg(count(lit(1)).as("n_vertices"),
+    // vertex/wedge census from the cached annotated frame: each vertex's
+    // (x, deg) appears once per incident edge — distinct first, then the
+    // same integer wedge sum as before
+    val vdeg = wd.select(col("u").as("x"), col("du").as("deg"))
+      .unionAll(wd.select(col("v").as("x"), col("dv").as("deg"))).distinct()
+    val stats = wd.agg(count(lit(1)).as("n_edges"))
+      .crossJoin(vdeg.agg(count(lit(1)).as("n_vertices"),
         sum(expr("(deg * (deg - 1)) div 2")).as("n_wedges")))
     stats.crossJoin(tri)
       .select(col("n_vertices"), col("n_edges"), col("n_wedges"), col("n_triangles"),
@@ -563,17 +603,16 @@ object Graph {
     * the dominant 10×-probe cost; hashing builds on the (|V|-row)
     * adjacency side and streams the edges unsorted.
     */
-  private[operators] def orientedTriangles(e: DataFrame): DataFrame = {
-    val deg = degrees(e)
-    val withDeg = e
-      .join(deg.select(col("x").as("u"), col("deg").as("du")), "u")
-      .join(deg.select(col("x").as("v"), col("deg").as("dv")), "v")
-    val lower = struct(col("du"), col("u")) < struct(col("dv"), col("v"))
-    val oriented = withDeg.select(
-      when(lower, col("u")).otherwise(col("v")).as("a"),
-      when(lower, col("v")).otherwise(col("u")).as("b"))
-    val adj = oriented.groupBy(col("a").as("x"))
-      .agg(sort_array(collect_list(col("b"))).as("nbrs"))
+  private[operators] def orientedTriangles(e: DataFrame): DataFrame =
+    orientedTrianglesFrom(degAnnotatedEdges(e))
+
+  /** orientedTriangles for a caller that already holds the materialized
+    * degAnnotatedEdges frame (edgeJaccard's final join reuses it — no
+    * second degree derivation anywhere in the plan).
+    */
+  private[operators] def orientedTrianglesFrom(wd: DataFrame): DataFrame = {
+    val oriented = orientedFrom(wd)
+    val adj = orientedAdjacency(oriented)
     oriented
       .join(adj.select(col("x").as("a"), col("nbrs").as("na")).hint("shuffle_hash"), "a")
       .join(adj.select(col("x").as("b"), col("nbrs").as("nb")).hint("shuffle_hash"), "b")
@@ -582,9 +621,9 @@ object Graph {
   }
 
   private[operators] def edgeJaccard(e: DataFrame, topK: Int): DataFrame = {
-    val deg = degrees(e)
+    val wd = degAnnotatedEdges(e)
     // 3 undirected edge credits per triangle
-    val tris = orientedTriangles(e)
+    val tris = orientedTrianglesFrom(wd)
     val credits = tris.select(
       array(
         struct(least(col("a"), col("b")).as("u"), greatest(col("a"), col("b")).as("v")),
@@ -594,11 +633,11 @@ object Graph {
       .select(explode(col("es")).as("e"))
       .select(col("e.u").as("u"), col("e.v").as("v"))
       .groupBy("u", "v").agg(count(lit(1)).as("t"))
-    e.join(credits, Seq("u", "v"), "left")
-      .join(deg.select(col("x").as("u"), col("deg").as("deg_u")), "u")
-      .join(deg.select(col("x").as("v"), col("deg").as("deg_v")), "v")
+    // the final per-edge degree columns ride the SAME cached annotated
+    // frame — the pre-fix two extra degree joins are gone entirely
+    wd.join(credits, Seq("u", "v"), "left")
       .select(col("u"), col("v"), coalesce(col("t"), lit(0L)).as("common_nbrs"),
-        col("deg_u"), col("deg_v"))
+        col("du").as("deg_u"), col("dv").as("deg_v"))
       .withColumn("jaccard", col("common_nbrs").cast("double") /
         (col("deg_u") + col("deg_v") - col("common_nbrs")).cast("double"))
       .orderBy(col("jaccard").desc, col("u").asc, col("v").asc)
@@ -617,10 +656,15 @@ object Graph {
     * can't see a bimodal local structure, this histogram can).
     */
   private[operators] def localClusteringHistogram(e: DataFrame): DataFrame = {
-    val tv = orientedTriangles(e)
+    val wd = degAnnotatedEdges(e)
+    val tv = orientedTrianglesFrom(wd)
       .select(explode(array(col("a"), col("b"), col("c"))).as("z"))
       .groupBy("z").agg(count(lit(1)).as("t"))
-    degrees(e).filter(col("deg") >= 2)
+    // per-vertex degree from the cached annotated frame (one distinct,
+    // no second degree agg)
+    wd.select(col("u").as("x"), col("du").as("deg"))
+      .unionAll(wd.select(col("v").as("x"), col("dv").as("deg"))).distinct()
+      .filter(col("deg") >= 2)
       .join(tv.withColumnRenamed("z", "x"), Seq("x"), "left")
       .select(col("deg"), coalesce(col("t"), lit(0L)).as("t"))
       .select(expr("(2 * t * 10) div (deg * (deg - 1))").as("cc_bucket"), col("t"))
