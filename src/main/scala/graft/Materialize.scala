@@ -87,6 +87,25 @@ object Materialize {
   def toStorage(df: DataFrame, tag: String): DataFrame =
     df.sparkSession.read.parquet(toStoragePath(df, tag))
 
+  /** Isolated child session for a driver-bound iterative loop (the
+    * connectedComponents discipline, reusable): per-round work in the
+    * scratch-carry loops is a tiny fixed-shape join + agg whose
+    * wall-clock is DRIVER overhead, not executor work — under AQE every
+    * exchange becomes its own driver job (measured on p04's CC loop: 104
+    * jobs, 29 s of task time of which ~1 s ran in parallel; the rest of
+    * the 13 s wall was scheduling/planning gaps between jobs). AQE can't
+    * improve those plans — the loop already sizes/partitions its state —
+    * so the loop runs on a child session (shared SparkContext, PRIVATE
+    * SQLConf: concurrent runners on the owner session never observe the
+    * setting) with static planning. State crosses sessions through
+    * scratch parquet paths, which the loops already use for carry.
+    */
+  def loopSession(owner: org.apache.spark.sql.SparkSession): org.apache.spark.sql.SparkSession = {
+    val s = owner.newSession()
+    s.conf.set("spark.sql.adaptive.enabled", "false")
+    s
+  }
+
   /** Like toStorage but hands back the scratch PATH instead of a frame —
     * the session hand-off primitive: a caller running an isolated child
     * session (`spark.newSession()`, private SQLConf) writes on one

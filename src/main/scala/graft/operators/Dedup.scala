@@ -36,6 +36,22 @@ object Dedup {
   val JaccardTDen = 5L
   val JaccardThreshold = 0.8
 
+  /** d20: enumerate intra-cluster pairs only for clusters up to this many
+    * members — pair work per cluster is ≤ cap²/2, so the audit is
+    * cluster-count-linear no matter how big one pathological component
+    * grows (a 1 M-doc mega-cluster at 100 TB would otherwise cost 5·10¹¹
+    * pairs). Clusters over the cap are REPORTED (size, count) with their
+    * pair stats zeroed and `enumerated = false` — the no-silent-caps
+    * rule: the reader sees exactly what the audit skipped.
+    */
+  val ClusterPurityCap = 64L
+
+  /** d20: "direct" pair bar in parts-per-billion — floor(i·10⁹∕u) ≥
+    * 8·10⁸ ⟺ i∕u ≥ 4∕5 exactly (integer cross-multiplication), the same
+    * decision d03's verify makes in IEEE terms.
+    */
+  val DirectPpb = 800000000L
+
   /** Miss-probability ceiling for the band derivation: a true pair AT
     * the threshold may be missed by the banding with probability at most
     * 1/LshMissCeilDen (then the exact-Jaccard verify never sees it). */
@@ -258,6 +274,46 @@ object Dedup {
   private def nearDupClusters(s: SparkSession, dir: String): DataFrame =
     connectedComponents(nearDupPairs(s, dir).select(col("id_a"), col("id_b")))
 
+  /** d20 core over a (doc_id, cluster_id) frame and a (doc_id, hsh)
+    * hashed-shingle table — extracted so a crafted chain (a~b~c with
+    * J(a, c) below the bar) pins the direct/chained split closed-form.
+    * See the query scaladoc for the semantics and cap rule.
+    */
+  private[operators] def clusterPurity(clusters: DataFrame,
+                                       hashed: DataFrame): DataFrame = {
+    val sizes = clusters.groupBy("cluster_id").agg(count(lit(1)).as("csize"))
+    val members = clusters.join(
+      sizes.filter(col("csize") <= ClusterPurityCap), "cluster_id")
+    val pairs = members.select(col("cluster_id"), col("csize"), col("doc_id").as("id_a"))
+      .join(members.select(col("cluster_id"), col("doc_id").as("id_b")), "cluster_id")
+      .filter(col("id_a") < col("id_b"))
+      .join(hashed.select(col("doc_id").as("id_a"), col("hsh").as("sh_a")), "id_a")
+      .join(hashed.select(col("doc_id").as("id_b"), col("hsh").as("sh_b")), "id_b")
+      .select(col("cluster_id"), col("csize"),
+        expr("""CAST(size(array_intersect(sh_a, sh_b)) AS BIGINT) * 1000000000
+               | DIV CAST(size(array_union(sh_a, sh_b)) AS BIGINT)""".stripMargin)
+          .as("jppb"))
+    val enumerated = pairs.groupBy("csize")
+      .agg(countDistinct("cluster_id").as("n_clusters"),
+        count(lit(1)).as("n_pairs"),
+        count(when(col("jppb") >= DirectPpb, 1)).as("n_direct"),
+        count(when(col("jppb") < DirectPpb, 1)).as("n_chained"),
+        sum(col("jppb").cast("decimal(38,0)")).as("sum_ppb"),
+        min("jppb").as("min_jaccard_ppb"))
+      .select(col("csize").as("cluster_size"), col("n_clusters"),
+        col("n_pairs"), col("n_direct"), col("n_chained"),
+        (col("sum_ppb").cast("double") / col("n_pairs").cast("double")
+          / 1000000000.0).as("mean_jaccard"),
+        col("min_jaccard_ppb"), lit(true).as("enumerated"))
+    val skipped = sizes.filter(col("csize") > ClusterPurityCap)
+      .groupBy("csize").agg(count(lit(1)).as("n_clusters"))
+      .select(col("csize").as("cluster_size"), col("n_clusters"),
+        lit(0L).as("n_pairs"), lit(0L).as("n_direct"), lit(0L).as("n_chained"),
+        lit(0.0).as("mean_jaccard"), lit(0L).as("min_jaccard_ppb"),
+        lit(false).as("enumerated"))
+    enumerated.unionByName(skipped).orderBy("cluster_size")
+  }
+
   /** d14 core over a (doc_id, cluster_id) frame — extracted so crafted
     * cluster layouts pin the buckets/shares closed-form.
     */
@@ -396,7 +452,7 @@ object Dedup {
     // the old code persisted anyway) and re-read on the child; the
     // result returns as a storage-backed frame on the CALLER's session.
     val owner = pairs.sparkSession
-    val spark = owner.newSession()
+    val spark = graft.Materialize.loopSession(owner)
     val pairsPath = graft.Materialize.toStoragePath(pairs.toDF("id_a", "id_b"), "cc_input")
     // undirected edges + self-loops (self-loop keeps a node's own label
     // in the min; symmetric closure makes propagation direction-free)
@@ -414,16 +470,16 @@ object Dedup {
     val defaultParts = spark.conf.get("spark.sql.shuffle.partitions").toInt
     val nParts = math.max(8, math.min(defaultParts, (edges.count() / 100000L).toInt))
     spark.conf.set("spark.sql.shuffle.partitions", nParts.toString)
-    // AQE OFF for the loop (isolated child session, so callers never see
-    // it): every propagation round is the same fixed shape — a tiny
-    // equi-join + a hash agg at a partition count already sized to the
-    // edge set above. AQE can't improve that plan, but it turns every
-    // exchange into its own driver job; at dup-graph scale the loop's
-    // wall-clock is per-job driver overhead, not executor work (measured
-    // on p04: 104 jobs, 29 s task time but only ~1 s of it parallel —
-    // the other ~13 s of wall was scheduling/planning gaps). Static
-    // planning cuts the loop to one job per action.
-    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    // AQE is OFF on this child session (Materialize.loopSession): every
+    // propagation round is the same fixed shape — a tiny equi-join + a
+    // hash agg at a partition count already sized to the edge set above.
+    // AQE can't improve that plan, but it turns every exchange into its
+    // own driver job; at dup-graph scale the loop's wall-clock is
+    // per-job driver overhead, not executor work (measured on p04: 104
+    // jobs, 29 s task time but only ~1 s of it parallel — the other
+    // ~13 s of wall was scheduling/planning gaps). Static planning cuts
+    // the loop to one job per action (p04 13.7 → 7.5 s, d07 3.5 → 2.9 s
+    // at sf0.1).
     try {
       def propagate(lbls: DataFrame): DataFrame =
         edges.join(lbls, edges("dst") === lbls("doc_id"))
@@ -713,6 +769,21 @@ object Dedup {
           col("min_jaccard_ppb"), col("max_jaccard_ppb"))
         .orderBy("strategy")
     }),
+
+    // CLUSTER PURITY — the transitive-chaining audit a dedup owner runs
+    // before trusting d07's components as "one document each": connected
+    // components glue pairs transitively, so a cluster can contain pairs
+    // (a, c) that were never verified similar (a~b ≥ 0.8 and b~c ≥ 0.8
+    // admit J(a, c) far below 0.8). Per cluster SIZE this reports how
+    // many intra-cluster pairs meet the direct bar vs ride chains only,
+    // with exact hashed-shingle Jaccard stats (d16's ppb arithmetic) —
+    // the number that tells you whether min-label survivorship (d11) is
+    // deleting non-duplicates. Scale shape: pair enumeration is capped
+    // per cluster (ClusterPurityCap, skipped clusters reported, never
+    // silently dropped); everything shuffles as ids + jppb longs.
+    "d20_cluster_purity" -> ((s, dir) =>
+      clusterPurity(nearDupClusters(s, dir),
+        sketched(s, dir).select(col("doc_id"), col("hsh")))),
 
     // blocking on metadata (lang, source) instead of LSH: the classic
     // "cheap key first" candidate strategy. Exact Jaccard inside blocks,
@@ -1421,6 +1492,53 @@ object Dedup {
          |GROUP BY c.strategy
          |ORDER BY c.strategy""".stripMargin
     },
+
+    // d07's closure chain verbatim for the clusters, intra-cluster pairs
+    // by self-join under the same enumeration cap, exact Jaccard over the
+    // SAME xxh64-hashed shingle domain as the engine (the d16 shh
+    // pattern), direct/chained split on the shared integer ppb bar
+    "d20_cluster_purity" ->
+      s"""$duckClusterCtes, docsh AS MATERIALIZED (
+         |  SELECT doc_id, unnest(sh) AS g FROM s
+         |), gr AS (
+         |  SELECT g AS gid, g FROM (SELECT DISTINCT g FROM docsh)
+         |), ${DuckHash.xxh64StrCtes()}, shh AS MATERIALIZED (
+         |  SELECT d.doc_id, list(DISTINCT h.hv) AS hh
+         |  FROM docsh d JOIN gh h ON h.gid = d.g
+         |  GROUP BY d.doc_id
+         |), sizes AS (
+         |  SELECT cluster_id, COUNT(*) AS csize FROM clusters GROUP BY cluster_id
+         |), mem AS (
+         |  SELECT c.doc_id, c.cluster_id, z.csize
+         |  FROM clusters c JOIN sizes z USING (cluster_id)
+         |  WHERE z.csize <= $ClusterPurityCap
+         |), cp AS (
+         |  SELECT a.cluster_id, a.csize, a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM mem a JOIN mem b ON a.cluster_id = b.cluster_id AND a.doc_id < b.doc_id
+         |), jp2 AS (
+         |  SELECT cp.cluster_id, cp.csize,
+         |    len(list_intersect(sa.hh, sb.hh))::BIGINT * 1000000000
+         |      // len(list_distinct(list_concat(sa.hh, sb.hh)))::BIGINT AS jppb
+         |  FROM cp JOIN shh sa ON sa.doc_id = cp.id_a
+         |  JOIN shh sb ON sb.doc_id = cp.id_b
+         |), en AS (
+         |  SELECT csize AS cluster_size, COUNT(DISTINCT cluster_id) AS n_clusters,
+         |    COUNT(*) AS n_pairs,
+         |    CAST(SUM(CASE WHEN jppb >= $DirectPpb THEN 1 ELSE 0 END) AS BIGINT) AS n_direct,
+         |    CAST(SUM(CASE WHEN jppb < $DirectPpb THEN 1 ELSE 0 END) AS BIGINT) AS n_chained,
+         |    CAST(SUM(jppb) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) / 1000000000.0
+         |      AS mean_jaccard,
+         |    MIN(jppb) AS min_jaccard_ppb, TRUE AS enumerated
+         |  FROM jp2 GROUP BY csize
+         |), skp AS (
+         |  SELECT csize AS cluster_size, COUNT(*) AS n_clusters,
+         |    CAST(0 AS BIGINT) AS n_pairs, CAST(0 AS BIGINT) AS n_direct,
+         |    CAST(0 AS BIGINT) AS n_chained, 0.0 AS mean_jaccard,
+         |    CAST(0 AS BIGINT) AS min_jaccard_ppb, FALSE AS enumerated
+         |  FROM sizes WHERE csize > $ClusterPurityCap GROUP BY csize
+         |)
+         |SELECT * FROM en UNION ALL SELECT * FROM skp
+         |ORDER BY cluster_size""".stripMargin,
 
     // windows counted as strings (Spark side hashes them first — the same
     // collision argument as d03's hashed-shingle jaccard); slice w[i:i+W-1]

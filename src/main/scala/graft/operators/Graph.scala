@@ -213,6 +213,11 @@ object Graph {
     val spark = e.sparkSession
     import spark.implicits._
     val deg = degrees(e)
+    // NOTE: an AQE-off child session (Materialize.loopSession) was
+    // measured here and does NOT help (7.0-7.1 s → 7.8-8.3 s at sf0.1):
+    // unlike the CC loop, g02b's per-round wall is the scratch-write and
+    // audit jobs themselves, and AQE's small-shuffle coalescing earns
+    // its job-bookkeeping back. Kept on the owner session deliberately.
     val spark2 = e.sparkSession
     // the degree-annotated message edges are built ONCE and consumed
     // once per round — scratch PARQUET, not cache: at 100× the cached

@@ -419,4 +419,34 @@ class DedupSpec extends SparkSpec {
       (1L, 3L, 7L, 2L, 3L, 0.75, 7.0 / 15.0),
       (3L, 1L, 8L, 8L, 8L, 0.25, 8.0 / 15.0)))
   }
+
+  test("d20 purity: a chain's endpoint pair is chained-not-direct; cap rows report zeroed stats") {
+    import spark.implicits._
+    // cluster 1 = {1,2,3}: docs 1 and 3 each share 4 of 5 hashed shingles
+    // with doc 2 (J = 4/6 < 0.8? no — craft J(1,2) = J(2,3) = 4/5 = 0.8:
+    // |∩| = 4, |∪| = 5 → direct), while 1 and 3 share only 3 shingles
+    // (|∩| = 3, |∪| = 6 → J = 0.5: chained). cluster 10 = {10,11}
+    // identical docs (direct). One oversized cluster (65 singles labeled
+    // 100) exercises the cap row.
+    val clusters = (Seq((1L, 1L), (2L, 1L), (3L, 1L), (10L, 10L), (11L, 10L)) ++
+      (100L to 164L).map(d => (d, 100L))).toDF("doc_id", "cluster_id")
+    val hashed = (Seq(
+      (1L, Seq(1L, 2L, 3L, 4L, 7L)),
+      (2L, Seq(1L, 2L, 3L, 4L, 5L)),
+      (3L, Seq(2L, 3L, 4L, 5L, 8L)),
+      (10L, Seq(40L, 41L)), (11L, Seq(40L, 41L))) ++
+      (100L to 164L).map(d => (d, Seq(d * 10)))).toDF("doc_id", "hsh")
+    val got = Dedup.clusterPurity(clusters, hashed).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5), r.getLong(6), r.getBoolean(7)))
+    // J(1,2): |∩|=4 |∪|=6 → 666666666 ppb... recompute: sh1={1,2,3,4,7},
+    // sh2={1,2,3,4,5}: ∩=4, ∪=6 → 4e9/6 = 666666666 (chained);
+    // sh2 vs sh3 {2,3,4,5,8}: ∩=4, ∪=6 chained too; sh1 vs sh3: ∩=3,
+    // ∪=7 → 428571428. So size-3 cluster: 3 pairs, 0 direct, 3 chained.
+    assert(got.toSeq === Seq(
+      (2L, 1L, 1L, 1L, 0L, 1.0, 1000000000L, true),
+      (3L, 1L, 3L, 0L, 3L, (666666666L + 666666666L + 428571428L) / 3.0 / 1e9,
+        428571428L, true),
+      (65L, 1L, 0L, 0L, 0L, 0.0, 0L, false)))
+  }
 }
