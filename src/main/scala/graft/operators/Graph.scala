@@ -589,6 +589,63 @@ object Graph {
       .orderBy("round")
   }
 
+  /** g11: fixed LPA round count — both engines unroll exactly this many
+    * label-propagation layers (the g02b/g05 discipline), so the profiles
+    * align row-for-row. Synchronous LPA can oscillate on near-bipartite
+    * structure; a fixed unroll makes that visible in the n_moved column
+    * instead of hiding it behind a convergence test.
+    */
+  val LpaRounds = 4
+
+  /** g11 core: synchronous label-propagation COMMUNITY DETECTION over the
+    * co-purchase graph — the classic modularity-free community pass
+    * (Raghavan et al. 2007) in its deterministic form: every vertex
+    * starts labeled with itself; each round it takes the label most
+    * frequent among its neighbors, ties broken by SMALLEST label (the
+    * min-label discipline d07's CC uses), all vertices updating
+    * synchronously. The output is the per-round convergence profile
+    * (community count, moved count, largest community, a modular label
+    * checksum that pins the actual assignment under the hash gate), not
+    * a |V|-row dump. Scale shape: one |2E|-row join + two hash aggs per
+    * round, labels scratch-carried (the g02b discipline — constant-size
+    * scan plans, survives executor loss); the frequency argmax is a
+    * min(struct(-cnt, lbl)) — no window sort over the message stream.
+    */
+  private[operators] def lpaProfile(e: DataFrame,
+                                    rounds: Int = LpaRounds): DataFrame = {
+    val spark = e.sparkSession
+    import spark.implicits._
+    val msgs = spark.read.parquet(graft.Materialize.toStoragePath(
+      e.select(col("u").as("src"), col("v").as("dst"))
+        .unionAll(e.select(col("v").as("src"), col("u").as("dst"))), "lpa_msgs"))
+    var lbls = spark.read.parquet(graft.Materialize.toStoragePath(
+      msgs.select(col("dst").as("x")).distinct()
+        .select(col("x"), col("x").as("lbl")), "lpa_l0"))
+    val profile = (1 to rounds).map { r =>
+      // one store job per round: message join → per-(dst, label) count →
+      // deterministic argmax → carry the previous label alongside so the
+      // audit is a scan of THIS round's frame only
+      val nextPath = graft.Materialize.toStoragePath(
+        msgs.join(lbls.select(col("x").as("src"), col("lbl")), "src")
+          .groupBy(col("dst"), col("lbl")).agg(count(lit(1)).as("cnt"))
+          .groupBy(col("dst"))
+          .agg(min(struct((-col("cnt")).as("nc"), col("lbl").as("l"))).as("pick"))
+          .select(col("dst").as("x"), col("pick.l").as("lbl"))
+          .join(lbls.select(col("x"), col("lbl").as("prev_lbl")), "x"), s"lpa_l$r")
+      val next = spark.read.parquet(nextPath)
+      val a = next.agg(
+        countDistinct("lbl").as("nc"),
+        count(when(col("lbl") =!= col("prev_lbl"), 1)).as("moved"),
+        sum(pmod(col("lbl"), lit(1000003L))).as("cks")).head()
+      val largest = next.groupBy("lbl").agg(count(lit(1)).as("csz"))
+        .agg(max("csz")).head().getLong(0)
+      lbls = next.select(col("x"), col("lbl"))
+      (r.toLong, a.getLong(0), a.getLong(1), largest, a.getLong(2))
+    }
+    profile.toDF("round", "n_communities", "n_moved", "largest_community",
+      "label_checksum").orderBy("round")
+  }
+
   /** g04 core: per-edge neighborhood Jaccard — link-strength scoring (how
     * substitutable are two co-purchased parts). |N(u)∩N(v)| for an edge is
     * exactly the number of triangles through it, so the common-neighbor
@@ -784,7 +841,14 @@ object Graph {
     // count agg, then ≤ 63 bucket rows.
     "g10_projection_cost" -> ((s, dir) => projectionCostAudit(
       Tables.lineitem(s, dir)
-        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))))
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")))),
+
+    // LABEL-PROPAGATION COMMUNITIES — the classic near-linear community
+    // detector in its deterministic synchronous form (most-frequent
+    // neighbor label, min-label ties, LpaRounds unrolled in both
+    // engines); output is the convergence PROFILE with a modular label
+    // checksum pinning the assignment itself. See lpaProfile.
+    "g11_lpa_communities" -> ((s, dir) => lpaProfile(partEdges(s, dir)))
   )
 
   /** g10 core over (ok, pk) rows — extracted for closed-form baskets. */
@@ -822,6 +886,50 @@ object Graph {
   }
 
   def oracles: Map[String, String] = Map(
+    // the LpaRounds layers unrolled as generated MATERIALIZED CTEs (the
+    // g02b template); the frequency argmax restated as ROW_NUMBER over
+    // (cnt DESC, lbl ASC) — same deterministic pick as the engine's
+    // min(struct(-cnt, lbl))
+    "g11_lpa_communities" -> {
+      val layers = (1 to LpaRounds).map { i =>
+        s"""c$i AS MATERIALIZED (
+           |  SELECT nb.dst, l.lbl, COUNT(*) AS cnt
+           |  FROM nb JOIN l${i - 1} l ON l.x = nb.src
+           |  GROUP BY nb.dst, l.lbl
+           |), l$i AS MATERIALIZED (
+           |  SELECT p.dst AS x, p.lbl, pr.lbl AS prev_lbl
+           |  FROM (SELECT dst, lbl, ROW_NUMBER() OVER (PARTITION BY dst
+           |          ORDER BY cnt DESC, lbl ASC) AS rn FROM c$i) p
+           |  JOIN l${i - 1} pr ON pr.x = p.dst
+           |  WHERE p.rn = 1
+           |), row$i AS MATERIALIZED (
+           |  SELECT CAST($i AS BIGINT) AS round,
+           |    CAST(COUNT(DISTINCT lbl) AS BIGINT) AS n_communities,
+           |    CAST(SUM(CASE WHEN lbl <> prev_lbl THEN 1 ELSE 0 END) AS BIGINT)
+           |      AS n_moved,
+           |    (SELECT CAST(MAX(csz) AS BIGINT) FROM
+           |       (SELECT COUNT(*) AS csz FROM l$i GROUP BY lbl))
+           |      AS largest_community,
+           |    CAST(SUM(lbl % 1000003) AS BIGINT) AS label_checksum
+           |  FROM l$i
+           |)""".stripMargin
+      }.mkString(",\n")
+      val unionAll = (1 to LpaRounds).map(i => s"SELECT * FROM row$i")
+        .mkString("\n|", "\n|UNION ALL ", "")
+      s"""WITH li AS (
+         |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+         |), e AS MATERIALIZED (
+         |  SELECT DISTINCT a.pk AS u, b.pk AS v
+         |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+         |), nb AS MATERIALIZED (
+         |  SELECT u AS src, v AS dst FROM e UNION ALL SELECT v, u FROM e
+         |), l0 AS MATERIALIZED (
+         |  SELECT DISTINCT dst AS x, dst AS lbl FROM nb
+         |),
+         |$layers$unionAll
+         |ORDER BY round""".stripMargin
+    },
+
     // the same per-order pair arithmetic; SUMs cast back to BIGINT
     "g10_projection_cost" ->
       """WITH li AS (

@@ -291,4 +291,20 @@ class GraphSpec extends SparkSpec {
     val got = Graph.pagerankStep(e, 1000).collect().map(_.getLong(2)).sum
     assert(got === expected, "sum of received = sum of sent (exact integer mass)")
   }
+
+  test("g11 LPA barbell: two triangles + bridge settle into two communities, hand-computed rounds") {
+    // triangle {1,2,3} + triangle {10,11,12} + bridge (3,10): the
+    // deterministic min-tie sync updates are small enough to trace by
+    // hand — round 1 scatters (6 moves, 4 labels), round 2 consolidates
+    // left on 1 / right splits 10|3, round 3 lands the 2-community
+    // fixpoint (v10 joins label 3), round 4 is a no-op row
+    val e = edges((1, 2), (1, 3), (2, 3), (10, 11), (10, 12), (11, 12), (3, 10))
+    val got = Graph.lpaProfile(e).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(got.toSeq === Seq(
+      (1L, 4L, 6L, 2L, 27L),
+      (2L, 3L, 4L, 3L, 19L),
+      (3L, 2L, 1L, 3L, 12L),
+      (4L, 2L, 0L, 3L, 12L)))
+  }
 }
