@@ -206,7 +206,7 @@ object Dedup {
     * magnitude smaller than the corpus (128 ints + ~n_tokens longs per
     * doc, no raw text).
     */
-  private def sketched(s: SparkSession, dir: String): DataFrame =
+  private[operators] def sketched(s: SparkSession, dir: String): DataFrame =
     graft.Materialize(shingled(s, dir)
       .select(col("doc_id"),
         minhash_signature(col("sh"), MinHashK).as("sig"),

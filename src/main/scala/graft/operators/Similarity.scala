@@ -1690,6 +1690,61 @@ object Similarity {
         .orderBy("disp_bucket")
     }),
 
+    // LEXICAL vs SEMANTIC DUP AGREEMENT — d19's strategy report extended
+    // ACROSS modality families: the verified MinHash-Jaccard pair set
+    // (d03, text) and the semantic within-cell pair set (e11's edges,
+    // embeddings; the same two families p04 unions into clusters)
+    // full-outer-joined into both / lexical_only / semantic_only, each
+    // class scored on BOTH axes — exact hashed-shingle Jaccard AND
+    // cosine, both as fixed-point floors so the class means gate exactly.
+    // This is the audit a curation owner reads before stacking the
+    // families: how semantically close are the lexical-only dups (is
+    // MinHash finding paraphrases or templates?), how lexically close
+    // are the semantic-only ones (is SemDeDup just re-finding d03's
+    // pairs?). Scale shape: both generators run their documented
+    // at-scale forms; every later join is pair-bounded on 8-byte ids.
+    // Pairs whose endpoints lack a shingle row (doc below the 3-word
+    // shingle floor) drop via the inner joins in BOTH engines.
+    "e27_lexical_semantic_agreement" -> ((s, dir) => {
+      val lex = Dedup.nearDupPairs(s, dir)
+        .select(col("id_a"), col("id_b"), lit(1L).as("in_lex"))
+      val sem = semCellPairs(Tables.embeddings(s, dir))
+        .filter(col("cos") >= SemDedupTheta)
+        .select(col("lo").as("id_a"), col("hi").as("id_b"), lit(1L).as("in_sem"))
+      val cls = lex.join(sem, Seq("id_a", "id_b"), "full_outer")
+        .select(col("id_a"), col("id_b"),
+          when(col("in_lex").isNotNull && col("in_sem").isNotNull, "both")
+            .when(col("in_lex").isNotNull, "lexical_only")
+            .otherwise("semantic_only").as("strategy"))
+      val e = Tables.embeddings(s, dir)
+      val sk = Dedup.sketched(s, dir)
+      cls
+        .join(e.select(col("vec_id").as("id_a"), col("embedding").as("emb_a")), "id_a")
+        .join(e.select(col("vec_id").as("id_b"), col("embedding").as("emb_b")), "id_b")
+        .join(sk.select(col("doc_id").as("id_a"), col("hsh").as("sh_a")), "id_a")
+        .join(sk.select(col("doc_id").as("id_b"), col("hsh").as("sh_b")), "id_b")
+        .select(col("strategy"),
+          floor(cosine_similarity(col("emb_a"), col("emb_b")) * 1e9)
+            .cast("long").as("cos_ppb"),
+          expr("""CAST(size(array_intersect(sh_a, sh_b)) AS BIGINT) * 1000000000
+                 | DIV CAST(size(array_union(sh_a, sh_b)) AS BIGINT)""".stripMargin)
+            .as("jppb"))
+        .groupBy("strategy")
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(col("cos_ppb").cast("decimal(38,0)")).as("sum_cos"),
+          min("cos_ppb").as("min_cos_ppb"),
+          sum(col("jppb").cast("decimal(38,0)")).as("sum_j"),
+          min("jppb").as("min_jaccard_ppb"))
+        .select(col("strategy"), col("n_pairs"),
+          (col("sum_cos").cast("double") / col("n_pairs").cast("double")
+            / 1000000000.0).as("mean_cos"),
+          col("min_cos_ppb"),
+          (col("sum_j").cast("double") / col("n_pairs").cast("double")
+            / 1000000000.0).as("mean_jaccard"),
+          col("min_jaccard_ppb"))
+        .orderBy("strategy")
+    }),
+
     // PRODUCT QUANTIZATION (PQ): the codebook compression behind
     // billion-vector ANN indexes (IVF-PQ) — split every vector into M=4
     // 16-dim subvectors, assign each to its nearest codeword in that
@@ -2674,6 +2729,53 @@ object Similarity {
          |  COUNT(*) AS n_pairs, MIN(disp) AS min_disp, MAX(disp) AS max_disp
          |FROM dd GROUP BY 1
          |ORDER BY disp_bucket""".stripMargin,
+
+    // lexical side = the d03-equivalent brute j >= 0.8 pairs (the
+    // duckClusterCtes chain d07's oracle rides); semantic side =
+    // sem_pairs at the e11 bar; both scores restated over the engine's
+    // exact domains (xxh64-hashed shingles, IEEE cosine floored to ppb)
+    "e27_lexical_semantic_agreement" ->
+      s"""${Dedup.duckClusterCtes}, $duckSemCtes, docsh AS MATERIALIZED (
+         |  SELECT doc_id, unnest(sh) AS g FROM s
+         |), gr AS (
+         |  SELECT g AS gid, g FROM (SELECT DISTINCT g FROM docsh)
+         |), ${DuckHash.xxh64StrCtes()}, shh AS MATERIALIZED (
+         |  SELECT d.doc_id, list(DISTINCT h.hv) AS hh
+         |  FROM docsh d JOIN gh h ON h.gid = d.g
+         |  GROUP BY d.doc_id
+         |), lexp AS (
+         |  SELECT id_a, id_b FROM pairs
+         |), semp AS (
+         |  SELECT lo AS id_a, hi AS id_b FROM sem_pairs WHERE cos >= $SemDedupTheta
+         |), cls AS (
+         |  SELECT id_a, id_b,
+         |    CASE WHEN l.in_lex IS NOT NULL AND s2.in_sem IS NOT NULL THEN 'both'
+         |         WHEN l.in_lex IS NOT NULL THEN 'lexical_only'
+         |         ELSE 'semantic_only' END AS strategy
+         |  FROM (SELECT id_a, id_b, 1 AS in_lex FROM lexp) l
+         |  FULL OUTER JOIN (SELECT id_a, id_b, 1 AS in_sem FROM semp) s2
+         |  USING (id_a, id_b)
+         |), e27s AS (
+         |  SELECT c.strategy,
+         |    CAST(floor((${duckCos("a", "b")}) * 1000000000.0) AS BIGINT) AS cos_ppb,
+         |    len(list_intersect(sa.hh, sb.hh))::BIGINT * 1000000000
+         |      // len(list_distinct(list_concat(sa.hh, sb.hh)))::BIGINT AS jppb
+         |  FROM cls c
+         |  JOIN embeddings a ON a.vec_id = c.id_a
+         |  JOIN embeddings b ON b.vec_id = c.id_b
+         |  JOIN shh sa ON sa.doc_id = c.id_a
+         |  JOIN shh sb ON sb.doc_id = c.id_b
+         |)
+         |SELECT strategy, COUNT(*) AS n_pairs,
+         |  CAST(SUM(cos_ppb) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) / 1000000000.0
+         |    AS mean_cos,
+         |  MIN(cos_ppb) AS min_cos_ppb,
+         |  CAST(SUM(jppb) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) / 1000000000.0
+         |    AS mean_jaccard,
+         |  MIN(jppb) AS min_jaccard_ppb
+         |FROM e27s
+         |GROUP BY strategy
+         |ORDER BY strategy""".stripMargin,
 
     "e06_ivf_ann" ->
       s"""WITH $duckIvfCtes, cand AS (

@@ -713,4 +713,25 @@ class SimilaritySpec extends SparkSpec {
         s"np=4 sweep must reproduce e06's hits (q=$q)")
     }
   }
+
+  test("e27 agreement: lexical classes respect the jaccard bar, semantic classes the cos bar") {
+    val rows = Similarity.queries("e27_lexical_semantic_agreement")(spark, sfDir)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(3), r.getLong(5)))).toMap
+    assert(rows.nonEmpty)
+    // min_jaccard_ppb >= the 0.8 bar wherever the lexical generator
+    // contributed; min_cos_ppb >= floor(theta * 1e9) wherever the
+    // semantic one did — the classes inherit their generators' bars
+    Seq("both", "lexical_only").foreach { k =>
+      rows.get(k).foreach { case (_, _, jlo) => assert(jlo >= 800000000L, k) }
+    }
+    Seq("both", "semantic_only").foreach { k =>
+      rows.get(k).foreach { case (_, clo, _) => assert(clo >= 300000000L, k) }
+    }
+    // classes tile the lexical pair set (restricted to ids with both an
+    // embedding row and a shingle row — here: all of them)
+    def n(k: String): Long = rows.get(k).map(_._1).getOrElse(0L)
+    val d03n = Dedup.queries("d03_minhash_lsh")(spark, sfDir).count()
+    assert(n("both") + n("lexical_only") === d03n)
+  }
 }
