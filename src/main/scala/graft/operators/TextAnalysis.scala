@@ -90,6 +90,43 @@ object TextAnalysis {
     * OOV rule and the shift direction are unit-testable on crafted
     * splits (the fixture is IID by construction, so its report correctly
     * shows no shift). */
+  /** t34 core over a documents frame — extracted so a crafted two-doc
+    * corpus pins counts, the fixed-point lift, and the filter floors
+    * closed-form. See the query scaladoc.
+    */
+  private[operators] def pmiPairs(documents: DataFrame): DataFrame = {
+    val docs = documents
+      .select(filter(split(lower(col("text")), " "), w => length(w) > 0).as("w"))
+    val toks = docs.select(explode(col("w")).as("tok"))
+    val uni = toks.groupBy("tok").agg(count(lit(1)).as("c"))
+    val tot = toks.agg(count(lit(1)).as("n"))
+    val ev = (1 to PmiWindow).map { g =>
+      docs.filter(size(col("w")) > g)
+        .select(explode(arrays_zip(
+          slice(col("w"), lit(1), size(col("w")) - g),
+          slice(col("w"), lit(g + 1), size(col("w")) - g))).as("p"))
+        .select(least(col("p.0"), col("p.1")).as("u"),
+          greatest(col("p.0"), col("p.1")).as("v"))
+    }.reduce(_ unionAll _)
+    val wtot = ev.agg(count(lit(1)).as("wt"))
+    ev.groupBy("u", "v").agg(count(lit(1)).as("c_pair"))
+      .filter(col("c_pair") >= PmiMinPair)
+      .join(uni.select(col("tok").as("u"), col("c").as("c_u")), "u")
+      .join(uni.select(col("tok").as("v"), col("c").as("c_v")), "v")
+      .filter(col("c_u") >= PmiMinTok && col("c_v") >= PmiMinTok)
+      .crossJoin(broadcast(tot)).crossJoin(broadcast(wtot))
+      .select(col("u"), col("v"), col("c_pair"), col("c_u"), col("c_v"),
+        expr("""CAST(c_pair AS DECIMAL(38,0)) * 1000000000000
+               | DIV (CAST(c_u AS DECIMAL(38,0)) * CAST(c_v AS DECIMAL(38,0)))"""
+          .stripMargin).as("lift_ppt"),
+        ((col("c_pair").cast("double") * col("n").cast("double")
+          * col("n").cast("double"))
+          / (col("wt").cast("double") * col("c_u").cast("double")
+            * col("c_v").cast("double"))).as("pmi_ratio"))
+      .orderBy(col("lift_ppt").desc, col("u").asc, col("v").asc)
+      .limit(PmiTopK)
+  }
+
   private[operators] def splitShift(docs: DataFrame): DataFrame = {
     val bucket = pmod(xxhash64(col("doc_id")), lit(100))
     val toks = docs
@@ -212,6 +249,16 @@ object TextAnalysis {
     * engines unroll exactly this many layers (the g05/g02b discipline).
     */
   val BpeRounds = 6
+
+  /** t34: co-occurrence window — unordered pairs at token gaps 1..this. */
+  val PmiWindow = 2
+  /** t34: pair-event floor (a collocation seen fewer times is noise). */
+  val PmiMinPair = 3L
+  /** t34: unigram floor — PMI of a near-hapax is dominated by its own
+    * rarity, the classic PMI failure mode; the floor is the d10/t19 df
+    * discipline applied to collocation mining. */
+  val PmiMinTok = 5L
+  val PmiTopK = 50
 
   /** t29 core over any (text) frame — the BPE TRAINING LOOP: t27's merge
     * pick and t28's apply alternated for K fixed rounds, emitting the
@@ -755,6 +802,22 @@ object TextAnalysis {
     // LEFT join (t25's shape), a |splits×sources|-row agg; the model
     // side is map-side-combined and vocabulary-sized.
     "t33_split_shift" -> ((s, dir) => splitShift(Tables.documents(s, dir))),
+
+    // t34 core lives in pmiPairs (extracted for closed-form spec pins).
+    // WINDOWED CO-OCCURRENCE / PMI TOP PAIRS — the collocation extractor
+    // (phrase mining, tokenizer-merge candidates, entity cues): count
+    // unordered token pairs co-occurring within a ±PmiWindow gap, then
+    // rank by LIFT = c_uv∕(c_u·c_v) in fixed point — for a fixed corpus
+    // that ranking IS the PMI ranking (PMI = log(lift·N²∕W), and N²∕W is
+    // pair-independent), with no float log anywhere near the gate. The
+    // true PMI ratio ships alongside as one deterministic double chain.
+    // Window events come from per-doc array slices (zip with the g-th
+    // shift), never a token self-join: generation is scan-level, the
+    // only shuffles are the two count aggs and a pair-keyed join, and
+    // the count floors (PmiMinPair/PmiMinTok — the d10 df discipline)
+    // keep the pair table bounded by the true collocation mass, not the
+    // vocabulary square.
+    "t34_pmi_pairs" -> ((s, dir) => pmiPairs(Tables.documents(s, dir))),
 
     // PRETOKENIZER FERTILITY — the token-economics audit run before a
     // corpus goes to a trainer: segment with a BPE-style pretokenizer
@@ -1726,6 +1789,50 @@ object TextAnalysis {
 
     // t06's hash split + t25's bitlength bits with the train-only model;
     // the OOV rule (nb + 1) restated on the LEFT join's null side
+    // window events as per-doc list comprehensions (one per gap), the
+    // same unordered least/greatest pair key, the same DECIMAL floor
+    // division for lift, the same double chain for the ratio
+    "t34_pmi_pairs" ->
+      s"""WITH wd AS (
+         |  SELECT list_filter(string_split(lower(text), ' '), x -> len(x) > 0) AS w
+         |  FROM documents
+         |), toks AS MATERIALIZED (
+         |  SELECT unnest(w) AS tok FROM wd
+         |), uni AS (
+         |  SELECT tok, COUNT(*) AS c FROM toks GROUP BY tok
+         |), tot AS (
+         |  SELECT CAST(COUNT(*) AS BIGINT) AS n FROM toks
+         |), ev AS MATERIALIZED (
+         |  SELECT unnest([{'u': least(w[i], w[i+1]), 'v': greatest(w[i], w[i+1])}
+         |                 for i in range(1, len(w))]) AS p
+         |  FROM wd WHERE len(w) >= 2
+         |  UNION ALL
+         |  SELECT unnest([{'u': least(w[i], w[i+2]), 'v': greatest(w[i], w[i+2])}
+         |                 for i in range(1, len(w) - 1)]) AS p
+         |  FROM wd WHERE len(w) >= 3
+         |), wtot AS (
+         |  SELECT CAST(COUNT(*) AS BIGINT) AS wt FROM ev
+         |), pc AS (
+         |  SELECT p.u AS u, p.v AS v, COUNT(*) AS c_pair
+         |  FROM ev GROUP BY p.u, p.v
+         |  HAVING COUNT(*) >= $PmiMinPair
+         |)
+         |SELECT pc.u, pc.v, pc.c_pair, cu.c AS c_u, cv.c AS c_v,
+         |  CAST(CAST(pc.c_pair AS HUGEINT) * 1000000000000
+         |    // (CAST(cu.c AS HUGEINT) * CAST(cv.c AS HUGEINT)) AS BIGINT)
+         |    AS lift_ppt,
+         |  (CAST(pc.c_pair AS DOUBLE) * CAST(tot.n AS DOUBLE)
+         |    * CAST(tot.n AS DOUBLE))
+         |    / (CAST(wtot.wt AS DOUBLE) * CAST(cu.c AS DOUBLE)
+         |      * CAST(cv.c AS DOUBLE)) AS pmi_ratio
+         |FROM pc
+         |JOIN uni cu ON cu.tok = pc.u
+         |JOIN uni cv ON cv.tok = pc.v
+         |CROSS JOIN tot CROSS JOIN wtot
+         |WHERE cu.c >= $PmiMinTok AND cv.c >= $PmiMinTok
+         |ORDER BY lift_ppt DESC, pc.u ASC, pc.v ASC
+         |LIMIT $PmiTopK""".stripMargin,
+
     "t33_split_shift" ->
       s"""WITH ids AS (
          |  SELECT doc_id, doc_id AS x FROM documents

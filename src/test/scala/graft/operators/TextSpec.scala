@@ -472,4 +472,23 @@ class TextSpec extends SparkSpec {
     assert((vN, vOov, vBits) === ((2L, 1L, 5L)))
     assert(vMean > trMean, "the OOV token must read as shift")
   }
+
+  test("t34 PMI pairs: hand-computed counts, lift floor division, and both count floors") {
+    import spark.implicits._
+    // doc1 = "x y" × 6 → 12 tokens (6 x, 6 y): gap-1 events = 11 × (x,y);
+    // gap-2 events = 5 × (x,x) + 5 × (y,y). doc2's tokens (p,q,r: 2 each)
+    // all fall below PmiMinTok = 5 and must not appear.
+    val docs = Seq(
+      ("x y " * 6).trim,
+      "p q r p q r").toDF("text")
+    val got = TextAnalysis.pmiPairs(docs).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getDouble(6)))
+    // N = 18 tokens, W = 11 + 10 (doc1) + 5 + 4 (doc2) = 30 events
+    val n = 18.0; val w = 30.0
+    assert(got.toSeq === Seq(
+      ("x", "y", 11L, 6L, 6L, 11L * 1000000000000L / 36L, 11.0 * n * n / (w * 6.0 * 6.0)),
+      ("x", "x", 5L, 6L, 6L, 5L * 1000000000000L / 36L, 5.0 * n * n / (w * 6.0 * 6.0)),
+      ("y", "y", 5L, 6L, 6L, 5L * 1000000000000L / 36L, 5.0 * n * n / (w * 6.0 * 6.0))))
+  }
 }
