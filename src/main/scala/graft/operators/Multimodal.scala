@@ -273,6 +273,61 @@ object Multimodal {
       .select("doc_a", "doc_b", "dist")
   }
 
+  /** m14 core — the d16-style CALIBRATION of the m09 index: for every
+    * band-pigeonhole candidate pair (NO Hamming cut — the spectrum past
+    * the threshold is the point), the pHash Hamming distance against the
+    * exact probe-byte agreement (how many of the PhashBits+1 sampled
+    * bytes are equal). The resulting distance→agreement curve is what a
+    * threshold choice (PhashHamMax) should be read off of: if agreement
+    * falls gently past distance 3, the cut is wasting recall; if it
+    * cliffs, the cut is right. Same scale shape as m09 (band equi-join
+    * candidates, arrays ride the join, per-row integer arithmetic);
+    * output is ≤ 65 distance rows.
+    */
+  private[operators] def phashMargin(docs: DataFrame): DataFrame = {
+    def bandCol(b: Int) = (0 until 16).map { j =>
+      val i = 16 * b + j
+      val p1 = i * PhashStride + 1
+      val p2 = (i + 1) * PhashStride + 1
+      when(ascii(substring(col("text"), p1, 1)) > ascii(substring(col("text"), p2, 1)),
+        lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    val probes = array((0 to PhashBits).map(i =>
+      ascii(substring(col("text"), i * PhashStride + 1, 1))): _*)
+    val hashed = docs
+      .filter(length(col("text")) >= PhashMinLen)
+      .select(col("doc_id"), array((0 until PhashBands).map(bandCol): _*).as("bands"),
+        probes.as("pr"))
+    val bands = hashed.select(col("doc_id"), col("bands"), col("pr"),
+      posexplode(col("bands")).as(Seq("band_idx", "band_val")))
+    val dist = (0 until PhashBands)
+      .map(i => bit_count(col("ba").getItem(i).bitwiseXOR(col("bb").getItem(i))))
+      .reduce(_ + _)
+      .cast("long")
+    bands.as("x").join(bands.as("y"),
+        col("x.band_idx") === col("y.band_idx") &&
+          col("x.band_val") === col("y.band_val") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        col("x.bands").as("ba"), col("y.bands").as("bb"),
+        col("x.pr").as("pa"), col("y.pr").as("pb"))
+      .dropDuplicates("doc_a", "doc_b")
+      .select(dist.as("dist"),
+        aggregate(zip_with(col("pa"), col("pb"),
+            (x, y) => when(x === y, 1).otherwise(0)),
+          lit(0), (acc, v) => acc + v).cast("long").as("agr"))
+      .groupBy("dist")
+      .agg(count(lit(1)).as("n_pairs"),
+        count(when(col("agr") === (PhashBits + 1), 1)).as("n_byte_identical"),
+        sum("agr").as("sum_agr"),
+        min("agr").as("min_agreement"))
+      .select(col("dist"), col("n_pairs"), col("n_byte_identical"),
+        (col("sum_agr").cast("double") / col("n_pairs").cast("double")
+          / (PhashBits + 1).toDouble).as("mean_agreement"),
+        col("min_agreement"))
+      .orderBy("dist")
+  }
+
   /** STUB: deterministic fake media decode. A real implementation would
     * hand `batch` to an image/audio codec; we derive plausible, stable
     * "dimensions" from a fingerprint of the bytes so tests are exact.
@@ -563,6 +618,12 @@ object Multimodal {
       phashPairs(Tables.documents(s, dir).select(col("doc_id"), col("text")))
         .orderBy("doc_a", "doc_b")
     }),
+
+    // PHASH MARGIN CALIBRATION — the distance→byte-agreement curve the
+    // PhashHamMax threshold should be read off of (d16's calibration
+    // idea applied to the image leg). See phashMargin.
+    "m14_phash_margin" -> ((s, dir) =>
+      phashMargin(Tables.documents(s, dir).select(col("doc_id"), col("text")))),
 
     // full stubbed decode: metadata struct + frame sampling offsets. The
     // decode values are fake (see fakeDecode) → no SQL oracle; schema,
@@ -893,6 +954,53 @@ object Multimodal {
          |SELECT doc_a, doc_b, dist FROM pairs
          |WHERE dist <= $PhashHamMax
          |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // the m09 chain restated WITH the band pigeonhole (the engine's
+    // candidate set, not brute pairs — the spectrum is a property of the
+    // index) plus the exact probe-byte agreement per pair
+    "m14_phash_margin" ->
+      s"""WITH elig AS (
+         |  SELECT doc_id, text FROM documents WHERE strlen(text) >= $PhashMinLen
+         |), bits AS (
+         |  SELECT doc_id, i,
+         |    CASE WHEN ascii(text[($PhashStride*i+1)::INT])
+         |           > ascii(text[($PhashStride*i+${PhashStride + 1})::INT])
+         |         THEN 1 ELSE 0 END AS bit
+         |  FROM elig, unnest(range(0, $PhashBits)) AS t(i)
+         |), bands AS (
+         |  SELECT doc_id, (i // 16)::INT AS b,
+         |    SUM(bit * (1::BIGINT << (i % 16)::INT))::BIGINT AS v
+         |  FROM bits GROUP BY doc_id, (i // 16)::INT
+         |), h AS (
+         |  SELECT doc_id, list(v ORDER BY b) AS vs FROM bands GROUP BY doc_id
+         |), pr AS (
+         |  SELECT doc_id,
+         |    [ascii(text[($PhashStride*i+1)::INT]) for i in range(0, ${PhashBits + 1})] AS p
+         |  FROM elig
+         |), cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b
+         |  FROM bands a JOIN bands b2
+         |    ON a.b = b2.b AND a.v = b2.v AND a.doc_id < b2.doc_id
+         |), scored AS (
+         |  SELECT
+         |    CAST(bit_count(xor(ha.vs[1], hb.vs[1])) + bit_count(xor(ha.vs[2], hb.vs[2]))
+         |       + bit_count(xor(ha.vs[3], hb.vs[3])) + bit_count(xor(ha.vs[4], hb.vs[4]))
+         |      AS BIGINT) AS dist,
+         |    CAST(list_sum([CASE WHEN pa.p[i] = pb.p[i] THEN 1 ELSE 0 END
+         |                   for i in range(1, ${PhashBits + 2})]) AS BIGINT) AS agr
+         |  FROM cand c
+         |  JOIN h ha ON ha.doc_id = c.doc_a JOIN h hb ON hb.doc_id = c.doc_b
+         |  JOIN pr pa ON pa.doc_id = c.doc_a JOIN pr pb ON pb.doc_id = c.doc_b
+         |)
+         |SELECT dist, COUNT(*) AS n_pairs,
+         |  CAST(SUM(CASE WHEN agr = ${PhashBits + 1} THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_byte_identical,
+         |  CAST(SUM(agr) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) / ${PhashBits + 1}.0
+         |    AS mean_agreement,
+         |  MIN(agr) AS min_agreement
+         |FROM scored
+         |GROUP BY dist
+         |ORDER BY dist""".stripMargin,
 
     // same ASCII-fixture precondition as m01 (chars ⇔ bytes)
     "m04_feature_extract" ->

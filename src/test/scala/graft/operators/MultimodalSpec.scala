@@ -150,6 +150,33 @@ class MultimodalSpec extends SparkSpec {
     assert(got === Seq((1L, 2L, 1L), (1L, 4L, 0L), (2L, 4L, 1L)))
   }
 
+  test("m14 margin: distance spectrum over candidates with exact probe agreement, incl. past the cut") {
+    import spark.implicits._
+    import Multimodal.{PhashMinLen, PhashStride}
+    def mk(probe: Int => Char): String = {
+      val arr = Array.fill(PhashMinLen)('m')
+      var p = 0
+      while (p < arr.length) { arr(p) = probe(p / PhashStride); p += PhashStride }
+      new String(arr)
+    }
+    val base: Int => Char = i => if (i % 2 == 0) 'b' else 'a'
+    val d1 = mk(base)
+    val d2 = mk(i => if (i == 0) 'a' else base(i))        // 1 probe off, 1 bit
+    val d3 = mk(i => if (i <= 9) 'a' else base(i))        // 5 probes off, 5 bits
+    val docs = Seq((1L, d1), (2L, d2), (3L, d3), (4L, d1), (5L, "x" * 100))
+      .toDF("doc_id", "text")
+    // pairs: (1,4) d0/agr65 · (1,2),(2,4) d1/agr64 · (2,3) d4/agr61 ·
+    // (1,3),(3,4) d5/agr60 — the d4/d5 rows sit PAST PhashHamMax and are
+    // exactly what m09 hides and m14 reports
+    val got = Multimodal.phashMargin(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getLong(4)))
+    assert(got.toSeq === Seq(
+      (0L, 1L, 1L, 65.0 / 1.0 / 65.0, 65L),
+      (1L, 2L, 0L, 128.0 / 2.0 / 65.0, 64L),
+      (4L, 1L, 0L, 61.0 / 1.0 / 65.0, 61L),
+      (5L, 2L, 0L, 120.0 / 2.0 / 65.0, 60L)))
+  }
+
   test("m11 trim geometry: relative gate cuts the quiet edges, keeps interior pauses") {
     import Multimodal.{trimOf, AudioFrameSamples, Blob}
     val chars = 2 * AudioFrameSamples // one frame = 256 samples = 512 bytes
