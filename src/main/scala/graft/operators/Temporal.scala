@@ -690,6 +690,35 @@ object Temporal {
       .orderBy("user_id", "event_type")
   }
 
+  /** s27 rollup core over drained (user_id, event_type, day, n_events,
+    * sum_vfp) calendar-day sums: decay each day's SUM by the integer
+    * shift for its whole-day age against the corpus max day, with the
+    * same signed explicit-floor CASE as a21. This is the incremental
+    * (forward-maintainable) variant of a21: a stream can keep the
+    * per-day sums additively (Complete-mode agg state = active (user,
+    * type, day) rows) and the decay applies at read time; the per-day
+    * floor makes it a deliberately distinct, documented semantics from
+    * a21's per-event floor (the two coincide when each (u, t, day)
+    * holds one event). Exposed for TemporalSpec's closed-form pins.
+    */
+  private[graft] def dayDecayRollup(sums: DataFrame): DataFrame = {
+    val nowd = sums.agg(max("day").as("now_day"))
+    sums.crossJoin(broadcast(nowd))
+      .select(col("user_id"), col("event_type"), col("n_events"),
+        col("sum_vfp").cast("long").as("s"),
+        expr("shiftleft(1L, CAST(LEAST(now_day - day, 62L) AS INT))").as("pw"))
+      .select(col("user_id"), col("event_type"), col("n_events"),
+        expr("CASE WHEN s >= 0 THEN s DIV pw ELSE -((-s + pw - 1) DIV pw) END")
+          .as("dfp"))
+      .groupBy("user_id", "event_type")
+      .agg(sum("n_events").as("n_events"),
+        sum(col("dfp").cast("decimal(38,0)")).as("sfp"))
+      .select(col("user_id"), col("event_type"), col("n_events"),
+        col("sfp").cast("long").as("decayed_fp"),
+        (col("sfp").cast("double") / 1048576.0).as("decayed_value"))
+      .orderBy("user_id", "event_type")
+  }
+
   /** a20 window seconds: a touch older than this is 'expired'. */
   val AttributionWindowSec = 3600L
 

@@ -792,6 +792,27 @@ object StreamingQueries {
         .select(col("source"), col("rate_ppm"), col("n_admitted"),
           col("admitted_tokens"))
         .orderBy("source")
+    }),
+
+    // STREAMING DECAYED ENGAGEMENT — a21's recency feature maintained
+    // incrementally: the stream keeps ONLY additive per-(user, type,
+    // calendar-day) fixed-point sums (Complete-mode agg; state = active
+    // triples, never per-event), and the decay applies at read time
+    // through Temporal.dayDecayRollup — the forward-maintainable form of
+    // the feature (per-DAY floor, a deliberately documented variant of
+    // a21's per-event floor; identical when a day holds one event). The
+    // rollup core is shared with the spec pins (the s24/s25
+    // one-definition rule) and the oracle restates the day-sum + decay
+    // chain end to end.
+    "s27_stream_decay" -> ((s, dir) => {
+      val m = eventsStream(s, dir)
+        .select(col("user_id"), col("event_type"),
+          expr("cast(ts as long) div 86400").as("day"),
+          expr("CAST(floor(value * 1048576.0) AS BIGINT)").as("vfp"))
+        .groupBy("user_id", "event_type", "day")
+        .agg(count(lit(1)).as("n_events"), sum("vfp").as("sum_vfp"))
+      graft.operators.Temporal.dayDecayRollup(
+        runToTable(m, OutputMode.Complete(), statePartitions = Some(8)))
     })
   )
 
@@ -1241,6 +1262,35 @@ object StreamingQueries {
          |  CAST(SUM(a.nt) AS BIGINT) AS admitted_tokens
          |FROM adm a JOIN arates r USING (source)
          |GROUP BY a.source, r.rate_ppm
-         |ORDER BY a.source""".stripMargin
+         |ORDER BY a.source""".stripMargin,
+
+    // the day-sum + day-decay chain end to end: per-(user, type, day)
+    // fixed-point sums, integer-shift decay of each DAY SUM against the
+    // corpus max day (s27's documented per-day-floor semantics), signed
+    // explicit-floor CASE mirrored from a21
+    "s27_stream_decay" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type,
+        |    CAST(epoch(date_trunc('second', ts)) AS BIGINT) // 86400 AS day,
+        |    CAST(floor("value" * 1048576.0) AS BIGINT) AS vfp
+        |  FROM events
+        |), ds AS (
+        |  SELECT user_id, event_type, day,
+        |    COUNT(*) AS n_events, CAST(SUM(vfp) AS BIGINT) AS s
+        |  FROM e GROUP BY user_id, event_type, day
+        |), nw AS (
+        |  SELECT MAX(day) AS now_day FROM ds
+        |), d AS (
+        |  SELECT user_id, event_type, n_events,
+        |    CASE WHEN s >= 0 THEN s // pw ELSE -((-s + pw - 1) // pw) END AS dfp
+        |  FROM (SELECT ds.*,
+        |          (1::BIGINT << CAST(LEAST(nw.now_day - ds.day, 62) AS INT)) AS pw
+        |        FROM ds CROSS JOIN nw)
+        |)
+        |SELECT user_id, event_type, CAST(SUM(n_events) AS BIGINT) AS n_events,
+        |  CAST(SUM(dfp) AS BIGINT) AS decayed_fp,
+        |  CAST(SUM(dfp) AS DOUBLE) / 1048576.0 AS decayed_value
+        |FROM d GROUP BY user_id, event_type
+        |ORDER BY user_id, event_type""".stripMargin
   )
 }

@@ -363,4 +363,21 @@ class TemporalSpec extends SparkSpec {
     assert(got((2L, "v")) === (-5L * 1048576L) / 4L,
       "-5·2^20 is divisible by 4, so floor and trunc agree here")
   }
+
+  test("s27 day-decay rollup: per-DAY floor, signed floor division, global now_day") {
+    import spark.implicits._
+    // now_day = 2 (global max). user 1: day-0 sum 100 decays by 2
+    // shifts → floor(100/4) = 25; day-2 sum 101 undecayed → 126 total.
+    // user 2's single negative day-1 sum −7 must floor: −((7+1) div 2)
+    // = −4 = floor(−3.5), not trunc's −3.
+    val sums = Seq(
+      (1L, "a", 0L, 1L, 100L),
+      (1L, "a", 2L, 2L, 101L),
+      (2L, "b", 1L, 1L, -7L)).toDF("user_id", "event_type", "day", "n_events", "sum_vfp")
+    val got = Temporal.dayDecayRollup(sums).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    assert(got.toSeq === Seq(
+      (1L, "a", 3L, 126L, 126.0 / 1048576.0),
+      (2L, "b", 1L, -4L, -4.0 / 1048576.0)))
+  }
 }
