@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.HashingFunctions._
@@ -215,6 +216,39 @@ object Dedup {
         // of per-pair hash sets; d09's rarity ordering re-sorts by
         // (df, tok) itself, so it is order-insensitive to this
         sort_array(transform(col("sh"), g => xxhash64(g))).as("hsh")))
+
+  /** d16/d21 shared calibration-sketch machinery: the k = `CalibK`
+    * MinHash sketch plus the hashed shingle lists, and the 1-row-band
+    * candidate pairs (ANY agreeing min ⇒ candidate, P = 1−(1−J)^k —
+    * reaching down to J ≈ 0.1, far below d03's 0.8 geometry) with the
+    * MaxBucket count-first cap.
+    *
+    * SCRATCH, not persist+unpersist-in-finally: the sketch is referenced
+    * three times (band explode + both verify sides), and a
+    * finally-unpersist fires at query-construction time, so the returned
+    * plan would re-run the shingle+sketch chain per reference at
+    * execution (the e18 lesson, found by the same sweep).
+    */
+  private[operators] def calibSketchAndCandidates(
+      s: SparkSession, dir: String, tag: String): (DataFrame, DataFrame) = {
+    val sk = graft.Materialize.toStorage(shingled(s, dir)
+      .select(col("doc_id"),
+        minhash_signature(col("sh"), CalibK).as("sig"),
+        sort_array(transform(col("sh"), g => xxhash64(g))).as("hsh")), tag)
+    val ex = sk.select(col("doc_id"), posexplode(col("sig")).as(Seq("j", "mv")))
+    val ok = ex.groupBy("j", "mv").agg(count(lit(1)).as("bsz"))
+      .filter(col("bsz") <= MaxBucket).select("j", "mv")
+    val bounded = ex.join(ok, Seq("j", "mv"))
+    val cand = bounded.select(col("doc_id").as("id_a"), col("j"), col("mv"))
+      .join(bounded.select(col("doc_id").as("id_b"), col("j"), col("mv")),
+        Seq("j", "mv"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    (sk, cand)
+  }
+
+  /** d21: neighbors kept per document in the lexical kNN list. */
+  val LexKnnK = 3L
 
   /** d03's verified near-dup pairs — LSH band candidates, exact-Jaccard
     * gated. Shared by d03 itself, d07/d11 (as edges), and t20 (as the
@@ -634,25 +668,8 @@ object Dedup {
     // is scan-speed, candidates are capped-bucket-join-bounded, and
     // the output is ≤ k+1 rows.
     "d16_minhash_calibration" -> ((s, dir) => {
-      // SCRATCH, not persist+unpersist-in-finally: the sketch is
-      // referenced three times (band explode + both verify sides), and
-      // the previous finally-unpersist fired at query-construction time,
-      // so the returned plan re-ran the shingle+sketch chain per
-      // reference at execution (the e18 lesson, found by the same sweep)
-      val sk = graft.Materialize.toStorage(shingled(s, dir)
-        .select(col("doc_id"),
-          minhash_signature(col("sh"), CalibK).as("sig"),
-          sort_array(transform(col("sh"), g => xxhash64(g))).as("hsh")), "d16_sk")
+      val (sk, cand) = calibSketchAndCandidates(s, dir, "d16_sk")
       locally {
-        val ex = sk.select(col("doc_id"), posexplode(col("sig")).as(Seq("j", "mv")))
-        val ok = ex.groupBy("j", "mv").agg(count(lit(1)).as("bsz"))
-          .filter(col("bsz") <= MaxBucket).select("j", "mv")
-        val bounded = ex.join(ok, Seq("j", "mv"))
-        val cand = bounded.select(col("doc_id").as("id_a"), col("j"), col("mv"))
-          .join(bounded.select(col("doc_id").as("id_b"), col("j"), col("mv")),
-            Seq("j", "mv"))
-          .filter(col("id_a") < col("id_b"))
-          .select("id_a", "id_b").distinct()
         val scored = cand
           .join(sk.select(col("doc_id").as("id_a"), col("sig").as("sig_a"),
             col("hsh").as("hsh_a")), "id_a")
@@ -676,6 +693,38 @@ object Dedup {
               / 1000000000.0).as("mean_exact_jaccard"))
           .orderBy("n_agree")
       }
+    }),
+
+    // LEXICAL kNN — per-document top-3 most-similar documents by EXACT
+    // (hashed-shingle) Jaccard, candidates from the k=16 1-row-band
+    // sketch (calibSketchAndCandidates): the "show me this document's
+    // nearest neighbors" serving query of a dedup/provenance UI, and the
+    // lexical twin of e04b's embedding NN lists. Candidate recall is the
+    // d16-calibrated 1−(1−J)^16 curve (a J=0.2 neighbor is a candidate
+    // with P≈0.97; the J≥0.8 regime d03 governs is captured at
+    // 1−3e-12), so unlike d03 the list reaches DOWN into moderate
+    // similarity — which is exactly what a kNN view is for. Scale shape:
+    // sketch at scan speed, capped-bucket candidates, exact verify over
+    // 8-byte hash arrays, one bounded window per doc — never all-pairs.
+    "d21_lexical_knn" -> ((s, dir) => {
+      val (sk, cand) = calibSketchAndCandidates(s, dir, "d21_sk")
+      val scored = cand
+        .join(sk.select(col("doc_id").as("id_a"), col("hsh").as("hsh_a")), "id_a")
+        .join(sk.select(col("doc_id").as("id_b"), col("hsh").as("hsh_b")), "id_b")
+        .select(col("id_a"), col("id_b"),
+          expr("""CAST(size(array_intersect(hsh_a, hsh_b)) AS BIGINT) * 1000000000
+                 | DIV CAST(size(array_union(hsh_a, hsh_b)) AS BIGINT)""".stripMargin)
+            .as("exact_ppb"))
+      val sym = scored
+        .select(col("id_a").as("doc_id"), col("id_b").as("nbr_id"), col("exact_ppb"))
+        .unionByName(scored
+          .select(col("id_b").as("doc_id"), col("id_a").as("nbr_id"), col("exact_ppb")))
+      val w = Window.partitionBy("doc_id")
+        .orderBy(col("exact_ppb").desc, col("nbr_id").asc)
+      sym.withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= LexKnnK)
+        .select("doc_id", "rank", "nbr_id", "exact_ppb")
+        .orderBy("doc_id", "rank")
     }),
 
     // LSH BAND-GEOMETRY AUDIT — the round-11 derivation (see
@@ -1078,6 +1127,66 @@ object Dedup {
       |  FROM reach GROUP BY doc_id
       |)""".stripMargin
 
+  /** d16/d21 shared oracle chain — the calibration SKETCH restated
+    * hash-for-hash: xxh64 per distinct shingle (the d05-proven string
+    * chain), per-hash splitmix64 with the SAME derived mix keys as
+    * literals, SIGNED min per (doc, hash) — then the 1-row-band
+    * candidates (`cand`), capped buckets, agreement counts (`agree`),
+    * and the integer fixed-point exact side (`ej`, over the xxh64-HASHED
+    * shingle domain on BOTH engines so a shingle hash collision shifts
+    * engine and oracle identically). Starts mid-WITH (compose as
+    * `WITH $duckCalibCtes ...`).
+    */
+  private[operators] lazy val duckCalibCtes: String = {
+    val keyRows = calibMixKeys.zipWithIndex
+      .map { case (k, j) => s"($j, CAST('$k' AS HUGEINT))" }.mkString(", ")
+    s"""tok AS (
+       |  SELECT doc_id, list_filter(string_split(lower(text), ' '), w -> len(w) > 0) AS w
+       |  FROM documents
+       |), shd AS MATERIALIZED (
+       |  SELECT doc_id,
+       |    list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w) - 1)]) AS sh
+       |  FROM tok WHERE len(w) >= 3
+       |), docsh AS MATERIALIZED (
+       |  SELECT doc_id, unnest(sh) AS g FROM shd
+       |), gr AS (
+       |  SELECT g AS gid, g FROM (SELECT DISTINCT g FROM docsh)
+       |), ${DuckHash.xxh64StrCtes()}, mk AS (
+       |  SELECT * FROM (VALUES $keyRows) mk(j, mkey)
+       |), ids AS (
+       |  SELECT h.gid, mk.j,
+       |    CAST(xor(CAST(h.hv AS UBIGINT), CAST(mk.mkey AS UBIGINT)) AS HUGEINT) AS x
+       |  FROM gh h, mk
+       |), ${DuckHash.splitmix64Ctes("gid, j")}, sm AS (
+       |  SELECT gid, j, ${DuckHash.toSigned("sv")} AS mv FROM smixed
+       |), dmins AS MATERIALIZED (
+       |  SELECT d.doc_id, m.j, MIN(m.mv) AS mv
+       |  FROM docsh d JOIN sm m ON m.gid = d.g
+       |  GROUP BY d.doc_id, m.j
+       |), bok AS (
+       |  SELECT j, mv FROM dmins GROUP BY j, mv HAVING COUNT(*) <= $MaxBucket
+       |), cand AS MATERIALIZED (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM dmins a JOIN bok USING (j, mv)
+       |  JOIN dmins b ON b.j = a.j AND b.mv = a.mv AND a.doc_id < b.doc_id
+       |), agree AS (
+       |  SELECT c.id_a, c.id_b, COUNT(*) AS n_agree
+       |  FROM cand c
+       |  JOIN dmins x ON x.doc_id = c.id_a
+       |  JOIN dmins y ON y.doc_id = c.id_b AND y.j = x.j AND y.mv = x.mv
+       |  GROUP BY c.id_a, c.id_b
+       |), shh AS MATERIALIZED (
+       |  SELECT d.doc_id, list(DISTINCT h.hv) AS hh
+       |  FROM docsh d JOIN gh h ON h.gid = d.g
+       |  GROUP BY d.doc_id
+       |), ej AS (
+       |  SELECT c.id_a, c.id_b,
+       |    len(list_intersect(sa.hh, sb.hh))::BIGINT * 1000000000
+       |      // len(list_distinct(list_concat(sa.hh, sb.hh)))::BIGINT AS exact_ppb
+       |  FROM cand c JOIN shh sa ON sa.doc_id = c.id_a JOIN shh sb ON sb.doc_id = c.id_b
+       |)""".stripMargin
+  }
+
   def oracles: Map[String, String] = Map(
     "d01_dedup_exact" ->
       """SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
@@ -1138,54 +1247,8 @@ object Dedup {
     // the Spark side's hsh lists from the same gh chain): a shingle hash
     // collision would shift exact_ppb identically in engine and oracle
     // instead of on the Spark side only.
-    "d16_minhash_calibration" -> {
-      val keyRows = calibMixKeys.zipWithIndex
-        .map { case (k, j) => s"($j, CAST('$k' AS HUGEINT))" }.mkString(", ")
-      s"""WITH tok AS (
-         |  SELECT doc_id, list_filter(string_split(lower(text), ' '), w -> len(w) > 0) AS w
-         |  FROM documents
-         |), shd AS MATERIALIZED (
-         |  SELECT doc_id,
-         |    list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w) - 1)]) AS sh
-         |  FROM tok WHERE len(w) >= 3
-         |), docsh AS MATERIALIZED (
-         |  SELECT doc_id, unnest(sh) AS g FROM shd
-         |), gr AS (
-         |  SELECT g AS gid, g FROM (SELECT DISTINCT g FROM docsh)
-         |), ${DuckHash.xxh64StrCtes()}, mk AS (
-         |  SELECT * FROM (VALUES $keyRows) mk(j, mkey)
-         |), ids AS (
-         |  SELECT h.gid, mk.j,
-         |    CAST(xor(CAST(h.hv AS UBIGINT), CAST(mk.mkey AS UBIGINT)) AS HUGEINT) AS x
-         |  FROM gh h, mk
-         |), ${DuckHash.splitmix64Ctes("gid, j")}, sm AS (
-         |  SELECT gid, j, ${DuckHash.toSigned("sv")} AS mv FROM smixed
-         |), dmins AS MATERIALIZED (
-         |  SELECT d.doc_id, m.j, MIN(m.mv) AS mv
-         |  FROM docsh d JOIN sm m ON m.gid = d.g
-         |  GROUP BY d.doc_id, m.j
-         |), bok AS (
-         |  SELECT j, mv FROM dmins GROUP BY j, mv HAVING COUNT(*) <= $MaxBucket
-         |), cand AS MATERIALIZED (
-         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-         |  FROM dmins a JOIN bok USING (j, mv)
-         |  JOIN dmins b ON b.j = a.j AND b.mv = a.mv AND a.doc_id < b.doc_id
-         |), agree AS (
-         |  SELECT c.id_a, c.id_b, COUNT(*) AS n_agree
-         |  FROM cand c
-         |  JOIN dmins x ON x.doc_id = c.id_a
-         |  JOIN dmins y ON y.doc_id = c.id_b AND y.j = x.j AND y.mv = x.mv
-         |  GROUP BY c.id_a, c.id_b
-         |), shh AS MATERIALIZED (
-         |  SELECT d.doc_id, list(DISTINCT h.hv) AS hh
-         |  FROM docsh d JOIN gh h ON h.gid = d.g
-         |  GROUP BY d.doc_id
-         |), ej AS (
-         |  SELECT c.id_a, c.id_b,
-         |    len(list_intersect(sa.hh, sb.hh))::BIGINT * 1000000000
-         |      // len(list_distinct(list_concat(sa.hh, sb.hh)))::BIGINT AS exact_ppb
-         |  FROM cand c JOIN shh sa ON sa.doc_id = c.id_a JOIN shh sb ON sb.doc_id = c.id_b
-         |)
+    "d16_minhash_calibration" ->
+      s"""WITH $duckCalibCtes
          |SELECT a.n_agree,
          |  CAST(a.n_agree * 1000000000 // $CalibK AS BIGINT) AS est_jaccard_ppb,
          |  COUNT(*) AS n_pairs,
@@ -1193,8 +1256,24 @@ object Dedup {
          |    AS mean_exact_jaccard
          |FROM agree a JOIN ej e USING (id_a, id_b)
          |GROUP BY a.n_agree
-         |ORDER BY n_agree""".stripMargin
-    },
+         |ORDER BY n_agree""".stripMargin,
+
+    // duckCalibCtes' candidate+exact-jaccard chain, symmetrized and
+    // ranked — the drop convention and tie order restated
+    "d21_lexical_knn" ->
+      s"""WITH $duckCalibCtes, sym AS (
+         |  SELECT id_a AS doc_id, id_b AS nbr_id, exact_ppb FROM ej
+         |  UNION ALL
+         |  SELECT id_b, id_a, exact_ppb FROM ej
+         |), rk AS (
+         |  SELECT doc_id, nbr_id, exact_ppb,
+         |    ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY exact_ppb DESC, nbr_id ASC) AS rank
+         |  FROM sym
+         |)
+         |SELECT doc_id, CAST(rank AS BIGINT) AS rank, nbr_id, exact_ppb
+         |FROM rk WHERE rank <= $LexKnnK
+         |ORDER BY doc_id, rank""".stripMargin,
+
 
     // brute-force pairs at each sweep threshold (band recall covers all
     // of them: every point is >= the derived 0.8 geometry's target);

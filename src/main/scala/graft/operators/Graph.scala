@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 
@@ -597,6 +598,150 @@ object Graph {
     */
   val LpaRounds = 4
 
+  /** g12: truss parameter — a surviving edge must sit in ≥ KTrussK−2
+    * triangles among surviving edges (k = 4 ⇒ support ≥ 2).
+    */
+  val KTrussK = 4L
+
+  /** g12: fixed peel-round unroll — both engines run exactly this many
+    * support/peel layers (the g11/e08b rule). NOT convergence-gated: a
+    * graph still peeling at the last round shows n_removed > 0 there,
+    * honestly, instead of hiding unfinished work behind a cap.
+    */
+  val TrussRounds = 4
+
+  /** g12 core: K-TRUSS peel profile — the edge-support analog of g05's
+    * vertex k-core: each round computes per-edge triangle support with
+    * the SAME oriented-intersect kernel the triangle family shares
+    * (degAnnotatedEdges → orientedTrianglesFrom: shuffles carry only
+    * edges and O(√E)-bounded adjacency arrays, never Σdeg² wedge rows),
+    * then removes every edge in fewer than k−2 surviving triangles.
+    * Truss decomposition is the standard cohesion filter a co-purchase
+    * graph gets before community mining (Cohen 2008, "Trusses:
+    * cohesive subgraphs for social network analysis") — triangles, not
+    * degrees, so a hub-and-spoke star (which survives k-core) peels
+    * away while a dense clique core stays. Round r reports the census
+    * of the edge set ENTERING the round (n_edges, n_triangles) plus
+    * what the round removed — all three scalars from ONE agg over the
+    * scratch-stored support frame (the g05 audit discipline); rounds
+    * after convergence are no-op rows carrying the fixed census.
+    * Survivor edges scratch-carry between rounds (g02b/g05: every
+    * later read is a flat file scan; work per round ∝ the shrinking
+    * survivor set).
+    */
+  private[operators] def kTrussPeel(e: DataFrame,
+                                    rounds: Int = TrussRounds): DataFrame = {
+    val spark = e.sparkSession
+    import spark.implicits._
+    val minSup = KTrussK - 2L
+    var alive = spark.read.parquet(
+      graft.Materialize.toStoragePath(e.select("u", "v"), "ktruss_e0"))
+    var converged = false
+    var nEdges = 0L
+    var nTris = 0L
+    val profile = (1 to rounds).map { r =>
+      if (converged) (r.toLong, KTrussK, 0L, nEdges, nTris)
+      else {
+        val credits = orientedTrianglesFrom(degAnnotatedEdges(alive))
+          .select(explode(array(
+            struct(least(col("a"), col("b")).as("u"), greatest(col("a"), col("b")).as("v")),
+            struct(least(col("a"), col("c")).as("u"), greatest(col("a"), col("c")).as("v")),
+            struct(least(col("b"), col("c")).as("u"), greatest(col("b"), col("c")).as("v")))).as("e"))
+          .select(col("e.u").as("u"), col("e.v").as("v"))
+          .groupBy("u", "v").agg(count(lit(1)).as("t"))
+        val sup = spark.read.parquet(graft.Materialize.toStoragePath(
+          alive.join(credits, Seq("u", "v"), "left")
+            .select(col("u"), col("v"), coalesce(col("t"), lit(0L)).as("sup")),
+          s"ktruss_s$r"))
+        val a = sup.agg(
+          count(lit(1)).as("ne"),
+          coalesce(sum(col("sup")), lit(0L)).as("st"),
+          count(when(col("sup") < minSup, 1)).as("nw")).head()
+        nEdges = a.getLong(0)
+        nTris = a.getLong(1) / 3L
+        val nWeak = a.getLong(2)
+        if (nWeak == 0L) converged = true
+        else alive = spark.read.parquet(graft.Materialize.toStoragePath(
+          sup.filter(col("sup") >= minSup).select("u", "v"), s"ktruss_e$r"))
+        (r.toLong, KTrussK, nWeak, nEdges, nTris)
+      }
+    }
+    profile.toDF("round", "k", "n_removed", "n_edges", "n_triangles")
+      .orderBy("round")
+  }
+
+  /** g13: HITS iteration count and fixed-point score scale. Two full
+    * hub/authority rounds, unrolled identically in both engines.
+    */
+  val HitsRounds = 2
+  val HitsScale = 1000000L
+
+  /** Customer→part purchase edges (c, p), distinct — the BIPARTITE graph
+    * g13 runs on (hubs = customers, authorities = parts), in contrast to
+    * the part-part co-purchase projection the rest of the family uses.
+    */
+  private[operators] def purchaseEdges(s: SparkSession, dir: String): DataFrame =
+    graft.Materialize(Tables.orders(s, dir)
+      .select(col("o_orderkey").as("ok"), col("o_custkey").as("c"))
+      .join(Tables.lineitem(s, dir).select(col("l_orderkey").as("ok"),
+        col("l_partkey").as("p")), "ok")
+      .select("c", "p").distinct())
+
+  /** g13 core: HITS hubs-and-authorities (Kleinberg 1999) on the
+    * customer–part bipartite graph, in the engine's integer fixed-point
+    * form: authority(p) = Σ hub(c) over buyers, hub(c) = Σ authority(p)
+    * over basket — each half-step renormalized by the MAX score
+    * (floor(s·Scale ∕ max), an integer division both engines compute
+    * identically; the classic L2 norm is a float no hash gate can pin).
+    * Products run in decimal(38,0)/HUGEINT so a 100 TB corpus (1e9
+    * buyers × 1e6 scale) cannot overflow the intermediate. Output is the
+    * top-10 of each side, (score DESC, id ASC)-pinned — the "most
+    * structurally important customers/products" ranking, which degree
+    * alone gets wrong when a mid-degree customer buys exactly the
+    * authoritative parts. Scale shape: two |E|-row equi-join + hash-agg
+    * shuffles per round plus a broadcast 1-row max — no window over |E|,
+    * nothing driver-side but the loop constants.
+    */
+  private[operators] def hitsProfile(ed: DataFrame): DataFrame = {
+    val spark = ed.sparkSession
+    val edges = ed
+    // Iterative-state discipline: each half-step's raw score frame goes
+    // to SCRATCH parquet (the g02b/g05 carry), so every later read —
+    // the max-agg, the next half-step's join, the final top-10 — is a
+    // flat file scan. The persist-only form was measured at 18 s/pass
+    // at sf0.001 on 6k rows: with the full lineage still in every plan,
+    // each of the ~12 actions re-planned the whole growing tree (the
+    // same driver-bound failure as the CC loop). The max is ONE 1-row
+    // audit scalar per half-step (the g05 head() pattern), inlined as a
+    // literal — no crossJoin, no broadcast stage. Sums stay in long
+    // (≤ |E_key|·Scale ≤ 1e15 at a 1e9-degree hub) and the renormalized
+    // product runs in decimal(38,0), so no intermediate can overflow.
+    def renorm(raw: DataFrame, key: String, out: String, tag: String): DataFrame = {
+      val stored = spark.read.parquet(graft.Materialize.toStoragePath(raw, tag))
+      val m = stored.agg(max(col("s"))).head().getLong(0)
+      stored.select(col(key),
+        expr(s"CAST((CAST(s AS DECIMAL(38,0)) * $HitsScale) DIV CAST($m AS DECIMAL(38,0)) AS BIGINT)")
+          .as(out))
+    }
+    var hub = edges.select(col("c")).distinct().withColumn("h", lit(HitsScale))
+    var auth: DataFrame = null
+    (1 to HitsRounds).foreach { i =>
+      auth = renorm(
+        edges.join(hub, "c").groupBy("p").agg(sum(col("h")).as("s")), "p", "a", s"hits_a$i")
+      hub = renorm(
+        edges.join(auth, "p").groupBy("c").agg(sum(col("a")).as("s")), "c", "h", s"hits_h$i")
+    }
+    val topA = auth.orderBy(col("a").desc, col("p").asc).limit(10)
+      .select(lit("authority").as("side"),
+        row_number().over(Window.orderBy(col("a").desc, col("p").asc)).cast("long").as("rank"),
+        col("p").as("node_id"), col("a").as("score"))
+    val topH = hub.orderBy(col("h").desc, col("c").asc).limit(10)
+      .select(lit("hub").as("side"),
+        row_number().over(Window.orderBy(col("h").desc, col("c").asc)).cast("long").as("rank"),
+        col("c").as("node_id"), col("h").as("score"))
+    topA.unionByName(topH).orderBy("side", "rank")
+  }
+
   /** g11 core: synchronous label-propagation COMMUNITY DETECTION over the
     * co-purchase graph — the classic modularity-free community pass
     * (Raghavan et al. 2007) in its deterministic form: every vertex
@@ -848,7 +993,17 @@ object Graph {
     // neighbor label, min-label ties, LpaRounds unrolled in both
     // engines); output is the convergence PROFILE with a modular label
     // checksum pinning the assignment itself. See lpaProfile.
-    "g11_lpa_communities" -> ((s, dir) => lpaProfile(partEdges(s, dir)))
+    "g11_lpa_communities" -> ((s, dir) => lpaProfile(partEdges(s, dir))),
+
+    // K-TRUSS peel profile: triangle-support cohesion filter (see
+    // kTrussPeel). One oriented-intersect triangle pass + one edge-keyed
+    // count agg per round, survivors scratch-carried.
+    "g12_ktruss" -> ((s, dir) => kTrussPeel(partEdges(s, dir))),
+
+    // HITS hubs/authorities on the customer-part bipartite graph (see
+    // hitsProfile). Two |E|-row join+agg shuffles per round, max-
+    // renormalized in integers; output is the two top-10 rankings.
+    "g13_hits" -> ((s, dir) => hitsProfile(purchaseEdges(s, dir)))
   )
 
   /** g10 core over (ok, pk) rows — extracted for closed-form baskets. */
@@ -886,6 +1041,92 @@ object Graph {
   }
 
   def oracles: Map[String, String] = Map(
+    // the peel unrolled to exactly TrussRounds layers: per round the
+    // wedge-join triangle listing (g01's oriented form), 3 edge credits
+    // per triangle, LEFT-joined support (edges in no triangle count 0),
+    // census scalars, then the survivor edge set for the next layer
+    "g12_ktruss" -> {
+      val minSup = KTrussK - 2L
+      val layers = (1 to TrussRounds).map { i =>
+        s"""dg$i AS (
+           |  SELECT x, COUNT(*) AS deg
+           |  FROM (SELECT u AS x FROM te${i - 1} UNION ALL SELECT v FROM te${i - 1})
+           |  GROUP BY x
+           |), og$i AS MATERIALIZED (
+           |  SELECT CASE WHEN (du.deg, e.u) < (dv.deg, e.v) THEN e.u ELSE e.v END AS a,
+           |         CASE WHEN (du.deg, e.u) < (dv.deg, e.v) THEN e.v ELSE e.u END AS b
+           |  FROM te${i - 1} e JOIN dg$i du ON du.x = e.u JOIN dg$i dv ON dv.x = e.v
+           |), tr$i AS MATERIALIZED (
+           |  SELECT e1.a AS a, e1.b AS x, e2.b AS y
+           |  FROM og$i e1 JOIN og$i e2 ON e1.a = e2.a AND e1.b < e2.b
+           |  JOIN te${i - 1} t ON t.u = e1.b AND t.v = e2.b
+           |), cr$i AS (
+           |  SELECT LEAST(a, x) AS u, GREATEST(a, x) AS v FROM tr$i
+           |  UNION ALL SELECT LEAST(a, y), GREATEST(a, y) FROM tr$i
+           |  UNION ALL SELECT x, y FROM tr$i
+           |), sup$i AS MATERIALIZED (
+           |  SELECT e.u, e.v, COALESCE(c.t, 0) AS sup
+           |  FROM te${i - 1} e LEFT JOIN
+           |    (SELECT u, v, COUNT(*) AS t FROM cr$i GROUP BY u, v) c
+           |    ON c.u = e.u AND c.v = e.v
+           |), row$i AS (
+           |  SELECT CAST($i AS BIGINT) AS round, CAST($KTrussK AS BIGINT) AS k,
+           |    (SELECT COUNT(CASE WHEN sup < $minSup THEN 1 END) FROM sup$i) AS n_removed,
+           |    (SELECT COUNT(*) FROM sup$i) AS n_edges,
+           |    (SELECT CAST(COALESCE(SUM(sup), 0) // 3 AS BIGINT) FROM sup$i) AS n_triangles
+           |), te$i AS MATERIALIZED (
+           |  SELECT u, v FROM sup$i WHERE sup >= $minSup
+           |)""".stripMargin
+      }.mkString(",\n")
+      val unionAll = (1 to TrussRounds)
+        .map(i => s"SELECT * FROM row$i").mkString("\n|", "\n|UNION ALL ", "")
+      s"""WITH li AS (
+         |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+         |), te0 AS MATERIALIZED (
+         |  SELECT DISTINCT a.pk AS u, b.pk AS v
+         |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+         |),
+         |$layers
+         |SELECT * FROM ($unionAll
+         |) ORDER BY round""".stripMargin
+    },
+
+    // the two HITS rounds unrolled: HUGEINT sums, floor-div max
+    // renormalization per half-step, both top-10 rankings pinned by
+    // (score DESC, id ASC)
+    "g13_hits" -> {
+      val rounds = (1 to HitsRounds).map { i =>
+        s"""a${i}r AS (
+           |  SELECT p, SUM(h) AS s FROM ed JOIN h${i - 1} USING (c) GROUP BY p
+           |), a$i AS MATERIALIZED (
+           |  SELECT p, CAST(s AS HUGEINT) * $HitsScale // (SELECT MAX(CAST(s AS HUGEINT)) FROM a${i}r) AS a
+           |  FROM a${i}r
+           |), h${i}r AS (
+           |  SELECT c, SUM(a) AS s FROM ed JOIN a$i USING (p) GROUP BY c
+           |), h$i AS MATERIALIZED (
+           |  SELECT c, CAST(s AS HUGEINT) * $HitsScale // (SELECT MAX(CAST(s AS HUGEINT)) FROM h${i}r) AS h
+           |  FROM h${i}r
+           |)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH ed AS MATERIALIZED (
+         |  SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS p
+         |  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+         |), h0 AS (
+         |  SELECT DISTINCT c, CAST($HitsScale AS HUGEINT) AS h FROM ed
+         |),
+         |$rounds
+         |SELECT side, rank, node_id, score FROM (
+         |  SELECT 'authority' AS side, rank, node_id, score FROM (
+         |    SELECT ROW_NUMBER() OVER (ORDER BY a DESC, p ASC) AS rank,
+         |      p AS node_id, CAST(a AS BIGINT) AS score FROM a$HitsRounds
+         |  ) WHERE rank <= 10
+         |  UNION ALL
+         |  SELECT 'hub', rank, node_id, score FROM (
+         |    SELECT ROW_NUMBER() OVER (ORDER BY h DESC, c ASC) AS rank,
+         |      c AS node_id, CAST(h AS BIGINT) AS score FROM h$HitsRounds
+         |  ) WHERE rank <= 10
+         |) ORDER BY side, rank""".stripMargin
+    },
     // the LpaRounds layers unrolled as generated MATERIALIZED CTEs (the
     // g02b template); the frequency argmax restated as ROW_NUMBER over
     // (cnt DESC, lbl ASC) — same deterministic pick as the engine's

@@ -328,6 +328,72 @@ object Multimodal {
       .orderBy("dist")
   }
 
+  /** m15 audio-fingerprint grid: a "frame" is `AudioFpFrameSamples`
+    * 16-bit LE samples (m07's decode at a finer stride, sized so the
+    * short fixture docs clear the 33-frame minimum); the fingerprint is
+    * `AudioFpBits` energy-GRADIENT bits (bit f = 1 iff energy(f) >
+    * energy(f+1)) — the shape of a chromaprint-style acoustic hash:
+    * amplitude-scaling a track leaves every gradient bit fixed, a local
+    * edit flips only the bits whose frames it touches. Bands are
+    * `AudioFpBands`×8 bits; near-dup iff Hamming ≤ `AudioFpHamMax`
+    * (≤ 3 < 4 bands pigeonholes at least one band equal, so the banded
+    * equi-join loses nothing — the m09/d05 guarantee).
+    */
+  val AudioFpFrameSamples = 4
+  val AudioFpBits = 32
+  val AudioFpBands = 4
+  val AudioFpHamMax = 3
+
+  /** Chars needed for AudioFpBits+1 complete frames (2 bytes/sample). */
+  val AudioFpMinLen: Int = (AudioFpBits + 1) * AudioFpFrameSamples * 2
+
+  /** Frame-f energy as a codegen'd integer expression (Σ smp² over the
+    * frame's samples; smp = little-endian 16-bit at char offset 2·si).
+    */
+  private def audioFpEnergy(f: Int) = (0 until AudioFpFrameSamples).map { j =>
+    val si = f * AudioFpFrameSamples + j
+    val smp = (ascii(substring(col("text"), 2 * si + 1, 1)) +
+      ascii(substring(col("text"), 2 * si + 2, 1)) * lit(256)).cast("long")
+    smp * smp
+  }.reduce(_ + _)
+
+  private def audioFpBandCol(b: Int) = (0 until 8).map { j =>
+    val i = 8 * b + j
+    when(audioFpEnergy(i) > audioFpEnergy(i + 1), lit(1L << j)).otherwise(lit(0L))
+  }.reduce(_ + _)
+
+  /** m15 core: AUDIO near-dup pairs — the m09 pipeline on the audio
+    * decode grid, completing the per-modality dedup set (image m09,
+    * video m12, audio m15). Hashing is one codegen'd scan (integer
+    * sample math, no UDF); candidates come from the (band_idx, band_val)
+    * pigeonhole equi-join and the 4-band arrays ride the join so the
+    * exact Hamming check needs no second join. Same 100 TB reading as
+    * m09: ~2^8 buckets per band on this short grid (fixture-sized docs);
+    * a production corpus widens the band to 16 bits the way m09's is.
+    */
+  private[operators] def audioFpPairs(docs: DataFrame): DataFrame = {
+    val hashed = docs
+      .filter(length(col("text")) >= AudioFpMinLen)
+      .select(col("doc_id"),
+        array((0 until AudioFpBands).map(audioFpBandCol): _*).as("bands"))
+    val bands = hashed.select(col("doc_id"), col("bands"),
+      posexplode(col("bands")).as(Seq("band_idx", "band_val")))
+    val dist = (0 until AudioFpBands)
+      .map(i => bit_count(col("ba").getItem(i).bitwiseXOR(col("bb").getItem(i))))
+      .reduce(_ + _)
+      .cast("long")
+    bands.as("x").join(bands.as("y"),
+        col("x.band_idx") === col("y.band_idx") &&
+          col("x.band_val") === col("y.band_val") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        col("x.bands").as("ba"), col("y.bands").as("bb"))
+      .withColumn("dist", dist)
+      .filter(col("dist") <= AudioFpHamMax)
+      .dropDuplicates("doc_a", "doc_b")
+      .select("doc_a", "doc_b", "dist")
+  }
+
   /** STUB: deterministic fake media decode. A real implementation would
     * hand `batch` to an image/audio codec; we derive plausible, stable
     * "dimensions" from a fingerprint of the bytes so tests are exact.
@@ -624,6 +690,11 @@ object Multimodal {
     // idea applied to the image leg). See phashMargin.
     "m14_phash_margin" -> ((s, dir) =>
       phashMargin(Tables.documents(s, dir).select(col("doc_id"), col("text")))),
+
+    // AUDIO NEAR-DUP — energy-gradient fingerprint, banded pigeonhole
+    // join, exact Hamming verify in-row. See audioFpPairs.
+    "m15_audio_neardup" -> ((s, dir) =>
+      audioFpPairs(Tables.documents(s, dir).select(col("doc_id"), col("text")))),
 
     // full stubbed decode: metadata struct + frame sampling offsets. The
     // decode values are fake (see fakeDecode) → no SQL oracle; schema,
@@ -953,6 +1024,44 @@ object Multimodal {
          |)
          |SELECT doc_a, doc_b, dist FROM pairs
          |WHERE dist <= $PhashHamMax
+         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // m07's frame-energy CTEs at the m15 grid, LEAD for the gradient
+    // bit, then brute pairs at the threshold (the m09 oracle shortcut:
+    // dist ≤ 3 < 4 bands pigeonholes one band equal, so the engine's
+    // banded candidate set IS the thresholded pair set)
+    "m15_audio_neardup" ->
+      s"""WITH s AS (
+         |  SELECT doc_id, text,
+         |    unnest(range(0, ${(AudioFpBits + 1) * AudioFpFrameSamples})) AS si
+         |  FROM documents WHERE strlen(text) >= $AudioFpMinLen
+         |), v AS (
+         |  SELECT doc_id, si // $AudioFpFrameSamples AS f,
+         |    (ascii(text[(2*si+1)::INT]) + 256 * ascii(text[(2*si+2)::INT]))::BIGINT AS smp
+         |  FROM s
+         |), fr AS (
+         |  SELECT doc_id, f, SUM(smp * smp) AS e
+         |  FROM v GROUP BY doc_id, f
+         |), bits AS (
+         |  SELECT doc_id, f AS i,
+         |    CASE WHEN e > LEAD(e) OVER (PARTITION BY doc_id ORDER BY f)
+         |         THEN 1 ELSE 0 END AS bit
+         |  FROM fr
+         |), bands AS (
+         |  SELECT doc_id, (i // 8)::INT AS b,
+         |    SUM(bit * (1::BIGINT << (i % 8)::INT))::BIGINT AS bv
+         |  FROM bits WHERE i < $AudioFpBits GROUP BY doc_id, (i // 8)::INT
+         |), h AS (
+         |  SELECT doc_id, list(bv ORDER BY b) AS vs FROM bands GROUP BY doc_id
+         |), pairs AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |    CAST(bit_count(xor(a.vs[1], b.vs[1])) + bit_count(xor(a.vs[2], b.vs[2]))
+         |       + bit_count(xor(a.vs[3], b.vs[3])) + bit_count(xor(a.vs[4], b.vs[4]))
+         |      AS BIGINT) AS dist
+         |  FROM h a JOIN h b ON a.doc_id < b.doc_id
+         |)
+         |SELECT doc_a, doc_b, dist FROM pairs
+         |WHERE dist <= $AudioFpHamMax
          |ORDER BY doc_a, doc_b""".stripMargin,
 
     // the m09 chain restated WITH the band pigeonhole (the engine's

@@ -82,6 +82,37 @@ object Similarity {
       .withColumn("rn", row_number().over(wAssign))
   }
 
+  /** e19/e28 shared probe-candidate frame: for the 10 fixed queries,
+    * every index vector reachable through a probed cell (probe rank ≤ 4),
+    * with `mr` = the MINIMUM probe rank through which the pair meets —
+    * so "probing np cells" is the filter `mr <= np`, and the whole
+    * nprobe sweep is filters over ONE candidate generation, never
+    * re-runs of the index. Cosine is scored once per surviving pair.
+    */
+  private[operators] def ivfProbePairs(e: DataFrame): DataFrame = {
+    val cr = ivfCranked(e)
+    val assigned = cr.filter(col("rn") <= 2)
+      .select(col("vec_id").as("nid"), col("embedding").as("n_emb"), col("cell"))
+    cr.filter(col("rn") <= 4 && col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("q_emb"),
+        col("cell"), col("rn").as("prn"))
+      .join(assigned, "cell")
+      .filter(col("nid") =!= col("qid"))
+      // q_emb/n_emb are constant per (qid, nid) group — first() is exact
+      .groupBy("qid", "nid")
+      .agg(min("prn").as("mr"), first("q_emb").as("q_emb"), first("n_emb").as("n_emb"))
+      .select(col("qid"), col("nid"), col("mr"),
+        cosine_similarity(col("q_emb"), col("n_emb")).as("cos"))
+  }
+
+  /** e28: pinned AGGREGATE recall floor (over all queries, integer
+    * cross-multiply — Σhits·Den ≥ Σexact·Num) that the nprobe selection
+    * must clear. 4/5: the serving-quality bar a recall-targeted index
+    * config is chosen against.
+    */
+  private[operators] val NprobeFloorNum = 4L
+  private[operators] val NprobeFloorDen = 5L
+
   /** e11's blocking stage, shared with p04's cross-modal edge builder:
     * every vector assigned to its nearest label-centroid cell. Centroids
     * come from `centroidComponents` (order-free fixed-point sums — bit-reproducible)
@@ -1008,19 +1039,7 @@ object Similarity {
     "e19_ivf_probe_sweep" -> ((s, dir) => {
       import s.implicits._
       val e = Tables.embeddings(s, dir)
-      val cr = ivfCranked(e)
-      val assigned = cr.filter(col("rn") <= 2)
-        .select(col("vec_id").as("nid"), col("embedding").as("n_emb"), col("cell"))
-      val pairs = cr.filter(col("rn") <= 4 && col("vec_id") < 10)
-        .select(col("vec_id").as("qid"), col("embedding").as("q_emb"),
-          col("cell"), col("rn").as("prn"))
-        .join(assigned, "cell")
-        .filter(col("nid") =!= col("qid"))
-        // q_emb/n_emb are constant per (qid, nid) group — first() is exact
-        .groupBy("qid", "nid")
-        .agg(min("prn").as("mr"), first("q_emb").as("q_emb"), first("n_emb").as("n_emb"))
-        .select(col("qid"), col("nid"), col("mr"),
-          cosine_similarity(col("q_emb"), col("n_emb")).as("cos"))
+      val pairs = ivfProbePairs(e)
       val wTop = Window.partitionBy("qid").orderBy(col("cos").desc, col("nid").asc)
       val sweeps = Seq(1, 2, 4).map { np =>
         pairs.filter(col("mr") <= np)
@@ -1743,6 +1762,64 @@ object Similarity {
             / 1000000000.0).as("mean_jaccard"),
           col("min_jaccard_ppb"))
         .orderBy("strategy")
+    }),
+
+    // RECALL-TARGETED NPROBE SELECTION — the last hand-set ANN knob,
+    // derived: the sem family's probe RADIUS comes from a pinned recall
+    // floor (derivedSemProbeRadius) and d03's band geometry from the
+    // S-curve; IVF's nprobe was still chosen by eyeballing e19's curve.
+    // e28 closes that: aggregate e19's measured sweep per nprobe
+    // (Σhits / Σexact over all queries — integers, no float recall in
+    // the decision), pair it with the measured COST column (candidate
+    // pairs the probe set admits), and SELECT the smallest nprobe whose
+    // aggregate recall clears the pinned 4/5 floor by integer
+    // cross-multiply — falling back to the largest swept nprobe, visibly
+    // un-cleared, when the curve never reaches the floor (a geometry
+    // regression then fails the hash gate instead of shipping a silent
+    // config). One candidate generation feeds the whole decision (the
+    // e19 discipline); every column is a count or a 0/1 flag, so the
+    // selection is oracle-gated end to end. At scale this row IS the
+    // index config the serving tier deploys — recomputed per corpus,
+    // not copied from a tuning doc.
+    "e28_nprobe_select" -> ((s, dir) => {
+      import s.implicits._
+      val e = Tables.embeddings(s, dir)
+      val pairs = graft.Materialize(ivfProbePairs(e))
+      val wTop = Window.partitionBy("qid").orderBy(col("cos").desc, col("nid").asc)
+      val nps = Seq(1L, 2L, 4L)
+      val sweeps = nps.map { np =>
+        pairs.filter(col("mr") <= np)
+          .withColumn("rn", row_number().over(wTop))
+          .filter(col("rn") <= 5)
+          .select(lit(np).as("nprobe"), col("qid"), col("nid"))
+      }.reduce(_ unionByName _)
+      val exact = Similarity.queries("e02_ann_bruteforce")(s, dir)
+        .filter(col("rn") <= 5).select(col("qid"), col("nid"))
+      val npDf = broadcast(nps.toDF("nprobe"))
+      val totals = exact.agg(count(lit(1)).as("n_exact")).crossJoin(npDf)
+      val hits = exact.join(sweeps, Seq("qid", "nid"))
+        .groupBy("nprobe").agg(count(lit(1)).as("n_hits"))
+      val cand = pairs.join(npDf, col("mr") <= col("nprobe"))
+        .groupBy("nprobe").agg(count(lit(1)).as("n_candidates"))
+      val perNp = graft.Materialize(totals
+        .join(hits, Seq("nprobe"), "left")
+        .join(cand, Seq("nprobe"), "left")
+        .select(col("nprobe"),
+          coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
+          col("n_exact"),
+          coalesce(col("n_hits"), lit(0L)).as("n_hits"))
+        .withColumn("cleared",
+          when(col("n_hits") * lit(NprobeFloorDen) >= col("n_exact") * lit(NprobeFloorNum),
+            lit(1L)).otherwise(lit(0L))))
+      val sel = perNp.agg(
+        min(when(col("cleared") === 1L, col("nprobe"))).as("min_cleared"),
+        max(col("nprobe")).as("max_np"))
+      perNp.crossJoin(broadcast(sel))
+        .withColumn("selected",
+          when(col("nprobe") === coalesce(col("min_cleared"), col("max_np")), lit(1L))
+            .otherwise(lit(0L)))
+        .select("nprobe", "n_candidates", "n_exact", "n_hits", "cleared", "selected")
+        .orderBy("nprobe")
     }),
 
     // PRODUCT QUANTIZATION (PQ): the codebook compression behind
@@ -2776,6 +2853,65 @@ object Similarity {
          |FROM e27s
          |GROUP BY strategy
          |ORDER BY strategy""".stripMargin,
+
+    // e19's CTE chain aggregated per nprobe; the floor and the argmin
+    // selection restated in the same integer cross-multiply
+    "e28_nprobe_select" -> {
+      def sweep(np: Int): String =
+        s"""  SELECT $np AS np, qid, nid FROM (
+           |    SELECT qid, nid,
+           |      ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, nid ASC) AS rn
+           |    FROM pscored WHERE mr <= $np) WHERE rn <= 5""".stripMargin
+      s"""WITH $duckIvfCtes, mr AS (
+         |  SELECT c.vec_id AS qid, a.nid, MIN(c.rn) AS mr
+         |  FROM cranked c JOIN assigned a ON a.cell = c.cell
+         |  WHERE c.rn <= 4 AND c.vec_id < 10 AND a.nid <> c.vec_id
+         |  GROUP BY c.vec_id, a.nid
+         |), pscored AS (
+         |  SELECT m.qid, m.nid, m.mr, ${duckCos("a", "b")} AS cos
+         |  FROM mr m JOIN embeddings a ON a.vec_id = m.qid
+         |    JOIN embeddings b ON b.vec_id = m.nid
+         |), sw AS (
+         |${sweep(1)}
+         |  UNION ALL
+         |${sweep(2)}
+         |  UNION ALL
+         |${sweep(4)}
+         |), ex AS (
+         |  SELECT qid, nid FROM (
+         |    SELECT q.vec_id AS qid, e.vec_id AS nid,
+         |      ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY ${duckCos("q", "e")} DESC, e.vec_id ASC) AS rn
+         |    FROM embeddings q JOIN embeddings e ON e.vec_id <> q.vec_id
+         |    WHERE q.vec_id < 10
+         |  ) WHERE rn <= 5
+         |), nps AS (
+         |  SELECT unnest([1, 2, 4]) AS np
+         |), tot AS (
+         |  SELECT COUNT(*) AS n_exact FROM ex
+         |), h AS (
+         |  SELECT s.np, COUNT(*) AS n_hits
+         |  FROM ex e JOIN sw s ON s.qid = e.qid AND s.nid = e.nid
+         |  GROUP BY s.np
+         |), cnd AS (
+         |  SELECT np, COUNT(*) AS n_candidates FROM mr JOIN nps ON mr.mr <= np GROUP BY np
+         |), pernp AS (
+         |  SELECT np, COALESCE(c.n_candidates, 0) AS n_candidates, t.n_exact,
+         |    COALESCE(h.n_hits, 0) AS n_hits,
+         |    CASE WHEN COALESCE(h.n_hits, 0) * $NprobeFloorDen >= t.n_exact * $NprobeFloorNum
+         |      THEN 1 ELSE 0 END AS cleared
+         |  FROM nps CROSS JOIN tot t
+         |  LEFT JOIN h USING (np) LEFT JOIN cnd c USING (np)
+         |), sel AS (
+         |  SELECT COALESCE(MIN(CASE WHEN cleared = 1 THEN np END), MAX(np)) AS pick FROM pernp
+         |)
+         |SELECT CAST(np AS BIGINT) AS nprobe,
+         |  CAST(n_candidates AS BIGINT) AS n_candidates,
+         |  CAST(n_exact AS BIGINT) AS n_exact,
+         |  CAST(n_hits AS BIGINT) AS n_hits,
+         |  CAST(cleared AS BIGINT) AS cleared,
+         |  CAST(CASE WHEN np = (SELECT pick FROM sel) THEN 1 ELSE 0 END AS BIGINT) AS selected
+         |FROM pernp ORDER BY nprobe""".stripMargin
+    },
 
     "e06_ivf_ann" ->
       s"""WITH $duckIvfCtes, cand AS (
