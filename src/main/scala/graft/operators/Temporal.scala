@@ -656,7 +656,38 @@ object Temporal {
     "a21_decayed_engagement" -> ((s, dir) =>
       decayedEngagement(Tables.events(s, dir)
         .select(col("user_id"), col("event_type"),
-          col("ts").cast("long").as("ts_sec"), col("value"))))
+          col("ts").cast("long").as("ts_sec"), col("value")))),
+
+    // INTER-ARRIVAL SPECTRUM — the distribution of per-user gaps between
+    // consecutive events, log2-bucketed: the cadence fingerprint a
+    // capacity planner / bot-detector reads (human sessions pile into
+    // the minutes-to-hours buckets, scripted traffic into sub-second
+    // ones). The bucket is INTEGER bit-length — length(bin(gap)), both
+    // engines converting the same BIGINT to the same binary string — so
+    // no float log sits near the hash gate (bucket b ⟺ gap ∈ [2^(b−1),
+    // 2^b); gap 0 is bucket 0). Scale shape: one user-partitioned lag
+    // window (orders within each user's partition only — no global
+    // sort) collapsed by a ≤64-row bucket agg; ties in the same second
+    // are ordered by event_id so the lag is deterministic.
+    "a23_interarrival_spectrum" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("sec").asc, col("event_id").asc)
+      Tables.events(s, dir)
+        .select(col("user_id"), col("event_id"), col("ts").cast("long").as("sec"))
+        .withColumn("gap", col("sec") - lag("sec", 1).over(w))
+        .filter(col("gap").isNotNull)
+        .select(when(col("gap") === 0L, lit(0L))
+          .otherwise(length(bin(col("gap"))).cast("long")).as("gap_bucket"),
+          col("gap"))
+        .groupBy("gap_bucket")
+        .agg(count(lit(1)).as("n_gaps"),
+          min("gap").as("min_gap_s"),
+          max("gap").as("max_gap_s"),
+          sum(col("gap").cast("decimal(38,0)")).as("sg"))
+        .select(col("gap_bucket"), col("n_gaps"), col("min_gap_s"), col("max_gap_s"),
+          (col("sg").cast("double") / col("n_gaps").cast("double")).as("mean_gap_s"))
+        .orderBy("gap_bucket")
+    })
   )
 
   /** a21 half-life: one day of seconds. */
@@ -899,6 +930,28 @@ object Temporal {
         |  CAST(n_users AS DOUBLE) / CAST(tu AS DOUBLE) AS user_share
         |FROM b CROSS JOIN t
         |ORDER BY bucket""".stripMargin,
+
+    // same second-truncated lag, same (sec, event_id) tie order, same
+    // integer bit-length bucket via bin()
+    "a23_interarrival_spectrum" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id,
+        |    CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS sec
+        |  FROM events
+        |), g AS (
+        |  SELECT sec - LAG(sec) OVER (PARTITION BY user_id
+        |    ORDER BY sec ASC, event_id ASC) AS gap
+        |  FROM e
+        |), b AS (
+        |  SELECT CASE WHEN gap = 0 THEN 0
+        |              ELSE CAST(length(bin(gap)) AS BIGINT) END AS gap_bucket, gap
+        |  FROM g WHERE gap IS NOT NULL
+        |)
+        |SELECT gap_bucket, COUNT(*) AS n_gaps,
+        |  MIN(gap) AS min_gap_s, MAX(gap) AS max_gap_s,
+        |  CAST(SUM(gap) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mean_gap_s
+        |FROM b GROUP BY gap_bucket
+        |ORDER BY gap_bucket""".stripMargin,
 
     // the same fixed-point snap, explicit floor-div decay (the CASE's
     // branches divide nonnegative operands, so trunc-div and floor-div

@@ -2,6 +2,7 @@ package graft.streaming
 
 import java.util.concurrent.atomic.AtomicInteger
 import org.apache.spark.sql.{DataFrame, Encoders, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, StreamingQueryListener, TTLConfig, TimeMode, TimerValues, Trigger, ValueState}
 import org.apache.spark.sql.types._
@@ -794,6 +795,27 @@ object StreamingQueries {
         .orderBy("source")
     }),
 
+    // STREAMING LEADERBOARD — top-5 users per event type by running
+    // event count. The stream maintains ONLY the additive per-(type,
+    // user) counts (Complete-mode hash agg: state = |active pairs| rows,
+    // map-side combined, never per-event); the rank is a read-time
+    // window over that state table, so the leaderboard is recomputed
+    // from O(state) work per refresh, not O(stream). Ties pinned by
+    // (n DESC, user_id ASC). Batch/stream parity by construction: the
+    // oracle is the same groupBy+rank over the events table.
+    "s28_stream_topk" -> ((s, dir) => {
+      val m = eventsStream(s, dir)
+        .groupBy("event_type", "user_id")
+        .agg(count(lit(1)).as("n_events"))
+      val t = runToTable(m, OutputMode.Complete(), statePartitions = Some(8))
+      val w = Window.partitionBy("event_type")
+        .orderBy(col("n_events").desc, col("user_id").asc)
+      t.withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 5)
+        .select("event_type", "rank", "user_id", "n_events")
+        .orderBy("event_type", "rank")
+    }),
+
     // STREAMING DECAYED ENGAGEMENT — a21's recency feature maintained
     // incrementally: the stream keeps ONLY additive per-(user, type,
     // calendar-day) fixed-point sums (Complete-mode agg; state = active
@@ -1291,6 +1313,22 @@ object StreamingQueries {
         |  CAST(SUM(dfp) AS BIGINT) AS decayed_fp,
         |  CAST(SUM(dfp) AS DOUBLE) / 1048576.0 AS decayed_value
         |FROM d GROUP BY user_id, event_type
-        |ORDER BY user_id, event_type""".stripMargin
+        |ORDER BY user_id, event_type""".stripMargin,
+
+    // the same counts + rank over the batch table (parity by
+    // construction: one definition of the leaderboard)
+    "s28_stream_topk" ->
+      """WITH c AS (
+        |  SELECT event_type, user_id, COUNT(*) AS n_events
+        |  FROM events GROUP BY event_type, user_id
+        |), rk AS (
+        |  SELECT event_type, user_id, n_events,
+        |    ROW_NUMBER() OVER (PARTITION BY event_type
+        |      ORDER BY n_events DESC, user_id ASC) AS rank
+        |  FROM c
+        |)
+        |SELECT event_type, CAST(rank AS BIGINT) AS rank, user_id, n_events
+        |FROM rk WHERE rank <= 5
+        |ORDER BY event_type, rank""".stripMargin
   )
 }
