@@ -392,6 +392,7 @@ object Multimodal {
       .filter(col("dist") <= AudioFpHamMax)
       .dropDuplicates("doc_a", "doc_b")
       .select("doc_a", "doc_b", "dist")
+      .orderBy("doc_a", "doc_b")
   }
 
   /** STUB: deterministic fake media decode. A real implementation would

@@ -449,4 +449,25 @@ class DedupSpec extends SparkSpec {
         428571428L, true),
       (65L, 1L, 0L, 0L, 0L, 0.0, 0L, false)))
   }
+
+  test("d21 lexical kNN: ranks contiguous from 1, exact jaccard nonincreasing, no self-neighbors, symmetric candidates") {
+    val rows = Dedup.queries("d21_lexical_knn")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (d, _, n, _) => assert(d !== n) }
+    rows.groupBy(_._1).foreach { case (d, rs) =>
+      val byRank = rs.sortBy(_._2)
+      assert(byRank.map(_._2).toSeq === (1L to rs.length.toLong), s"doc $d ranks")
+      assert(rs.length <= Dedup.LexKnnK, s"doc $d over k")
+      val ppbs = byRank.map(_._4)
+      assert(ppbs.zip(ppbs.tail).forall { case (a, b) => a >= b }, s"doc $d order")
+    }
+    // candidate symmetry: a's rank-1 neighbor b must list a SOMEWHERE
+    // only if a is within b's top-k by b's own ordering — but b must at
+    // least have SOME neighbor rows (the pair exists from both sides)
+    val docsWithRows = rows.map(_._1).toSet
+    rows.filter(_._2 == 1L).foreach { case (_, _, n, _) =>
+      assert(docsWithRows.contains(n), s"neighbor $n has no kNN rows")
+    }
+  }
 }

@@ -307,4 +307,47 @@ class GraphSpec extends SparkSpec {
       (3L, 2L, 1L, 3L, 12L),
       (4L, 2L, 0L, 3L, 12L)))
   }
+
+  test("g12 k-truss closed forms: K4 survives, shared-edge pair peels in two rounds, C5 empties, K5 survives") {
+    def prof(e: org.apache.spark.sql.DataFrame) =
+      Graph.kTrussPeel(e).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSeq
+    // K4: every edge in 2 triangles = exactly the k=4 bar; converged at round 1
+    assert(prof(edges((1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4))) ===
+      (1 to 4).map(r => (r.toLong, 4L, 0L, 6L, 4L)))
+    // two triangles sharing (1,2): the 4 rim edges have support 1 -> peel,
+    // then the bare bridge has support 0 -> peel, then empty
+    assert(prof(edges((1, 2), (1, 3), (2, 3), (1, 4), (2, 4))) === Seq(
+      (1L, 4L, 4L, 5L, 2L),
+      (2L, 4L, 1L, 1L, 0L),
+      (3L, 4L, 0L, 0L, 0L),
+      (4L, 4L, 0L, 0L, 0L)))
+    // C5: no triangles anywhere -> all 5 edges peel in round 1
+    assert(prof(edges((1, 2), (2, 3), (3, 4), (4, 5), (5, 1))) === Seq(
+      (1L, 4L, 5L, 5L, 0L),
+      (2L, 4L, 0L, 0L, 0L),
+      (3L, 4L, 0L, 0L, 0L),
+      (4L, 4L, 0L, 0L, 0L)))
+    // K5: every edge in 3 triangles > bar; 10 triangles total
+    val k5 = for (a <- 1L to 5L; b <- (a + 1) to 5L) yield (a, b)
+    assert(prof(edges(k5: _*)) === (1 to 4).map(r => (r.toLong, 4L, 0L, 10L, 10L)))
+  }
+
+  test("g13 HITS hand-computed: 3-part / 2-customer bipartite, two rounds of max-renormalized scores") {
+    import spark.implicits._
+    // c1 buys {101,102,103}, c2 buys {101}:
+    // round 1: a(101)=2e6 -> 1e6; a(102)=a(103)=1e6 -> 5e5;
+    //          h(c1)=2e6 -> 1e6; h(c2)=1e6 -> 5e5
+    // round 2: a(101)=1.5e6 -> 1e6; a(102)=a(103)=1e6 -> 666666;
+    //          h(c1)=2333332 -> 1e6; h(c2)=1e6 -> floor(1e12/2333332)=428571
+    val ed = Seq((1L, 101L), (1L, 102L), (1L, 103L), (2L, 101L)).toDF("c", "p")
+    val got = Graph.hitsProfile(ed).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got === Seq(
+      ("authority", 1L, 101L, 1000000L),
+      ("authority", 2L, 102L, 666666L),
+      ("authority", 3L, 103L, 666666L),
+      ("hub", 1L, 1L, 1000000L),
+      ("hub", 2L, 2L, 428571L)))
+  }
 }

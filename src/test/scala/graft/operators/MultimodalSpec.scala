@@ -251,4 +251,21 @@ class MultimodalSpec extends SparkSpec {
     val exchanges = "Exchange".r.findAllIn(plan).length
     assert(exchanges <= 2, s"decode should not shuffle; plan:\n$plan")
   }
+
+  test("m15 audio fingerprint: copies at distance 0, one-frame edit at distance 1, alternating pattern unreachable, short docs excluded") {
+    import spark.implicits._
+    // frame = 4 samples = 8 chars; 33 frames = 264 chars exactly
+    val flat = "a" * 264                       // all energies equal -> all bits 0
+    val alt = (0 to 32).map(f => if (f % 2 == 0) "z" * 8 else "a" * 8).mkString
+    val altEdit = "a" * 8 + alt.substring(8)   // frame 0 high->low: flips bit 0 only
+    val docs = Seq(
+      (1L, flat), (2L, flat), (3L, alt), (4L, altEdit),
+      (5L, "a" * 263)                          // one char short: excluded
+    ).toDF("doc_id", "text")
+    val got = Multimodal.audioFpPairs(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // (1,2): identical -> 0. (3,4): one gradient bit flipped -> 1.
+    // alt vs flat: 16 bits apart -> absent. doc 5 never hashes.
+    assert(got === Set((1L, 2L, 0L), (3L, 4L, 1L)))
+  }
 }

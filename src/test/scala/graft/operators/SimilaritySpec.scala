@@ -734,4 +734,24 @@ class SimilaritySpec extends SparkSpec {
     val d03n = Dedup.queries("d03_minhash_lsh")(spark, sfDir).count()
     assert(n("both") + n("lexical_only") === d03n)
   }
+
+  test("e28 nprobe selection: monotone cost/recall columns, one selected row, argmin-over-floor semantics") {
+    val rows = Similarity.queries("e28_nprobe_select")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(rows.map(_._1).toSeq === Seq(1L, 2L, 4L))
+    // growing the probe set can only add candidates and hits
+    assert(rows.map(_._2).toSeq === rows.map(_._2).sorted.toSeq, "n_candidates monotone")
+    assert(rows.map(_._4).toSeq === rows.map(_._4).sorted.toSeq, "n_hits monotone")
+    // cleared is the integer cross-multiply of the row's own counts
+    rows.foreach { case (np, _, ne, nh, cl, _) =>
+      assert(cl === (if (nh * Similarity.NprobeFloorDen >= ne * Similarity.NprobeFloorNum) 1L else 0L), s"np=$np")
+    }
+    // exactly one selected; it is the smallest cleared nprobe, or the
+    // largest swept one when nothing clears
+    assert(rows.count(_._6 == 1L) === 1)
+    val sel = rows.find(_._6 == 1L).get._1
+    val cleared = rows.filter(_._5 == 1L).map(_._1)
+    assert(sel === (if (cleared.nonEmpty) cleared.min else 4L))
+  }
 }

@@ -380,4 +380,23 @@ class TemporalSpec extends SparkSpec {
       (1L, "a", 3L, 126L, 126.0 / 1048576.0),
       (2L, "b", 1L, -4L, -4.0 / 1048576.0)))
   }
+
+  test("a23 inter-arrival spectrum: buckets tile powers of two, gap population = events minus users") {
+    import org.apache.spark.sql.functions._
+    val rows = Temporal.queries("a23_interarrival_spectrum")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (b, n, lo, hi, mean) =>
+      assert(n > 0)
+      if (b == 0L) { assert(lo === 0L && hi === 0L) }
+      else {
+        assert(lo >= (1L << (b - 1).toInt) && hi < (1L << b.toInt), s"bucket $b range")
+      }
+      assert(mean >= lo.toDouble && mean <= hi.toDouble, s"bucket $b mean")
+    }
+    // every event except each user's first contributes exactly one gap
+    val ev = graft.Tables.events(spark, sfDir)
+    val expected = ev.count() - ev.select(countDistinct(col("user_id"))).head().getLong(0)
+    assert(rows.map(_._2).sum === expected)
+  }
 }

@@ -134,7 +134,14 @@ class PartitionInvarianceSpec extends SparkSpec {
     "e22_sq_rerank", "t33_split_shift", "a21_decayed_engagement",
     // four prefix-sliced rankings over one pair frame (e23), and the
     // data-derived decile bucketing + threshold sweep (p13)
-    "e23_matryoshka_sweep", "p13_k_anonymity")
+    "e23_matryoshka_sweep", "p13_k_anonymity",
+    // round 12: the nprobe selection (e28 — integer floor + argmin over
+    // a 3-row frame must not depend on order), lexical kNN (d21 —
+    // window ties), the two peels/iterations (g12 support census, g13
+    // max-renormalized integer scores), the banded audio join (m15),
+    // and the lag-window spectrum (a23)
+    "e28_nprobe_select", "d21_lexical_knn", "g12_ktruss", "g13_hits",
+    "m15_audio_neardup", "a23_interarrival_spectrum")
 
   private def runAt(name: String, parts: Int): Seq[String] = {
     val old = spark.conf.get("spark.sql.shuffle.partitions")

@@ -37,11 +37,17 @@ class RocksDbParitySpec extends SparkSpec {
   // chained windowed aggs (s13), and the quota-sampling state (s20).
   // s14 (transformWithState) requires RocksDB by API and is pinned in
   // its own spec.
+  // Round 12: the Complete-mode tally entries added in rounds 10-12
+  // (s25 burst rollup, s26 alpha admission, s27 decayed engagement,
+  // s28 leaderboard) join the sweep — their state is the running agg
+  // table itself, which is exactly what the provider swap exercises.
   for (name <- Seq("s03_stream_dedup", "s04_stream_user_state",
                    "s07_stream_stream_join", "s08_stream_sessions",
                    "s11_stream_left_outer", "s12_stream_custom_sessions",
                    "s13_stream_chained_windows", "s20_stream_quota_sample",
-                   "s21_stream_transitions", "s22_stream_dedup_ttl"))
+                   "s21_stream_transitions", "s22_stream_dedup_ttl",
+                   "s25_stream_burst", "s26_stream_alpha_admit",
+                   "s27_stream_decay", "s28_stream_topk"))
     test(s"$name: identical rows under RocksDB and the default state-store provider") {
       val default = runUnder(None, name)
       val rocks = runUnder(Some(RocksDb), name)
