@@ -451,7 +451,14 @@ object ScaleProbe {
       // audit rides d03's pair frame
       "p14_leakage_safe_split",
       // one user-keyed count agg + a broadcast max + ≤10-row rollup
-      "a22_engagement_concentration")
+      "a22_engagement_concentration",
+      // round 12: nprobe selection (e28, embeddings-capped 64×), lexical
+      // kNN (d21), the truss peel (g12), bipartite HITS (g13), audio
+      // near-dup (m15 — suffix-perturbed replicas shift the energy grid,
+      // so replica pairs don't collide), the streaming leaderboard
+      // (s28), and the lag-window spectrum (a23)
+      "e28_nprobe_select", "d21_lexical_knn", "g12_ktruss", "g13_hits",
+      "m15_audio_neardup", "s28_stream_topk", "a23_interarrival_spectrum")
       // local iteration only: probe just a subset by name prefix
       .filter(n => sys.env.get("SPARK_GRAFT_ONLY")
         .forall(_.split(",").exists(n.startsWith)))

@@ -642,17 +642,44 @@ object Graph {
     val profile = (1 to rounds).map { r =>
       if (converged) (r.toLong, KTrussK, 0L, nEdges, nTris)
       else {
-        val credits = orientedTrianglesFrom(degAnnotatedEdges(alive))
+        // The triangle kernel is INLINED (not orientedTrianglesFrom) for
+        // two reasons a once-per-query caller never hits:
+        //  - lifetime control: the kernel's two materialized frames
+        //    (degree-annotated edges, adjacency arrays) are only needed
+        //    within the round; left persisted they stack up 2/round in
+        //    MEMORY_AND_DISK and, with the credit shuffles' files, blew
+        //    the probe box's disk at the 100× corpus (measured: round-1
+        //    credits ≈ 5.6e8 rows there). Each round unpersists them as
+        //    soon as its support frame is in scratch, and the GC fence
+        //    lets the ContextCleaner reap the round's shuffle files
+        //    (they are freed on RDD GC, not stage end).
+        //  - credit volume: the base edge's support is the intersect
+        //    SIZE, counted in-row — only the two LEG credits explode,
+        //    so the credit shuffle carries 2 rows/triangle + |E|, not 3/triangle.
+        val wd = degAnnotatedEdges(alive)
+        val oriented = orientedFrom(wd)
+        val adj = orientedAdjacency(oriented)
+        val withNbrs = oriented
+          .join(adj.select(col("x").as("a"), col("nbrs").as("na")).hint("shuffle_hash"), "a")
+          .join(adj.select(col("x").as("b"), col("nbrs").as("nb")).hint("shuffle_hash"), "b")
+          .select(col("a"), col("b"),
+            graft.functions.ArrayFunctions.sorted_intersect(col("na"), col("nb")).as("cs"))
+        val base = withNbrs.select(least(col("a"), col("b")).as("u"),
+          greatest(col("a"), col("b")).as("v"), size(col("cs")).cast("long").as("t"))
+        val legs = withNbrs.select(col("a"), col("b"), explode(col("cs")).as("c"))
           .select(explode(array(
-            struct(least(col("a"), col("b")).as("u"), greatest(col("a"), col("b")).as("v")),
             struct(least(col("a"), col("c")).as("u"), greatest(col("a"), col("c")).as("v")),
             struct(least(col("b"), col("c")).as("u"), greatest(col("b"), col("c")).as("v")))).as("e"))
-          .select(col("e.u").as("u"), col("e.v").as("v"))
-          .groupBy("u", "v").agg(count(lit(1)).as("t"))
+          .select(col("e.u").as("u"), col("e.v").as("v"), lit(1L).as("t"))
+        val credits = base.unionByName(legs)
+          .groupBy("u", "v").agg(sum(col("t")).as("t"))
         val sup = spark.read.parquet(graft.Materialize.toStoragePath(
           alive.join(credits, Seq("u", "v"), "left")
             .select(col("u"), col("v"), coalesce(col("t"), lit(0L)).as("sup")),
           s"ktruss_s$r"))
+        wd.unpersist()
+        adj.unpersist()
+        System.gc()
         val a = sup.agg(
           count(lit(1)).as("ne"),
           coalesce(sum(col("sup")), lit(0L)).as("st"),

@@ -38,6 +38,19 @@ object TextAnalysis {
   /** t21: docs kept per source (exact-count quota sampling). */
   val SampleK = 10
 
+  /** t35: code-symbol density (ppm of characters in the code-y class
+    * {}()[];=<>#_) at or above which a document is flagged code-ish.
+    * 20000 ppm = 2%: typical prose sits well under 1%, real source code
+    * well over 5% — the gap the threshold sits in.
+    */
+  val CodeSymPpm = 20000L
+
+  /** t35: count of code-y symbol characters — one regexp_replace length
+    * diff, scan-level. Exposed for TextSpec's crafted code/prose pins.
+    */
+  private[operators] def codeSymCount(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    (length(c) - length(regexp_replace(c, "[{}()\\[\\];=<>#_]", ""))).cast("long")
+
   /** t22: total sample budget apportioned across sources by char mass.
     * Must stay modest — it bounds the TopKAggregator buffer (K rows per
     * source per task) and the largest per-source quota.
@@ -818,6 +831,37 @@ object TextAnalysis {
     // keep the pair table bounded by the true collocation mass, not the
     // vocabulary square.
     "t34_pmi_pairs" -> ((s, dir) => pmiPairs(Tables.documents(s, dir))),
+
+    // CODE-VS-PROSE DETECTION — the curation signal that routes
+    // documents to the right quality gates (prose heuristics like t02's
+    // stopword ratio MISgrade source code, so a mixed crawl must split
+    // the two before filtering). Detector = code-symbol density:
+    // n_sym counts characters in the code-y class {}()[];=<>#_ via one
+    // regexp_replace length diff (scan-level, codegen'd, identical RE2/
+    // Java semantics for this literal char class), sym_ppm is an exact
+    // integer ratio, and the flag is the integer compare sym_ppm ≥
+    // CodeSymPpm. Report is per (source, lang): docs, flagged docs,
+    // mean/max density — metadata-sized at any corpus. On this prose
+    // fixture the flagged count is ~0, which is the correct reading;
+    // the semantics are pinned by a crafted-code spec.
+    "t35_code_detect" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .filter(length(col("text")) > 0)
+        .select(col("source"), col("lang"), codeSymCount(col("text")).as("nsym"),
+          length(col("text")).cast("long").as("nch"))
+        .select(col("source"), col("lang"),
+          expr("nsym * 1000000 DIV nch").as("sym_ppm"))
+        .groupBy("source", "lang")
+        .agg(count(lit(1)).as("n_docs"),
+          count(when(col("sym_ppm") >= CodeSymPpm, 1)).as("n_codeish"),
+          sum(col("sym_ppm").cast("decimal(38,0)")).as("ssym"),
+          max("sym_ppm").as("max_sym_ppm"))
+        .select(col("source"), col("lang"), col("n_docs"), col("n_codeish"),
+          (col("ssym").cast("double") / col("n_docs").cast("double"))
+            .as("mean_sym_ppm"),
+          col("max_sym_ppm"))
+        .orderBy("source", "lang")
+    }),
 
     // PRETOKENIZER FERTILITY — the token-economics audit run before a
     // corpus goes to a trainer: segment with a BPE-style pretokenizer
@@ -1792,6 +1836,22 @@ object TextAnalysis {
     // window events as per-doc list comprehensions (one per gap), the
     // same unordered least/greatest pair key, the same DECIMAL floor
     // division for lift, the same double chain for the ratio
+    // same regexp class (literal chars — RE2 and Java agree), same
+    // integer ppm and threshold compare
+    "t35_code_detect" ->
+      s"""WITH f AS (
+         |  SELECT source, lang,
+         |    (strlen(text) - strlen(regexp_replace(text, '[{}()\\[\\];=<>#_]', '', 'g')))::BIGINT
+         |      * 1000000 // strlen(text)::BIGINT AS sym_ppm
+         |  FROM documents WHERE strlen(text) > 0
+         |)
+         |SELECT source, lang, COUNT(*) AS n_docs,
+         |  CAST(COUNT(CASE WHEN sym_ppm >= $CodeSymPpm THEN 1 END) AS BIGINT) AS n_codeish,
+         |  CAST(SUM(sym_ppm) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mean_sym_ppm,
+         |  MAX(sym_ppm) AS max_sym_ppm
+         |FROM f GROUP BY source, lang
+         |ORDER BY source, lang""".stripMargin,
+
     "t34_pmi_pairs" ->
       s"""WITH wd AS (
          |  SELECT list_filter(string_split(lower(text), ' '), x -> len(x) > 0) AS w

@@ -491,4 +491,22 @@ class TextSpec extends SparkSpec {
       ("x", "x", 5L, 6L, 6L, 5L * 1000000000000L / 36L, 5.0 * n * n / (w * 6.0 * 6.0)),
       ("y", "y", 5L, 6L, 6L, 5L * 1000000000000L / 36L, 5.0 * n * n / (w * 6.0 * 6.0))))
   }
+
+  test("t35 code detection: source code clears the 2% symbol bar, prose stays under it") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val code = "int main() { int x[4]; for (i = 0; i < 4; i++) { x[i] = i * 2; } return x[0]; }"
+    val prose = "the quick brown fox jumps over the lazy dog and keeps running through the field"
+    val got = Seq(("c", code), ("p", prose)).toDF("k", "text")
+      .select(col("k"), TextAnalysis.codeSymCount(col("text")).as("nsym"),
+        length(col("text")).cast("long").as("nch"))
+      .select(col("k"), expr("nsym * 1000000 DIV nch").as("ppm"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got("c") >= TextAnalysis.CodeSymPpm, s"code at ${got("c")} ppm")
+    assert(got("p") < TextAnalysis.CodeSymPpm, s"prose at ${got("p")} ppm")
+    // the count itself: 22 symbols in the code line
+    val n = Seq(code).toDF("text")
+      .select(TextAnalysis.codeSymCount(col("text"))).head().getLong(0)
+    assert(n === code.count("{}()[];=<>#_".contains(_)))
+  }
 }
