@@ -308,6 +308,55 @@ object Curation {
         .orderBy("split")
     }),
 
+    // DATASET CARD — the per-source summary table a dataset release
+    // publishes (and the first thing a consumer reads): population,
+    // token mass, central length (EXACT lower median, not an approx
+    // sketch — rank (n+1) div 2 in a per-source window), the dominant
+    // language with its ppm share, mean chars, and the corpus-wide
+    // exact-duplicate share (d02's normalize→64-bit-fingerprint rule, so
+    // a doc duplicated ACROSS sources is flagged in both — the honest
+    // dup number, not the within-source one). All integers and strings
+    // ⇒ exact gate. Scale shape: one text scan computes tokens +
+    // fingerprint; the dup flag is an 8-byte-key agg + equi-join (text
+    // never shuffles); the median window and lang mode partition BY
+    // SOURCE (per-source sort, no global order); everything else is
+    // |sources| rows. A single pathological mega-source would make its
+    // median partition the straggler — at that skew the fix is the
+    // t21-style two-pass rank, not a sketch.
+    "p15_dataset_card" -> ((s, dir) => {
+      val norm = regexp_replace(lower(col("text")), "[^a-z0-9 ]", "")
+      val base = graft.Materialize(Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"), col("lang"), col("n_chars"),
+          tokenCountWs(col("text")).as("nt"),
+          rolling_fingerprint(norm).as("fp")))
+      val dup = base.groupBy("fp").agg(count(lit(1)).as("nc"))
+        .filter(col("nc") >= 2L).select(col("fp"), lit(1L).as("is_dup"))
+      val st = base.join(dup, Seq("fp"), "left")
+        .groupBy("source").agg(
+          count(lit(1)).as("n_docs"),
+          sum("nt").as("n_tokens"),
+          sum("n_chars").as("sum_chars"),
+          sum(coalesce(col("is_dup"), lit(0L))).as("n_dup"))
+      val wMed = Window.partitionBy("source").orderBy(col("nt").asc, col("doc_id").asc)
+      val med = base
+        .withColumn("rn", row_number().over(wMed).cast("long"))
+        .withColumn("nsrc", count(lit(1)).over(Window.partitionBy("source")))
+        .filter(col("rn") === expr("(nsrc + 1) div 2"))
+        .select(col("source"), col("nt").as("median_tokens"))
+      val wLang = Window.partitionBy("source").orderBy(col("cnt").desc, col("lang").asc)
+      val top = base.groupBy("source", "lang").agg(count(lit(1)).as("cnt"))
+        .withColumn("rn", row_number().over(wLang))
+        .filter(col("rn") === 1)
+        .select(col("source"), col("lang").as("top_lang"), col("cnt").as("top_lang_n"))
+      st.join(med, "source").join(top, "source")
+        .select(col("source"), col("n_docs"), col("n_tokens"),
+          expr("sum_chars div n_docs").as("mean_chars"),
+          col("median_tokens"), col("top_lang"),
+          expr("top_lang_n * 1000000 div n_docs").as("top_lang_ppm"),
+          expr("n_dup * 1000000 div n_docs").as("dup_ppm"))
+        .orderBy("source")
+    }),
+
     // α-SAMPLING MIXTURE PLAN — the third leg of mixture planning (p08
     // caps per pass, p09 plans repeats, p12 sets the RATES): sample
     // each source ∝ n_tokens^(1/2), the temperature-flattening rule
@@ -987,6 +1036,49 @@ object Curation {
          |FROM asg CROSS JOIN tot CROSS JOIN leak
          |GROUP BY split, tot.n, leak.n_cross_split_pairs
          |ORDER BY split""".stripMargin,
+
+    // the dup flag groups by the NORMALIZED TEXT itself (the Spark
+    // side's 64-bit fingerprint is shuffle economy — d02's collision
+    // argument); median/mode restated as the same windows
+    "p15_dataset_card" ->
+      """WITH base AS (
+        |  SELECT doc_id, source, lang, n_chars,
+        |    len(list_filter(string_split(lower(text), ' '), w -> len(w) > 0)) AS nt,
+        |    regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g') AS norm
+        |  FROM documents
+        |), dup AS (
+        |  SELECT norm FROM base GROUP BY norm HAVING COUNT(*) >= 2
+        |), wd AS (
+        |  SELECT b.source, b.n_chars, b.nt,
+        |    CASE WHEN d.norm IS NOT NULL THEN 1 ELSE 0 END AS is_dup
+        |  FROM base b LEFT JOIN dup d ON d.norm = b.norm
+        |), st AS (
+        |  SELECT source, COUNT(*) AS n_docs, CAST(SUM(nt) AS BIGINT) AS n_tokens,
+        |    CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+        |    CAST(SUM(is_dup) AS BIGINT) AS n_dup
+        |  FROM wd GROUP BY source
+        |), med AS (
+        |  SELECT source, nt AS median_tokens FROM (
+        |    SELECT source, nt,
+        |      ROW_NUMBER() OVER (PARTITION BY source ORDER BY nt ASC, doc_id ASC) AS rn,
+        |      COUNT(*) OVER (PARTITION BY source) AS nsrc
+        |    FROM base)
+        |  WHERE rn = (nsrc + 1) // 2
+        |), top AS (
+        |  SELECT source, lang AS top_lang, cnt AS top_lang_n FROM (
+        |    SELECT source, lang, COUNT(*) AS cnt,
+        |      ROW_NUMBER() OVER (PARTITION BY source
+        |        ORDER BY COUNT(*) DESC, lang ASC) AS rn
+        |    FROM base GROUP BY source, lang)
+        |  WHERE rn = 1
+        |)
+        |SELECT st.source, st.n_docs, st.n_tokens,
+        |  CAST(st.sum_chars // st.n_docs AS BIGINT) AS mean_chars,
+        |  med.median_tokens, top.top_lang,
+        |  CAST(top.top_lang_n * 1000000 // st.n_docs AS BIGINT) AS top_lang_ppm,
+        |  CAST(st.n_dup * 1000000 // st.n_docs AS BIGINT) AS dup_ppm
+        |FROM st JOIN med USING (source) JOIN top USING (source)
+        |ORDER BY source""".stripMargin,
 
     // d01's keeper + d07's shared closure (duckClusterCtes) as flags on
     // one token frame; SUMs cast back to BIGINT

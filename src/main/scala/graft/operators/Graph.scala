@@ -273,6 +273,69 @@ object Graph {
     profDf.orderBy("round")
   }
 
+  /** g14: fixed personalized-PageRank round count — both engines unroll
+    * exactly this many layers (the g02b rule), and the seed set is the
+    * PprSeedK highest-degree vertices (deg DESC, id ASC — deterministic).
+    */
+  val PprRounds = 4
+  val PprSeedK = 4
+
+  /** g14 core: personalized PageRank over undirected (u < v) edges — the
+    * "what's relevant NEAR these seeds" ranking behind related-item
+    * panels and seed-expanded curation (pick a few known-good documents,
+    * walk the similarity graph, harvest the neighborhood). Identical
+    * integer arithmetic to g02b's damped rounds with ONE change: the
+    * (1−d) restart mass re-injects at the SEEDS each round instead of
+    * uniformly, so rank decays with graph distance from the seed set.
+    * r₀ = RankScale at seeds / 0 elsewhere; each round
+    * rank(v) = [v∈S]·base + (85·Σ_{u→v} floor(rank(u)∕deg(u)))∕100 in
+    * floor division — bit-identical across engines, no float drift.
+    *
+    * Iterative-state discipline is g02b's verbatim: degree-annotated
+    * message edges built ONCE into scratch parquet, each round's rank
+    * table scratch-carried (plan stays one layer deep; survives executor
+    * loss on a real cluster). Per round: one |E|-row join + one hash agg
+    * — per-round cost flat in rounds, linear in |E|. Every vertex has
+    * deg ≥ 1 on an undirected edge set, so every vertex receives ≥ 1
+    * message and the round's agg covers all of V (zero-rank vertices
+    * included — their contributions are 0, their rows persist). Output
+    * is the top-20 final ranks: the seed-neighborhood harvest list.
+    */
+  private[operators] def pprRanks(e: DataFrame,
+                                  rounds: Int = PprRounds): DataFrame = {
+    val spark = e.sparkSession
+    val deg = degrees(e)
+    val seedBase = RankScale * (DampDen - DampNum) / DampDen
+    // |S| rows — broadcast at every use
+    val seeds = graft.Materialize(
+      deg.orderBy(col("deg").desc, col("x").asc).limit(PprSeedK)
+        .select(col("x"), lit(seedBase).as("sb")))
+    val msgs = spark.read.parquet(graft.Materialize.toStoragePath(
+      e.select(col("u").as("src"), col("v").as("dst"))
+        .unionAll(e.select(col("v").as("src"), col("u").as("dst")))
+        .join(deg.select(col("x").as("src"), col("deg")), "src"), "ppr_msgs"))
+    var rank = spark.read.parquet(graft.Materialize.toStoragePath(
+      deg.join(broadcast(seeds), Seq("x"), "left")
+        .select(col("x"),
+          when(col("sb").isNotNull, lit(RankScale)).otherwise(lit(0L)).as("rank")),
+      "ppr_r0"))
+    (1 to rounds).foreach { r =>
+      rank = spark.read.parquet(graft.Materialize.toStoragePath(
+        msgs.join(rank.select(col("x").as("src"), col("rank").as("srank")), "src")
+          .select(col("dst"), expr("srank div deg").as("c"))
+          .groupBy(col("dst").as("x"))
+          .agg(sum("c").as("m"))
+          .join(broadcast(seeds), Seq("x"), "left")
+          .select(col("x"),
+            (coalesce(col("sb"), lit(0L)) + expr(s"m * $DampNum div $DampDen"))
+              .as("rank")), s"ppr_r$r"))
+    }
+    rank.join(broadcast(seeds), Seq("x"), "left")
+      .select(col("x").as("part_id"), col("rank"), col("sb").isNotNull.as("is_seed"))
+      .orderBy(col("rank").desc, col("part_id").asc)
+      .limit(20)
+  }
+
   /** g06 core over undirected (u < v) edges — integer moment sums over
     * the directed endpoint list plus the closed-form Pearson ratio (see
     * the query scaladoc for why symmetry eliminates the square root).
@@ -1030,7 +1093,13 @@ object Graph {
     // HITS hubs/authorities on the customer-part bipartite graph (see
     // hitsProfile). Two |E|-row join+agg shuffles per round, max-
     // renormalized in integers; output is the two top-10 rankings.
-    "g13_hits" -> ((s, dir) => hitsProfile(purchaseEdges(s, dir)))
+    "g13_hits" -> ((s, dir) => hitsProfile(purchaseEdges(s, dir))),
+
+    // Personalized PageRank from the 4 highest-degree seeds (see
+    // pprRanks): g02b's integer damped rounds with restart mass
+    // re-injected at the seeds — the seed-expansion ranking behind
+    // related-item panels and known-good-document curation harvests.
+    "g14_ppr" -> ((s, dir) => pprRanks(partEdges(s, dir)))
   )
 
   /** g10 core over (ok, pk) rows — extracted for closed-form baskets. */
@@ -1153,6 +1222,46 @@ object Graph {
          |      c AS node_id, CAST(h AS BIGINT) AS score FROM h$HitsRounds
          |  ) WHERE rank <= 10
          |) ORDER BY side, rank""".stripMargin
+    },
+
+    // g02b's unrolled-layer template with the seeded restart: the (1−d)
+    // base joins in per layer (LEFT JOIN seeds), floor-division integer
+    // arithmetic identical to the engine's div chain
+    "g14_ppr" -> {
+      val seedBase = RankScale * (DampDen - DampNum) / DampDen
+      val layers = (1 to PprRounds).map { i =>
+        s"""m$i AS MATERIALIZED (
+           |  SELECT nb.dst AS x, CAST(SUM(r.rank // d.deg) AS BIGINT) AS m
+           |  FROM nb JOIN deg d ON d.x = nb.src JOIN r${i - 1} r ON r.x = nb.src
+           |  GROUP BY nb.dst
+           |), r$i AS MATERIALIZED (
+           |  SELECT m.x, COALESCE(s.sb, 0) + m.m * $DampNum // $DampDen AS rank
+           |  FROM m$i m LEFT JOIN seeds s ON s.x = m.x
+           |)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH li AS (
+         |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+         |), e AS MATERIALIZED (
+         |  SELECT DISTINCT a.pk AS u, b.pk AS v
+         |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+         |), nb AS MATERIALIZED (
+         |  SELECT u AS src, v AS dst FROM e UNION ALL SELECT v, u FROM e
+         |), deg AS MATERIALIZED (
+         |  SELECT src AS x, COUNT(*) AS deg FROM nb GROUP BY src
+         |), seeds AS MATERIALIZED (
+         |  SELECT x, CAST($seedBase AS BIGINT) AS sb FROM deg
+         |  ORDER BY deg DESC, x ASC LIMIT $PprSeedK
+         |), r0 AS MATERIALIZED (
+         |  SELECT d.x,
+         |    CASE WHEN s.x IS NOT NULL THEN CAST($RankScale AS BIGINT)
+         |         ELSE CAST(0 AS BIGINT) END AS rank
+         |  FROM deg d LEFT JOIN seeds s ON s.x = d.x
+         |),
+         |$layers
+         |SELECT r.x AS part_id, CAST(r.rank AS BIGINT) AS rank,
+         |  s.x IS NOT NULL AS is_seed
+         |FROM r$PprRounds r LEFT JOIN seeds s ON s.x = r.x
+         |ORDER BY rank DESC, part_id ASC LIMIT 20""".stripMargin
     },
     // the LpaRounds layers unrolled as generated MATERIALIZED CTEs (the
     // g02b template); the frequency argmax restated as ROW_NUMBER over

@@ -215,7 +215,79 @@ object Layout {
     // bit positions — the bloom manifest is ≤ files · 2^14 rows,
     // metadata-sized at any table size.
     "z06_bloom_skipping" -> ((s, dir) =>
-      bloomSkipping(Tables.lineitem(s, dir).select("l_orderkey", "l_partkey")))
+      bloomSkipping(Tables.lineitem(s, dir).select("l_orderkey", "l_partkey"))),
+
+    // CLUSTERING-KEY ADVISOR — z03 audits what ONE layout buys; z07
+    // answers the question a table owner actually asks: WHICH layout?
+    // Three candidate layouts of the same rows into 256 "files" —
+    // arrival order (orderkey range-bucket: what you get by doing
+    // nothing), single-key sort (partkey range-bucket), and the z01
+    // Morton interleave — each producing per-file (min, max) zone maps,
+    // all probed with z03's four diagonal quartile boxes. Output: one
+    // row per (probe, layout) with rows_scanned vs the exact match, and
+    // is_best marking the per-probe winner (fewest rows scanned, ties
+    // to layout name ASC). On the 2-D workload the advisor's expected
+    // reading: z-order wins the boxes, pksort wins nothing 2-D unless
+    // the box spans all suppkeys, arrival reads ~everything. All
+    // integer zone/probe arithmetic + one IEEE division ⇒ exact gate.
+    // Scale shape: ONE row scan grades all three layouts (stack
+    // generator — no re-reads), one 3×256-row zone agg, and every probe
+    // evaluation is manifest-sized; the advisor costs one pass no
+    // matter how many layouts compete.
+    "z07_layout_advisor" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+        .select("l_orderkey", "l_partkey", "l_suppkey")
+      val bounds = li.agg(
+        min("l_orderkey").as("ok0"), max("l_orderkey").as("ok1"),
+        min("l_partkey").as("pk0"), max("l_partkey").as("pk1"),
+        min("l_suppkey").as("sk0"), max("l_suppkey").as("sk1"))
+      val graded = li.crossJoin(broadcast(bounds))
+        .withColumn("xb", expr("(l_partkey - pk0) * 65536 div (pk1 - pk0 + 1)"))
+        .withColumn("yb", expr("(l_suppkey - sk0) * 65536 div (sk1 - sk0 + 1)"))
+        .select(col("l_partkey"), col("l_suppkey"),
+          expr("(l_orderkey - ok0) * 256 div (ok1 - ok0 + 1)").as("b_arrival"),
+          expr("(l_partkey - pk0) * 256 div (pk1 - pk0 + 1)").as("b_pksort"),
+          expr(s"(${zExpr("xb", "yb")}) div $ZBucketDiv").as("b_zorder"))
+      val zm = graded
+        .select(expr("stack(3, 'arrival', b_arrival, 'pksort', b_pksort, " +
+          "'zorder', b_zorder) AS (layout, bucket)"),
+          col("l_partkey"), col("l_suppkey"))
+        .groupBy("layout", "bucket")
+        .agg(count(lit(1)).as("n"),
+          min("l_partkey").as("min_pk"), max("l_partkey").as("max_pk"),
+          min("l_suppkey").as("min_sk"), max("l_suppkey").as("max_sk"))
+      val probes = bounds
+        .select(explode(expr("sequence(0L, 3L)")).as("q"),
+          col("pk0"), col("pk1"), col("sk0"), col("sk1"))
+        .select(col("q"),
+          expr("pk0 + (pk1 - pk0 + 1) * q div 4").as("lo_pk"),
+          expr("pk0 + (pk1 - pk0 + 1) * (q + 1) div 4 - 1").as("hi_pk"),
+          expr("sk0 + (sk1 - sk0 + 1) * q div 4").as("lo_sk"),
+          expr("sk0 + (sk1 - sk0 + 1) * (q + 1) div 4 - 1").as("hi_sk"))
+      val hit = col("min_pk") <= col("hi_pk") && col("max_pk") >= col("lo_pk") &&
+        col("min_sk") <= col("hi_sk") && col("max_sk") >= col("lo_sk")
+      val touched = zm.crossJoin(broadcast(probes))
+        .groupBy("layout", "q")
+        .agg(count(lit(1)).as("n_buckets"),
+          sum(when(hit, 1L).otherwise(0L)).as("n_touched"),
+          sum(when(hit, col("n")).otherwise(0L)).as("rows_scanned"))
+      val exact = li.crossJoin(broadcast(probes))
+        .groupBy("q")
+        .agg(count(when(col("l_partkey").between(col("lo_pk"), col("hi_pk")) &&
+          col("l_suppkey").between(col("lo_sk"), col("hi_sk")), 1))
+          .as("rows_matching"),
+          count(lit(1)).as("rows_total"))
+      val wQ = Window.partitionBy("q")
+        .orderBy(col("rows_scanned").asc, col("layout").asc)
+      touched.join(exact, "q")
+        .withColumn("is_best", row_number().over(wQ) === 1)
+        .select(col("q"), col("layout"), col("n_buckets"), col("n_touched"),
+          col("rows_scanned"), col("rows_matching"),
+          (col("rows_scanned").cast("double") / col("rows_total").cast("double"))
+            .as("scan_fraction"),
+          col("is_best"))
+        .orderBy("q", "layout")
+    })
   )
 
   /** z01/z03 shared core: per-z-bucket zone maps (row count + min/max of
@@ -387,6 +459,69 @@ object Layout {
          |  1.0 - CAST(ps.rows_scanned AS DOUBLE) / CAST(rows_total AS DOUBLE) AS skip_fraction
          |FROM ps JOIN ct USING (q) CROSS JOIN tot
          |ORDER BY ps.q""".stripMargin
+    },
+
+    // z03's zone/probe arithmetic over the three-layout UNION; the
+    // winner restated as the same (rows_scanned, layout) ROW_NUMBER
+    "z07_layout_advisor" -> {
+      val z = zExpr("xb", "yb")
+      s"""WITH bounds AS (
+         |  SELECT MIN(l_orderkey) AS ok0, MAX(l_orderkey) AS ok1,
+         |         MIN(l_partkey) AS pk0, MAX(l_partkey) AS pk1,
+         |         MIN(l_suppkey) AS sk0, MAX(l_suppkey) AS sk1
+         |  FROM lineitem
+         |), g AS (
+         |  SELECT l_partkey, l_suppkey,
+         |    (l_orderkey - ok0) * 256 // (ok1 - ok0 + 1) AS b_arrival,
+         |    (l_partkey - pk0) * 256 // (pk1 - pk0 + 1) AS b_pksort,
+         |    (l_partkey - pk0) * 65536 // (pk1 - pk0 + 1) AS xb,
+         |    (l_suppkey - sk0) * 65536 // (sk1 - sk0 + 1) AS yb
+         |  FROM lineitem CROSS JOIN bounds
+         |), lb AS (
+         |  SELECT 'arrival' AS layout, b_arrival AS bucket, l_partkey, l_suppkey FROM g
+         |  UNION ALL
+         |  SELECT 'pksort', b_pksort, l_partkey, l_suppkey FROM g
+         |  UNION ALL
+         |  SELECT 'zorder', ($z) // $ZBucketDiv, l_partkey, l_suppkey FROM g
+         |), zones AS (
+         |  SELECT layout, bucket, COUNT(*) AS n,
+         |    MIN(l_partkey) AS min_pk, MAX(l_partkey) AS max_pk,
+         |    MIN(l_suppkey) AS min_sk, MAX(l_suppkey) AS max_sk
+         |  FROM lb GROUP BY layout, bucket
+         |), probes AS (
+         |  SELECT q,
+         |    pk0 + (pk1 - pk0 + 1) * q // 4 AS lo_pk,
+         |    pk0 + (pk1 - pk0 + 1) * (q + 1) // 4 - 1 AS hi_pk,
+         |    sk0 + (sk1 - sk0 + 1) * q // 4 AS lo_sk,
+         |    sk0 + (sk1 - sk0 + 1) * (q + 1) // 4 - 1 AS hi_sk
+         |  FROM bounds, unnest(range(0, 4)) AS t(q)
+         |), touched AS (
+         |  SELECT layout, q, COUNT(*) AS n_buckets,
+         |    CAST(SUM(CASE WHEN min_pk <= hi_pk AND max_pk >= lo_pk
+         |               AND min_sk <= hi_sk AND max_sk >= lo_sk THEN 1 ELSE 0 END) AS BIGINT) AS n_touched,
+         |    CAST(SUM(CASE WHEN min_pk <= hi_pk AND max_pk >= lo_pk
+         |               AND min_sk <= hi_sk AND max_sk >= lo_sk THEN n ELSE 0 END) AS BIGINT) AS rows_scanned
+         |  FROM zones CROSS JOIN probes
+         |  GROUP BY layout, q
+         |), exact AS (
+         |  SELECT q,
+         |    COUNT(CASE WHEN l_partkey BETWEEN lo_pk AND hi_pk
+         |               AND l_suppkey BETWEEN lo_sk AND hi_sk THEN 1 END) AS rows_matching,
+         |    COUNT(*) AS rows_total
+         |  FROM lineitem CROSS JOIN probes
+         |  GROUP BY q
+         |), ranked AS (
+         |  SELECT t.q, t.layout, t.n_buckets, t.n_touched, t.rows_scanned,
+         |    e.rows_matching,
+         |    t.rows_scanned::DOUBLE / e.rows_total::DOUBLE AS scan_fraction,
+         |    ROW_NUMBER() OVER (PARTITION BY t.q
+         |      ORDER BY t.rows_scanned ASC, t.layout ASC) AS rk
+         |  FROM touched t JOIN exact e ON e.q = t.q
+         |)
+         |SELECT q, layout, n_buckets, n_touched, rows_scanned, rows_matching,
+         |  scan_fraction, rk = 1 AS is_best
+         |FROM ranked
+         |ORDER BY q, layout""".stripMargin
     },
 
     // the same range-bucket file models and the manifest-sized interval

@@ -1822,6 +1822,107 @@ object Similarity {
         .orderBy("nprobe")
     }),
 
+    // CENTROID-OUTLIER AUDIT — the embedding-space noisy-data detector:
+    // vectors far from their OWN label centroid are mislabeled points,
+    // encoder glitches, or out-of-distribution junk, and a curation
+    // pipeline quarantines them before they poison contrastive training.
+    // Every vector is scored against its own label's centroid
+    // (centroidComponents — order-free fixed-point sums, broadcast
+    // |labels| rows, the corpus never shuffles for the score) and the
+    // cosine lands on the integer grid as ppb1 = floor((1+cos)·1e9)
+    // (the +1 shift keeps every value nonnegative so the mean's floor
+    // division needs no trunc-vs-floor reconciliation — the a21 lesson).
+    // The outlier fence is data-derived, not a magic constant: per label
+    // mean − 2σ, with σ on the same grid via exact decimal(38,0) moment
+    // sums (n·Σx² − (Σx)², the g06 discipline) and one floor(sqrt) both
+    // engines evaluate on the identical exact integer. Output per label:
+    // population, mean/σ/fence, outlier count, and the worst vector
+    // (min ppb1, ties to min vec_id). Scale shape: one posexplode agg
+    // for centroids, one broadcast join + per-row cosine, two
+    // map-side-combinable label aggs — corpus-linear, |labels|-row
+    // everything after the scan.
+    "e29_centroid_outliers" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val cents = centroidComponents(e)
+        .groupBy("label")
+        .agg(transform(sort_array(collect_list(struct(col("dim"), col("c")))), x => x.getField("c"))
+          .cast("array<float>").as("centroid"))
+      val dec = "decimal(38,0)"
+      val scored = e.join(broadcast(cents), "label")
+        .select(col("label").cast("long").as("label"), col("vec_id"),
+          floor((cosine_similarity(col("embedding"), col("centroid")) + lit(1.0)) * lit(1.0e9))
+            .cast("long").as("ppb1"))
+      val stats = scored.groupBy("label")
+        .agg(count(lit(1)).as("n"),
+          sum(col("ppb1").cast(dec)).as("sp"),
+          sum(col("ppb1").cast(dec) * col("ppb1").cast(dec)).as("sp2"),
+          min("ppb1").as("worst_ppb1"))
+        .select(col("label"), col("n"), col("worst_ppb1"),
+          expr("CAST(sp DIV n AS BIGINT)").as("mean_ppb1"),
+          floor(sqrt((col("n").cast(dec) * col("sp2") - col("sp") * col("sp")).cast("double"))
+            / col("n").cast("double")).cast("long").as("sigma_ppb1"))
+        .withColumn("fence_ppb1", col("mean_ppb1") - lit(2L) * col("sigma_ppb1"))
+      scored.join(broadcast(stats), "label")
+        .groupBy("label")
+        .agg(first("n").as("n"), first("mean_ppb1").as("mean_ppb1"),
+          first("sigma_ppb1").as("sigma_ppb1"), first("fence_ppb1").as("fence_ppb1"),
+          sum(when(col("ppb1") < col("fence_ppb1"), 1L).otherwise(0L)).as("n_outliers"),
+          min(when(col("ppb1") === col("worst_ppb1"), col("vec_id"))).as("worst_vec_id"),
+          first("worst_ppb1").as("worst_ppb1"))
+        .orderBy("label")
+    }),
+
+    // CENTROID-DRIFT MONITOR — the embedding-side sibling of t32/t33's
+    // text distribution-shift reports: when the encoder version changes
+    // or the corpus mix moves, per-label centroids DRIFT, and every
+    // consumer blocked on those centroids (e11 SemDeDup cells, e06/e19
+    // IVF, e05 itself) silently degrades. The corpus splits into two
+    // epochs by ingestion order (vec_id·2 ≤ max id — deterministic,
+    // broadcast 1-row bound) and each (label, dim) gets both halves'
+    // fixed-point component sums. The headline number is DIVISION-FREE:
+    // Δ(dim) = |sa·nb − sb·na| in decimal(38,0) — exact cross-multiplied
+    // mean difference, no floor-div sign trap (the a21 lesson: sa/sb may
+    // be negative) — normalized once at the end by the double division
+    // /(na·nb·2^30), both engines dividing the same exact integers.
+    // Output per label: both populations, the L1 mean drift, and the
+    // worst dimension (argmax Δ, ties to min dim) with its drift — the
+    // "which feature moved" pointer a drift alert pages with. Scale
+    // shape: one posexplode agg into |labels|·dims·2 rows; everything
+    // after is metadata-sized.
+    "e30_centroid_drift" -> ((s, dir) => {
+      val dec = "decimal(38,0)"
+      val e = Tables.embeddings(s, dir)
+      val bound = e.agg(max("vec_id").as("nmax"))
+      val comps = e.crossJoin(broadcast(bound))
+        .withColumn("half", when(col("vec_id") * 2 <= col("nmax"), lit("a")).otherwise(lit("b")))
+        .select(col("label"), col("half"), posexplode(col("embedding")).as(Seq("dim", "v")))
+        .groupBy("label", "dim", "half")
+        .agg(sum(floor(col("v").cast("double") * CentroidFixScale).cast(dec)).as("sfix"),
+          count(lit(1)).as("n"))
+      val d = comps.filter(col("half") === "a")
+        .select(col("label"), col("dim"), col("sfix").as("sa"), col("n").as("na"))
+        .join(comps.filter(col("half") === "b")
+          .select(col("label"), col("dim"), col("sfix").as("sb"), col("n").as("nb")),
+          Seq("label", "dim"))
+        .select(col("label").cast("long").as("label"), col("dim"), col("na"), col("nb"),
+          abs(col("sa") * col("nb").cast(dec) - col("sb") * col("na").cast(dec)).as("ad"))
+      val wTop = Window.partitionBy("label").orderBy(col("ad").desc, col("dim").asc)
+      val top = d.withColumn("rn", row_number().over(wTop)).filter(col("rn") === 1)
+        .select(col("label"), col("dim").cast("long").as("top_dim"), col("ad").as("top_ad"))
+      d.groupBy("label")
+        .agg(first("na").as("n_a"), first("nb").as("n_b"), sum("ad").as("l1s"))
+        .join(top, "label")
+        .select(col("label"), col("n_a"), col("n_b"),
+          (col("l1s").cast("double") /
+            (col("n_a").cast(dec) * col("n_b").cast(dec) * lit(CentroidFixScale).cast(dec))
+              .cast("double")).as("l1_drift"),
+          col("top_dim"),
+          (col("top_ad").cast("double") /
+            (col("n_a").cast(dec) * col("n_b").cast(dec) * lit(CentroidFixScale).cast(dec))
+              .cast("double")).as("top_dim_drift"))
+        .orderBy("label")
+    }),
+
     // PRODUCT QUANTIZATION (PQ): the codebook compression behind
     // billion-vector ANN indexes (IVF-PQ) — split every vector into M=4
     // 16-dim subvectors, assign each to its nearest codeword in that
@@ -2912,6 +3013,87 @@ object Similarity {
          |  CAST(CASE WHEN np = (SELECT pick FROM sel) THEN 1 ELSE 0 END AS BIGINT) AS selected
          |FROM pernp ORDER BY nprobe""".stripMargin
     },
+
+    // e29: duckIvfCtes' centroid assembly keyed by label (the vector's
+    // OWN label, no ranking); ppb1/mean/σ restated on the same integer
+    // grid — HUGEINT moment sums, one floor(sqrt(exact integer)) per
+    // label, floor division safe by the +1 shift (all values ≥ 0)
+    "e29_centroid_outliers" ->
+      s"""WITH x AS (
+         |  SELECT label, vec_id,
+         |    unnest([{'d': i - 1, 'v': embedding[i]::DOUBLE} for i in range(1, len(embedding) + 1)]) AS u
+         |  FROM embeddings
+         |), cd AS (
+         |  SELECT label, u.d AS dim,
+         |    CAST(SUM(CAST(floor(u.v * 1073741824.0) AS HUGEINT)) AS DOUBLE)
+         |      / CAST(COUNT(*) AS DOUBLE) / 1073741824.0 AS c
+         |  FROM x GROUP BY label, u.d
+         |), cent AS (
+         |  SELECT label, list_transform(list(c ORDER BY dim), v -> v::FLOAT) AS ce
+         |  FROM cd GROUP BY label
+         |), scored AS (
+         |  SELECT CAST(e.label AS BIGINT) AS label, e.vec_id,
+         |    CAST(floor((1.0 + list_sum([e.embedding[i]::DOUBLE * c.ce[i]::DOUBLE for i in range(1, len(e.embedding) + 1)])
+         |      / sqrt(list_sum([e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE for i in range(1, len(e.embedding) + 1)]))
+         |      / sqrt(list_sum([c.ce[i]::DOUBLE * c.ce[i]::DOUBLE for i in range(1, len(c.ce) + 1)]))) * 1000000000.0)
+         |      AS BIGINT) AS ppb1
+         |  FROM embeddings e JOIN cent c ON c.label = e.label
+         |), st AS (
+         |  SELECT label, COUNT(*) AS n, MIN(ppb1) AS worst_ppb1,
+         |    CAST(SUM(CAST(ppb1 AS HUGEINT)) // COUNT(*) AS BIGINT) AS mean_ppb1,
+         |    CAST(floor(sqrt(CAST(COUNT(*) * SUM(CAST(ppb1 AS HUGEINT) * ppb1)
+         |        - SUM(CAST(ppb1 AS HUGEINT)) * SUM(CAST(ppb1 AS HUGEINT)) AS DOUBLE))
+         |      / CAST(COUNT(*) AS DOUBLE)) AS BIGINT) AS sigma_ppb1
+         |  FROM scored GROUP BY label
+         |)
+         |SELECT s.label, st.n, st.mean_ppb1, st.sigma_ppb1,
+         |  st.mean_ppb1 - 2 * st.sigma_ppb1 AS fence_ppb1,
+         |  CAST(SUM(CASE WHEN s.ppb1 < st.mean_ppb1 - 2 * st.sigma_ppb1 THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+         |  MIN(CASE WHEN s.ppb1 = st.worst_ppb1 THEN s.vec_id END) AS worst_vec_id,
+         |  st.worst_ppb1
+         |FROM scored s JOIN st USING (label)
+         |GROUP BY s.label, st.n, st.mean_ppb1, st.sigma_ppb1, st.worst_ppb1
+         |ORDER BY label""".stripMargin,
+
+    // e30: the same epoch split, HUGEINT fixed-point component sums, and
+    // the division-free cross-multiplied Δ; one double division at the
+    // end over identical exact integers
+    "e30_centroid_drift" ->
+      """WITH bd AS (
+        |  SELECT MAX(vec_id) AS nmax FROM embeddings
+        |), x AS (
+        |  SELECT label,
+        |    CASE WHEN vec_id * 2 <= bd.nmax THEN 'a' ELSE 'b' END AS half,
+        |    unnest([{'d': i - 1, 'v': embedding[i]::DOUBLE} for i in range(1, len(embedding) + 1)]) AS u
+        |  FROM embeddings CROSS JOIN bd
+        |), cs AS (
+        |  SELECT label, u.d AS dim, half,
+        |    SUM(CAST(floor(u.v * 1073741824.0) AS HUGEINT)) AS sfix, COUNT(*) AS n
+        |  FROM x GROUP BY label, u.d, half
+        |), d AS (
+        |  SELECT CAST(a.label AS BIGINT) AS label, a.dim, a.n AS na, b.n AS nb,
+        |    abs(a.sfix * b.n - b.sfix * a.n) AS ad
+        |  FROM (SELECT * FROM cs WHERE half = 'a') a
+        |  JOIN (SELECT * FROM cs WHERE half = 'b') b
+        |    ON b.label = a.label AND b.dim = a.dim
+        |), top AS (
+        |  SELECT label, CAST(dim AS BIGINT) AS top_dim, ad AS top_ad FROM (
+        |    SELECT label, dim, ad,
+        |      ROW_NUMBER() OVER (PARTITION BY label ORDER BY ad DESC, dim ASC) AS rn
+        |    FROM d)
+        |  WHERE rn = 1
+        |), agg AS (
+        |  SELECT label, MIN(na) AS n_a, MIN(nb) AS n_b, SUM(ad) AS l1s
+        |  FROM d GROUP BY label
+        |)
+        |SELECT agg.label, CAST(agg.n_a AS BIGINT) AS n_a, CAST(agg.n_b AS BIGINT) AS n_b,
+        |  CAST(agg.l1s AS DOUBLE)
+        |    / CAST(agg.n_a::HUGEINT * agg.n_b * 1073741824 AS DOUBLE) AS l1_drift,
+        |  top.top_dim,
+        |  CAST(top.top_ad AS DOUBLE)
+        |    / CAST(agg.n_a::HUGEINT * agg.n_b * 1073741824 AS DOUBLE) AS top_dim_drift
+        |FROM agg JOIN top USING (label)
+        |ORDER BY agg.label""".stripMargin,
 
     "e06_ivf_ann" ->
       s"""WITH $duckIvfCtes, cand AS (

@@ -687,8 +687,59 @@ object Temporal {
         .select(col("gap_bucket"), col("n_gaps"), col("min_gap_s"), col("max_gap_s"),
           (col("sg").cast("double") / col("n_gaps").cast("double")).as("mean_gap_s"))
         .orderBy("gap_bucket")
-    })
+    }),
+
+    // GROWTH ACCOUNTING — the weekly new/retained/resurrected/churned
+    // ledger every activity dashboard leads with (and the identity it
+    // must satisfy: active_w = new + retained + resurrected;
+    // churned_w = users active in w−1 and silent in w). Weeks are the
+    // integer epoch-day div 7 (an absolute grid — both engines bucket
+    // identically with no week-origin convention to reconcile, the a18
+    // isodow lesson). One (user, week)-distinct agg collapses any event
+    // volume, then ONE user-keyed window pass (lag + running min — state
+    // is two longs per user, never a collected list) classifies every
+    // active week and dates each churn; the ledger is ≤ weeks rows.
+    // Churn for the week AFTER the corpus's last observed week is
+    // unknowable, so rows stop at max_wk (documented, both engines).
+    "a24_growth_accounting" -> ((s, dir) =>
+      growthLedger(Tables.events(s, dir)
+        .select(col("user_id"),
+          expr("datediff(CAST(ts AS DATE), DATE '1970-01-01') div 7").as("wk"))
+        .distinct()))
   )
+
+  /** a24 core over DISTINCT (user_id, wk) rows — extracted so the
+    * streaming sibling (s29: Complete-mode user-week state drained into
+    * the same ledger) shares one definition and the two cannot drift.
+    * One user-keyed window pass (lag/lead + running min — two longs of
+    * state per user, never a collected list) classifies every active
+    * week and dates each churn; the ledger is ≤ weeks rows.
+    */
+  private[graft] def growthLedger(uw: DataFrame): DataFrame = {
+    val wUser = Window.partitionBy("user_id").orderBy("wk")
+    val flags = uw
+      .withColumn("first_wk", min("wk").over(
+        Window.partitionBy("user_id").orderBy("wk")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("prev_wk", lag("wk", 1).over(wUser))
+      .withColumn("next_wk", lead("wk", 1).over(wUser))
+    val maxWk = uw.agg(max("wk").as("max_wk"))
+    val active = flags.groupBy("wk").agg(
+      count(lit(1)).as("n_active"),
+      sum(when(col("wk") === col("first_wk"), 1L).otherwise(0L)).as("n_new"),
+      sum(when(col("wk") =!= col("first_wk") && col("prev_wk") === col("wk") - 1, 1L)
+        .otherwise(0L)).as("n_retained"),
+      sum(when(col("wk") =!= col("first_wk") && (col("prev_wk") =!= col("wk") - 1), 1L)
+        .otherwise(0L)).as("n_resurrected"))
+    val churn = flags.crossJoin(broadcast(maxWk))
+      .filter((col("next_wk").isNull || col("next_wk") > col("wk") + 1) &&
+        col("wk") + 1 <= col("max_wk"))
+      .groupBy((col("wk") + 1).as("wk")).agg(count(lit(1)).as("n_churned"))
+    active.join(churn, Seq("wk"), "left")
+      .select(col("wk"), col("n_active"), col("n_new"), col("n_retained"),
+        col("n_resurrected"), coalesce(col("n_churned"), lit(0L)).as("n_churned"))
+      .orderBy("wk")
+  }
 
   /** a21 half-life: one day of seconds. */
   val DecayHalfLifeSec = 86400L
@@ -952,6 +1003,38 @@ object Temporal {
         |  CAST(SUM(gap) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mean_gap_s
         |FROM b GROUP BY gap_bucket
         |ORDER BY gap_bucket""".stripMargin,
+
+    // weeks on the same absolute epoch-day div-7 grid; the lag/lead
+    // classification and the churn dating restated verbatim
+    "a24_growth_accounting" ->
+      """WITH uw AS (
+        |  SELECT DISTINCT user_id,
+        |    CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS BIGINT) // 7 AS wk
+        |  FROM events
+        |), f AS (
+        |  SELECT user_id, wk,
+        |    MIN(wk) OVER (PARTITION BY user_id) AS first_wk,
+        |    LAG(wk) OVER (PARTITION BY user_id ORDER BY wk) AS prev_wk,
+        |    LEAD(wk) OVER (PARTITION BY user_id ORDER BY wk) AS next_wk
+        |  FROM uw
+        |), mx AS (
+        |  SELECT MAX(wk) AS max_wk FROM uw
+        |), act AS (
+        |  SELECT wk, COUNT(*) AS n_active,
+        |    CAST(SUM(CASE WHEN wk = first_wk THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+        |    CAST(SUM(CASE WHEN wk <> first_wk AND prev_wk = wk - 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_retained,
+        |    CAST(SUM(CASE WHEN wk <> first_wk AND prev_wk <> wk - 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_resurrected
+        |  FROM f GROUP BY wk
+        |), ch AS (
+        |  SELECT f.wk + 1 AS wk, COUNT(*) AS n_churned
+        |  FROM f CROSS JOIN mx
+        |  WHERE (f.next_wk IS NULL OR f.next_wk > f.wk + 1) AND f.wk + 1 <= mx.max_wk
+        |  GROUP BY f.wk + 1
+        |)
+        |SELECT a.wk, a.n_active, a.n_new, a.n_retained, a.n_resurrected,
+        |  COALESCE(c.n_churned, 0) AS n_churned
+        |FROM act a LEFT JOIN ch c USING (wk)
+        |ORDER BY wk""".stripMargin,
 
     // the same fixed-point snap, explicit floor-div decay (the CASE's
     // branches divide nonnegative operands, so trunc-div and floor-div

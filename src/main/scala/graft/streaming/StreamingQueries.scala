@@ -835,6 +835,25 @@ object StreamingQueries {
         .agg(count(lit(1)).as("n_events"), sum("vfp").as("sum_vfp"))
       graft.operators.Temporal.dayDecayRollup(
         runToTable(m, OutputMode.Complete(), statePartitions = Some(8)))
+    }),
+
+    // STREAMING GROWTH ACCOUNTING — a24's weekly new/retained/
+    // resurrected/churned ledger fed live (the s27 shape): streaming
+    // state is the ADDITIVE (user_id, wk) presence table — Complete-mode
+    // count agg, one row per user-week, no lag/lead anywhere near the
+    // stream — and the drained state runs through Temporal.growthLedger,
+    // the SAME core a24 compiles to, so batch/stream parity holds by
+    // construction (one definition of the ledger, one oracle). Week =
+    // the epoch-day div-7 integer grid; state is |user-weeks| rows.
+    "s29_stream_growth" -> ((s, dir) => {
+      val uw = eventsStream(s, dir)
+        .select(col("user_id"),
+          expr("datediff(CAST(ts AS DATE), DATE '1970-01-01') div 7").as("wk"))
+        .groupBy("user_id", "wk")
+        .agg(count(lit(1)).as("n"))
+      graft.operators.Temporal.growthLedger(
+        runToTable(uw, OutputMode.Complete(), statePartitions = Some(8))
+          .select("user_id", "wk"))
     })
   )
 
@@ -1329,6 +1348,11 @@ object StreamingQueries {
         |)
         |SELECT event_type, CAST(rank AS BIGINT) AS rank, user_id, n_events
         |FROM rk WHERE rank <= 5
-        |ORDER BY event_type, rank""".stripMargin
+        |ORDER BY event_type, rank""".stripMargin,
+
+    // batch/stream parity by construction: the streaming side drains its
+    // (user, wk) presence state into Temporal.growthLedger — the same
+    // core a24 compiles to — so ONE oracle defines the ledger for both
+    "s29_stream_growth" -> graft.operators.Temporal.oracles("a24_growth_accounting")
   )
 }

@@ -263,4 +263,75 @@ class CurationSpec extends SparkSpec {
     assert(got.map(_.getString(0)).toSeq === Seq("A"))
     assert(got(0).getLong(1) === 3L)
   }
+
+  test("p15 dataset card hand trace: cross-source dup flagged on both sides, exact median, lang mode") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-p15").toString
+    try {
+      // src A: 3 docs (en, en, de) with token counts 1/3/5 (median 3);
+      //   doc 2 duplicates doc 10 in src B ACROSS sources (normalization
+      //   kills case + punctuation)
+      // src B: 2 docs, median = lower of {2, 4} = 2; one dup with A
+      Seq(
+        (1L, "one", "en", "A"),
+        (2L, "Shared Text, Here!", "en", "A"),   // 3 ws-tokens
+        (3L, "a b c d e", "de", "A"),
+        (10L, "shared text here", "en", "B"),
+        (11L, "w x y z", "fr", "B"))
+        .toDF("doc_id", "text", "lang", "source")
+        .withColumn("n_chars", length(col("text")).cast("long"))
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      val got = Curation.queries("p15_dataset_card")(spark, dir).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getString(5), r.getLong(6), r.getLong(7)))
+        .toSeq
+      assert(got.map(_._1) === Seq("A", "B"))
+      val a = got(0); val b = got(1)
+      assert(a._2 === 3L && b._2 === 2L, "populations")
+      assert(a._3 === 1L + 3L + 5L && b._3 === 3L + 4L, "token masses")
+      assert(a._5 === 3L && b._5 === 3L, "exact lower medians")
+      // lang mode: A has en x2 / de x1; B ties en/fr -> 'en' by lang ASC
+      assert(a._6 === "en" && a._7 === 666666L)
+      assert(b._6 === "en" && b._7 === 500000L)
+      // the cross-source duplicate counts in BOTH sources' dup_ppm
+      assert(a._8 === 333333L && b._8 === 500000L, s"dup ppm: $a $b")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
+  test("p15 on the fixture: partitions the corpus, dup mass agrees with d02's census") {
+    val got = Curation.queries("p15_dataset_card")(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getString(5), r.getLong(6), r.getLong(7)))
+    assert(got.nonEmpty)
+    val docs = graft.Tables.documents(spark, sfDir).count()
+    assert(got.map(_._2).sum === docs, "cards partition the corpus")
+    got.foreach { c =>
+      assert(c._7 > 0L && c._7 <= 1000000L, s"${c._1}: top-lang ppm in (0, 1e6]")
+      assert(c._8 >= 0L && c._8 < 1000000L, s"${c._1}: dup ppm in [0, 1e6)")
+      assert(c._4 > 0L && c._5 > 0L)
+    }
+    // total dup docs across cards == docs sitting in d02 groups of size >= 2
+    // (same normalize->fingerprint rule; ppm rounding avoided by recount)
+    val base = graft.Tables.documents(spark, sfDir)
+      .select(org.apache.spark.sql.functions.col("source"),
+        graft.functions.HashingFunctions.rolling_fingerprint(
+          org.apache.spark.sql.functions.regexp_replace(
+            org.apache.spark.sql.functions.lower(
+              org.apache.spark.sql.functions.col("text")), "[^a-z0-9 ]", "")).as("fp"))
+    val dupTotal = base.groupBy("fp")
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("n"))
+      .filter("n >= 2")
+      .agg(org.apache.spark.sql.functions.sum("n")).collect()(0)
+    val expected = if (dupTotal.isNullAt(0)) 0L else dupTotal.getLong(0)
+    val perSource = base.join(
+      base.groupBy("fp").agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("n")).filter("n >= 2").select("fp"),
+      Seq("fp"), "left_semi").count()
+    assert(perSource === expected)
+    info(s"corpus dup docs: $expected of $docs")
+  }
 }

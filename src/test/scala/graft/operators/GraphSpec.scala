@@ -350,4 +350,39 @@ class GraphSpec extends SparkSpec {
       ("hub", 1L, 1L, 1000000L),
       ("hub", 2L, 2L, 428571L)))
   }
+
+  test("g14 PPR round-1 hand trace on the star: seed hub dominates, non-seed leaf trails") {
+    // star 1-(2,3,4,5): deg(1)=4, leaves deg 1. Seeds (deg DESC, id ASC,
+    // k=4) = {1, 2, 3, 4}; 5 is active but unseeded. r0 = 1e12 at seeds.
+    // Round 1: m(1) = r2+r3+r4+r5 = 3e12 -> rank 1.5e11 + 2.55e12;
+    //          m(leaf) = floor(1e12/4) = 2.5e11 -> seeds 1.5e11+2.125e11,
+    //          leaf 5 just 2.125e11 (no restart mass).
+    val e = edges((1, 2), (1, 3), (1, 4), (1, 5))
+    val got = Graph.pprRanks(e, rounds = 1).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSeq
+    assert(got === Seq(
+      (1L, 2700000000000L, true),
+      (2L, 362500000000L, true),
+      (3L, 362500000000L, true),
+      (4L, 362500000000L, true),
+      (5L, 212500000000L, false)))
+  }
+
+  test("g14 PPR personalizes: a component without a seed never acquires rank") {
+    // K4 on {1,2,3,4} (deg 3 each — all four seeds land here) plus a
+    // disjoint triangle {10,11,12} (deg 2). Uniform PageRank would rank
+    // the triangle; PERSONALIZED PageRank must leave it at exactly 0 —
+    // restart mass only re-enters at the seeds, and no walk crosses
+    // components.
+    val e = edges((1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4),
+      (10, 11), (10, 12), (11, 12))
+    val got = Graph.pprRanks(e).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    val (k4, tri) = got.partition(_._1 < 10L)
+    assert(tri.map(_._1).toSet === Set(10L, 11L, 12L))
+    assert(tri.forall(r => r._2 === 0L && !r._3), s"unseeded component must stay rank 0: ${tri.toSeq}")
+    assert(k4.forall(_._3), "all four K4 vertices are seeds")
+    // symmetric seeds on a vertex-transitive graph: identical ranks > 0
+    assert(k4.map(_._2).toSet.size === 1 && k4.head._2 > 0L, s"K4 ranks: ${k4.toSeq}")
+  }
 }

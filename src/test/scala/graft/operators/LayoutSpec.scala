@@ -165,4 +165,34 @@ class LayoutSpec extends SparkSpec {
     val meanPass = got.map(_.getLong(3)).sum.toDouble / got.length
     assert(meanPass <= 8.0, s"expected strong skipping, mean pass = $meanPass")
   }
+
+  test("z07 advisor: one winner per probe, and on 2-D boxes it must be z-order") {
+    val rows = Layout.queries("z07_layout_advisor")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getDouble(6), r.getBoolean(7)))
+    assert(rows.length === 12, "4 probes x 3 layouts")
+    rows.groupBy(_._1).foreach { case (q, g) =>
+      assert(g.map(_._2).sorted.toSeq === Seq("arrival", "pksort", "zorder"))
+      // exactly one winner, and it is the row with the fewest scanned rows
+      val best = g.filter(_._8)
+      assert(best.length === 1, s"probe $q winners: ${best.toSeq}")
+      assert(best.head._5 === g.map(_._5).min, s"probe $q winner not minimal")
+      // zone maps never under-scan: scanned >= matching everywhere
+      g.foreach(r => assert(r._5 >= r._6, s"probe $q ${r._2} under-scans"))
+    }
+    val byLayout = rows.groupBy(_._2)
+    // arrival order is uncorrelated with (partkey, suppkey): files span
+    // ~the whole key domain and essentially nothing is skippable (at the
+    // tiny spec fixture an occasional near-empty file does prune — hence
+    // >= 0.95, not == 1.0; sf0.01+ measures exactly 1.0)
+    byLayout("arrival").foreach(r => assert(r._7 >= 0.95, s"arrival should scan ~all: $r"))
+    // the single-key sort prunes ONE dimension (~1/4 on quartile boxes);
+    // the interleave prunes both — strictly better on every 2-D probe
+    rows.groupBy(_._1).foreach { case (q, g) =>
+      val by = g.map(r => r._2 -> r._5).toMap
+      assert(by("zorder") < by("pksort") && by("pksort") < by("arrival"),
+        s"probe $q expected zorder < pksort < arrival, got $by")
+    }
+    assert(byLayout("zorder").forall(_._8), "z-order should win every 2-D probe here")
+  }
 }

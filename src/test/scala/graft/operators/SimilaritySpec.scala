@@ -754,4 +754,89 @@ class SimilaritySpec extends SparkSpec {
     val cleared = rows.filter(_._5 == 1L).map(_._1)
     assert(sel === (if (cleared.nonEmpty) cleared.min else 4L))
   }
+
+  test("e29 centroid outliers: planted antipode is flagged, homogeneous label is clean") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // label 0: nine copies of +e1 and ONE antipodal vector (vec 9) —
+    //   ppb1 ~ {2e9 x9, ~0 x1}: mean 1.8e9, sigma 6e8, fence 6e8, so
+    //   exactly the antipode sits under mean - 2*sigma.
+    // label 1: five identical vectors — sigma = 0, fence = mean, zero
+    //   outliers (nobody is strictly below their own value).
+    val dir = java.nio.file.Files.createTempDirectory("graft-e29").toString
+    try {
+      val rows =
+        (0L to 8L).map(i => (i, Array(1.0f, 0.0f, 0.0f, 0.0f), 0)) ++
+          Seq((9L, Array(-1.0f, 0.0f, 0.0f, 0.0f), 0)) ++
+          (10L to 14L).map(i => (i, Array(0.5f, 0.5f, 0.0f, 0.0f), 1))
+      rows.toDF("vec_id", "embedding", "label")
+        .select(col("vec_id"), col("embedding"), col("label").cast("int").as("label"))
+        .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+      val got = Similarity.queries("e29_centroid_outliers")(spark, dir).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7)))
+        .toSeq
+      assert(got.map(_._1) === Seq(0L, 1L))
+      val l0 = got(0); val l1 = got(1)
+      assert(l0._2 === 10L && l1._2 === 5L, "populations")
+      // label 0: exactly the planted antipode, and it is the worst vector
+      assert(l0._6 === 1L, s"label 0 outliers: $l0")
+      assert(l0._7 === 9L, "worst vector is the antipode")
+      assert(l0._8 < l0._5, "worst ppb1 sits under the fence")
+      // label 1: zero spread -> sigma 0, fence = mean, no outliers
+      assert(l1._4 === 0L && l1._5 === l1._3, s"label 1 sigma/fence: $l1")
+      assert(l1._6 === 0L && l1._7 === 10L)
+      // fence is exactly mean - 2*sigma on both rows
+      got.foreach { r => assert(r._5 === r._3 - 2L * r._4) }
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
+  test("e29 on the fixture: per-label rows, outliers bounded by Chebyshev, worst vector consistent") {
+    val got = Similarity.queries("e29_centroid_outliers")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7)))
+    val labels = graft.Tables.embeddings(spark, sfDir).select("label").distinct().count()
+    assert(got.length === labels)
+    got.foreach { case (lbl, n, mean, sigma, fence, out, _, worst) =>
+      assert(fence === mean - 2L * sigma, s"label $lbl fence")
+      assert(worst >= 0L && worst <= 2000000000L, s"label $lbl worst ppb1 in [0, 2e9]")
+      assert(mean >= worst, s"label $lbl mean >= min")
+      // Chebyshev: at most n/4 points sit 2 sigma under the mean
+      assert(out * 4L <= n, s"label $lbl outlier bound")
+    }
+  }
+
+  test("e30 centroid drift: planted e1->e2 flip reads exactly 2.0; identical halves read 0") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-e30").toString
+    try {
+      // epoch split is global: nmax = 9, half a = ids 0..4, half b = 5..9
+      // label 0: epoch a all +e1, epoch b all +e2 -> per-dim mean drift
+      //   1.0 on dims 0 and 1, zero elsewhere: l1 = 2.0 exactly (the
+      //   2^-30 grid represents 1.0 and 0.0 exactly); top_dim = 0 (tie
+      //   with dim 1 broken to the smaller dim)
+      // label 1: both epochs identical -> drift exactly 0
+      val e1 = Array(1.0f, 0.0f, 0.0f, 0.0f)
+      val e2 = Array(0.0f, 1.0f, 0.0f, 0.0f)
+      val h = Array(0.5f, 0.5f, 0.0f, 0.0f)
+      val rows = Seq(
+        (0L, e1, 0), (1L, e1, 0), (5L, e2, 0), (6L, e2, 0),
+        (2L, h, 1), (3L, h, 1), (4L, h, 1), (7L, h, 1), (8L, h, 1), (9L, h, 1))
+      rows.toDF("vec_id", "embedding", "label")
+        .select(col("vec_id"), col("embedding"), col("label").cast("int").as("label"))
+        .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+      val got = Similarity.queries("e30_centroid_drift")(spark, dir).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+          r.getLong(4), r.getDouble(5)))
+        .toSeq
+      assert(got === Seq(
+        (0L, 2L, 2L, 2.0, 0L, 1.0),
+        (1L, 3L, 3L, 0.0, 0L, 0.0)))
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
 }

@@ -399,4 +399,58 @@ class TemporalSpec extends SparkSpec {
     val expected = ev.count() - ev.select(countDistinct(col("user_id"))).head().getLong(0)
     assert(rows.map(_._2).sum === expected)
   }
+
+  test("a24 growth accounting hand trace: new/retained/resurrected/churned ledger") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // weeks on the epoch-day div-7 grid: 1970-01-01 = wk0, +7d = wk1, +14d = wk2
+    // A: wk0, wk1          (retained at wk1, churned at wk2)
+    // B: wk0               (churned at wk1)
+    // C: wk0, wk2          (churned at wk1, resurrected at wk2)
+    // D: wk2               (new at wk2)
+    val dir = java.nio.file.Files.createTempDirectory("graft-a24").toString
+    try {
+      Seq(
+        ("A", "1970-01-01 10:00:00"), ("A", "1970-01-08 10:00:00"),
+        ("A", "1970-01-01 11:00:00"), // same-week repeat: must not double-count
+        ("B", "1970-01-02 10:00:00"),
+        ("C", "1970-01-03 10:00:00"), ("C", "1970-01-15 10:00:00"),
+        ("D", "1970-01-16 10:00:00"))
+        .toDF("u", "s")
+        .select(hash(col("u")).cast("long").as("user_id"), to_timestamp(col("s")).as("ts"))
+        .write.mode("overwrite").parquet(s"$dir/events.parquet")
+      val got = Temporal.queries("a24_growth_accounting")(spark, dir).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+        .toSeq
+      assert(got === Seq(
+        (0L, 3L, 3L, 0L, 0L, 0L),  // A,B,C all new
+        (1L, 1L, 0L, 1L, 0L, 2L),  // A retained; B,C churned
+        (2L, 2L, 1L, 0L, 1L, 1L))) // D new, C resurrected; A churned
+      // the accounting identity holds row by row
+      got.foreach { case (_, act, nw, ret, res, _) => assert(act === nw + ret + res) }
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
+  test("a24 on the fixture: identities hold (active = new+retained+resurrected, sum(new) = users)") {
+    import org.apache.spark.sql.functions._
+    val rows = Temporal.queries("a24_growth_accounting")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (wk, act, nw, ret, res, _) =>
+      assert(act === nw + ret + res, s"wk $wk identity")
+    }
+    val users = graft.Tables.events(spark, sfDir)
+      .select(countDistinct(col("user_id"))).head().getLong(0)
+    assert(rows.map(_._3).sum === users, "every user is new exactly once")
+    // churned_w <= active_{w-1}, and the first week churns nobody
+    val byWk = rows.map(r => r._1 -> r).toMap
+    rows.foreach { case (wk, _, _, _, _, ch) =>
+      byWk.get(wk - 1) match {
+        case Some((_, prevAct, _, _, _, _)) => assert(ch <= prevAct, s"wk $wk churn bound")
+        case None => assert(ch === 0L, s"wk $wk: no prior week, churn must be 0")
+      }
+    }
+  }
 }

@@ -209,4 +209,16 @@ class StreamingPipelineSpec extends SparkSpec {
     assert(streamed === batch)
     assert(streamed.nonEmpty)
   }
+
+  test("s29 growth ledger: streamed user-week state drains to exactly the batch a24 ledger") {
+    val streamed = StreamingQueries.queries("s29_stream_growth")(spark, sfDir)
+      .collect().map(_.toSeq).toSeq
+    val batch = graft.operators.Temporal.queries("a24_growth_accounting")(spark, sfDir)
+      .collect().map(_.toSeq).toSeq
+    // the streaming side only accumulates the additive (user, wk)
+    // presence table; the ledger itself is the SAME growthLedger core —
+    // parity is by construction and must be bit-identical
+    assert(streamed === batch)
+    assert(streamed.nonEmpty)
+  }
 }
