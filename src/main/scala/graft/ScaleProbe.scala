@@ -458,7 +458,19 @@ object ScaleProbe {
       // so replica pairs don't collide), the streaming leaderboard
       // (s28), and the lag-window spectrum (a23)
       "e28_nprobe_select", "d21_lexical_knn", "g12_ktruss", "g13_hits",
-      "m15_audio_neardup", "s28_stream_topk", "a23_interarrival_spectrum")
+      "m15_audio_neardup", "s28_stream_topk", "a23_interarrival_spectrum",
+      // round 12, second batch: seeded PageRank (g14 — g02b's per-round
+      // shape, 4 rounds + seed broadcast), the growth ledger pair (a24
+      // batch / s29 streaming — one (user, week)-distinct agg then
+      // metadata-sized windows; stream state = |user-weeks| rows), the
+      // dataset card (p15 — one text scan + 8-byte dup agg + source-
+      // partitioned windows), the layout advisor (z07 — one scan grades
+      // all three layouts, 3×256-row zones after), and the centroid
+      // audits (e29/e30 — posexplode agg into |labels|·dims rows,
+      // broadcast joins, label-keyed aggs; embeddings-capped 64×)
+      "g14_ppr", "a24_growth_accounting", "s29_stream_growth",
+      "p15_dataset_card", "z07_layout_advisor",
+      "e29_centroid_outliers", "e30_centroid_drift")
       // local iteration only: probe just a subset by name prefix
       .filter(n => sys.env.get("SPARK_GRAFT_ONLY")
         .forall(_.split(",").exists(n.startsWith)))

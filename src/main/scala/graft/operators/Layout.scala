@@ -237,10 +237,13 @@ object Layout {
     "z07_layout_advisor" -> ((s, dir) => {
       val li = Tables.lineitem(s, dir)
         .select("l_orderkey", "l_partkey", "l_suppkey")
-      val bounds = li.agg(
+      // 1-row frame referenced three times (grading, probes, and via
+      // probes the exact pass) — materialized so the bound agg scans
+      // lineitem ONCE, not once per reference
+      val bounds = graft.Materialize(li.agg(
         min("l_orderkey").as("ok0"), max("l_orderkey").as("ok1"),
         min("l_partkey").as("pk0"), max("l_partkey").as("pk1"),
-        min("l_suppkey").as("sk0"), max("l_suppkey").as("sk1"))
+        min("l_suppkey").as("sk0"), max("l_suppkey").as("sk1")))
       val graded = li.crossJoin(broadcast(bounds))
         .withColumn("xb", expr("(l_partkey - pk0) * 65536 div (pk1 - pk0 + 1)"))
         .withColumn("yb", expr("(l_suppkey - sk0) * 65536 div (sk1 - sk0 + 1)"))

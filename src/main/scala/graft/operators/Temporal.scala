@@ -715,7 +715,10 @@ object Temporal {
     * state per user, never a collected list) classifies every active
     * week and dates each churn; the ledger is ≤ weeks rows.
     */
-  private[graft] def growthLedger(uw: DataFrame): DataFrame = {
+  private[graft] def growthLedger(uwRaw: DataFrame): DataFrame = {
+    // the presence table feeds the window pass, the corpus max, AND the
+    // churn scan — materialized so the upstream distinct runs once
+    val uw = graft.Materialize(uwRaw)
     val wUser = Window.partitionBy("user_id").orderBy("wk")
     val flags = uw
       .withColumn("first_wk", min("wk").over(

@@ -141,7 +141,14 @@ class PartitionInvarianceSpec extends SparkSpec {
     // max-renormalized integer scores), the banded audio join (m15),
     // and the lag-window spectrum (a23)
     "e28_nprobe_select", "d21_lexical_knn", "g12_ktruss", "g13_hits",
-    "m15_audio_neardup", "a23_interarrival_spectrum")
+    "m15_audio_neardup", "a23_interarrival_spectrum",
+    // round 12, second batch: the seeded-restart integer rounds (g14),
+    // the lag/lead ledger windows (a24), the per-source median/mode
+    // windows + 8-byte dup agg (p15), the three-layout stack + winner
+    // window (z07), and the centroid audits' decimal moment/component
+    // sums (e29/e30 — partition order must not move a single ppb)
+    "g14_ppr", "a24_growth_accounting", "p15_dataset_card",
+    "z07_layout_advisor", "e29_centroid_outliers", "e30_centroid_drift")
 
   private def runAt(name: String, parts: Int): Seq[String] = {
     val old = spark.conf.get("spark.sql.shuffle.partitions")

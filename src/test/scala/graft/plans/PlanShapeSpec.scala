@@ -406,4 +406,28 @@ class PlanShapeSpec extends SparkSpec {
     val p = sparkPlan("d18_jaccard_sweep")
     noCartesian(p, "the threshold sweep")
   }
+
+  test("p15: the dataset card never plans a cartesian; dup flag is an equi join") {
+    val p = sparkPlan("p15_dataset_card")
+    noCartesian(p, "the dataset card")
+    assert(collectAll(p) {
+      case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => j
+    }.isEmpty, "no nested-loop join in the card path")
+  }
+
+  test("z07: one scan grades all three layouts — lineitem is read at most twice") {
+    // the advisor's scale claim: the stack generator fans ONE pass of the
+    // rows into the three layouts (plus the separate exact ground-truth
+    // pass); a per-layout rewrite would show >= 4 lineitem scans. The
+    // 1-row bounds frame is materialized, so its agg doesn't re-scan.
+    val p = sparkPlan("z07_layout_advisor")
+    val liScans = collectAll(p) {
+      case s: FileSourceScanExec if s.relation.location.rootPaths
+        .exists(_.toString.contains("lineitem")) => s
+    }
+    assert(liScans.size <= 2, s"expected <= 2 lineitem scans, got ${liScans.size}")
+    assert(collectAll(p) {
+      case g: org.apache.spark.sql.execution.GenerateExec => g
+    }.nonEmpty, "expected the stack/sequence generators")
+  }
 }
