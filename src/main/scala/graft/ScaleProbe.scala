@@ -201,6 +201,9 @@ object ScaleProbe {
       .write.mode("overwrite").parquet(s"$outDir/part.parquet")
     if (tables("events")) writeFlat(scaledEvents(spark, srcDir, factor), "events")
     if (tables("documents")) writeFlat(scaledDocs(spark, srcDir, factor), "documents")
+    // s30's static policy side reads Tables.embeddings from the SAME
+    // stream dir, so the flat copy serves both legs
+    if (tables("embeddings")) writeFlat(scaledEmbeddings(spark, srcDir, factor), "embeddings")
     println(s"[probe] built ${factor}x corpus at $outDir (tables: ${tables.toSeq.sorted.mkString(",")})")
 
     val probes = Seq(
@@ -470,7 +473,13 @@ object ScaleProbe {
       // broadcast joins, label-keyed aggs; embeddings-capped 64×)
       "g14_ppr", "a24_growth_accounting", "s29_stream_growth",
       "p15_dataset_card", "z07_layout_advisor",
-      "e29_centroid_outliers", "e30_centroid_drift")
+      "e29_centroid_outliers", "e30_centroid_drift",
+      // round 12, third batch: the hash-rank neighbor cap (one src-keyed
+      // window over the directed edges, ≤ 64 bucket rows after) and the
+      // streamed outlier gate (stateless scoring vs a broadcast
+      // |labels|-row policy + a |labels|-row Complete tally;
+      // embeddings-capped 64×)
+      "g15_neighbor_sample", "s30_stream_outlier_gate")
       // local iteration only: probe just a subset by name prefix
       .filter(n => sys.env.get("SPARK_GRAFT_ONLY")
         .forall(_.split(",").exists(n.startsWith)))

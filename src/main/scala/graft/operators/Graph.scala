@@ -336,6 +336,44 @@ object Graph {
       .limit(20)
   }
 
+  /** g15: per-vertex neighbor cap (the GraphSAGE-style fan-out bound). */
+  val SampleK = 8
+
+  /** g15 core: degree-capped neighbor sampling over undirected (u < v)
+    * edges — the preprocessing every GNN training pipeline and every
+    * hub-defensive graph join runs: keep at most SampleK neighbors per
+    * vertex, chosen by HASH RANK (xxhash64 of the combined endpoint key),
+    * so the "uniform" sample is deterministic, partition-invariant, and
+    * identical on task retry — rand() here would break all three (the
+    * k01 salting lesson). The combined key src·100000007 + dst stays
+    * far inside int64 for any realistic id space (ANSI Spark and DuckDB
+    * both fail loud on real overflow rather than wrapping differently).
+    * Output is the per-degree-bucket census of what the cap does —
+    * vertices, total vs kept edges, drop fraction — plus an integer
+    * checksum over the KEPT edges' hash ranks, which pins the selection
+    * itself (not just its size) under the oracle. One shuffle on src;
+    * the window sort is per-vertex; everything after is ≤ 64 bucket rows.
+    */
+  private[operators] def neighborSample(e: DataFrame): DataFrame = {
+    val nb = e.select(col("u").as("src"), col("v").as("dst"))
+      .unionAll(e.select(col("v").as("src"), col("u").as("dst")))
+      .withColumn("hv", expr("xxhash64(src * 100000007L + dst)"))
+    val wSrc = Window.partitionBy("src")
+    val wOrd = Window.partitionBy("src").orderBy(col("hv").asc, col("dst").asc)
+    nb.withColumn("rn", row_number().over(wOrd))
+      .withColumn("deg", count(lit(1)).over(wSrc))
+      .withColumn("kept", col("rn") <= SampleK)
+      .groupBy(length(bin(col("deg"))).cast("long").as("bucket"))
+      .agg(countDistinct("src").as("n_vertices"),
+        count(lit(1)).as("edges_total"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("edges_kept"),
+        sum(when(col("kept"), pmod(col("hv"), lit(1000000007L))).otherwise(0L))
+          .as("keep_checksum"))
+      .withColumn("drop_fraction",
+        lit(1.0) - col("edges_kept").cast("double") / col("edges_total").cast("double"))
+      .orderBy("bucket")
+  }
+
   /** g06 core over undirected (u < v) edges — integer moment sums over
     * the directed endpoint list plus the closed-form Pearson ratio (see
     * the query scaladoc for why symmetry eliminates the square root).
@@ -1099,7 +1137,13 @@ object Graph {
     // pprRanks): g02b's integer damped rounds with restart mass
     // re-injected at the seeds — the seed-expansion ranking behind
     // related-item panels and known-good-document curation harvests.
-    "g14_ppr" -> ((s, dir) => pprRanks(partEdges(s, dir)))
+    "g14_ppr" -> ((s, dir) => pprRanks(partEdges(s, dir))),
+
+    // Degree-capped neighbor sampling (see neighborSample): the
+    // GraphSAGE fan-out bound as a deterministic hash-rank pick, with
+    // the per-degree-bucket kept/dropped census and a selection
+    // checksum under the hash gate.
+    "g15_neighbor_sample" -> ((s, dir) => neighborSample(partEdges(s, dir)))
   )
 
   /** g10 core over (ok, pk) rows — extracted for closed-form baskets. */
@@ -1263,6 +1307,39 @@ object Graph {
          |FROM r$PprRounds r LEFT JOIN seeds s ON s.x = r.x
          |ORDER BY rank DESC, part_id ASC LIMIT 20""".stripMargin
     },
+
+    // the hash rank restated through the xxhash64 single-long chain
+    // (p14's machinery) on the same combined key; window + census
+    // restated verbatim
+    "g15_neighbor_sample" ->
+      s"""WITH li AS (
+         |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+         |), e AS MATERIALIZED (
+         |  SELECT DISTINCT a.pk AS u, b.pk AS v
+         |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+         |), nb AS (
+         |  SELECT u AS src, v AS dst FROM e UNION ALL SELECT v, u FROM e
+         |), ids AS (
+         |  SELECT src, dst, CAST(src * 100000007 + dst AS HUGEINT) AS x FROM nb
+         |), ${DuckHash.xxhash64LongCtes("src, dst")}, r AS (
+         |  SELECT src, dst, hv,
+         |    ROW_NUMBER() OVER (PARTITION BY src ORDER BY hv ASC, dst ASC) AS rn,
+         |    COUNT(*) OVER (PARTITION BY src) AS deg
+         |  FROM hashed
+         |), b AS (
+         |  SELECT CAST(length(bin(deg)) AS BIGINT) AS bucket, src, hv,
+         |    rn <= $SampleK AS kept
+         |  FROM r
+         |)
+         |SELECT bucket, CAST(COUNT(DISTINCT src) AS BIGINT) AS n_vertices,
+         |  COUNT(*) AS edges_total,
+         |  CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS edges_kept,
+         |  CAST(SUM(CASE WHEN kept THEN ((hv % 1000000007) + 1000000007) % 1000000007
+         |            ELSE 0 END) AS BIGINT) AS keep_checksum,
+         |  1.0 - CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS DOUBLE)
+         |    / CAST(COUNT(*) AS DOUBLE) AS drop_fraction
+         |FROM b GROUP BY bucket
+         |ORDER BY bucket""".stripMargin,
     // the LpaRounds layers unrolled as generated MATERIALIZED CTEs (the
     // g02b template); the frequency argmax restated as ROW_NUMBER over
     // (cnt DESC, lbl ASC) — same deterministic pick as the engine's

@@ -804,6 +804,80 @@ object Similarity {
       .select(col("vec_id"), col("sub"), col("code"), col("dist"))
   }
 
+  /** e29/s30 shared: per-label centroid arrays on the RAW label key
+    * (centroidComponents' order-free fixed-point sums, |labels| rows —
+    * broadcast at every use).
+    */
+  private[graft] def ownLabelCentroids(e: DataFrame): DataFrame =
+    centroidComponents(e)
+      .groupBy("label")
+      .agg(transform(sort_array(collect_list(struct(col("dim"), col("c")))), x => x.getField("c"))
+        .cast("array<float>").as("centroid"))
+
+  /** e29/s30 shared scoring: every vector's cosine to its OWN label
+    * centroid on the ppb1 = floor((1+cos)·1e9) grid (the +1 shift keeps
+    * the mean's floor division trunc-vs-floor-free — the a21 lesson).
+    */
+  private[graft] def centroidPpb1(e: DataFrame): DataFrame =
+    e.join(broadcast(ownLabelCentroids(e)), "label")
+      .select(col("label").cast("long").as("label"), col("vec_id"),
+        floor((cosine_similarity(col("embedding"), col("centroid")) + lit(1.0)) * lit(1.0e9))
+          .cast("long").as("ppb1"))
+
+  /** e29/s30 shared fence: per-label mean − 2σ on the ppb1 grid, σ from
+    * exact decimal(38,0) moment sums (the g06 discipline) + one
+    * floor(sqrt) both engines evaluate on the identical exact integer.
+    */
+  private[graft] def centroidFences(scored: DataFrame): DataFrame = {
+    val dec = "decimal(38,0)"
+    scored.groupBy("label")
+      .agg(count(lit(1)).as("n"),
+        sum(col("ppb1").cast(dec)).as("sp"),
+        sum(col("ppb1").cast(dec) * col("ppb1").cast(dec)).as("sp2"),
+        min("ppb1").as("worst_ppb1"))
+      .select(col("label"), col("n"), col("worst_ppb1"),
+        expr("CAST(sp DIV n AS BIGINT)").as("mean_ppb1"),
+        floor(sqrt((col("n").cast(dec) * col("sp2") - col("sp") * col("sp")).cast("double"))
+          / col("n").cast("double")).cast("long").as("sigma_ppb1"))
+      .withColumn("fence_ppb1", col("mean_ppb1") - lit(2L) * col("sigma_ppb1"))
+  }
+
+  /** e29/s30 shared DuckDB chain (cp_-prefixed names so composing
+    * oracles can never collide — the duckSemCtes lesson): label-keyed
+    * centroid assembly, ppb1 scoring against the vector's OWN label
+    * centroid, and the per-label moment stats ending in `cp_st(label, n,
+    * worst_ppb1, mean_ppb1, sigma_ppb1)`; `cp_scored(label, vec_id,
+    * ppb1)` carries the per-vector grid values.
+    */
+  private[graft] val duckCentroidPpb1Ctes: String =
+    """cp_x AS (
+      |  SELECT label, vec_id,
+      |    unnest([{'d': i - 1, 'v': embedding[i]::DOUBLE} for i in range(1, len(embedding) + 1)]) AS u
+      |  FROM embeddings
+      |), cp_cd AS (
+      |  SELECT label, u.d AS dim,
+      |    CAST(SUM(CAST(floor(u.v * 1073741824.0) AS HUGEINT)) AS DOUBLE)
+      |      / CAST(COUNT(*) AS DOUBLE) / 1073741824.0 AS c
+      |  FROM cp_x GROUP BY label, u.d
+      |), cp_cent AS (
+      |  SELECT label, list_transform(list(c ORDER BY dim), v -> v::FLOAT) AS ce
+      |  FROM cp_cd GROUP BY label
+      |), cp_scored AS (
+      |  SELECT CAST(e.label AS BIGINT) AS label, e.vec_id,
+      |    CAST(floor((1.0 + list_sum([e.embedding[i]::DOUBLE * c.ce[i]::DOUBLE for i in range(1, len(e.embedding) + 1)])
+      |      / sqrt(list_sum([e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE for i in range(1, len(e.embedding) + 1)]))
+      |      / sqrt(list_sum([c.ce[i]::DOUBLE * c.ce[i]::DOUBLE for i in range(1, len(c.ce) + 1)]))) * 1000000000.0)
+      |      AS BIGINT) AS ppb1
+      |  FROM embeddings e JOIN cp_cent c ON c.label = e.label
+      |), cp_st AS (
+      |  SELECT label, COUNT(*) AS n, MIN(ppb1) AS worst_ppb1,
+      |    CAST(SUM(CAST(ppb1 AS HUGEINT)) // COUNT(*) AS BIGINT) AS mean_ppb1,
+      |    CAST(floor(sqrt(CAST(COUNT(*) * SUM(CAST(ppb1 AS HUGEINT) * ppb1)
+      |        - SUM(CAST(ppb1 AS HUGEINT)) * SUM(CAST(ppb1 AS HUGEINT)) AS DOUBLE))
+      |      / CAST(COUNT(*) AS DOUBLE)) AS BIGINT) AS sigma_ppb1
+      |  FROM cp_scored GROUP BY label
+      |)""".stripMargin
+
   /** DuckDB fragment: exact sequential-double cosine between a.embedding
     * and b.embedding (embeddings are fixed 64-dim).
     */
@@ -1842,27 +1916,8 @@ object Similarity {
     // map-side-combinable label aggs — corpus-linear, |labels|-row
     // everything after the scan.
     "e29_centroid_outliers" -> ((s, dir) => {
-      val e = Tables.embeddings(s, dir)
-      val cents = centroidComponents(e)
-        .groupBy("label")
-        .agg(transform(sort_array(collect_list(struct(col("dim"), col("c")))), x => x.getField("c"))
-          .cast("array<float>").as("centroid"))
-      val dec = "decimal(38,0)"
-      val scored = e.join(broadcast(cents), "label")
-        .select(col("label").cast("long").as("label"), col("vec_id"),
-          floor((cosine_similarity(col("embedding"), col("centroid")) + lit(1.0)) * lit(1.0e9))
-            .cast("long").as("ppb1"))
-      val stats = scored.groupBy("label")
-        .agg(count(lit(1)).as("n"),
-          sum(col("ppb1").cast(dec)).as("sp"),
-          sum(col("ppb1").cast(dec) * col("ppb1").cast(dec)).as("sp2"),
-          min("ppb1").as("worst_ppb1"))
-        .select(col("label"), col("n"), col("worst_ppb1"),
-          expr("CAST(sp DIV n AS BIGINT)").as("mean_ppb1"),
-          floor(sqrt((col("n").cast(dec) * col("sp2") - col("sp") * col("sp")).cast("double"))
-            / col("n").cast("double")).cast("long").as("sigma_ppb1"))
-        .withColumn("fence_ppb1", col("mean_ppb1") - lit(2L) * col("sigma_ppb1"))
-      scored.join(broadcast(stats), "label")
+      val scored = centroidPpb1(Tables.embeddings(s, dir))
+      scored.join(broadcast(centroidFences(scored)), "label")
         .groupBy("label")
         .agg(first("n").as("n"), first("mean_ppb1").as("mean_ppb1"),
           first("sigma_ppb1").as("sigma_ppb1"), first("fence_ppb1").as("fence_ppb1"),
@@ -3014,44 +3069,19 @@ object Similarity {
          |FROM pernp ORDER BY nprobe""".stripMargin
     },
 
-    // e29: duckIvfCtes' centroid assembly keyed by label (the vector's
-    // OWN label, no ranking); ppb1/mean/σ restated on the same integer
-    // grid — HUGEINT moment sums, one floor(sqrt(exact integer)) per
-    // label, floor division safe by the +1 shift (all values ≥ 0)
+    // e29: duckCentroidPpb1Ctes (the e29/s30-shared chain — duckIvfCtes'
+    // centroid assembly keyed by the vector's OWN label, ppb1/mean/σ on
+    // the same integer grid: HUGEINT moment sums, one
+    // floor(sqrt(exact integer)) per label, floor division safe by the
+    // +1 shift since every value is ≥ 0)
     "e29_centroid_outliers" ->
-      s"""WITH x AS (
-         |  SELECT label, vec_id,
-         |    unnest([{'d': i - 1, 'v': embedding[i]::DOUBLE} for i in range(1, len(embedding) + 1)]) AS u
-         |  FROM embeddings
-         |), cd AS (
-         |  SELECT label, u.d AS dim,
-         |    CAST(SUM(CAST(floor(u.v * 1073741824.0) AS HUGEINT)) AS DOUBLE)
-         |      / CAST(COUNT(*) AS DOUBLE) / 1073741824.0 AS c
-         |  FROM x GROUP BY label, u.d
-         |), cent AS (
-         |  SELECT label, list_transform(list(c ORDER BY dim), v -> v::FLOAT) AS ce
-         |  FROM cd GROUP BY label
-         |), scored AS (
-         |  SELECT CAST(e.label AS BIGINT) AS label, e.vec_id,
-         |    CAST(floor((1.0 + list_sum([e.embedding[i]::DOUBLE * c.ce[i]::DOUBLE for i in range(1, len(e.embedding) + 1)])
-         |      / sqrt(list_sum([e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE for i in range(1, len(e.embedding) + 1)]))
-         |      / sqrt(list_sum([c.ce[i]::DOUBLE * c.ce[i]::DOUBLE for i in range(1, len(c.ce) + 1)]))) * 1000000000.0)
-         |      AS BIGINT) AS ppb1
-         |  FROM embeddings e JOIN cent c ON c.label = e.label
-         |), st AS (
-         |  SELECT label, COUNT(*) AS n, MIN(ppb1) AS worst_ppb1,
-         |    CAST(SUM(CAST(ppb1 AS HUGEINT)) // COUNT(*) AS BIGINT) AS mean_ppb1,
-         |    CAST(floor(sqrt(CAST(COUNT(*) * SUM(CAST(ppb1 AS HUGEINT) * ppb1)
-         |        - SUM(CAST(ppb1 AS HUGEINT)) * SUM(CAST(ppb1 AS HUGEINT)) AS DOUBLE))
-         |      / CAST(COUNT(*) AS DOUBLE)) AS BIGINT) AS sigma_ppb1
-         |  FROM scored GROUP BY label
-         |)
+      s"""WITH $duckCentroidPpb1Ctes
          |SELECT s.label, st.n, st.mean_ppb1, st.sigma_ppb1,
          |  st.mean_ppb1 - 2 * st.sigma_ppb1 AS fence_ppb1,
          |  CAST(SUM(CASE WHEN s.ppb1 < st.mean_ppb1 - 2 * st.sigma_ppb1 THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
          |  MIN(CASE WHEN s.ppb1 = st.worst_ppb1 THEN s.vec_id END) AS worst_vec_id,
          |  st.worst_ppb1
-         |FROM scored s JOIN st USING (label)
+         |FROM cp_scored s JOIN cp_st st USING (label)
          |GROUP BY s.label, st.n, st.mean_ppb1, st.sigma_ppb1, st.worst_ppb1
          |ORDER BY label""".stripMargin,
 

@@ -854,6 +854,41 @@ object StreamingQueries {
       graft.operators.Temporal.growthLedger(
         runToTable(uw, OutputMode.Complete(), statePartitions = Some(8))
           .select("user_id", "wk"))
+    }),
+
+    // STREAMING OUTLIER GATE — e29's fence ENFORCED at the embedding
+    // ingest edge (the s26 shape: batch derives the policy, the stream
+    // applies it): per-label centroids + mean−2σ fences come from the
+    // STANDING corpus (Similarity's shared cores — one definition, one
+    // oracle chain for audit AND enforcement), broadcast stream-static;
+    // each arriving vector is scored on the same ppb1 grid and admitted
+    // iff it clears its label's fence. Stateless per row + a
+    // |labels|-row Complete-mode tally — arrival order, micro-batch
+    // boundaries, and retries cannot move a count.
+    "s30_stream_outlier_gate" -> ((s, dir) => {
+      import graft.operators.Similarity
+      val eStatic = graft.Tables.embeddings(s, dir)
+      val gate = Similarity.centroidFences(Similarity.centroidPpb1(eStatic))
+        .select(col("label"), col("fence_ppb1"))
+        .join(Similarity.ownLabelCentroids(eStatic)
+          .select(col("label").cast("long").as("label"), col("centroid")), "label")
+      val tally = embeddingsStream(s, dir)
+        .select(col("vec_id"), col("embedding"), col("label").cast("long").as("label"))
+        .join(broadcast(gate), "label")
+        // the ppb1 expression is centroidPpb1's verbatim (the score must
+        // be the one the fence was derived on)
+        .select(col("label"),
+          (floor((graft.functions.VectorFunctions.cosine_similarity(
+            col("embedding"), col("centroid")) + lit(1.0)) * lit(1.0e9))
+            .cast("long") >= col("fence_ppb1")).as("admit"))
+        .groupBy("label")
+        .agg(count(lit(1)).as("n_seen"),
+          sum(when(col("admit"), 1L).otherwise(0L)).as("n_admitted"),
+          sum(when(!col("admit"), 1L).otherwise(0L)).as("n_rejected"))
+      runToTable(tally, OutputMode.Complete(), statePartitions = Some(8))
+        .join(broadcast(gate.select("label", "fence_ppb1")), "label")
+        .select("label", "n_seen", "n_admitted", "n_rejected", "fence_ppb1")
+        .orderBy("label")
     })
   )
 
@@ -870,6 +905,18 @@ object StreamingQueries {
       .schema(documentsSchema)
       .option("pathGlobFilter", "documents.parquet")
       .parquet(dir)
+
+  /** embeddings as a bounded file stream (schema probed from the batch
+    * file — the label column has shipped as both int32 and int64 across
+    * fixtures, and a hard-coded schema would silently null it).
+    */
+  private def embeddingsStream(s: SparkSession, dir: String): DataFrame = {
+    val probed = s.read.parquet(s"$dir/embeddings.parquet").schema
+    s.readStream
+      .schema(probed)
+      .option("pathGlobFilter", "embeddings.parquet")
+      .parquet(dir)
+  }
 
   /** Reference topology scale: 100k records over 32 shards. */
   val SynthRecords = 100000L
@@ -1353,6 +1400,19 @@ object StreamingQueries {
     // batch/stream parity by construction: the streaming side drains its
     // (user, wk) presence state into Temporal.growthLedger — the same
     // core a24 compiles to — so ONE oracle defines the ledger for both
-    "s29_stream_growth" -> graft.operators.Temporal.oracles("a24_growth_accounting")
+    "s29_stream_growth" -> graft.operators.Temporal.oracles("a24_growth_accounting"),
+
+    // e29's shared chain gates the ENFORCEMENT too (the s26/duckAlphaCtes
+    // pattern): the fence the stream admits against is the same cp_st row
+    // the batch audit publishes
+    "s30_stream_outlier_gate" ->
+      s"""WITH ${graft.operators.Similarity.duckCentroidPpb1Ctes}
+         |SELECT s.label, COUNT(*) AS n_seen,
+         |  CAST(SUM(CASE WHEN s.ppb1 >= st.mean_ppb1 - 2 * st.sigma_ppb1 THEN 1 ELSE 0 END) AS BIGINT) AS n_admitted,
+         |  CAST(SUM(CASE WHEN s.ppb1 < st.mean_ppb1 - 2 * st.sigma_ppb1 THEN 1 ELSE 0 END) AS BIGINT) AS n_rejected,
+         |  st.mean_ppb1 - 2 * st.sigma_ppb1 AS fence_ppb1
+         |FROM cp_scored s JOIN cp_st st USING (label)
+         |GROUP BY s.label, st.mean_ppb1, st.sigma_ppb1
+         |ORDER BY s.label""".stripMargin
   )
 }

@@ -385,4 +385,34 @@ class GraphSpec extends SparkSpec {
     // symmetric seeds on a vertex-transitive graph: identical ranks > 0
     assert(k4.map(_._2).toSet.size === 1 && k4.head._2 > 0L, s"K4 ranks: ${k4.toSeq}")
   }
+
+  test("g15 neighbor sample closed form: a hub over the cap drops to exactly K, leaves keep all") {
+    // star 1-(2..12): hub deg 11 (bitlength bucket 4) keeps SampleK = 8
+    // of 11; the 11 leaves (deg 1, bucket 1) all keep their only edge
+    val e = edges((2L to 12L).map(l => (1L, l)): _*)
+    val got = Graph.neighborSample(e).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(5)))
+      .toSeq
+    assert(got.map(_._1) === Seq(1L, 4L), s"buckets: $got")
+    val (leaves, hub) = (got(0), got(1))
+    assert(leaves === ((1L, 11L, 11L, 11L, 0.0)), s"leaf bucket: $leaves")
+    assert(hub._2 === 1L && hub._3 === 11L && hub._4 === 8L, s"hub bucket: $hub")
+    assert(math.abs(hub._5 - 3.0 / 11.0) < 1e-15)
+  }
+
+  test("g15 on the fixture: cap bound respected, census conserves the directed edge count") {
+    val rows = Graph.neighborSample(Graph.partEdges(spark, sfDir)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (b, nv, tot, kept, _) =>
+      assert(kept <= tot && kept <= Graph.SampleK * nv, s"bucket $b cap")
+      // a vertex keeps min(deg, K) neighbors, so kept >= nv (deg >= 1)
+      assert(kept >= nv, s"bucket $b keeps at least one edge per vertex")
+    }
+    val m = graft.Tables.lineitem(spark, sfDir)
+      .select("l_orderkey", "l_partkey").distinct()
+    assert(m.count() > 0)
+    val e2 = Graph.partEdges(spark, sfDir).count() * 2
+    assert(rows.map(_._3).sum === e2, "census covers every directed edge exactly once")
+  }
 }

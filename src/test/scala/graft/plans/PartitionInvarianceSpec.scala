@@ -148,7 +148,10 @@ class PartitionInvarianceSpec extends SparkSpec {
     // window (z07), and the centroid audits' decimal moment/component
     // sums (e29/e30 — partition order must not move a single ppb)
     "g14_ppr", "a24_growth_accounting", "p15_dataset_card",
-    "z07_layout_advisor", "e29_centroid_outliers", "e30_centroid_drift")
+    "z07_layout_advisor", "e29_centroid_outliers", "e30_centroid_drift",
+    // the hash-rank sample: reshuffling must not move a single kept edge
+    // (the checksum column would catch one)
+    "g15_neighbor_sample")
 
   private def runAt(name: String, parts: Int): Seq[String] = {
     val old = spark.conf.get("spark.sql.shuffle.partitions")

@@ -48,7 +48,7 @@ class RocksDbParitySpec extends SparkSpec {
                    "s21_stream_transitions", "s22_stream_dedup_ttl",
                    "s25_stream_burst", "s26_stream_alpha_admit",
                    "s27_stream_decay", "s28_stream_topk",
-                   "s29_stream_growth"))
+                   "s29_stream_growth", "s30_stream_outlier_gate"))
     test(s"$name: identical rows under RocksDB and the default state-store provider") {
       val default = runUnder(None, name)
       val rocks = runUnder(Some(RocksDb), name)

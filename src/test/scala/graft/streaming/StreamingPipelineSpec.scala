@@ -221,4 +221,23 @@ class StreamingPipelineSpec extends SparkSpec {
     assert(streamed === batch)
     assert(streamed.nonEmpty)
   }
+
+  test("s30 outlier gate: streamed rejections are exactly e29's audited outliers, label for label") {
+    val gate = StreamingQueries.queries("s30_stream_outlier_gate")(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    val audit = graft.operators.Similarity.queries("e29_centroid_outliers")(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(5), r.getLong(4)))
+      .toMap
+    assert(gate.nonEmpty && gate.keySet === audit.keySet)
+    gate.foreach { case (label, (seen, admitted, rejected, fence)) =>
+      val (n, outliers, auditFence) = audit(label)
+      assert(seen === n, s"label $label population")
+      assert(admitted + rejected === seen, s"label $label partition")
+      // reject = ppb1 < fence is PRECISELY e29's outlier predicate, and
+      // the fence the stream enforces is the one the audit publishes
+      assert(rejected === outliers, s"label $label rejected != audited outliers")
+      assert(fence === auditFence, s"label $label fence drift")
+    }
+  }
 }
