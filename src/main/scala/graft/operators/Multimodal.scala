@@ -339,6 +339,12 @@ object Multimodal {
     * (≤ 3 < 4 bands pigeonholes at least one band equal, so the banded
     * equi-join loses nothing — the m09/d05 guarantee).
     */
+  // 8-bit bands are sized to THIS fixture's payload lengths (the
+  // 33-frame minimum keeps ~56% of docs in scope); a production audio
+  // corpus with kilobyte payloads widens to 64 fingerprint bits /
+  // 16-bit bands (m09's geometry) so bucket population — and with it
+  // candidate volume — stays sub-linear in the corpus, exactly as the
+  // image leg does. The banded-join machinery is width-agnostic.
   val AudioFpFrameSamples = 4
   val AudioFpBits = 32
   val AudioFpBands = 4
@@ -347,20 +353,6 @@ object Multimodal {
   /** Chars needed for AudioFpBits+1 complete frames (2 bytes/sample). */
   val AudioFpMinLen: Int = (AudioFpBits + 1) * AudioFpFrameSamples * 2
 
-  /** Frame-f energy as a codegen'd integer expression (Σ smp² over the
-    * frame's samples; smp = little-endian 16-bit at char offset 2·si).
-    */
-  private def audioFpEnergy(f: Int) = (0 until AudioFpFrameSamples).map { j =>
-    val si = f * AudioFpFrameSamples + j
-    val smp = (ascii(substring(col("text"), 2 * si + 1, 1)) +
-      ascii(substring(col("text"), 2 * si + 2, 1)) * lit(256)).cast("long")
-    smp * smp
-  }.reduce(_ + _)
-
-  private def audioFpBandCol(b: Int) = (0 until 8).map { j =>
-    val i = 8 * b + j
-    when(audioFpEnergy(i) > audioFpEnergy(i + 1), lit(1L << j)).otherwise(lit(0L))
-  }.reduce(_ + _)
 
   /** m15 core: AUDIO near-dup pairs — the m09 pipeline on the audio
     * decode grid, completing the per-modality dedup set (image m09,
@@ -372,10 +364,38 @@ object Multimodal {
     * a production corpus widens the band to 16 bits the way m09's is.
     */
   private[operators] def audioFpPairs(docs: DataFrame): DataFrame = {
-    val hashed = docs
+    // Two-stage form with a MATERIALIZATION barrier, not one inline
+    // expression. The fully-unrolled scalar form generated a ~10k-line
+    // whole-stage-codegen method janino recompiled per executing stage
+    // (measured 13.4 s/bench-pass on a 2.8k-row input, ~all of it
+    // compilation); a pure HOF rewrite was worse — CollapseProject
+    // inlines the sample/energy arrays into every per-bit access and
+    // interpreted evaluation re-derives the whole 132-substring chain
+    // per element (measured as a runaway: ~1M substring evals PER ROW).
+    // So: (1) decode the 16-bit samples ONCE per row into a concrete
+    // array column behind graft.Materialize (an InMemoryRelation is a
+    // collapse barrier, and the cache is |docs|·132 ints); (2) compute
+    // the band bits as scalar element_at arithmetic over that column —
+    // compact generated code, and codegen CSE dedupes the 33 shared
+    // frame energies. Identical integers at every step ⇒ the
+    // fingerprints — and the oracle gate — are bit-identical.
+    val nSamples = (AudioFpBits + 1) * AudioFpFrameSamples
+    val smpF = graft.Materialize(docs
       .filter(length(col("text")) >= AudioFpMinLen)
-      .select(col("doc_id"),
-        array((0 until AudioFpBands).map(audioFpBandCol): _*).as("bands"))
+      .select(col("doc_id"), expr(
+        s"transform(sequence(0, ${nSamples - 1}), si -> " +
+          "ascii(substring(text, 2*si+1, 1)) + ascii(substring(text, 2*si+2, 1)) * 256)")
+        .as("smp")))
+    def energy(f: Int) = (0 until AudioFpFrameSamples).map { k =>
+      val s = col("smp").getItem(f * AudioFpFrameSamples + k).cast("long")
+      s * s
+    }.reduce(_ + _)
+    val bandCol = (b: Int) => (0 until 8).map { j =>
+      val i = 8 * b + j
+      when(energy(i) > energy(i + 1), lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    val hashed = smpF.select(col("doc_id"),
+      array((0 until AudioFpBands).map(bandCol): _*).as("bands"))
     val bands = hashed.select(col("doc_id"), col("bands"),
       posexplode(col("bands")).as(Seq("band_idx", "band_val")))
     val dist = (0 until AudioFpBands)
