@@ -735,51 +735,97 @@ object Graph {
     val spark = e.sparkSession
     import spark.implicits._
     val minSup = KTrussK - 2L
-    var alive = spark.read.parquet(
-      graft.Materialize.toStoragePath(e.select("u", "v"), "ktruss_e0"))
+    // SUPPORT-DECREMENT peel, the real k-truss algorithm: triangles are
+    // enumerated ONCE (the g01 kernel) into scratch; round 1 counts full
+    // supports; every later round only touches triangles ADJACENT TO
+    // THE LAST ROUND'S REMOVALS. The removal sets are tiny relative to
+    // |E| (measured at sf0.1: 62k / 22k / 1.7k / 658 of 1.2M edges), so
+    // each incremental round is broadcast-join scans of the triangle
+    // table — no |T|-row shuffle, no kernel rebuild. Two rejected forms
+    // are on record: the kernel-per-round original (20.5 s — 4 full
+    // rebuilds) and a semi-join "shrinking triangle table" cut (still
+    // 20 s: the alive set shrinks only ~7%, so re-counting ALL
+    // supports each round shuffles ~everything every round).
+    // Correctness is decrement algebra: sup_r(e) = sup_{r-1}(e) − #(
+    // triangles containing e whose FIRST removed edge fell in round
+    // r-1) — each newly-dead triangle decrements each of its surviving
+    // edges exactly once (dedup by triangle, not by removed edge, so a
+    // triangle losing TWO edges in one round still counts once), which
+    // inductively keeps sup_r(e) = #triangles fully inside the round-r
+    // survivor subgraph — the exact quantity the rebuild computed. The
+    // oracle restates the peel as full per-layer recounts; the two are
+    // equal by the same induction, and the sf0.01 gate + the K4/C5/K5/
+    // shared-pair closed forms pin it.
+    val wd = degAnnotatedEdges(e.select("u", "v"))
+    val oriented = orientedFrom(wd)
+    val adj = orientedAdjacency(oriented)
+    val tris = spark.read.parquet(graft.Materialize.toStoragePath(
+      oriented
+        .join(adj.select(col("x").as("a"), col("nbrs").as("na")).hint("shuffle_hash"), "a")
+        .join(adj.select(col("x").as("b"), col("nbrs").as("nb")).hint("shuffle_hash"), "b")
+        .select(col("a"), col("b"),
+          explode(graft.functions.ArrayFunctions.sorted_intersect(col("na"), col("nb"))).as("c"))
+        .select(
+          least(col("a"), col("b")).as("e1u"), greatest(col("a"), col("b")).as("e1v"),
+          least(col("a"), col("c")).as("e2u"), greatest(col("a"), col("c")).as("e2v"),
+          least(col("b"), col("c")).as("e3u"), greatest(col("b"), col("c")).as("e3v")),
+      "ktruss_tris"))
+    wd.unpersist()
+    adj.unpersist()
+    // current sup frame: (u, v, sup) for the edges still alive ENTERING
+    // the round; round 1 counts the full graph
+    var sup: DataFrame = null
+    // last round's removals / cumulative removals before them (both
+    // metadata-sized; broadcast at every use)
+    var removedLast: DataFrame = null
+    var removedPrior: DataFrame = null
     var converged = false
     var nEdges = 0L
     var nTris = 0L
+    def edgeKeyed(rm: DataFrame, i: Int) =
+      rm.select(col("u").as(s"e${i}u"), col("v").as(s"e${i}v"))
     val profile = (1 to rounds).map { r =>
       if (converged) (r.toLong, KTrussK, 0L, nEdges, nTris)
       else {
-        // The triangle kernel is INLINED (not orientedTrianglesFrom) for
-        // two reasons a once-per-query caller never hits:
-        //  - lifetime control: the kernel's two materialized frames
-        //    (degree-annotated edges, adjacency arrays) are only needed
-        //    within the round; left persisted they stack up 2/round in
-        //    MEMORY_AND_DISK and, with the credit shuffles' files, blew
-        //    the probe box's disk at the 100× corpus (measured: round-1
-        //    credits ≈ 5.6e8 rows there). Each round unpersists them as
-        //    soon as its support frame is in scratch, and the GC fence
-        //    lets the ContextCleaner reap the round's shuffle files
-        //    (they are freed on RDD GC, not stage end).
-        //  - credit volume: the base edge's support is the intersect
-        //    SIZE, counted in-row — only the two LEG credits explode,
-        //    so the credit shuffle carries 2 rows/triangle + |E|, not 3/triangle.
-        val wd = degAnnotatedEdges(alive)
-        val oriented = orientedFrom(wd)
-        val adj = orientedAdjacency(oriented)
-        val withNbrs = oriented
-          .join(adj.select(col("x").as("a"), col("nbrs").as("na")).hint("shuffle_hash"), "a")
-          .join(adj.select(col("x").as("b"), col("nbrs").as("nb")).hint("shuffle_hash"), "b")
-          .select(col("a"), col("b"),
-            graft.functions.ArrayFunctions.sorted_intersect(col("na"), col("nb")).as("cs"))
-        val base = withNbrs.select(least(col("a"), col("b")).as("u"),
-          greatest(col("a"), col("b")).as("v"), size(col("cs")).cast("long").as("t"))
-        val legs = withNbrs.select(col("a"), col("b"), explode(col("cs")).as("c"))
-          .select(explode(array(
-            struct(least(col("a"), col("c")).as("u"), greatest(col("a"), col("c")).as("v")),
-            struct(least(col("b"), col("c")).as("u"), greatest(col("b"), col("c")).as("v")))).as("e"))
-          .select(col("e.u").as("u"), col("e.v").as("v"), lit(1L).as("t"))
-        val credits = base.unionByName(legs)
-          .groupBy("u", "v").agg(sum(col("t")).as("t"))
-        val sup = spark.read.parquet(graft.Materialize.toStoragePath(
-          alive.join(credits, Seq("u", "v"), "left")
-            .select(col("u"), col("v"), coalesce(col("t"), lit(0L)).as("sup")),
-          s"ktruss_s$r"))
-        wd.unpersist()
-        adj.unpersist()
+        if (r == 1) {
+          val credits = tris
+            .select(explode(array(
+              struct(col("e1u").as("u"), col("e1v").as("v")),
+              struct(col("e2u").as("u"), col("e2v").as("v")),
+              struct(col("e3u").as("u"), col("e3v").as("v")))).as("e"))
+            .select(col("e.u").as("u"), col("e.v").as("v"))
+            .groupBy("u", "v").agg(count(lit(1)).as("t"))
+          sup = spark.read.parquet(graft.Materialize.toStoragePath(
+            e.select("u", "v").join(credits, Seq("u", "v"), "left")
+              .select(col("u"), col("v"), coalesce(col("t"), lit(0L)).as("sup")),
+            "ktruss_s1"))
+        } else {
+          // newly-dead triangles: no edge removed before last round,
+          // >= 1 edge removed last round — each counted once
+          val standing = Seq(1, 2, 3).foldLeft(tris) { (t, i) =>
+            t.join(broadcast(edgeKeyed(removedPrior, i)),
+              Seq(s"e${i}u", s"e${i}v"), "left_anti")
+          }
+          val flagged = Seq(1, 2, 3).foldLeft(standing) { (t, i) =>
+            t.join(broadcast(edgeKeyed(removedLast, i).withColumn(s"f$i", lit(1))),
+              Seq(s"e${i}u", s"e${i}v"), "left")
+          }
+          val dead = flagged
+            .filter(col("f1").isNotNull || col("f2").isNotNull || col("f3").isNotNull)
+          val dec = dead
+            .select(explode(array(
+              struct(col("e1u").as("u"), col("e1v").as("v")),
+              struct(col("e2u").as("u"), col("e2v").as("v")),
+              struct(col("e3u").as("u"), col("e3v").as("v")))).as("e"))
+            .select(col("e.u").as("u"), col("e.v").as("v"))
+            .groupBy("u", "v").agg(count(lit(1)).as("d"))
+          sup = spark.read.parquet(graft.Materialize.toStoragePath(
+            sup.filter(col("sup") >= minSup)
+              .join(dec, Seq("u", "v"), "left")
+              .select(col("u"), col("v"),
+                (col("sup") - coalesce(col("d"), lit(0L))).as("sup")),
+            s"ktruss_s$r"))
+        }
         System.gc()
         val a = sup.agg(
           count(lit(1)).as("ne"),
@@ -789,8 +835,16 @@ object Graph {
         nTris = a.getLong(1) / 3L
         val nWeak = a.getLong(2)
         if (nWeak == 0L) converged = true
-        else alive = spark.read.parquet(graft.Materialize.toStoragePath(
-          sup.filter(col("sup") >= minSup).select("u", "v"), s"ktruss_e$r"))
+        else {
+          val rm = spark.read.parquet(graft.Materialize.toStoragePath(
+            sup.filter(col("sup") < minSup).select("u", "v"), s"ktruss_r$r"))
+          removedPrior =
+            if (removedPrior == null) spark.read.parquet(graft.Materialize.toStoragePath(
+              rm.limit(0), "ktruss_r0"))
+            else spark.read.parquet(graft.Materialize.toStoragePath(
+              removedPrior.unionByName(removedLast), s"ktruss_rc$r"))
+          removedLast = rm
+        }
         (r.toLong, KTrussK, nWeak, nEdges, nTris)
       }
     }
