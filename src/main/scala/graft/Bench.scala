@@ -112,21 +112,15 @@ object Bench {
       }
     // The driver captures only the LAST ~2000 chars of the run log, so the
     // whole printed JSON line must fit in that window (minus sbt's
-    // ~90-char [success] trailer). At 145 queries even family codes at
-    // 2-decimal precision outgrew it (rounds 2-4 recorded parsed=null, the
-    // line front-truncated past its own total), so the printed line now
-    // carries family codes ("q01_agg_..." -> "q01", unique today; full
-    // name on a collision) at 1-DECIMAL precision (~1.7 kB at 145
-    // queries — this box's run-to-run noise is 3×, so nothing is lost),
-    // and the FULL detail (full names, millisecond precision) is written
-    // to bench_detail.json in the working directory.
+    // ~90-char [success] trailer). The per-query map does NOT fit: at 261
+    // queries even 1-decimal family codes ran ~4 kB and the stored tail
+    // began mid-JSON (parsed=null in 10 of 11 rounds). The printed line
+    // therefore carries ONLY the compact totals + the budget flags
+    // (~200 bytes); the FULL per-query detail (names, per-pass times,
+    // medians, millisecond precision) lives in bench_detail.json in the
+    // working directory.
     def fmt(v: Double, dp: Int): String =
       BigDecimal(v).setScale(dp, BigDecimal.RoundingMode.HALF_UP).toString
-    def code(name: String): String = name.takeWhile(_ != '_')
-    val codesUnique = results.map(kv => code(kv._1)).toSet.size == results.size
-    val qs = results.map { case (k, v) =>
-      s"\"" + (if (codesUnique) code(k) else k) + "\":" + fmt(v, 1)
-    }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).filter(_ >= 0).sum else 0.0
     // median-of-passes alongside the min (round 8's two same-catalog runs
     // spread ~8% on min-of-three; the median is noise-visible where the
@@ -170,7 +164,14 @@ object Bench {
     spark.stop()
     sweepScratch()
     new java.io.File(benchScratch).delete()
-    println(s"""{"metric":"total","value":${fmt(total, 1)},"median_total":${fmt(medTotal, 1)},"unit":"sec","queries":$qs$overJson,"sf":"$sfDir"}""")
+    // "queries" stays present (the driver's documented shape) but holds
+    // only the SLOWEST handful — bounded at ~300 bytes no matter how the
+    // catalog grows; everything else is in bench_detail.json.
+    val slowest = results.filter(_._2 >= 0).sortBy(-_._2).take(12)
+      .map { case (k, v) => s"\"${k.takeWhile(_ != '_')}\":" + fmt(v, 1) }
+      .mkString("{", ",", "}")
+    val nFailed = results.count(_._2 < 0)
+    println(s"""{"metric":"total","value":${fmt(total, 1)},"median_total":${fmt(medTotal, 1)},"unit":"sec","n_queries":${results.size},"n_failed":$nFailed,"queries":$slowest$overJson,"sf":"$sfDir"}""")
     Console.out.flush()
   }
 }

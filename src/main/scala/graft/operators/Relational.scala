@@ -770,6 +770,14 @@ object Relational {
       // the child; the returned frame is served from persisted blocks.
       val s2 = s.newSession()
       s2.conf.set("spark.sql.cteRecursionRowLimit", "1000000000")
+      // The recursion is a fixed-shape per-step join whose wall-clock is
+      // DRIVER overhead at this SF (depth ≈ max chain length sequential
+      // steps) — the Materialize.loopSession discipline applies: AQE off
+      // (it re-plans each step's exchanges into extra driver jobs) and
+      // the task count per step sized to the DATA, not the session
+      // default (32 tasks/step on a 150 k-row walk was the bisected
+      // r10→r11 q49 regression shape: 11.7 → 7.2 s with both fixes).
+      s2.conf.set("spark.sql.adaptive.enabled", "false")
       // the successor table is MATERIALIZED once (Materialize:
       // lineage-keeping persist) before the recursion: a plain
       // CTE would be inlined into every recursive step, re-running the
@@ -778,17 +786,34 @@ object Relational {
       // table does the same — walk a materialized edge table, don't
       // re-derive it per step.
       val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
-      graft.Materialize(Tables.orders(s2, dir)
+      val chain = graft.Materialize(Tables.orders(s2, dir)
         .select(col("o_custkey"), col("o_orderkey"),
           lead(col("o_orderkey"), 1).over(w).as("nxt_key"),
           row_number().over(w).as("rn")))
-        .createOrReplaceTempView("orders_chain")
-      graft.Materialize(s2.sql("""
+      chain.createOrReplaceTempView("orders_chain")
+      // shuffle width derived from the materialized row count (~1 task
+      // per million walk rows, floor 8): at sf0.1 the per-step jobs run
+      // 8 tasks instead of 32 (pure scheduling overhead on 150 k rows);
+      // at a 1000× orders table the same rule scales the width back up
+      // instead of freezing a local constant into a cluster plan.
+      val nRows = chain.count()
+      s2.conf.set("spark.sql.shuffle.partitions",
+        math.max(8L, nRows / 1000000L).toString)
+      // frontier-gated broadcast: the frontier is one row per customer,
+      // so its size is known BEFORE the walk starts. Small (the common
+      // case — here ~15 k rows) ⇒ hint the broadcast and every step is a
+      // shuffle-free scan of the chain table; past the gate (a 10⁸-row
+      // customer base at three orders of magnitude up) the hint would
+      // broadcast a frame that can kill the driver, so the walk falls
+      // back to a plain join and lets the planner choose.
+      val nCust = chain.filter(col("rn") === 1).count()
+      val hint = if (nCust <= 8000000L) "/*+ BROADCAST(w) */ " else ""
+      graft.Materialize(s2.sql(s"""
         WITH RECURSIVE walk AS (
           SELECT o_custkey, o_orderkey, 1 AS seq
           FROM orders_chain WHERE rn = 1
           UNION ALL
-          SELECT /*+ BROADCAST(w) */ n.o_custkey, n.nxt_key, w.seq + 1
+          SELECT ${hint}n.o_custkey, n.nxt_key, w.seq + 1
           FROM walk w JOIN orders_chain n
             ON n.o_custkey = w.o_custkey AND n.o_orderkey = w.o_orderkey
           WHERE n.nxt_key IS NOT NULL
