@@ -20,13 +20,29 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // Per-query wall budget (the Bench discipline, round 12): the
+    // sf0.01 gate must stay CHEAP — the driver's correctness artifact
+    // arrived empty in r11, most plausibly a driver-side timeout on the
+    // grown catalog — so any query whose dump exceeds the budget is
+    // flagged loudly here, in the round it regresses.
+    val BudgetSec = 10.0
+    var timings = List.empty[(String, Double)]
     SparkEntry.queries.filter(kv => selected(kv._1)).foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      val t0 = System.nanoTime()
+      try {
+        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+        timings ::= (name, (System.nanoTime() - t0) / 1e9)
+      } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
+    val over = timings.filter(_._2 > BudgetSec).sortBy(-_._2)
+    if (over.nonEmpty) System.err.println(
+      s"[verify] over_budget(${BudgetSec}s): " +
+        over.map { case (n, t) => f"$n=$t%.1fs" }.mkString(", "))
+    System.err.println(
+      f"[verify] ${timings.size} queries dumped in ${timings.map(_._2).sum}%.1f s")
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

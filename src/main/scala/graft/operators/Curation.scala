@@ -329,6 +329,13 @@ object Curation {
         .select(col("doc_id"), col("source"), col("lang"), col("n_chars"),
           tokenCountWs(col("text")).as("nt"),
           rolling_fingerprint(norm).as("fp")))
+      // dup flag groups on the 64-bit fingerprint (the d02 convention:
+      // the oracle groups on the full normalized text, so a fingerprint
+      // collision between DISTINCT norms would over-count dup_ppm and
+      // fail the exact gate loudly — never silently). Because this ppm
+      // lands on a PUBLISHED dataset card, a corpus where the gate can't
+      // run should confirm-join flagged groups on a second independent
+      // hash (or norm length) before reporting.
       val dup = base.groupBy("fp").agg(count(lit(1)).as("nc"))
         .filter(col("nc") >= 2L).select(col("fp"), lit(1L).as("is_dup"))
       val st = base.join(dup, Seq("fp"), "left")

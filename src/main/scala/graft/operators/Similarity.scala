@@ -1964,8 +1964,11 @@ object Similarity {
       val wTop = Window.partitionBy("label").orderBy(col("ad").desc, col("dim").asc)
       val top = d.withColumn("rn", row_number().over(wTop)).filter(col("rn") === 1)
         .select(col("label"), col("dim").cast("long").as("top_dim"), col("ad").as("top_ad"))
+      // min, not first: per-dim counts are identical on a fixed-dimension
+      // corpus (so min == any), but first() would pick an arbitrary dim's
+      // count on a ragged corpus while the oracle states MIN — mirror it.
       d.groupBy("label")
-        .agg(first("na").as("n_a"), first("nb").as("n_b"), sum("ad").as("l1s"))
+        .agg(min("na").as("n_a"), min("nb").as("n_b"), sum("ad").as("l1s"))
         .join(top, "label")
         .select(col("label"), col("n_a"), col("n_b"),
           (col("l1s").cast("double") /

@@ -738,9 +738,19 @@ object Temporal {
       .filter((col("next_wk").isNull || col("next_wk") > col("wk") + 1) &&
         col("wk") + 1 <= col("max_wk"))
       .groupBy((col("wk") + 1).as("wk")).agg(count(lit(1)).as("n_churned"))
-    active.join(churn, Seq("wk"), "left")
-      .select(col("wk"), col("n_active"), col("n_new"), col("n_retained"),
-        col("n_resurrected"), coalesce(col("n_churned"), lit(0L)).as("n_churned"))
+    // FULL outer, not left: the week spine is the union of active weeks
+    // and churn weeks, so churn dated into a fully-silent week (nobody
+    // active, somebody churned) still gets its ledger row (n_active = 0)
+    // and the identity churned_w = active_{w-1} − retained_w holds for
+    // every week — a left join from `active` silently dropped those
+    // rows and undercounted total churn.
+    active.join(churn, Seq("wk"), "full_outer")
+      .select(col("wk"),
+        coalesce(col("n_active"), lit(0L)).as("n_active"),
+        coalesce(col("n_new"), lit(0L)).as("n_new"),
+        coalesce(col("n_retained"), lit(0L)).as("n_retained"),
+        coalesce(col("n_resurrected"), lit(0L)).as("n_resurrected"),
+        coalesce(col("n_churned"), lit(0L)).as("n_churned"))
       .orderBy("wk")
   }
 
@@ -1034,9 +1044,12 @@ object Temporal {
         |  WHERE (f.next_wk IS NULL OR f.next_wk > f.wk + 1) AND f.wk + 1 <= mx.max_wk
         |  GROUP BY f.wk + 1
         |)
-        |SELECT a.wk, a.n_active, a.n_new, a.n_retained, a.n_resurrected,
+        |SELECT wk, COALESCE(a.n_active, 0) AS n_active,
+        |  COALESCE(a.n_new, 0) AS n_new,
+        |  COALESCE(a.n_retained, 0) AS n_retained,
+        |  COALESCE(a.n_resurrected, 0) AS n_resurrected,
         |  COALESCE(c.n_churned, 0) AS n_churned
-        |FROM act a LEFT JOIN ch c USING (wk)
+        |FROM act a FULL JOIN ch c USING (wk)
         |ORDER BY wk""".stripMargin,
 
     // the same fixed-point snap, explicit floor-div decay (the CASE's

@@ -433,6 +433,32 @@ class TemporalSpec extends SparkSpec {
     }
   }
 
+  test("a24 silent week: churn dated into a week with zero actives still gets its ledger row") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // A: wk0 only; B: wk0, wk2. wk1 has NO active user, but A and B both
+    // churn at wk1 — the full-outer week spine must emit (wk1, 0 active,
+    // 2 churned) instead of dropping the week (the pre-round-12 left join
+    // silently undercounted total churn by exactly such rows).
+    val dir = java.nio.file.Files.createTempDirectory("graft-a24s").toString
+    try {
+      Seq(("A", "1970-01-01 10:00:00"),
+        ("B", "1970-01-02 10:00:00"), ("B", "1970-01-15 10:00:00"))
+        .toDF("u", "s")
+        .select(hash(col("u")).cast("long").as("user_id"), to_timestamp(col("s")).as("ts"))
+        .write.mode("overwrite").parquet(s"$dir/events.parquet")
+      val got = Temporal.queries("a24_growth_accounting")(spark, dir).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+        .toSeq
+      assert(got === Seq(
+        (0L, 2L, 2L, 0L, 0L, 0L),  // A, B new
+        (1L, 0L, 0L, 0L, 0L, 2L),  // SILENT week: nobody active, both churned
+        (2L, 1L, 0L, 0L, 1L, 0L))) // B resurrected
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
   test("a24 on the fixture: identities hold (active = new+retained+resurrected, sum(new) = users)") {
     import org.apache.spark.sql.functions._
     val rows = Temporal.queries("a24_growth_accounting")(spark, sfDir).collect()

@@ -34,6 +34,11 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
 
 def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    # machine-readable record of this gate run (round 12): written next to
+    # the script's working dir so a round always carries an in-repo
+    # correctness artifact even when the driver's CORRECTNESS_rN.json
+    # arrives empty (it did in r11). One row per query: status + rows.
+    summary = {"sf_dir": sf_dir, "out_dir": out_dir, "queries": {}}
     con = duckdb.connect()
     for t in TABLES:
         p = f"{sf_dir}/{t}.parquet"
@@ -48,22 +53,31 @@ def main():
     for name in names:
         files = glob.glob(f"{out_dir}/{name}/*.parquet")
         if not files:
-            print(f"FAIL  {name}: no spark output"); n_fail += 1; continue
+            print(f"FAIL  {name}: no spark output"); n_fail += 1
+            summary["queries"][name] = {"status": "fail", "reason": "no spark output"}
+            continue
         spark_df = pq.read_table(files).to_pandas()
         if name not in oracle:
             status = "ROWS>0" if len(spark_df) > 0 else "EMPTY!"
             print(f"{status} {name}: rows={len(spark_df)} (no oracle)")
             n_rowsonly += 1
+            summary["queries"][name] = {"status": "rows_only", "rows": len(spark_df)}
             continue
         try:
             duck_df = con.sql(oracle[name]).df()
         except Exception as e:
-            print(f"FAIL  {name}: oracle error: {e}"); n_fail += 1; continue
+            print(f"FAIL  {name}: oracle error: {e}"); n_fail += 1
+            summary["queries"][name] = {"status": "fail", "reason": f"oracle error: {e}"[:200]}
+            continue
         a, b = normalize(spark_df), normalize(duck_df)
         if list(a.columns) != list(b.columns):
-            print(f"FAIL  {name}: columns spark={list(a.columns)} duck={list(b.columns)}"); n_fail += 1; continue
+            print(f"FAIL  {name}: columns spark={list(a.columns)} duck={list(b.columns)}"); n_fail += 1
+            summary["queries"][name] = {"status": "fail", "reason": "column mismatch"}
+            continue
         if len(a) != len(b):
-            print(f"FAIL  {name}: rows spark={len(a)} duck={len(b)}"); n_fail += 1; continue
+            print(f"FAIL  {name}: rows spark={len(a)} duck={len(b)}"); n_fail += 1
+            summary["queries"][name] = {"status": "fail", "reason": f"rows spark={len(a)} duck={len(b)}"}
+            continue
         mism = []
         for c in a.columns:
             av, bv = a[c], b[c]
@@ -97,10 +111,16 @@ def main():
                 mism.append(f"{c}[row{i}]: spark={av.iloc[i]!r} duck={bv.iloc[i]!r} (dtypes {av.dtype}/{bv.dtype})")
         if mism:
             print(f"FAIL  {name}: {'; '.join(mism[:3])}"); n_fail += 1
+            summary["queries"][name] = {"status": "fail", "reason": "; ".join(mism[:3])[:200]}
         else:
             print(f"PASS  {name}: rows={len(a)}")
             n_pass += 1
+            summary["queries"][name] = {"status": "pass", "rows": len(a)}
     print(f"\n== {n_pass} pass, {n_fail} fail, {n_rowsonly} rows-only ==")
+    summary.update(n_pass=n_pass, n_fail=n_fail, n_rows_only=n_rowsonly,
+                   n_queries=len(names))
+    with open("verify_summary.json", "w") as f:
+        json.dump(summary, f, indent=1)
     sys.exit(1 if n_fail else 0)
 
 if __name__ == "__main__":
