@@ -479,7 +479,12 @@ object ScaleProbe {
       // streamed outlier gate (stateless scoring vs a broadcast
       // |labels|-row policy + a |labels|-row Complete tally;
       // embeddings-capped 64×)
-      "g15_neighbor_sample", "s30_stream_outlier_gate")
+      "g15_neighbor_sample", "s30_stream_outlier_gate",
+      // round 13: the IVF refresh (e31 — two posexplode component aggs,
+      // two broadcast |cells|-row scoring passes, re-assignment bounded
+      // to the drifted cells' members, 10-query recall audit;
+      // embeddings-capped 64×)
+      "e31_ivf_refresh")
       // local iteration only: probe just a subset by name prefix
       .filter(n => sys.env.get("SPARK_GRAFT_ONLY")
         .forall(_.split(",").exists(n.startsWith)))

@@ -878,6 +878,181 @@ object Similarity {
       |  FROM cp_scored GROUP BY label
       |)""".stripMargin
 
+  /** e31: refresh trigger — a cell is rebuilt when its drift exceeds
+    * RefreshDriftFactor × the MEAN cell drift, tested as the integer
+    * cross-multiply drift_ppb · n_cells > factor · Σ drift_ppb (no
+    * division anywhere), so the threshold is DERIVED from the corpus's
+    * own drift distribution (the d17/e24 discipline), never a magic
+    * constant, and both engines evaluate the identical comparison.
+    */
+  val RefreshDriftFactor = 2L
+
+  /** e31 recall audit: top-k depth for the 10 fixed queries (e02's k). */
+  val RefreshRecallK = 10
+
+  /** e31 core: IVF INDEX REFRESH — the production maintenance kernel
+    * between e13 (incremental admits) and e30 (drift detection): when a
+    * cell's membership has drifted away from the centroid the index was
+    * BUILT with, re-derive that cell's centroid and re-assign ONLY its
+    * vectors — the v03 partition-scoped-refresh discipline applied to
+    * the ANN index, never a full rebuild.
+    *
+    * Staging mirrors production state: the index centroids come from the
+    * OLD ingestion epoch only (vec_id·2 ≤ max id — e30's deterministic
+    * split), and EVERY vector (old + incrementally admitted new) sits in
+    * its nearest stale cell, which is exactly what e13-style admits
+    * leave behind. Per-cell drift is e30's division-free cross-multiply
+    * between the old members' component sums and the full current
+    * membership's, normalized once by an integer floor division onto a
+    * ppb grid; cells past the derived trigger are rebuilt (centroid :=
+    * current-member fixed-point mean) and their members re-scored
+    * against the UPDATED centroid set — a mover lands in whatever cell
+    * is now nearest, including un-refreshed ones. The closing audit is
+    * e15's recall discipline on e02's fixed query set: nprobe-1 recall@k
+    * under the stale geometry vs after the refresh, as two integer ppm
+    * columns carried on every ledger row.
+    *
+    * Scale shape: two posexplode component aggs (corpus-linear, map-side
+    * combinable), two broadcast |cells|-row scoring passes, and the
+    * re-assignment touches only the drifted cells' members — the whole
+    * point. The recall audit is 10 broadcast queries against one probed
+    * cell each plus one bounded brute-force pass. Output is |cells|
+    * rows. All arithmetic is fixed-point integer or one final double
+    * division of identical exact integers — hash-exact under the gate.
+    */
+  private[operators] def ivfRefresh(e: DataFrame): DataFrame = {
+    val dec = "decimal(38,0)"
+    val bound = e.agg(max("vec_id").as("nmax"))
+    val ev = e.crossJoin(broadcast(bound))
+      .select(col("vec_id"), col("embedding"), col("label"),
+        (col("vec_id") * 2 <= col("nmax")).as("is_old"))
+    // the stale index: per-label fixed-point centroid means over the OLD
+    // epoch only (what the index was built from)
+    val staleCents = graft.Materialize(ev.filter(col("is_old"))
+      .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "v")))
+      .groupBy("label", "dim")
+      .agg(sum(floor(col("v").cast("double") * CentroidFixScale).cast(dec)).as("sfix"),
+        count(lit(1)).as("n"))
+      .select(col("label"), col("dim"),
+        (col("sfix").cast("double") / col("n").cast("double") / CentroidFixScale).as("c"))
+      .groupBy("label")
+      .agg(transform(sort_array(collect_list(struct(col("dim"), col("c")))), x => x.getField("c"))
+        .cast("array<float>").as("centroid"))
+      .select(col("label").as("cell"), col("centroid")))
+    // production state: every vector in its nearest STALE cell
+    val wAssign = Window.partitionBy("vec_id").orderBy(col("ccos").desc, col("cell").asc)
+    val asg = graft.Materialize.toStorage(ev.join(broadcast(staleCents))
+      .select(col("vec_id"), col("embedding"), col("is_old"), col("cell"),
+        cosine_similarity(col("embedding"), col("centroid")).as("ccos"))
+      .withColumn("rn", row_number().over(wAssign))
+      .filter(col("rn") === 1)
+      .select("vec_id", "embedding", "is_old", "cell"), "e31_asg")
+    // per-(cell, dim) component sums over the ASSIGNED membership, both
+    // epochs in one pass
+    val cs = graft.Materialize(asg
+      .select(col("cell"), col("is_old"),
+        posexplode(col("embedding")).as(Seq("dim", "v")))
+      .select(col("cell"), col("is_old"), col("dim"),
+        floor(col("v").cast("double") * CentroidFixScale).cast(dec).as("f"))
+      .groupBy("cell", "dim")
+      .agg(sum(when(col("is_old"), col("f")).otherwise(lit(0).cast(dec))).as("sa"),
+        count(when(col("is_old"), 1)).as("na"),
+        sum(col("f")).as("sc"),
+        count(lit(1)).as("nc")))
+    val drift = cs
+      .select(col("cell"), col("na"), col("nc"),
+        abs(col("sa") * col("nc").cast(dec) - col("sc") * col("na").cast(dec)).as("ad"))
+      .groupBy("cell")
+      .agg(min("na").as("n_old"), min("nc").as("n_members"), sum("ad").as("l1s"))
+      .select(col("cell"), col("n_old"), col("n_members"),
+        when(col("n_old") === 0L, lit(0L)).otherwise(expr(
+          "CAST((l1s * 1000000000) DIV " +
+            s"(CAST(n_old AS DECIMAL(38,0)) * CAST(n_members AS DECIMAL(38,0)) * ${CentroidFixScale.toLong}L) AS BIGINT)"))
+          .as("drift_ppb"))
+    val tot = drift.agg(sum("drift_ppb").as("td"), count(lit(1)).as("ncells"))
+    val ledger = graft.Materialize(drift.crossJoin(broadcast(tot))
+      .select(col("cell"), col("n_old"), col("n_members"), col("drift_ppb"),
+        (col("drift_ppb") * col("ncells") > lit(RefreshDriftFactor) * col("td") &&
+          col("drift_ppb") > 0L).as("refreshed")))
+    val refreshedCells = ledger.filter(col("refreshed")).select("cell")
+    // partition-scoped rebuild: ONLY the drifted cells get new centroids,
+    // from the already-computed component sums — no second corpus pass
+    val freshCents = cs.join(refreshedCells, "cell")
+      .select(col("cell"), col("dim"),
+        (col("sc").cast("double") / col("nc").cast("double") / CentroidFixScale).as("c"))
+      .groupBy("cell")
+      .agg(transform(sort_array(collect_list(struct(col("dim"), col("c")))), x => x.getField("c"))
+        .cast("array<float>").as("centroid"))
+    val updatedCents = graft.Materialize(
+      staleCents.join(refreshedCells, Seq("cell"), "left_anti").unionByName(freshCents))
+    // re-assign ONLY the drifted cells' members against the updated set;
+    // a mover lands in whatever cell is NOW nearest
+    val moved = graft.Materialize.toStorage(asg.join(refreshedCells, Seq("cell"))
+      .select(col("vec_id"), col("embedding"), col("cell").as("old_cell"))
+      .join(broadcast(updatedCents))
+      .select(col("vec_id"), col("old_cell"), col("cell"),
+        cosine_similarity(col("embedding"), col("centroid")).as("ccos"))
+      .withColumn("rn", row_number().over(wAssign))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("old_cell"), col("cell").as("new_cell")), "e31_moved")
+    val movedOut = moved.filter(col("new_cell") =!= col("old_cell"))
+    val outBy = movedOut.groupBy(col("old_cell").as("cell")).agg(count(lit(1)).as("mo"))
+    val inBy = movedOut.groupBy(col("new_cell").as("cell")).agg(count(lit(1)).as("mi"))
+    val postAsg = asg.select(col("vec_id"), col("cell"))
+      .join(moved.select(col("vec_id"), col("new_cell")), Seq("vec_id"), "left")
+      .select(col("vec_id"), coalesce(col("new_cell"), col("cell")).as("cell"))
+    // recall audit — e15's discipline on e02's query set: exact top-k vs
+    // the nprobe-1 candidate set, before and after the refresh
+    val q = ev.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("q_emb"))
+    val wq = Window.partitionBy("qid").orderBy(col("cos_sim").desc, col("nid").asc)
+    val exact = graft.Materialize(
+      ev.select(col("vec_id").as("nid"), col("embedding").as("n_emb"))
+        .join(broadcast(q), col("nid") =!= col("qid"))
+        .select(col("qid"), col("nid"),
+          cosine_similarity(col("q_emb"), col("n_emb")).as("cos_sim"))
+        .withColumn("rn", row_number().over(wq))
+        .filter(col("rn") <= RefreshRecallK)
+        .select("qid", "nid"))
+    def topkIn(probe: DataFrame, members: DataFrame): DataFrame =
+      probe.join(members.select(col("vec_id").as("nid"), col("cell")), "cell")
+        .filter(col("nid") =!= col("qid"))
+        .join(ev.select(col("vec_id").as("nid"), col("embedding").as("n_emb")), "nid")
+        .select(col("qid"), col("nid"),
+          cosine_similarity(col("q_emb"), col("n_emb")).as("cos_sim"))
+        .withColumn("rn", row_number().over(wq))
+        .filter(col("rn") <= RefreshRecallK)
+        .select("qid", "nid")
+    val staleProbe = asg.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("q_emb"), col("cell"))
+    val freshProbe = q.join(broadcast(updatedCents))
+      .select(col("qid"), col("q_emb"), col("cell"),
+        cosine_similarity(col("q_emb"), col("centroid")).as("ccos"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("qid").orderBy(col("ccos").desc, col("cell").asc)))
+      .filter(col("rn") === 1)
+      .select("qid", "q_emb", "cell")
+    val nex = exact.agg(count(lit(1)).as("n_exact"))
+    val sh = topkIn(staleProbe, asg).join(exact, Seq("qid", "nid"), "left_semi")
+      .agg(count(lit(1)).as("hs"))
+    val fh = topkIn(freshProbe, postAsg).join(exact, Seq("qid", "nid"), "left_semi")
+      .agg(count(lit(1)).as("hf"))
+    val rec = nex.crossJoin(sh).crossJoin(fh)
+      .select(
+        when(col("n_exact") === 0L, lit(0L)).otherwise(
+          expr("CAST((hs * 1000000) DIV n_exact AS BIGINT)")).as("recall_ppm_stale"),
+        when(col("n_exact") === 0L, lit(0L)).otherwise(
+          expr("CAST((hf * 1000000) DIV n_exact AS BIGINT)")).as("recall_ppm_fresh"))
+    ledger.join(outBy, Seq("cell"), "left").join(inBy, Seq("cell"), "left")
+      .crossJoin(broadcast(rec))
+      .select(col("cell").cast("long").as("cell"), col("n_members"), col("n_old"),
+        col("drift_ppb"), col("refreshed"),
+        coalesce(col("mo"), lit(0L)).as("n_moved_out"),
+        coalesce(col("mi"), lit(0L)).as("n_moved_in"),
+        col("recall_ppm_stale"), col("recall_ppm_fresh"))
+      .orderBy("cell")
+  }
+
   /** DuckDB fragment: exact sequential-double cosine between a.embedding
     * and b.embedding (embeddings are fixed 64-dim).
     */
@@ -1980,6 +2155,13 @@ object Similarity {
               .cast("double")).as("top_dim_drift"))
         .orderBy("label")
     }),
+
+    // IVF INDEX REFRESH — the maintenance kernel e30's drift alert pages
+    // FOR: rebuild only the drifted cells' centroids and re-assign only
+    // their members (the v03 partition-scoped-refresh discipline on the
+    // ANN index), with a before/after nprobe-1 recall audit on e02's
+    // fixed query set. See ivfRefresh.
+    "e31_ivf_refresh" -> ((s, dir) => ivfRefresh(Tables.embeddings(s, dir))),
 
     // PRODUCT QUANTIZATION (PQ): the codebook compression behind
     // billion-vector ANN indexes (IVF-PQ) — split every vector into M=4
@@ -3127,6 +3309,159 @@ object Similarity {
         |    / CAST(agg.n_a::HUGEINT * agg.n_b * 1073741824 AS DOUBLE) AS top_dim_drift
         |FROM agg JOIN top USING (label)
         |ORDER BY agg.label""".stripMargin,
+
+    // e31: the whole refresh restated — stale old-epoch centroids, full
+    // stale assignment, e30's cross-multiplied per-cell drift on the
+    // assigned membership, the same integer trigger, drifted-cell
+    // centroid rebuild + member re-assignment, and both recall passes.
+    // ivr_-prefixed CTEs (collision-proof); cosine mirrors duckCos /
+    // cscored's explicit ::DOUBLE comprehension (list_cosine_similarity
+    // is float32 and does not bit-match).
+    "e31_ivf_refresh" -> {
+      def cosEC(e: String, c: String) =
+        s"""list_sum([$e.embedding[i]::DOUBLE * $c.ce[i]::DOUBLE for i in range(1, len($e.embedding) + 1)])
+           |    / sqrt(list_sum([$e.embedding[i]::DOUBLE * $e.embedding[i]::DOUBLE for i in range(1, len($e.embedding) + 1)]))
+           |    / sqrt(list_sum([$c.ce[i]::DOUBLE * $c.ce[i]::DOUBLE for i in range(1, len($c.ce) + 1)]))""".stripMargin
+      s"""WITH ivr_bd AS (
+         |  SELECT MAX(vec_id) AS nmax FROM embeddings
+         |), ivr_ev AS (
+         |  SELECT vec_id, embedding, label, (vec_id * 2 <= ivr_bd.nmax) AS is_old
+         |  FROM embeddings CROSS JOIN ivr_bd
+         |), ivr_sx AS (
+         |  SELECT label,
+         |    unnest([{'d': i - 1, 'v': embedding[i]::DOUBLE} for i in range(1, len(embedding) + 1)]) AS u
+         |  FROM ivr_ev WHERE is_old
+         |), ivr_scd AS (
+         |  SELECT label, u.d AS dim,
+         |    CAST(SUM(CAST(floor(u.v * 1073741824.0) AS HUGEINT)) AS DOUBLE)
+         |      / CAST(COUNT(*) AS DOUBLE) / 1073741824.0 AS c
+         |  FROM ivr_sx GROUP BY label, u.d
+         |), ivr_scent AS (
+         |  SELECT label AS cell, list_transform(list(c ORDER BY dim), v -> v::FLOAT) AS ce
+         |  FROM ivr_scd GROUP BY label
+         |), ivr_ascored AS (
+         |  SELECT e.vec_id, e.is_old, c.cell,
+         |    ${cosEC("e", "c")} AS ccos
+         |  FROM ivr_ev e, ivr_scent c
+         |), ivr_asg AS MATERIALIZED (
+         |  SELECT vec_id, is_old, cell FROM (
+         |    SELECT vec_id, is_old, cell,
+         |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cell ASC) AS rn
+         |    FROM ivr_ascored) WHERE rn = 1
+         |), ivr_ax AS (
+         |  SELECT a.cell, a.is_old,
+         |    unnest([{'d': i - 1, 'v': e.embedding[i]::DOUBLE} for i in range(1, len(e.embedding) + 1)]) AS u
+         |  FROM ivr_asg a JOIN embeddings e USING (vec_id)
+         |), ivr_cs AS MATERIALIZED (
+         |  SELECT cell, u.d AS dim,
+         |    SUM(CASE WHEN is_old THEN CAST(floor(u.v * 1073741824.0) AS HUGEINT) ELSE 0 END) AS sa,
+         |    COUNT(CASE WHEN is_old THEN 1 END) AS na,
+         |    SUM(CAST(floor(u.v * 1073741824.0) AS HUGEINT)) AS sc,
+         |    COUNT(*) AS nc
+         |  FROM ivr_ax GROUP BY cell, u.d
+         |), ivr_dr AS (
+         |  SELECT cell, MIN(na) AS n_old, MIN(nc) AS n_members,
+         |    SUM(abs(sa * nc - sc * na)) AS l1s
+         |  FROM ivr_cs GROUP BY cell
+         |), ivr_drift AS (
+         |  SELECT cell, n_old, n_members,
+         |    CASE WHEN n_old = 0 THEN 0
+         |      ELSE CAST((l1s * 1000000000) // (n_old::HUGEINT * n_members * 1073741824) AS BIGINT)
+         |    END AS drift_ppb
+         |  FROM ivr_dr
+         |), ivr_tot AS (
+         |  SELECT SUM(drift_ppb) AS td, COUNT(*) AS ncells FROM ivr_drift
+         |), ivr_led AS MATERIALIZED (
+         |  SELECT d.cell, d.n_old, d.n_members, d.drift_ppb,
+         |    (d.drift_ppb * t.ncells > $RefreshDriftFactor * t.td AND d.drift_ppb > 0) AS refreshed
+         |  FROM ivr_drift d CROSS JOIN ivr_tot t
+         |), ivr_fcent AS (
+         |  SELECT cell,
+         |    list_transform(list(CAST(sc AS DOUBLE) / CAST(nc AS DOUBLE) / 1073741824.0 ORDER BY dim),
+         |      v -> v::FLOAT) AS ce
+         |  FROM ivr_cs JOIN (SELECT cell FROM ivr_led WHERE refreshed) USING (cell)
+         |  GROUP BY cell
+         |), ivr_ucent AS MATERIALIZED (
+         |  SELECT cell, ce FROM ivr_scent
+         |  WHERE cell NOT IN (SELECT cell FROM ivr_led WHERE refreshed)
+         |  UNION ALL SELECT cell, ce FROM ivr_fcent
+         |), ivr_mscored AS (
+         |  SELECT a.vec_id, a.cell AS old_cell, c.cell AS cand_cell,
+         |    ${cosEC("e", "c")} AS ccos
+         |  FROM ivr_asg a JOIN embeddings e USING (vec_id)
+         |  JOIN (SELECT cell FROM ivr_led WHERE refreshed) rf ON rf.cell = a.cell
+         |  CROSS JOIN ivr_ucent c
+         |), ivr_moved AS MATERIALIZED (
+         |  SELECT vec_id, old_cell, cand_cell AS new_cell FROM (
+         |    SELECT vec_id, old_cell, cand_cell,
+         |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cand_cell ASC) AS rn
+         |    FROM ivr_mscored) WHERE rn = 1
+         |), ivr_mout AS (
+         |  SELECT old_cell AS cell, COUNT(*) AS mo FROM ivr_moved
+         |  WHERE new_cell <> old_cell GROUP BY old_cell
+         |), ivr_min AS (
+         |  SELECT new_cell AS cell, COUNT(*) AS mi FROM ivr_moved
+         |  WHERE new_cell <> old_cell GROUP BY new_cell
+         |), ivr_post AS (
+         |  SELECT a.vec_id, COALESCE(m.new_cell, a.cell) AS cell
+         |  FROM ivr_asg a LEFT JOIN ivr_moved m USING (vec_id)
+         |), ivr_exact AS MATERIALIZED (
+         |  SELECT qid, nid FROM (
+         |    SELECT q.vec_id AS qid, e.vec_id AS nid,
+         |      ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY ${duckCos("q", "e")} DESC, e.vec_id ASC) AS rn
+         |    FROM embeddings q JOIN embeddings e ON e.vec_id <> q.vec_id
+         |    WHERE q.vec_id < 10) WHERE rn <= $RefreshRecallK
+         |), ivr_ssc AS (
+         |  SELECT pq.vec_id AS qid, ne.vec_id AS nid, ${duckCos("qe", "ne")} AS cos_sim
+         |  FROM (SELECT vec_id, cell FROM ivr_asg WHERE vec_id < 10) pq
+         |  JOIN ivr_asg m ON m.cell = pq.cell AND m.vec_id <> pq.vec_id
+         |  JOIN embeddings qe ON qe.vec_id = pq.vec_id
+         |  JOIN embeddings ne ON ne.vec_id = m.vec_id
+         |), ivr_stop AS (
+         |  SELECT qid, nid FROM (
+         |    SELECT qid, nid,
+         |      ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos_sim DESC, nid ASC) AS rn
+         |    FROM ivr_ssc) WHERE rn <= $RefreshRecallK
+         |), ivr_fpr AS (
+         |  SELECT qid, cell FROM (
+         |    SELECT q.vec_id AS qid, c.cell,
+         |      ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY ${cosEC("q", "c")} DESC, c.cell ASC) AS rn
+         |    FROM embeddings q CROSS JOIN ivr_ucent c
+         |    WHERE q.vec_id < 10) WHERE rn = 1
+         |), ivr_fsc AS (
+         |  SELECT f.qid, m.vec_id AS nid, ${duckCos("qe", "ne")} AS cos_sim
+         |  FROM ivr_fpr f
+         |  JOIN ivr_post m ON m.cell = f.cell AND m.vec_id <> f.qid
+         |  JOIN embeddings qe ON qe.vec_id = f.qid
+         |  JOIN embeddings ne ON ne.vec_id = m.vec_id
+         |), ivr_ftop AS (
+         |  SELECT qid, nid FROM (
+         |    SELECT qid, nid,
+         |      ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos_sim DESC, nid ASC) AS rn
+         |    FROM ivr_fsc) WHERE rn <= $RefreshRecallK
+         |), ivr_nex AS (
+         |  SELECT COUNT(*) AS n_exact FROM ivr_exact
+         |), ivr_sh AS (
+         |  SELECT COUNT(*) AS hs FROM ivr_stop JOIN ivr_exact USING (qid, nid)
+         |), ivr_fh AS (
+         |  SELECT COUNT(*) AS hf FROM ivr_ftop JOIN ivr_exact USING (qid, nid)
+         |), ivr_rec AS (
+         |  SELECT
+         |    CASE WHEN n.n_exact = 0 THEN 0
+         |      ELSE CAST((s.hs * 1000000) // n.n_exact AS BIGINT) END AS recall_ppm_stale,
+         |    CASE WHEN n.n_exact = 0 THEN 0
+         |      ELSE CAST((f.hf * 1000000) // n.n_exact AS BIGINT) END AS recall_ppm_fresh
+         |  FROM ivr_nex n, ivr_sh s, ivr_fh f
+         |)
+         |SELECT CAST(l.cell AS BIGINT) AS cell, CAST(l.n_members AS BIGINT) AS n_members,
+         |  CAST(l.n_old AS BIGINT) AS n_old, l.drift_ppb, l.refreshed,
+         |  CAST(COALESCE(o.mo, 0) AS BIGINT) AS n_moved_out,
+         |  CAST(COALESCE(i.mi, 0) AS BIGINT) AS n_moved_in,
+         |  r.recall_ppm_stale, r.recall_ppm_fresh
+         |FROM ivr_led l LEFT JOIN ivr_mout o USING (cell) LEFT JOIN ivr_min i USING (cell)
+         |CROSS JOIN ivr_rec r
+         |ORDER BY cell""".stripMargin
+    },
 
     "e06_ivf_ann" ->
       s"""WITH $duckIvfCtes, cand AS (

@@ -839,4 +839,54 @@ class SimilaritySpec extends SparkSpec {
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
     }
   }
+
+  test("e31 refresh: planted drift triggers exactly its cell; borderline member moves out") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // nmax = 9 -> old epoch = ids 0..4. Stale centroids (old only):
+    //   c0 = [1,0,0,0] (ids 0,1) ; c1 = [0,0,1,0] (2,4) ; c2 = [0,0,0,1] (3)
+    // Stale assignment: 0,1 -> c0; 2,4,8,9 -> c1; 3 -> c2;
+    //   5 = [.5,0,.5,0] ties c0/c1 at .707 -> cell 0 (cell ASC);
+    //   6,7 = [0,1,0,0] cos 0 everywhere -> cell 0.
+    // Cell 0 membership {0,1,5,6,7}: old mean [1,0,0,0], current mean
+    //   [.5,.4,.1,0] -> l1 drift 1.0 (~1e9 ppb); cells 1/2 drift exactly
+    //   0 -> trigger (ppb*3 > 2*total) fires cell 0 ALONE.
+    // Refresh: c0' = [.5,.4,.1,0]; re-assigning {0,1,5,6,7}: only 5
+    //   moves (cos to c0' ~.655 < .707 to c1) -> out(cell0)=1, in(cell1)=1.
+    // Recall audit: corpus of 10 <= k+1, so every candidate is a hit and
+    //   recall = sum over queries of (|probed cell|-1) / 90 on both
+    //   sides: stale cells {5,4,1} -> (5*4+4*3)/90; fresh probing lands
+    //   q5 on c1 and conserves the candidate total -> 32e6 DIV 90.
+    val dir = java.nio.file.Files.createTempDirectory("graft-e31").toString
+    try {
+      val c0 = Array(1.0f, 0.0f, 0.0f, 0.0f)
+      val c1 = Array(0.0f, 0.0f, 1.0f, 0.0f)
+      val c2 = Array(0.0f, 0.0f, 0.0f, 1.0f)
+      val x = Array(0.5f, 0.0f, 0.5f, 0.0f)
+      val y = Array(0.0f, 1.0f, 0.0f, 0.0f)
+      val rows = Seq(
+        (0L, c0, 0), (1L, c0, 0), (2L, c1, 1), (3L, c2, 2), (4L, c1, 1),
+        (5L, x, 0), (6L, y, 0), (7L, y, 0), (8L, c1, 1), (9L, c1, 1))
+      rows.toDF("vec_id", "embedding", "label")
+        .select(col("vec_id"), col("embedding"), col("label").cast("int").as("label"))
+        .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+      val got = Similarity.queries("e31_ivf_refresh")(spark, dir).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getBoolean(4), r.getLong(5), r.getLong(6), r.getLong(7), r.getLong(8)))
+        .toSeq
+      assert(got.map(_._1) === Seq(0L, 1L, 2L))
+      val (cell0, cell1, cell2) = (got(0), got(1), got(2))
+      assert(cell0._2 === 5L && cell0._3 === 2L, "cell 0 membership/old count")
+      assert(cell0._4 > 900000000L && cell0._4 < 1100000000L, "planted ~1.0 l1 drift")
+      assert(cell0._5 && !cell1._5 && !cell2._5, "exactly the planted cell refreshes")
+      assert(cell1._4 === 0L && cell2._4 === 0L, "stable cells read zero drift")
+      assert(cell0._6 === 1L && cell0._7 === 0L, "borderline member moves out of cell 0")
+      assert(cell1._6 === 0L && cell1._7 === 1L, "and lands in cell 1")
+      assert(cell2._6 === 0L && cell2._7 === 0L)
+      assert(got.forall(r => r._8 === 32000000L / 90L && r._9 === 32000000L / 90L),
+        "recall audit columns carry the hand-computed ppm on every row")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
 }

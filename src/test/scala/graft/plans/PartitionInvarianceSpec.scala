@@ -151,7 +151,10 @@ class PartitionInvarianceSpec extends SparkSpec {
     "z07_layout_advisor", "e29_centroid_outliers", "e30_centroid_drift",
     // the hash-rank sample: reshuffling must not move a single kept edge
     // (the checksum column would catch one)
-    "g15_neighbor_sample")
+    "g15_neighbor_sample",
+    // round 13: the refresh ledger's fixed-point drift sums, integer
+    // trigger, and recall ppm must not move under reshuffling
+    "e31_ivf_refresh")
 
   private def runAt(name: String, parts: Int): Seq[String] = {
     val old = spark.conf.get("spark.sql.shuffle.partitions")
