@@ -41,14 +41,31 @@ class RocksDbParitySpec extends SparkSpec {
   // (s25 burst rollup, s26 alpha admission, s27 decayed engagement,
   // s28 leaderboard) join the sweep — their state is the running agg
   // table itself, which is exactly what the provider swap exercises.
-  for (name <- Seq("s03_stream_dedup", "s04_stream_user_state",
+  // Round 13 (r11 verdict #7): the sweep is now CATALOG-COMPLETE — every
+  // stateful s-entry runs under both providers. Newly added: the
+  // Complete-mode aggs (s01 count, s02 tumbling, s16 OHLC, s18 CDC
+  // argmax, s23 gate tally, s15's admission tally, s05/s06 on the
+  // engine's own DSv2 source), the watermark-finalized append windows
+  // (s09), the sketch-keyed dropDuplicates (s19), and the k-bounded
+  // packer state (s24). Deliberately absent: s10 (stream-static join —
+  // stateless per micro-batch, no state store to swap), s17 (the
+  // observe() metrics channel — listener-side, not state-store-backed),
+  // and s14 (transformWithState REQUIRES RocksDB by API; pinned in its
+  // own spec).
+  for (name <- Seq("s01_stream_count", "s02_stream_tumbling",
+                   "s03_stream_dedup", "s04_stream_user_state",
+                   "s05_synth_source_count", "s06_synth_source_shards",
                    "s07_stream_stream_join", "s08_stream_sessions",
-                   "s11_stream_left_outer", "s12_stream_custom_sessions",
-                   "s13_stream_chained_windows", "s20_stream_quota_sample",
-                   "s21_stream_transitions", "s22_stream_dedup_ttl",
-                   "s25_stream_burst", "s26_stream_alpha_admit",
-                   "s27_stream_decay", "s28_stream_topk",
-                   "s29_stream_growth", "s30_stream_outlier_gate"))
+                   "s09_stream_append_finalized", "s11_stream_left_outer",
+                   "s12_stream_custom_sessions", "s13_stream_chained_windows",
+                   "s15_stream_curation_gates", "s16_stream_ohlc",
+                   "s18_stream_cdc", "s19_stream_neardup_gate",
+                   "s20_stream_quota_sample", "s21_stream_transitions",
+                   "s22_stream_dedup_ttl", "s23_stream_gate_counts",
+                   "s24_stream_pack", "s25_stream_burst",
+                   "s26_stream_alpha_admit", "s27_stream_decay",
+                   "s28_stream_topk", "s29_stream_growth",
+                   "s30_stream_outlier_gate"))
     test(s"$name: identical rows under RocksDB and the default state-store provider") {
       val default = runUnder(None, name)
       val rocks = runUnder(Some(RocksDb), name)
