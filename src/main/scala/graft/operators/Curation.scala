@@ -164,9 +164,9 @@ object Curation {
     // would slot in as a max_by if size-based survivorship were wanted).
     "p04_crossmodal_clusters" -> ((s, dir) => {
       val textE = Dedup.nearDupPairs(s, dir).select(col("id_a"), col("id_b"))
-      val phashE = Multimodal.phashPairs(Tables.documents(s, dir))
+      val phashE = Multimodal.phashPairsShared(s, dir)
         .select(col("doc_a").as("id_a"), col("doc_b").as("id_b"))
-      val semE = Similarity.semCellPairs(Tables.embeddings(s, dir))
+      val semE = Similarity.semCellPairsShared(s, dir)
         .filter(col("cos") >= Similarity.SemDedupTheta)
         .select(col("lo").as("id_a"), col("hi").as("id_b"))
       val edges = textE.unionByName(phashE).unionByName(semE).distinct()

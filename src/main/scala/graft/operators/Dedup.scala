@@ -254,21 +254,30 @@ object Dedup {
     * gated. Shared by d03 itself, d07/d11 (as edges), and t20 (as the
     * candidate set the edit-distance verify runs on).
     */
-  private[operators] def nearDupPairs(s: SparkSession, dir: String): DataFrame = {
-    val sk = sketched(s, dir)
-    val a = sk.select(col("doc_id").as("id_a"), col("hsh").as("sh_a"))
-    val b = sk.select(col("doc_id").as("id_b"), col("hsh").as("sh_b"))
-    minhashBandCandidates(sk.select(col("doc_id"), col("sig")))
-      .join(a, "id_a").join(b, "id_b")
-      .select(col("id_a"), col("id_b"), jaccardSorted(col("sh_a"), col("sh_b")).as("jaccard"))
-      .filter(col("jaccard") >= JaccardThreshold)
-  }
+  // Per-JVM SHARED FIXTURE (Materialize.fixture, the Graph.partEdges
+  // discipline): seven catalog queries consume exactly this verified
+  // pair set (d03, d07, d11, d18, d19, d20's clusters, e27, p04, t-side
+  // contamination), and each was re-paying the sketch + band + verify
+  // chain per query. Built once per process, read as a flat scan.
+  private[operators] def nearDupPairs(s: SparkSession, dir: String): DataFrame =
+    graft.Materialize.fixture(s, s"dx-neardup|$dir") {
+      val sk = sketched(s, dir)
+      val a = sk.select(col("doc_id").as("id_a"), col("hsh").as("sh_a"))
+      val b = sk.select(col("doc_id").as("id_b"), col("hsh").as("sh_b"))
+      minhashBandCandidates(sk.select(col("doc_id"), col("sig")))
+        .join(a, "id_a").join(b, "id_b")
+        .select(col("id_a"), col("id_b"), jaccardSorted(col("sh_a"), col("sh_b")).as("jaccard"))
+        .filter(col("jaccard") >= JaccardThreshold)
+    }
 
   /** d05's verified SimHash pair frame (id_a, id_b, hamming) — 4×16-bit
     * band pigeonhole candidates (count-first capped), Hamming ≤ 3.
     * Shared by d05 itself and d19's strategy-agreement report.
     */
-  private[operators] def simhashPairs(s: SparkSession, dir: String): DataFrame = {
+  private[operators] def simhashPairs(s: SparkSession, dir: String): DataFrame =
+    graft.Materialize.fixture(s, s"dx-simhash|$dir")(simhashPairsBuild(s, dir))
+
+  private def simhashPairsBuild(s: SparkSession, dir: String): DataFrame = {
     val sh = shingled(s, dir)
       .select(col("doc_id"), simhash64(col("sh")).as("simhash"))
     val bandCols = (0 until 4).map { bnd =>
@@ -305,8 +314,12 @@ object Dedup {
     * connected components. Returns (doc_id, cluster_id) for every
     * clustered document.
     */
+  // fixture-shared like nearDupPairs itself: four queries (d07, d11,
+  // d20, the spectrum) consume the identical clustering, and the CC
+  // iteration is the family's most expensive derived step
   private def nearDupClusters(s: SparkSession, dir: String): DataFrame =
-    connectedComponents(nearDupPairs(s, dir).select(col("id_a"), col("id_b")))
+    graft.Materialize.fixture(s, s"dx-dupcc|$dir")(
+      connectedComponents(nearDupPairs(s, dir).select(col("id_a"), col("id_b"))))
 
   /** d20 core over a (doc_id, cluster_id) frame and a (doc_id, hsh)
     * hashed-shingle table — extracted so a crafted chain (a~b~c with

@@ -241,6 +241,14 @@ object Multimodal {
     * on natural corpora; a degenerate corpus (one dominant signature)
     * needs d03's bucket cap, which the precondition spec would flag.
     */
+  /** Per-JVM shared fixture over the corpus's pHash pair frame (the
+    * Graph.partEdges discipline): m09 and p04 consume the identical
+    * banded pair set.
+    */
+  private[graft] def phashPairsShared(s: SparkSession, dir: String): DataFrame =
+    graft.Materialize.fixture(s, s"mx-phash|$dir")(
+      phashPairs(Tables.documents(s, dir).select(col("doc_id"), col("text"))))
+
   private[operators] def phashPairs(docs: DataFrame): DataFrame = {
     def bandCol(b: Int) = (0 until 16).map { j =>
       val i = 16 * b + j
@@ -702,8 +710,7 @@ object Multimodal {
     // (the oracle ranks ALL pairs brute-force; pigeonhole guarantees the
     // banded join finds the same ≤3 set).
     "m09_phash_neardup" -> ((s, dir) => {
-      phashPairs(Tables.documents(s, dir).select(col("doc_id"), col("text")))
-        .orderBy("doc_a", "doc_b")
+      phashPairsShared(s, dir).orderBy("doc_a", "doc_b")
     }),
 
     // PHASH MARGIN CALIBRATION — the distance→byte-agreement curve the

@@ -356,6 +356,15 @@ object Similarity {
     semCellPairs(semAssigned(e).withColumn("sub", subColFor(b)), b)
   }
 
+  /** Per-JVM shared fixture over the corpus's sem-cell pair frame (the
+    * Graph.partEdges discipline): e20, e27, and p04 all consume exactly
+    * semCellPairs(embeddings) and each re-paid the centroid + assignment
+    * + within-cell pairing chain per query.
+    */
+  private[graft] def semCellPairsShared(s: SparkSession, dir: String): DataFrame =
+    graft.Materialize.fixture(s, s"ex-sempairs|$dir")(
+      semCellPairs(Tables.embeddings(s, dir)))
+
   /** The SQ8 quantized corpus (vec_id, q: array<bigint>) — e07's exact
     * per-vector symmetric scheme assembled into lists. Shared by e22
     * (whole-corpus scan baseline) and e25 (the composed IVF-probed
@@ -706,9 +715,17 @@ object Similarity {
       .select(col("vid"), col("s.id").as("nid"), col("s.score").as("cos_sim"))
   }
 
+  /** The LSH-carry base top-k lists both NN-descent entries start from —
+    * a per-JVM shared fixture (the Graph.partEdges discipline): e18 and
+    * e18b each paid the carry-through scoring + bounded top-k base once
+    * per query.
+    */
+  private[operators] def knn0Shared(s: SparkSession, dir: String): DataFrame =
+    graft.Materialize.fixture(s, s"ex-knn0|$dir")(
+      nnTopkLists(lshCarryScored(Tables.embeddings(s, dir)), NnDescentK))
+
   private[operators] def nnDescentRound(e: DataFrame, scored0: DataFrame,
                                         k: Int = NnDescentK): DataFrame = {
-    def topkLists(scored: DataFrame): DataFrame = nnTopkLists(scored, k)
     // The base lists go to SCRATCH (e18b's carry discipline), not a
     // persist: knn0 is referenced five times in this plan (the
     // undirected edges twice, the candidate union, the before-audit, the
@@ -718,7 +735,13 @@ object Similarity {
     // at execution (measured: e18 13.3 s vs e18b's scratch-carried
     // round 1 at ~6 s on the same base). A flat parquet scan is
     // re-readable for free and leaves nothing to clean up.
-    val knn0 = graft.Materialize.toStorage(topkLists(scored0), "e18_knn0")
+    nnDescentRoundFromLists(e,
+      graft.Materialize.toStorage(nnTopkLists(scored0, k), "e18_knn0"), k)
+  }
+
+  /** e18's round over pre-built base lists (knn0Shared or scratch). */
+  private[operators] def nnDescentRoundFromLists(e: DataFrame, knn0: DataFrame,
+                                                 k: Int = NnDescentK): DataFrame = {
     val und = knn0.select(col("vid").as("u"), col("nid").as("v"))
       .unionAll(knn0.select(col("nid").as("u"), col("vid").as("v"))).distinct()
     val non = und.select(col("u"), col("v").as("vid"))
@@ -726,7 +749,7 @@ object Similarity {
       .filter(col("vid") =!= col("nid"))
       .select("vid", "nid")
     val cand1 = non.unionAll(knn0.select("vid", "nid")).distinct()
-    val knn1 = topkLists(scorePairs(e, cand1))
+    val knn1 = nnTopkLists(scorePairs(e, cand1), k)
     val m0 = knn0.groupBy("vid").agg(min("cos_sim").as("worst0"), count(lit(1)).as("k0"))
     val m1 = knn1.groupBy("vid").agg(min("cos_sim").as("worst1"), count(lit(1)).as("k1"))
     val newEdges = knn1
@@ -1401,7 +1424,7 @@ object Similarity {
     // hash gate.
     "e20_semdedup_sweep" -> ((s, dir) => {
       val e = Tables.embeddings(s, dir)
-      val pairs = semCellPairs(e)
+      val pairs = semCellPairsShared(s, dir)
         .select(col("hi").as("vid"), col("cos"))
       val tot = e.agg(count(lit(1)).as("n"))
       val sweeps = Seq(20L -> 0.2, 30L -> 0.3, 40L -> 0.4).map { case (pct, th) =>
@@ -1707,10 +1730,8 @@ object Similarity {
     // 80 GB sort-spill disk kill, so the lesson is now load-bearing
     // here too. Run more rounds = re-invoke on the refined lists
     // (driver loop, d07's shape); one round is the verifiable unit.
-    "e18_nn_descent_round" -> ((s, dir) => {
-      val e = Tables.embeddings(s, dir)
-      nnDescentRound(e, lshCarryScored(e))
-    }),
+    "e18_nn_descent_round" -> ((s, dir) =>
+      nnDescentRoundFromLists(Tables.embeddings(s, dir), knn0Shared(s, dir))),
 
     // NN-DESCENT TO CONVERGENCE — e18's round run TWICE under the
     // g02b scratch-carry discipline: each round's top-k lists land in
@@ -1725,8 +1746,7 @@ object Similarity {
     "e18b_nn_descent_converge" -> ((s, dir) => {
       val e = Tables.embeddings(s, dir)
       val k = NnDescentK
-      var knnCur = graft.Materialize.toStorage(
-        nnTopkLists(lshCarryScored(e), k), "e18b_knn0")
+      var knnCur = knn0Shared(s, dir)
       val audits = (1 to NnDescentRounds).map { r =>
         val und = knnCur.select(col("vid").as("u"), col("nid").as("v"))
           .unionAll(knnCur.select(col("nid").as("u"), col("vid").as("v"))).distinct()
@@ -1976,7 +1996,7 @@ object Similarity {
     "e27_lexical_semantic_agreement" -> ((s, dir) => {
       val lex = Dedup.nearDupPairs(s, dir)
         .select(col("id_a"), col("id_b"), lit(1L).as("in_lex"))
-      val sem = semCellPairs(Tables.embeddings(s, dir))
+      val sem = semCellPairsShared(s, dir)
         .filter(col("cos") >= SemDedupTheta)
         .select(col("lo").as("id_a"), col("hi").as("id_b"), lit(1L).as("in_sem"))
       val cls = lex.join(sem, Seq("id_a", "id_b"), "full_outer")
