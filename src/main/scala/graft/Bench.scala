@@ -33,6 +33,13 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.graft.scratchDir", benchScratch)
+      // 262 queries × several codegen units each ≫ the default 100-entry
+      // janino class cache — at the default, EVERY pass recompiles every
+      // generated class (measured: pass totals 661/563/388 s — the
+      // third pass is the only one that ever ran warm). A catalog-sized
+      // cache makes passes 2-3 read pass 1's compiled classes, which is
+      // what a resident production service does too.
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
       .getOrCreate()
     def sweepScratch(): Unit = {
       def rm(f: java.io.File): Unit = {
