@@ -260,15 +260,21 @@ object Dedup {
   // contamination), and each was re-paying the sketch + band + verify
   // chain per query. Built once per process, read as a flat scan.
   private[operators] def nearDupPairs(s: SparkSession, dir: String): DataFrame =
-    graft.Materialize.fixture(s, s"dx-neardup|$dir") {
-      val sk = sketched(s, dir)
-      val a = sk.select(col("doc_id").as("id_a"), col("hsh").as("sh_a"))
-      val b = sk.select(col("doc_id").as("id_b"), col("hsh").as("sh_b"))
-      minhashBandCandidates(sk.select(col("doc_id"), col("sig")))
-        .join(a, "id_a").join(b, "id_b")
-        .select(col("id_a"), col("id_b"), jaccardSorted(col("sh_a"), col("sh_b")).as("jaccard"))
-        .filter(col("jaccard") >= JaccardThreshold)
-    }
+    graft.Materialize.fixture(s, s"dx-neardup|$dir")(nearDupPairsBuild(s, dir))
+
+  /** The un-memoized pipeline — exposed so PlanShapeSpec pins the BUILD
+    * plan's shape (equi-join only, band explode present); a consumer's
+    * plan is just the fixture scan.
+    */
+  private[graft] def nearDupPairsBuild(s: SparkSession, dir: String): DataFrame = {
+    val sk = sketched(s, dir)
+    val a = sk.select(col("doc_id").as("id_a"), col("hsh").as("sh_a"))
+    val b = sk.select(col("doc_id").as("id_b"), col("hsh").as("sh_b"))
+    minhashBandCandidates(sk.select(col("doc_id"), col("sig")))
+      .join(a, "id_a").join(b, "id_b")
+      .select(col("id_a"), col("id_b"), jaccardSorted(col("sh_a"), col("sh_b")).as("jaccard"))
+      .filter(col("jaccard") >= JaccardThreshold)
+  }
 
   /** d05's verified SimHash pair frame (id_a, id_b, hamming) — 4×16-bit
     * band pigeonhole candidates (count-first capped), Hamming ≤ 3.

@@ -792,13 +792,14 @@ object Relational {
           row_number().over(w).as("rn")))
       chain.createOrReplaceTempView("orders_chain")
       // shuffle width derived from the materialized row count (~1 task
-      // per million walk rows, floor 8): at sf0.1 the per-step jobs run
+      // per 500k walk rows, floor 8): at sf0.1 the per-step jobs run
       // 8 tasks instead of 32 (pure scheduling overhead on 150 k rows);
-      // at a 1000× orders table the same rule scales the width back up
-      // instead of freezing a local constant into a cluster plan.
+      // at the 100× probe the same rule scales back up to 30 so the
+      // chain-build window and final agg keep the cores busy — a
+      // measured 1M divisor starved them (112.8 s vs 45-ish at 100×).
       val nRows = chain.count()
       s2.conf.set("spark.sql.shuffle.partitions",
-        math.max(8L, nRows / 1000000L).toString)
+        math.max(8L, nRows / 500000L).toString)
       // frontier-gated broadcast: the frontier is one row per customer,
       // so its size is known BEFORE the walk starts. Small (the common
       // case — here ~15 k rows) ⇒ hint the broadcast and every step is a

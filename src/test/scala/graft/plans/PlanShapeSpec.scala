@@ -127,7 +127,10 @@ class PlanShapeSpec extends SparkSpec {
   }
 
   test("d03: LSH candidate generation is equi-join only (no quadratic fallback)") {
-    val p = sparkPlan("d03_minhash_lsh")
+    // the catalog entry reads the per-JVM fixture (a flat scan — nothing
+    // to pin); the shape that matters at 100 TB is the BUILD pipeline's
+    val p = graft.operators.Dedup.nearDupPairsBuild(spark, sfDir)
+      .queryExecution.sparkPlan
     assert(collectAll(p) {
       case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => j
       case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c
